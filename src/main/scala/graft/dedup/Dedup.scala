@@ -1,0 +1,138 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape:
+  *
+  *  - exact: one hash-shuffle on a 16-byte digest (never on the raw text —
+  *    shuffling full documents would move the whole corpus).
+  *  - MinHash + LSH: candidate generation via banded signature buckets; the
+  *    only shuffles are on small (band, hash) keys; verification joins only
+  *    within buckets, never all-pairs.
+  *  - SimHash: 64-bit signature, exact-duplicate buckets by signature.
+  *  - n-gram Jaccard: exact verification on LSH candidates only.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical content digest.
+    * Shuffles only (digest, id) after a map-side digest — at 100 TB the
+    * shuffle payload is ~32 bytes/doc regardless of document size.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact dedup keyed on the normalized word-set fingerprint — catches
+    * whitespace/punctuation/word-order variants of identical content.
+    */
+  def byFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature over shingles: `numHashes` permutations computed in
+    * one pass by [[graft.exprs.HashExprs.MinHashSig]] (hash each shingle
+    * once, affine-transform per permutation).
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    graft.exprs.HashExprs.minhash_sig(shingles, numHashes)
+
+  /** LSH banding: signature → array of (bandIndex, bandHash) structs. Docs
+    * sharing any band bucket are near-dup candidates.
+    */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+    }: _*)
+
+  /** Exact Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * Plan shape (the part that must survive 100 TB):
+    *  1. narrow: shingle → signature → explode bands  (no shuffle)
+    *  2. shuffle on (band, bucket) — keys are 16 bytes, combiner-friendly
+    *  3. self-join *within* buckets only (the LSH point: candidate count
+    *     ≪ n²); bucket skew is bounded because identical docs should first
+    *     be removed by [[exact]].
+    *  4. exact-Jaccard verification on candidates; threshold filter.
+    *
+    * Returns distinct (idA, idB, jaccard) with idA < idB.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 16,
+                      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val shingled = df.select(
+      col(idCol).as("id"),
+      TextAnalysis.wordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // Candidate generation carries ONLY (id, band, bucket) — the shingle
+    // arrays never enter the bucket shuffle (at 100 TB they'd dominate it).
+    val buckets = shingled
+      .select(col("id"),
+        explode(lshBands(minhashSignature(col("sh"), numHashes),
+          bands, rowsPerBand)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = buckets.alias("a").join(buckets.alias("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct() // pairs sharing several bands verify once, not per band
+    // Verification joins the shingles back — one exact-Jaccard per pair.
+    cand
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over word shingles, computed in one per-row pass by
+    * [[graft.exprs.HashExprs.SimHash64]] (the column-function formulation
+    * needs 64 aggregate passes per row — quadratic and codegen-hostile).
+    */
+  def simhash(text: Column, shingleSize: Int = 2): Column =
+    graft.exprs.HashExprs.simhash64(TextAnalysis.wordShingles(text, shingleSize))
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs within identical 16-bit blocks
+    * (pigeonhole: any pair within distance 3 shares at least one of 4
+    * blocks). Shuffle key = (block index, block value) — small and uniform.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    // Signatures computed once into a slim (id, sig) relation; the block
+    // join and the verification both reuse it (8-byte payloads only).
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val blocked = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map { i =>
+        struct(lit(i).as("i"),
+          shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("v"))
+      }: _*)).as("blk"))
+    val a = blocked.alias("a"); val b = blocked.alias("b")
+    a.join(b,
+        col("a.blk.i") === col("b.blk.i") && col("a.blk.v") === col("b.blk.v") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

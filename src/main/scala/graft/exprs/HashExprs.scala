@@ -1,0 +1,140 @@
+package graft.exprs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass signature expressions for dedup at scale.
+  *
+  * Why custom Expressions (SURVEY.md §7.3 preference order (b)): the
+  * column-function formulation of simhash needs 64 `aggregate` passes over
+  * the shingle array per row (one per bit) and minhash needs `k` re-hashing
+  * passes — both blow up expression-tree size, fall out of codegen, and go
+  * quadratic per document. These expressions compute the whole signature in
+  * ONE imperative pass per row: hash each shingle once, derive the k
+  * permutations / 64 bit-votes incrementally. CodegenFallback is fine —
+  * per-row loop cost dominates, and the surrounding plan stays codegen'd.
+  *
+  * Hashing matches Spark's `xxhash64` (XxHash64Function) so signatures are
+  * stable across engines/runs.
+  */
+object HashExprs {
+
+  /** Affine-permutation constants (odd multipliers — splitmix64 increments). */
+  private[exprs] def mult(i: Int): Long = 0x9E3779B97F4A7C15L * (2L * i + 1L)
+  private[exprs] def inc(i: Int): Long = 0xBF58476D1CE4E5B9L * (i + 1L)
+
+  /** MinHash signature: array<string> shingles → array<long> of `k` min
+    * hashes. One xxhash64 per shingle; permutations are affine transforms of
+    * the base hash (the standard one-hash minwise trick).
+    */
+  case class MinHashSig(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(k)(Long.MaxValue)
+      var j = 0
+      val n = arr.numElements()
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val base = XxHash64Function.hash(
+            arr.getUTF8String(j), StringType, 42L)
+          var i = 0
+          while (i < k) {
+            val h = base * mult(i) + inc(i)
+            if (h < mins(i)) mins(i) = h
+            i += 1
+          }
+        }
+        j += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  }
+
+  /** SimHash-64: array<string> shingles → long signature. One pass:
+    * per-shingle xxhash64, ±1 vote per bit, sign of the vote vector.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      var j = 0
+      val n = arr.numElements()
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val h = XxHash64Function.hash(arr.getUTF8String(j), StringType, 42L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        j += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  /** Word n-gram shingles: string → array<string>, one tokenize pass.
+    *
+    * The column-function formulation (`transform(sequence(...), i =>
+    * concat_ws(slice(toks, i, n)))`) re-evaluates the tokenizer expression
+    * once per shingle index — O(len · shingles) per row. This expression
+    * tokenizes once (lowercase, split on non-alphanumeric runs) and emits
+    * the distinct shingles in first-occurrence order.
+    */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+      val toks = new scala.collection.mutable.ArrayBuffer[String]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isLetterOrDigit(c)) sb.append(c)
+        else if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
+        i += 1
+      }
+      if (sb.length > 0) toks += sb.toString
+      val count = math.max(toks.length - n, 0) + 1
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var j = 0
+      while (j < count) {
+        val end = math.min(j + n, toks.length)
+        seen.add(UTF8String.fromString(toks.slice(j, end).mkString(" ")))
+        j += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+    }
+    override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  }
+
+  import org.apache.spark.sql.classic.GraftBridge
+
+  def word_shingles(text: Column, n: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
+
+  def minhash_sig(shingles: Column, k: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(shingles), k))
+
+  def simhash64(shingles: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(shingles)))
+}

@@ -1,0 +1,165 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Schema conformance — the reference's `enrichJson` command
+  * (EnrichJsonBuilder.java:209-348): rewrite a record to match a target Avro
+  * schema — fill missing nullable fields with null, recurse into records and
+  * arrays, coerce ISO-8601 strings to epoch-ms for `timestamp-millis` fields,
+  * and represent non-null unions as a struct of nullable branches (the
+  * `{"type": value}` wire shape, EnrichJsonBuilder.java:265-268).
+  *
+  * Spark-first: the target Avro schema is parsed ONCE (driver side) into a
+  * `StructType` + coercion plan; conformance is then a plain `select` of
+  * cast/coalesce expressions — codegen'd, no per-row schema walk (the
+  * reference walks the Jackson tree per record).
+  */
+object Conform {
+
+  /** A parsed Avro schema: Spark type + whether it is a timestamp-millis
+    * logical type (which needs string→timestamp coercion).
+    */
+  final case class AvroType(dataType: DataType, nullable: Boolean,
+                            isTimestampMillis: Boolean = false,
+                            fields: Map[String, AvroType] = Map.empty,
+                            element: Option[AvroType] = None)
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse an Avro schema JSON string (record/union/array/map/primitives +
+    * timestamp-millis) into an [[AvroType]]. Public Avro spec semantics only.
+    */
+  def parseAvro(schemaJson: String): AvroType =
+    parseNode(mapper.readTree(schemaJson))
+
+  private def primitive(name: String, node: JsonNode): AvroType = name match {
+    case "null" => AvroType(NullType, nullable = true)
+    case "boolean" => AvroType(BooleanType, nullable = false)
+    case "int" => AvroType(IntegerType, nullable = false)
+    case "long" =>
+      val lt = Option(node.get("logicalType")).map(_.asText).getOrElse("")
+      if (lt == "timestamp-millis")
+        AvroType(TimestampType, nullable = false, isTimestampMillis = true)
+      else AvroType(LongType, nullable = false)
+    case "float" => AvroType(FloatType, nullable = false)
+    case "double" => AvroType(DoubleType, nullable = false)
+    case "bytes" => AvroType(BinaryType, nullable = false)
+    case "string" => AvroType(StringType, nullable = false)
+    case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
+  }
+
+  private def parseNode(node: JsonNode): AvroType = {
+    if (node.isTextual) return primitive(node.asText, node)
+    if (node.isArray) { // union
+      val branches = node.elements.asScala.toSeq.map(parseNode)
+      val nonNull = branches.filter(_.dataType != NullType)
+      val hasNull = branches.exists(_.dataType == NullType)
+      if (nonNull.size == 1) nonNull.head.copy(nullable = hasNull)
+      else {
+        // non-null union → struct of nullable branches keyed by type name
+        // (matches enrichJson's {"type": value} wire shape)
+        val fields = nonNull.map { b =>
+          typeName(b.dataType) -> b.copy(nullable = true)
+        }.toMap
+        AvroType(
+          StructType(fields.toSeq.sortBy(_._1).map { case (n, t) =>
+            StructField(n, t.dataType, nullable = true) }),
+          nullable = hasNull, fields = fields)
+      }
+    } else node.get("type").asText match {
+      case "record" =>
+        val fs = node.get("fields").elements.asScala.toSeq.map { f =>
+          f.get("name").asText -> parseNode(f.get("type"))
+        }
+        AvroType(
+          StructType(fs.map { case (n, t) =>
+            StructField(n, t.dataType, t.nullable) }),
+          nullable = false, fields = fs.toMap)
+      case "array" =>
+        val el = parseNode(node.get("items"))
+        AvroType(ArrayType(el.dataType, el.nullable), nullable = false,
+          element = Some(el))
+      case "map" =>
+        val v = parseNode(node.get("values"))
+        AvroType(MapType(StringType, v.dataType, v.nullable), nullable = false)
+      case prim => primitive(prim, node)
+    }
+  }
+
+  private def typeName(dt: DataType): String = dt match {
+    case StringType => "string"
+    case IntegerType => "int"
+    case LongType => "long"
+    case BooleanType => "boolean"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case BinaryType => "bytes"
+    case _: StructType => "record"
+    case _: ArrayType => "array"
+    case other => other.simpleString
+  }
+
+  /** ISO-8601 (or epoch-ms long) → timestamp, the coercion enrichJson applies
+    * to timestamp-millis fields (EnrichJsonBuilder.java:296-306).
+    */
+  private def coerceTimestampMillis(c: Column): Column =
+    coalesce(
+      to_timestamp(c.cast(StringType), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"),
+      to_timestamp(c.cast(StringType), "yyyy-MM-dd'T'HH:mm:ssXXX"),
+      to_timestamp(c.cast(StringType), "yyyy-MM-dd HH:mm:ss"),
+      timestamp_millis(c.cast(LongType)))
+
+  private def conformColumn(c: Column, target: AvroType,
+                            source: Option[DataType]): Column = {
+    if (target.isTimestampMillis) return coerceTimestampMillis(c)
+    target.dataType match {
+      case st: StructType =>
+        val srcFields = source match {
+          case Some(s: StructType) => s.fields.map(f => f.name -> f.dataType).toMap
+          case _ => Map.empty[String, DataType]
+        }
+        val cols = st.fields.map { f =>
+          val sub = target.fields.get(f.name) match {
+            case Some(t) if srcFields.contains(f.name) =>
+              conformColumn(c.getField(f.name), t, srcFields.get(f.name))
+            case Some(t) => lit(null).cast(t.dataType)
+            case None => lit(null).cast(f.dataType)
+          }
+          sub.as(f.name)
+        }
+        when(c.isNotNull, struct(cols.toSeq: _*))
+      case at: ArrayType =>
+        val el = target.element.getOrElse(AvroType(at.elementType, at.containsNull))
+        val srcEl = source.collect { case ArrayType(e, _) => e }
+        transform(c, x => conformColumn(x, el, srcEl))
+      case dt => c.cast(dt)
+    }
+  }
+
+  /** Conform top-level DataFrame columns to a target Avro *record* schema:
+    * the output has exactly the target's fields, in target order — existing
+    * columns coerced, missing nullable fields null-filled.
+    */
+  def conformTo(df: DataFrame, schemaJson: String): DataFrame = {
+    val target = parseAvro(schemaJson)
+    require(target.dataType.isInstanceOf[StructType],
+      "conformTo requires a record schema")
+    val src = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols = target.dataType.asInstanceOf[StructType].fields.map { f =>
+      val t = target.fields(f.name)
+      val c = src.get(f.name) match {
+        case Some(sdt) => conformColumn(col(f.name), t, Some(sdt))
+        case None =>
+          require(t.nullable, s"missing non-nullable field ${f.name}")
+          lit(null).cast(t.dataType)
+      }
+      c.as(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+}

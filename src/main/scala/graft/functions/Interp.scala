@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** `@{field}` interpolation compiler.
+  *
+  * The reference's `setValues`/`logInfo`/`kafkaProducer` configs interpolate
+  * field references into template strings, e.g. `"@{_topic}-avro"`
+  * (reference: config/morphlines.conf:25-30, producer.conf:27-32). The
+  * reference resolves these per record, interpretively.
+  *
+  * Spark-first: compile the template ONCE into a `concat` expression tree of
+  * literals and column refs — whole-stage codegen then evaluates it with no
+  * per-row parsing or allocation beyond the output string.
+  */
+object Interp {
+  private val Ref = raw"@\{([^}]+)\}".r
+
+  /** Compile `"prefix @{col} suffix"` into a Column. Null columns render as
+    * empty string (morphline renders missing fields as empty).
+    */
+  def interpolate(template: String): Column = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var last = 0
+    for (m <- Ref.findAllMatchIn(template)) {
+      if (m.start > last) parts += lit(template.substring(last, m.start))
+      parts += coalesce(col(m.group(1)).cast("string"), lit(""))
+      last = m.end
+    }
+    if (last < template.length) parts += lit(template.substring(last))
+    if (parts.isEmpty) lit("") else if (parts.size == 1) parts.head
+    else concat(parts.toSeq: _*)
+  }
+}

@@ -1,0 +1,163 @@
+package graft.ops
+
+import graft.functions.{Grok, Interp, TimeFunctions}
+import graft.pipeline.Op
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Field-level transforms — the morphline "SELECT list" commands
+  * (SURVEY.md §2.B). Every op compiles to built-in, codegen'd column
+  * expressions; none shuffles.
+  */
+object RecordOps {
+
+  /** `setValues` (reference: config/cloudsolr.conf:52-56): assign fields;
+    * values may interpolate `@{field}` refs; replaces existing values.
+    */
+  def setValues(assignments: (String, String)*): Op =
+    Op("setValues") { df =>
+      assignments.foldLeft(df) { case (d, (field, template)) =>
+        d.withColumn(field, Interp.interpolate(template))
+      }
+    }
+
+  /** Typed variant: assign arbitrary Column expressions. */
+  def setColumns(assignments: (String, Column)*): Op =
+    Op("setColumns") { df =>
+      assignments.foldLeft(df) { case (d, (f, c)) => d.withColumn(f, c) }
+    }
+
+  /** `addValues`: append to a multi-valued field (promotes scalar → array;
+    * morphline fields are List-valued, ToConnectDataBuilder.java:153-158).
+    */
+  def addValues(field: String, values: Column*): Op =
+    Op("addValues") { df =>
+      val base: Column =
+        if (!df.columns.contains(field)) array()
+        else df.schema(field).dataType match {
+          case _: org.apache.spark.sql.types.ArrayType => col(field)
+          case _ => array(col(field))
+        }
+      df.withColumn(field, concat(base, array(values: _*)))
+    }
+
+  /** `addValuesIfAbsent`: append only values not already present. */
+  def addValuesIfAbsent(field: String, values: Column*): Op =
+    Op("addValuesIfAbsent") { df =>
+      df.withColumn(field, array_union(col(field), array(values: _*)))
+    }
+
+  /** `removeFields` by exact name (drop). */
+  def removeFields(fields: String*): Op =
+    Op("removeFields")(df => df.drop(fields: _*))
+
+  /** `removeFields` with a regex over field names. */
+  def removeFieldsMatching(regex: String): Op =
+    Op("removeFieldsMatching") { df =>
+      df.drop(df.columns.filter(_.matches(regex)).toSeq: _*)
+    }
+
+  /** `removeValues`: drop matching values inside an array field. */
+  def removeValues(field: String, value: Column): Op =
+    Op("removeValues")(df => df.withColumn(field, array_remove(col(field), value)))
+
+  /** `replaceValues` via regex within a string field = `findReplace`. */
+  def findReplace(field: String, pattern: String, replacement: String): Op =
+    Op("findReplace") { df =>
+      df.withColumn(field, regexp_replace(col(field), pattern, replacement))
+    }
+
+  /** `split`: tokenize a string field into an array of values. */
+  def splitField(field: String, separator: String, outputField: String): Op =
+    Op("split") { df =>
+      df.withColumn(outputField, split(col(field), separator))
+    }
+
+  /** `splitKeyValue`: parse `k=v` pair strings into a map. */
+  def splitKeyValue(field: String, outputField: String,
+                    pairSep: String = ",", kvSep: String = "="): Op =
+    Op("splitKeyValue") { df =>
+      df.withColumn(outputField, str_to_map(col(field), lit(pairSep), lit(kvSep)))
+    }
+
+  /** `translate`: dictionary lookup with default. Small dictionaries compile
+    * to a literal-map lookup (codegen'd); large dictionaries should use a
+    * broadcast join instead (see [[translateViaJoin]]).
+    */
+  def translate(field: String, dict: Map[String, String],
+                default: Column, outputField: String): Op =
+    Op("translate") { df =>
+      val m = typedLit(dict)
+      df.withColumn(outputField,
+        coalesce(element_at(m, col(field).cast("string")), default))
+    }
+
+  /** `translate` at scale: broadcast-join against a dictionary DataFrame
+    * (columns `key`, `value`). For dictionaries too large for a literal map
+    * but small enough to broadcast — the 100 TB-side pattern.
+    */
+  def translateViaJoin(field: String, dict: DataFrame, outputField: String): Op =
+    Op("translateViaJoin") { df =>
+      df.join(broadcast(dict.withColumnRenamed("key", field)
+          .withColumnRenamed("value", outputField)),
+        Seq(field), "left")
+    }
+
+  /** `toString` with optional trim (reference: TESTR/identity.conf:183-188). */
+  def toStringField(field: String, trimOutput: Boolean = false): Op =
+    Op("toString") { df =>
+      val c = col(field).cast("string")
+      df.withColumn(field, if (trimOutput) trim(c) else c)
+    }
+
+  /** `toByteArray` / `decodeBase64` codecs. */
+  def toByteArray(field: String, charset: String = "UTF-8"): Op =
+    Op("toByteArray")(df => df.withColumn(field, encode(col(field), charset)))
+  def decodeBase64(field: String): Op =
+    Op("decodeBase64")(df => df.withColumn(field, unbase64(col(field))))
+  def encodeBase64(field: String): Op =
+    Op("encodeBase64")(df => df.withColumn(field, base64(col(field).cast("binary"))))
+
+  /** `addCurrentTime` — nondeterministic by nature; mark tests accordingly. */
+  def addCurrentTime(field: String = "timestamp"): Op =
+    Op("addCurrentTime")(df => df.withColumn(field, current_timestamp()))
+
+  /** `generateUUID` (reference: config/cloudsolr.conf:57-61). Nondeterministic. */
+  def generateUUID(field: String): Op =
+    Op("generateUUID")(df => df.withColumn(field, expr("uuid()")))
+
+  /** Deterministic unique-key variant for testable/idempotent pipelines:
+    * content-hash key (what `generateSolrSequenceKey` needs at scale — a
+    * stable key makes sink writes idempotent across task retries).
+    */
+  def deterministicKey(field: String, from: Column*): Op =
+    Op("deterministicKey") { df =>
+      df.withColumn(field, md5(concat_ws(" ", from: _*)))
+    }
+
+  /** `convertTimestamp` (reference: config/cloudsolr.conf:43-51). */
+  def convertTimestamp(field: String, inputFormats: Seq[String],
+                       outputFormat: String, outputField: String,
+                       inputTimezone: String = "UTC",
+                       outputTimezone: String = "UTC"): Op =
+    Op("convertTimestamp") { df =>
+      df.withColumn(outputField,
+        TimeFunctions.convertTimestamp(col(field), inputFormats, outputFormat,
+          inputTimezone, outputTimezone))
+    }
+
+  /** `grok`: extract named fields via a grok expression. */
+  def grok(field: String, grokExpr: String): Op =
+    Op("grok")(df => Grok.extract(df, col(field), grokExpr))
+
+  /** `extractJsonPaths`-style projection with rename map (path → out field).
+    * Operates on already-parsed struct columns; see ParserOps.readJson for
+    * the string→struct step.
+    */
+  def extractPaths(src: String, paths: (String, String)*): Op =
+    Op("extractPaths") { df =>
+      paths.foldLeft(df) { case (d, (path, out)) =>
+        d.withColumn(out, col(s"$src.$path"))
+      }
+    }
+}

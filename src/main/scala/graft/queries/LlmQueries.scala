@@ -1,0 +1,292 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators (north star, BASELINE.json): dedup,
+  * similarity search, text analysis, multimodal columns — over the
+  * `documents` / `embeddings` tables. Oracles where DuckDB can express the
+  * same deterministic computation; rows-only where the op hinges on hash
+  * functions DuckDB lacks (minhash/simhash/xxhash64).
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------- text analysis ----------------
+    "t_token_count" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_toks"),
+          round(TextAnalysis.charsPerToken(col("text")), 6).as("chars_per_tok"))
+        .orderBy("doc_id")),
+
+    "t_stopword_ratio" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          round(TextAnalysis.stopwordRatio(col("text")), 6).as("sw_ratio"))
+        .orderBy("doc_id")),
+
+    "t_quality_score" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "t_lang_id" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "t_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Rolling hash — hash function not available in DuckDB: rows-only.
+    "t_rolling_hash" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.rollingHash(col("text")).as("rh"))
+        .orderBy("doc_id")),
+
+    // ---------------- dedup ----------------
+    "d_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id")).orderBy("doc_id")),
+
+    "d_dedup_fingerprint" -> ((s, dir) =>
+      Dedup.byFingerprint(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id")).orderBy("doc_id")),
+
+    // Exact n-gram Jaccard within (source, lang) blocks — blocked all-pairs,
+    // bounded quadratic per block (the verification stage of LSH pipelines).
+    "d_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
+        TextAnalysis.wordShingles(col("text"), 3).as("sh"))
+      val a = d.alias("a"); val b = d.alias("b")
+      a.join(b, col("a.source") === col("b.source") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+            (size(col("a.sh")) + size(col("b.sh")) -
+              size(array_intersect(col("a.sh"), col("b.sh")))).cast("double"),
+            6).as("jac"))
+        .filter(col("jac") >= 0.2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash-LSH near-dup pairs — xxhash64-based: rows-only.
+    "d_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id",
+        shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.2)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup pairs — rows-only.
+    "d_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 8)
+        .orderBy("id_a", "id_b")),
+
+    // ---------------- similarity search ----------------
+    // Brute-force exact top-5 cosine for 3 query vectors.
+    "s_knn_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceKnn(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("id"), round(col("cosine"), 6).as("cos"),
+          col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    // LSH-bucketed ANN — pseudo-random hyperplanes: rows-only.
+    "s_knn_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshKnn(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = 5, dim = 64, nBits = 8)
+        .orderBy("qid", "rank")
+    }),
+
+    // Vector norms (embedding column plumbing sanity).
+    "s_vec_norm" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("vec_id"),
+          round(Similarity.norm(transform(col("embedding"), _.cast("double"))), 6)
+            .as("nrm"))
+        .orderBy("vec_id")),
+
+    // IVF coarse assignment with the first 3 vectors as fixed centroids.
+    "s_ivf_assign" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.filter(col("vec_id") < 3).orderBy("vec_id")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      Similarity.ivfAssign(e, "embedding", centroids)
+        .select(col("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    }),
+
+    // ---------------- multimodal ----------------
+    "mm_media_stats" -> ((s, dir) => {
+      val media = Multimodal.asMedia(docs(s, dir), "text", "text/plain")
+      Multimodal.mediaStats(media)
+        .select(col("doc_id"), col("byteLen"), col("contentMd5"),
+          col("sniffedType"))
+        .orderBy("doc_id")
+    }),
+
+    // Stubbed decode/feature-extract via mapPartitions — rows-only.
+    "mm_decode_features" -> ((s, dir) => {
+      val media = Multimodal.asMedia(docs(s, dir), "text", "text/plain")
+      Multimodal.decodeFeatures(s, media)
+        .select(col("doc_id"), col("features.byteLen").as("byte_len"),
+          col("features.width").as("w"), col("features.height").as("h"))
+        .orderBy("doc_id")
+    }),
+
+    // Frame-sample plumbing (1→N chunk explode) — deterministic and
+    // SQL-expressible: chunk count per doc.
+    "mm_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.asMedia(docs(s, dir), "text", "text/plain")
+      Multimodal.frameSample(media, "media.body", chunkBytes = 64, stride = 2)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+        |  round(CAST(length(text) AS DOUBLE) /
+        |        CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS chars_per_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_stopword_ratio" ->
+      """SELECT doc_id,
+        |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |    x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |      'that','for','on','with','as','was','at','by','be','this'], x)))
+        |    AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 6)
+        |    AS sw_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_quality_score" ->
+      """SELECT doc_id, CAST(round(
+        |  (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+        |  (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+        |     AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.3 THEN 1.0 ELSE 0.0 END) * 0.3 +
+        |  (CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+        |     x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |       'that','for','on','with','as','was','at','by','be','this'], x)))
+        |     AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) > 0.01
+        |   THEN 1.0 ELSE 0.0 END) * 0.3, 4) AS DOUBLE) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |s2 AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> list_contains(['the','and','of','is','with','that'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(['der','die','und','ist','nicht','das'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(['el','la','que','los','una','por'], x))) AS s_es,
+        |    len(list_filter(toks, x -> list_contains(['le','les','des','est','une','dans'], x))) AS s_fr
+        |  FROM sc)
+        |SELECT doc_id,
+        |  CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'de'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+    "t_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(list_filter(
+        |    string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |    x -> x <> ''))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_dedup_exact" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "d_dedup_fingerprint" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY md5(array_to_string(list_sort(list_distinct(list_filter(
+        |      string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |      x -> x <> ''))), ' '))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "d_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, lang,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' ')) - 1, 2)),
+        |      i -> array_to_string(
+        |        (list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '), x -> x <> ''))[i:i+2],
+        |        ' '))) AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jac
+        |  FROM sh a JOIN sh b
+        |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "s_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) AS cosine
+        |  FROM embeddings e CROSS JOIN q),
+        |ranked AS (
+        |  SELECT qid, id, round(cosine, 6) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
+        |  FROM scored)
+        |SELECT qid, id, cos, rank FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "s_vec_norm" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 6) AS nrm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "s_ivf_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 3),
+        |d AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+        |           (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))) AS d2
+        |  FROM embeddings e CROSS JOIN c)
+        |SELECT vec_id, CAST(cid AS INT) AS cell FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM d) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "mm_media_stats" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byteLen,
+        |  md5(text) AS contentMd5,
+        |  CASE WHEN substr(hex(encode(text)), 1, 4) = 'FFD8' THEN 'image/jpeg'
+        |       WHEN substr(hex(encode(text)), 1, 8) = '89504E47' THEN 'image/png'
+        |       ELSE 'application/octet-stream' END AS sniffedType
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST(greatest((octet_length(encode(text)) // 64 // 2) - 1, 0) + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,375 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Conform
+import graft.ops.{ControlOps, ParserOps, RecordOps}
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's operator surface (SURVEY.md §2.A–§2.D), each exercised as
+  * a deterministic query over the driver's parquet tables with a DuckDB
+  * oracle. Every query routes through the library ops (graft.ops / graft
+  * .functions) — these entries are both the correctness gate and living
+  * examples.
+  *
+  * Oracle parity rules used throughout:
+  *  - every output column aliased identically in Spark and SQL;
+  *  - doubles only ever produced by identical integer/decimal→double casts
+  *    or explicit round();
+  *  - deterministic ORDER BY on both sides;
+  *  - timestamps rendered as strings (morphline semantics anyway).
+  */
+object MorphlineQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def customer(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+  private def nation(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "nation")
+  private def orders(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // readJson (kite-json): parse the JSON payload column with a schema.
+    "m_read_json" -> ((s, dir) => {
+      val pipe = Pipeline("readjson", Seq(
+        ParserOps.readJson("props", new StructType().add("k", IntegerType)),
+        RecordOps.extractPaths("json", "k" -> "k")))
+      pipe(events(s, dir))
+        .select(col("event_id"), col("k"))
+        .orderBy("event_id")
+    }),
+
+    // extractJsonPaths + rename mappings (FIXTURES.md F3 shape).
+    "m_extract_paths" -> ((s, dir) => {
+      val pipe = Pipeline("extract", Seq(
+        ParserOps.readJson("props", new StructType().add("k", IntegerType)),
+        RecordOps.extractPaths("json", "k" -> "k_renamed")))
+      pipe(events(s, dir))
+        .select(col("event_id"), col("k_renamed"))
+        .orderBy("event_id")
+    }),
+
+    // setValues with @{field} interpolation (producer.conf topic derivation).
+    "m_set_values" -> ((s, dir) => {
+      val pipe = Pipeline("setvalues", Seq(
+        RecordOps.setValues(
+          "topic" -> "@{event_type}-avro",
+          "subject" -> "@{event_type}-value")))
+      pipe(events(s, dir))
+        .select(col("event_id"), col("topic"), col("subject"))
+        .orderBy("event_id")
+    }),
+
+    // convertTimestamp: multi-format parse + render (cloudsolr.conf:43-51).
+    "m_convert_timestamp" -> ((s, dir) => {
+      val withStr = orders(s, dir)
+        .withColumn("dstr", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      val pipe = Pipeline("convertts", Seq(
+        RecordOps.convertTimestamp("dstr",
+          Seq("MM/dd/yyyy", "yyyy-MM-dd"), "yyyy-MM-dd HH:mm:ss", "converted")))
+      pipe(withStr)
+        .select(col("o_orderkey"), col("converted"))
+        .orderBy("o_orderkey")
+    }),
+
+    // convertTimestamp unixTimeInMillis path (kafkaTimestamp, F5 fixture).
+    "m_convert_unix_millis" -> ((s, dir) => {
+      val withMs = orders(s, dir)
+        .withColumn("ms", unix_millis(col("o_orderdate").cast("timestamp")))
+      val pipe = Pipeline("convertms", Seq(
+        RecordOps.convertTimestamp("ms",
+          Seq("unixTimeInMillis"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'", "iso")))
+      pipe(withMs)
+        .select(col("o_orderkey"), col("iso"))
+        .orderBy("o_orderkey")
+    }),
+
+    // findReplace (regex replace on a field).
+    "m_find_replace" -> ((s, dir) => {
+      val pipe = Pipeline("findreplace", Seq(
+        RecordOps.findReplace("event_type", "e", "3")))
+      pipe(events(s, dir))
+        .select(col("event_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
+    // split: tokenize a string field (value = token count + first token).
+    "m_split" -> ((s, dir) => {
+      val pipe = Pipeline("split", Seq(
+        RecordOps.splitField("text", " ", "toks")))
+      pipe(documents(s, dir))
+        .select(col("doc_id"), size(col("toks")).as("n_toks"),
+          element_at(col("toks"), 1).as("first_tok"))
+        .orderBy("doc_id")
+    }),
+
+    // splitKeyValue: parse k=v pairs into a map.
+    "m_split_kv" -> ((s, dir) => {
+      val kv = events(s, dir)
+        .withColumn("kvs", concat(lit("type="), col("event_type"),
+          lit(",user="), col("user_id")))
+      val pipe = Pipeline("splitkv", Seq(
+        RecordOps.splitKeyValue("kvs", "m")))
+      pipe(kv)
+        .select(col("event_id"),
+          element_at(col("m"), "type").as("type_v"),
+          element_at(col("m"), "user").as("user_v"))
+        .orderBy("event_id")
+    }),
+
+    // translate: dictionary lookup with default.
+    "m_translate" -> ((s, dir) => {
+      val pipe = Pipeline("translate", Seq(
+        RecordOps.translate("n_name",
+          Map("UNITED STATES" -> "US", "GERMANY" -> "DE", "FRANCE" -> "FR",
+            "CHINA" -> "CN", "JAPAN" -> "JP"),
+          lit("other"), "code")))
+      pipe(nation(s, dir))
+        .select(col("n_nationkey"), col("n_name"), col("code"))
+        .orderBy("n_nationkey")
+    }),
+
+    // grok: regex-dictionary extraction over a synthesized log line.
+    "m_grok" -> ((s, dir) => {
+      val logs = events(s, dir).withColumn("line",
+        concat(lit("INFO user="), col("user_id"),
+          lit(" type="), col("event_type"), lit(" id="), col("event_id")))
+      val pipe = Pipeline("grok", Seq(
+        RecordOps.grok("line",
+          "%{LOGLEVEL:level} user=%{INT:uid} type=%{WORD:etype}")))
+      pipe(logs)
+        .select(col("event_id"), col("level"), col("uid"), col("etype"))
+        .orderBy("event_id")
+    }),
+
+    // toString with trim (identity.conf:183-188).
+    "m_to_string_trim" -> ((s, dir) => {
+      val padded = customer(s, dir)
+        .withColumn("padded", concat(lit("  "), col("c_name"), lit("  ")))
+      val pipe = Pipeline("tostring", Seq(
+        RecordOps.toStringField("padded", trimOutput = true)))
+      pipe(padded)
+        .select(col("c_custkey"), col("padded").as("trimmed"))
+        .orderBy("c_custkey")
+    }),
+
+    // base64 codecs (toByteArray/decodeBase64 ring).
+    "m_base64" -> ((s, dir) => {
+      val pipe = Pipeline("b64", Seq(
+        RecordOps.encodeBase64("event_type")))
+      pipe(events(s, dir).withColumn("orig", col("event_type")))
+        .select(col("event_id"), col("event_type").as("b64"),
+          unbase64(col("event_type")).cast("string").as("roundtrip"))
+        .orderBy("event_id")
+    }),
+
+    // deterministic unique key (generateSolrSequenceKey at-scale variant).
+    "m_sequence_key" -> ((s, dir) => {
+      val pipe = Pipeline("seqkey", Seq(
+        RecordOps.deterministicKey("id", col("event_type"), col("event_id"))))
+      pipe(events(s, dir))
+        .select(col("event_id"), col("id"))
+        .orderBy("event_id")
+    }),
+
+    // generateUUID — inherently nondeterministic: no oracle (rows-only).
+    "m_generate_uuid" -> ((s, dir) => {
+      val pipe = Pipeline("uuid", Seq(RecordOps.generateUUID("uuid_s")))
+      pipe(events(s, dir)).select(col("event_id"), col("uuid_s"))
+    }),
+
+    // dropRecord (testDrop semantics: matching records vanish).
+    "m_drop_record" -> ((s, dir) => {
+      val pipe = Pipeline("drop", Seq(
+        ControlOps.dropWhere(col("event_type") === "error")))
+      pipe(events(s, dir))
+        .select(col("event_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
+    // if/then/else routing: column-level conditional.
+    "m_if_then_else" -> ((s, dir) => {
+      val pipe = Pipeline("ifelse", Seq(
+        RecordOps.setColumns("tier" ->
+          when(col("value") > 100, "high").otherwise("low"))))
+      pipe(events(s, dir))
+        .select(col("event_id"), col("tier"))
+        .orderBy("event_id")
+    }),
+
+    // tryRules: first-matching-rule dispatch over branch pipelines.
+    "m_try_rules" -> ((s, dir) => {
+      val pipe = Pipeline("tryrules", Seq(
+        ControlOps.tryRules(
+          Seq(
+            (col("event_type") === "purchase",
+              (df: DataFrame) => df.withColumn("rule", lit("r_purchase"))),
+            (col("value") > 150,
+              (df: DataFrame) => df.withColumn("rule", lit("r_highvalue")))),
+          catchAll = Some((df: DataFrame) => df.withColumn("rule", lit("r_default"))))))
+      pipe(events(s, dir))
+        .select(col("event_id"), col("rule"))
+        .orderBy("event_id")
+    }),
+
+    // head / limit (batch-scoped).
+    "m_head" -> ((s, dir) =>
+      ControlOps.head(10)(events(s, dir).orderBy("event_id"))
+        .select(col("event_id"), col("event_type"))),
+
+    // deterministic sample (stable across retries — the scale-safe sample).
+    "m_sample" -> ((s, dir) => {
+      val pipe = Pipeline("sample", Seq(
+        ControlOps.deterministicSample(col("event_id"), 20)))
+      pipe(events(s, dir))
+        .select(col("event_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
+    // readLine: 1→N explode of a multi-line payload.
+    "m_read_line" -> ((s, dir) => {
+      val multi = customer(s, dir)
+        .withColumn("payload", concat_ws("\n", col("c_name"), col("c_mktsegment")))
+      val pipe = Pipeline("readline", Seq(
+        ParserOps.readLine("payload", "line")))
+      pipe(multi)
+        .select(col("c_custkey"), col("line"))
+        .orderBy(col("c_custkey"), col("line"))
+    }),
+
+    // readCSV: delimited payload parse.
+    "m_read_csv" -> ((s, dir) => {
+      val csvLine = customer(s, dir)
+        .withColumn("payload",
+          concat_ws("|", col("c_custkey"), col("c_name"), col("c_mktsegment")))
+      val pipe = Pipeline("readcsv", Seq(
+        ParserOps.readCsv("payload",
+          new StructType().add("id", LongType).add("name", StringType)
+            .add("segment", StringType),
+          sep = "|")))
+      pipe(csvLine)
+        .select(col("csv.id").as("id"), col("csv.name").as("name"),
+          col("csv.segment").as("segment"))
+        .orderBy("id")
+    }),
+
+    // conform-to-schema (enrichJson, F2 fixture): null-fill `missing`,
+    // keep present fields, nullable unions → nullable columns.
+    "m_conform_schema" -> ((s, dir) => {
+      val parsed = events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      val target =
+        """{"type":"record","name":"E","fields":[
+          |{"name":"event_id","type":"long"},
+          |{"name":"k","type":"int"},
+          |{"name":"event_type","type":["null","string"],"default":null},
+          |{"name":"missing","type":["null","string"],"default":null}]}"""
+          .stripMargin
+      Conform.conformTo(parsed, target).orderBy("event_id")
+    }),
+
+    // writeJson (fromConnectData converter:json serialize-back).
+    "m_write_json" -> ((s, dir) => {
+      val pipe = Pipeline("writejson", Seq(
+        ParserOps.writeJson(Seq("event_id", "event_type"), "value")))
+      pipe(events(s, dir))
+        .select(col("event_id"), col("value"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m_read_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m_extract_paths" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_renamed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m_set_values" ->
+      """SELECT event_id, event_type || '-avro' AS topic,
+        |  event_type || '-value' AS subject
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m_convert_timestamp" ->
+      """SELECT o_orderkey,
+        |  strftime(coalesce(try_strptime(strftime(o_orderdate, '%Y-%m-%d'), '%m/%d/%Y'),
+        |                    try_strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')),
+        |           '%Y-%m-%d %H:%M:%S') AS converted
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "m_convert_unix_millis" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "m_find_replace" ->
+      """SELECT event_id, regexp_replace(event_type, 'e', '3', 'g') AS event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m_split" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+        |  string_split(text, ' ')[1] AS first_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m_split_kv" ->
+      """SELECT event_id, event_type AS type_v,
+        |  CAST(user_id AS VARCHAR) AS user_v
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m_translate" ->
+      """SELECT n_nationkey, n_name,
+        |  CASE n_name WHEN 'UNITED STATES' THEN 'US' WHEN 'GERMANY' THEN 'DE'
+        |    WHEN 'FRANCE' THEN 'FR' WHEN 'CHINA' THEN 'CN' WHEN 'JAPAN' THEN 'JP'
+        |    ELSE 'other' END AS code
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "m_grok" ->
+      """SELECT event_id, 'INFO' AS level, CAST(user_id AS VARCHAR) AS uid,
+        |  event_type AS etype
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m_to_string_trim" ->
+      """SELECT c_custkey, trim('  ' || c_name || '  ') AS trimmed
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "m_base64" ->
+      """SELECT event_id, to_base64(encode(event_type)) AS b64,
+        |  event_type AS roundtrip
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m_sequence_key" ->
+      """SELECT event_id, md5(event_type || ' ' || event_id) AS id
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m_drop_record" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
+    "m_if_then_else" ->
+      """SELECT event_id, CASE WHEN value > 100 THEN 'high' ELSE 'low' END AS tier
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m_try_rules" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'purchase' THEN 'r_purchase'
+        |       WHEN value > 150 THEN 'r_highvalue'
+        |       ELSE 'r_default' END AS rule
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m_head" ->
+      "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 10",
+    "m_sample" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin,
+    "m_read_line" ->
+      """SELECT c_custkey,
+        |  unnest(string_split(c_name || chr(10) || c_mktsegment, chr(10))) AS line
+        |FROM customer ORDER BY c_custkey, line""".stripMargin,
+    "m_read_csv" ->
+      """SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+        |FROM customer ORDER BY id""".stripMargin,
+    "m_conform_schema" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  event_type, CAST(NULL AS VARCHAR) AS missing
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m_write_json" ->
+      """SELECT event_id,
+        |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS value
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

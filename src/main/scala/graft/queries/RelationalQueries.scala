@@ -1,0 +1,369 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational layer (SURVEY.md §2.E / §7.2 step 8): joins, aggregations,
+  * windows, sorts, set ops — absent from the reference, required by the
+  * harness and the 100 TB north star.
+  *
+  * Scale notes per query are inline; common rules:
+  *  - dimension tables (region/nation/customer/supplier/part) are broadcast —
+  *    no shuffle on the fact side for those joins;
+  *  - money aggregates run on DECIMAL (exact, order-independent — safe to
+  *    hash-compare) and are cast to double only at the output edge;
+  *  - top-k = window row_number + filter, which AQE executes as a partial
+  *    top-k per partition, not a global sort of everything.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: String) = col(c).cast("decimal(18,4)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: scan-heavy grouped aggregation with map-side partials.
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q3 shape: two fact joins + grouped top-k by revenue.
+    // customer is broadcast; orders⋈lineitem shuffles on the join key once.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1995-03-15"))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: star join — every dimension broadcast, one shuffle
+    // for the final group-by on n_name.
+    "q5_local_supplier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1994-01-01") &&
+          col("o_orderdate") < lit("1995-01-01"))
+      val joined = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+      joined.groupBy(col("n_name"))
+        .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Window ranking: top-3 orders per customer.
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    // Window running aggregate: cumulative spend per customer over time.
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running_spend",
+          sum(dec("o_totalprice")).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Window lag/lead analytics: day gap between consecutive orders.
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Global sort + top-k (AQE turns this into per-partition top-k + merge).
+    "q_sort_topk" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .limit(25)),
+
+    // Semi join: customers having at least one order (no row multiplication,
+    // no payload from the right side crosses the network).
+    "q_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    // Anti join: customers with no orders.
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    // Set ops: users who both purchased and signed up / purchased only.
+    "q_intersect" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "purchase").select(col("user_id"))
+        .intersect(e.filter(col("event_type") === "signup").select(col("user_id")))
+        .orderBy("user_id")
+    }),
+    "q_except" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "purchase").select(col("user_id"))
+        .except(e.filter(col("event_type") === "signup").select(col("user_id")))
+        .orderBy("user_id")
+    }),
+    "q_union_distinct" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "purchase").select(col("user_id"))
+        .union(e.filter(col("event_type") === "error").select(col("user_id")))
+        .distinct()
+        .orderBy("user_id")
+    }),
+
+    // Distinct aggregation (exact) + plain counts per group.
+    "q_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // Approx distinct (HLL sketch) — rows-only check (approx has no exact
+    // oracle); the scale path for distinct counts at 100 TB.
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
+    // ROLLUP: hierarchical totals (order priority → status).
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("o_totalprice")).cast("double").as("total"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)),
+
+    // CUBE over two lineitem dimensions.
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // Correlated subquery via spark.sql (Catalyst decorrelates to a join).
+    "q_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderkey, o_totalprice
+          |FROM orders
+          |WHERE (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) >= 5
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // As-of join: for each purchase, the user's most recent prior signup.
+    // Spark-first: one shuffle on user_id + ordered window with filtered
+    // last() — no self-join, no range explosion (the 100 TB-safe as-of plan).
+    "q_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("ts2", date_trunc("second", col("ts")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts2"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_signup",
+          last(when(col("event_type") === "signup", col("ts2")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          col("last_signup").cast("string").as("last_signup"))
+        .orderBy("event_id")
+    }),
+
+    // Event-time windowed aggregation (batch form of the streaming window;
+    // same plan shape as StreamingOps.windowedCounts).
+    "q_time_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("value")).cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")),
+
+    // Grouped join aggregate over the events "stream" joined to a dimension:
+    // broadcast dimension, single shuffle for the group-by.
+    "q_event_enrich" -> ((s, dir) => {
+      val users = t(s, dir, "customer")
+        .select((col("c_custkey") % 50).as("user_id"), col("c_mktsegment"))
+        .groupBy(col("user_id")).agg(min(col("c_mktsegment")).as("segment"))
+      t(s, dir, "events")
+        .join(broadcast(users), Seq("user_id"), "left")
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), sum(dec("value")).cast("double").as("v"))
+        .orderBy(col("segment").asc_nulls_first)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day',
+        |    lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey),
+        |    o_orderdate) AS INT) AS gap_days
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_sort_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id""".stripMargin,
+    "q_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT DISTINCT user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id FROM events WHERE event_type = 'error')
+        |ORDER BY user_id""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_subquery" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) >= 5
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.event_id,
+        |  CAST((SELECT max(date_trunc('second', s.ts)) FROM events s
+        |        WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+        |          AND (date_trunc('second', s.ts) < date_trunc('second', p.ts)
+        |               OR (date_trunc('second', s.ts) = date_trunc('second', p.ts)
+        |                   AND s.event_id <= p.event_id))) AS VARCHAR) AS last_signup
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+    "q_time_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_event_enrich" ->
+      """WITH users AS (
+        |  SELECT c_custkey % 50 AS user_id, min(c_mktsegment) AS segment
+        |  FROM customer GROUP BY 1)
+        |SELECT u.segment, count(*) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |FROM events e LEFT JOIN users u USING (user_id)
+        |GROUP BY u.segment ORDER BY u.segment NULLS FIRST""".stripMargin
+  )
+}

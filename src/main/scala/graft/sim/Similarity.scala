@@ -1,0 +1,110 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Scale design: the corpus side stays distributed; query vectors are the
+  * small side and are always broadcast. Brute force is the exactness
+  * baseline (one narrow pass + a top-k per query); the LSH/IVF variants cut
+  * the scanned fraction at 100 TB by routing each query to a bucket subset.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two double arrays (zip_with + aggregate —
+    * codegen'd, no UDF).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Brute-force exact top-k cosine neighbours for a set of query vectors.
+    *
+    * `queries`: (qid, qvec) — must be small (broadcast side).
+    * `corpus`: (id, vec) — arbitrarily large.
+    * Output: (qid, id, cosine, rank) with rank ≤ k per qid.
+    *
+    * Plan: broadcast nested-loop join (narrow over the corpus), then one
+    * shuffle on qid for the per-query top-k window. The shuffle carries only
+    * (qid, id, score) triples — never the vectors.
+    */
+  def bruteForceKnn(corpus: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, qidCol: String, qvecCol: String,
+                    k: Int): DataFrame = {
+    val scored = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(
+        queries.select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("q"))))
+      .select(col("qid"), col("id"), cosine(col("v"), col("q")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits of `nBits` fixed pseudo-random
+    * hyperplanes. Hyperplane components are derived deterministically from
+    * (seed, bit, dim) via a hash → no stored model, reproducible across runs.
+    */
+  def lshBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val bits = (0 until nBits).map { b =>
+      // pseudo-random ±1 hyperplane component per dimension
+      val proj = (0 until dim).map { d =>
+        val sign = if (java.lang.Long.hashCode(
+          scala.util.hashing.MurmurHash3.productHash((seed, b, d)).toLong) % 2 == 0)
+          1.0 else -1.0
+        element_at(vec, d + 1).cast("double") * lit(sign)
+      }.reduce(_ + _)
+      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate NN: only corpus rows in the query's bucket
+    * (or a neighbouring bucket within 1 flipped bit) are scored. At 100 TB
+    * with 2^nBits buckets this scans ~ (nBits+1)/2^nBits of the corpus per
+    * query instead of all of it.
+    */
+  def lshKnn(corpus: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, qidCol: String, qvecCol: String,
+             k: Int, dim: Int, nBits: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dim, nBits))
+    // query probes: own bucket + all 1-bit flips (multi-probe LSH)
+    val q = queries.select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("q"))
+      .withColumn("qb", lshBucket(col("q"), dim, nBits))
+      .withColumn("bucket", explode(array(
+        (col("qb") +: (0 until nBits).map(b =>
+          col("qb").bitwiseXOR(shiftleft(lit(1L), b)))): _*)))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .select(col("qid"), col("id"), cosine(col("v"), col("q")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+
+  /** IVF-style coarse quantization: assign each corpus vector to its nearest
+    * of `centroids` (broadcast), partition by cell; queries probe `nProbe`
+    * nearest cells. Centroids come from a driver-side sample (k-means iters
+    * over a sample — the 100 TB pattern: model small, data never collected).
+    */
+  def ivfAssign(corpus: DataFrame, vecCol: String,
+                centroids: Seq[Seq[Double]]): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val dists = centroids.zipWithIndex.map { case (cvec, i) =>
+      val c = typedLit(cvec)
+      struct(dot(zip_with(v, c, (a, b) => a - b),
+        zip_with(v, c, (a, b) => a - b)).as("d2"), lit(i).as("cell"))
+    }
+    corpus.withColumn("cell", least(dists: _*).getField("cell"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming runner: the Spark-native replacement for the
+  * reference's Kafka Connect runtime (SURVEY.md §3 EP1/EP3).
+  *
+  * The reference's execution loop — per-poll batch, `notifyBeginTransaction`
+  * … `notifyCommitTransaction`, offset commit, at-least-once
+  * (MorphlineSinkTask.java:129-149) — maps 1:1 onto micro-batch epochs with
+  * checkpointing: trigger = the poll, epoch commit = the transaction
+  * notification pair, checkpoint = the offset commit.
+  */
+object StreamingOps {
+
+  /** Kafka streaming source with the reference's envelope columns (they are
+    * Spark's native Kafka-source columns — no adaptation layer needed).
+    */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topics: String,
+                  startingOffsets: String = "earliest",
+                  minPartitions: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics)
+      .option("startingOffsets", startingOffsets)
+    minPartitions.fold(r)(n => r.option("minPartitions", n.toString)).load()
+  }
+
+  /** File-based streaming source (the FileStreamSourceConnector analogue,
+    * reference README.md:108).
+    */
+  def fileSource(spark: SparkSession, schema: StructType, path: String,
+                 format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(path)
+
+  /** Apply a pipeline to a stream — pipelines are plain
+    * `DataFrame => DataFrame`, so batch-built pipelines run on streams
+    * unchanged provided they use only stream-legal ops (no global limit).
+    */
+  def transform(stream: DataFrame, pipeline: Pipeline): DataFrame =
+    pipeline(stream)
+
+  /** Kafka sink with dynamic per-row topic (native: the `topic` column —
+    * what the reference's `kafkaProducer` does per record,
+    * KafkaDataProducerCommandBuilder.java:84-522).
+    */
+  def kafkaSink(df: DataFrame, bootstrap: String, checkpoint: String,
+                trigger: Trigger = Trigger.ProcessingTime("5 seconds")): DataStreamWriter[Row] =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+
+  /** foreachBatch sink for external systems without a native connector (the
+    * `loadSolr` shape): per-epoch batch handed to a user writer; idempotence
+    * comes from stable document keys (deterministicKey op) + epoch replay.
+    */
+  def foreachBatchSink(df: DataFrame, checkpoint: String)(
+      writer: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(writer)
+
+  /** Event-time windowed aggregation with watermark — the streaming-native
+    * capability layer beyond the reference (SURVEY.md §2.E): tumbling or
+    * sliding windows over an event-time column with late-data bound.
+    */
+  def windowedCounts(stream: DataFrame, tsCol: String, watermark: String,
+                     windowLen: String, slide: Option[String] = None,
+                     groupCols: Seq[String] = Nil): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col(tsCol), windowLen, s)
+      case None => window(col(tsCol), windowLen)
+    }
+    stream.withWatermark(tsCol, watermark)
+      .groupBy((win +: groupCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+  }
+
+  /** Run a streaming pipeline to the in-memory sink synchronously — the
+    * local smoke harness (processAllAvailable drains the source).
+    */
+  def runToMemory(df: DataFrame, name: String,
+                  outputMode: OutputMode = OutputMode.Append): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    q.processAllAvailable()
+    q
+  }
+}

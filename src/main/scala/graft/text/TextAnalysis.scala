@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north star:
+  * BASELINE.json). All pure column expressions — codegen'd, narrow, scale
+  * linearly with no shuffle; the groupBy lives in the caller when needed.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. Deterministic, no UDF. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: splits on word boundaries AND intra-word
+    * transitions (letter/digit/punct runs), approximating tokenizer
+    * granularity without a vocab. Regex-only — stays in codegen.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, raw"(?<=\p{L})(?=\p{N})|(?<=\p{N})(?=\p{L})|\s+|(?=\p{Punct})|(?<=\p{Punct})"),
+      c => length(c) > 0))
+
+  /** Characters-per-token ratio — a cheap fertility proxy. */
+  def charsPerToken(text: Column): Column =
+    length(text).cast("double") / tokenCount(text).cast("double")
+
+  /** Punctuation ratio: punctuation chars / total chars. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, raw"\p{Punct}", ""))).cast("double") /
+      length(text).cast("double")
+
+  /** Uppercase ratio. */
+  def upperRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("double") /
+      length(text).cast("double")
+
+  /** Mean word length over whitespace tokens. */
+  def meanWordLen(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      size(toks).cast("double")
+  }
+
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this")
+
+  /** Stopword ratio: fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val sw = typedLit(stopwords)
+    size(filter(toks, t => array_contains(sw, t))).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Composite quality score in [0,1] — the Gopher-rule-style heuristic
+    * (length, punctuation, stopword presence), tunable weights.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(50, 100000), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.3, 1.0).otherwise(0.0)
+    val swOk = when(stopwordRatio(text) > 0.01, 1.0).otherwise(0.0)
+    round((lenOk * 0.4 + punctOk * 0.3 + swOk * 0.3), 4)
+  }
+
+  /** N-gram-frequency language ID heuristic: score text against per-language
+    * marker-word lists, pick the argmax (ties → first). Pure expressions; a
+    * production path would broadcast-join a trigram model — same plan shape.
+    */
+  def langId(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is", "with", "that"),
+      "de" -> Seq("der", "die", "und", "ist", "nicht", "das"),
+      "es" -> Seq("el", "la", "que", "los", "una", "por"),
+      "fr" -> Seq("le", "les", "des", "est", "une", "dans"))
+    val toks = split(lower(trim(text)), "\\s+")
+    val scores = markers.map { case (lang, ws) =>
+      val swl = typedLit(ws)
+      lang -> size(filter(toks, t => array_contains(swl, t)))
+    }
+    // argmax via chained when: pick first language whose score is maximal
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === maxScore && maxScore > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Word-set fingerprint (the OpenRefine "fingerprint" keying): lowercase,
+    * strip punctuation, dedupe+sort tokens, hash. Stable doc identity for
+    * fuzzy exact-dedup.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ",
+      array_sort(array_distinct(
+        filter(split(lower(regexp_replace(text, raw"[^\p{L}\p{N}\s]", " ")), "\\s+"),
+          t => length(t) > 0)))))
+
+  /** Rolling-hash document fingerprint: polynomial hash over tokens, mod a
+    * large prime (keeps the accumulator in range under ANSI arithmetic).
+    * Order-sensitive (unlike [[fingerprint]]); detects exact reorderings.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      split(trim(text), "\\s+"),
+      lit(0L),
+      (acc, w) => pmod(acc * lit(31L) + crc32(w).cast("long"), lit(1000000007L)))
+
+  /** Character n-gram shingles (for MinHash / Jaccard). */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = lower(regexp_replace(text, "\\s+", " "))
+    array_distinct(filter(
+      transform(sequence(lit(1), greatest(length(norm) - n + 1, lit(1))),
+        i => norm.substr(i, lit(n))),
+      c => length(c) === n))
+  }
+
+  /** Word n-gram shingles — a single-pass native expression
+    * ([[graft.exprs.HashExprs.WordShingles]]): the `transform(sequence(...))`
+    * formulation re-runs the tokenizer regex once per shingle index
+    * (O(len·shingles) per row — measured 1000× slower at sf0.1).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.exprs.HashExprs.word_shingles(text, n)
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps lowest id per identical text") {
+    val df = Seq((3L, "same text"), (1L, "same text"), (2L, "other"))
+      .toDF("id", "text")
+    val out = Dedup.exact(df, "text", "id").select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("fingerprint dedup catches word-order/punct variants") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "fox quick, the brown!"),
+      (3L, "unrelated")).toDF("id", "text")
+    val out = Dedup.byFingerprint(df, "text", "id")
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash-LSH finds a near-duplicate pair, skips unrelated") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " xtra ytra"
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "text", "id",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: identical→0 hamming, near-dup small, unrelated large") {
+    val a = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 48).map(i => s"tok$i").mkString(" ") + " x y"
+    val c = (200 to 250).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, a), (2L, a), (3L, b), (4L, c)).toDF("id", "text")
+    val sigs = df.select(col("id"), Dedup.simhash(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+  }
+
+  test("brute-force knn: self is rank 1 with cosine 1") {
+    val e = Tables.load(spark, sf0, "embeddings")
+    val out = Similarity.bruteForceKnn(e, "vec_id", "embedding",
+      e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+    val top = out.filter(col("rank") === 1).select("id", "cosine")
+      .as[(Long, Double)].head()
+    assert(top._1 == 0L && math.abs(top._2 - 1.0) < 1e-9)
+  }
+
+  test("lsh knn: rank-1 self-match survives bucketing") {
+    val e = Tables.load(spark, sf0, "embeddings")
+    val out = Similarity.lshKnn(e, "vec_id", "embedding",
+      e.filter(col("vec_id") === 1), "vec_id", "embedding",
+      k = 3, dim = 64, nBits = 8)
+    val top = out.filter(col("rank") === 1).select("id").as[Long].head()
+    assert(top == 1L)
+  }
+
+  test("langId picks marker-heavy language") {
+    val df = Seq("the cat and the dog is with that",
+      "der hund und die katze ist nicht das").toDF("text")
+    val out = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "de"))
+  }
+
+  test("token counts and shingles") {
+    val df = Seq("a b c d").toDF("text")
+    assert(df.select(TextAnalysis.tokenCount(col("text"))).as[Int].head() == 4)
+    val sh = df.select(TextAnalysis.wordShingles(col("text"), 2)).as[Seq[String]].head()
+    assert(sh == Seq("a b", "b c", "c d"))
+    val cs = df.select(TextAnalysis.charShingles(col("text"), 3)).as[Seq[String]].head()
+    assert(cs.contains("a b") && cs.forall(_.length == 3))
+  }
+
+  test("multimodal decode: schema-correct deterministic features from bytes") {
+    val df = Seq((1L, "payload-one"), (2L, "payload-two")).toDF("id", "text")
+    val media = Multimodal.asMedia(df, "text", "application/octet-stream")
+    val out = Multimodal.decodeFeatures(spark, media)
+    val feats = out.select(col("id"), col("features.byteLen"),
+      col("features.width"), col("features.feature")).collect()
+    assert(feats.length == 2)
+    assert(feats.forall(r => r.getLong(1) == 11L))
+    assert(feats.forall(r => r.getInt(2) >= 16))
+    assert(feats.forall(r => r.getSeq[Float](3).length == 8))
+    // deterministic: same input → same features
+    val again = Multimodal.decodeFeatures(spark, media)
+      .select(col("features.contentHash")).as[Long].collect().sorted
+    val first = out.select(col("features.contentHash")).as[Long].collect().sorted
+    assert(again.toSeq == first.toSeq)
+  }
+
+  test("media stats sniffs magic bytes") {
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0x01, 0x02)
+    val df = Seq((1L, jpeg), (2L, "plain".getBytes)).toDF("id", "body")
+    val out = Multimodal.mediaStats(df, "body")
+      .select("id", "sniffedType").as[(Long, String)].collect().toMap
+    assert(out(1L) == "image/jpeg")
+    assert(out(2L) == "application/octet-stream")
+  }
+}

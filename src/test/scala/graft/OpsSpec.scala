@@ -1,0 +1,107 @@
+package graft
+
+import graft.functions.{Grok, Interp, TimeFunctions}
+import graft.ops.{ControlOps, ParserOps, RecordOps}
+import graft.pipeline.{Op, OpRegistry, Pipeline}
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interpolate compiles @{field} refs into concat; missing→empty") {
+    val df = Seq(("t1", 7)).toDF("topic", "n")
+    val got = df.select(
+      Interp.interpolate("@{topic}-avro/@{n}").as("s")).as[String].head()
+    assert(got == "t1-avro/7")
+    val nulls = Seq((null: String, 7)).toDF("topic", "n")
+    assert(nulls.select(Interp.interpolate("x@{topic}y").as("s"))
+      .as[String].head() == "xy")
+  }
+
+  test("grok expansion produces fields; non-match yields nulls") {
+    val (regex, fields) = Grok.expand("%{LOGLEVEL:lvl} %{INT:n}")
+    assert(fields == Seq("lvl", "n"))
+    val df = Seq("WARN 42", "nope").toDF("line")
+    val out = Grok.extract(df, col("line"), "%{LOGLEVEL:lvl} %{INT:n}")
+      .select("lvl", "n").collect()
+    assert(out(0).getString(0) == "WARN" && out(0).getString(1) == "42")
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+  }
+
+  test("convertTimestamp: multi-format coalesce + unix millis") {
+    val df = Seq(("01/20/2017", "1484897702123")).toDF("us", "ms")
+    val r = df.select(
+      TimeFunctions.convertTimestamp(col("us"),
+        Seq("yyyy-MM-dd", "MM/dd/yyyy"), "yyyy-MM-dd").as("a"),
+      TimeFunctions.convertTimestamp(col("ms"),
+        Seq("unixTimeInMillis"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("b")).head()
+    assert(r.getString(0) == "2017-01-20")
+    assert(r.getString(1) == "2017-01-20T07:35:02.123Z")
+  }
+
+  test("translate: literal-map lookup with default") {
+    val df = Seq("GERMANY", "ELBONIA").toDF("n")
+    val out = RecordOps.translate("n", Map("GERMANY" -> "DE"), lit("??"), "c")(df)
+      .select("c").as[String].collect()
+    assert(out.toSeq == Seq("DE", "??"))
+  }
+
+  test("addValues promotes scalar to array and appends") {
+    val df = Seq(("a")).toDF("f")
+    val out = RecordOps.addValues("f", lit("b"), lit("c"))(df)
+      .select("f").as[Seq[String]].head()
+    assert(out == Seq("a", "b", "c"))
+  }
+
+  test("readMultiLine stitches continuation lines") {
+    val df = Seq("line1\n  cont1\nline2").toDF("payload")
+    val out = ParserOps.readMultiLine("payload", "\\s")(df)
+      .select("line").as[String].collect()
+    assert(out.toSeq == Seq("line1\n  cont1", "line2"))
+  }
+
+  test("splitKeyValue parses k=v pairs") {
+    val df = Seq("a=1,b=2").toDF("kv")
+    val m = RecordOps.splitKeyValue("kv", "m")(df)
+      .select("m").as[Map[String, String]].head()
+    assert(m == Map("a" -> "1", "b" -> "2"))
+  }
+
+  test("tryRules routes each record to first matching rule only") {
+    val df = Seq((1, "purchase", 200.0), (2, "view", 200.0), (3, "view", 10.0))
+      .toDF("id", "et", "v")
+    val out = ControlOps.tryRules(
+      Seq(
+        (col("et") === "purchase", (d: org.apache.spark.sql.DataFrame) =>
+          d.withColumn("rule", lit("p"))),
+        (col("v") > 100, (d: org.apache.spark.sql.DataFrame) =>
+          d.withColumn("rule", lit("hv")))),
+      Some((d: org.apache.spark.sql.DataFrame) => d.withColumn("rule", lit("def"))))(df)
+      .select("id", "rule").as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "p", 2 -> "hv", 3 -> "def"))
+  }
+
+  test("dead-letter split partitions valid/invalid") {
+    val df = Seq(1, 2, -1).toDF("v")
+    val (ok, dead) = ControlOps.deadLetterSplit(df, col("v") > 0)
+    assert(ok.count() == 2 && dead.count() == 1)
+  }
+
+  test("op registry builds by name, unknown op fails with names listed") {
+    val reg = new OpRegistry()
+      .register("head")(cfg => ControlOps.head(cfg("n").toInt))
+    val df = Seq(1, 2, 3).toDF("v")
+    assert(reg.build("head", Map("n" -> "2"))(df).count() == 2)
+    val e = intercept[IllegalArgumentException](reg.build("nope"))
+    assert(e.getMessage.contains("head"))
+  }
+
+  test("pipeline composes ops in order") {
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s")
+    val p = Pipeline("p", Seq(
+      Op("f")(_.filter(col("id") > 1)),
+      RecordOps.setValues("s2" -> "@{s}!")))
+    val out = p(df).select("s2").as[String].collect().sorted
+    assert(out.toSeq == Seq("b!", "c!"))
+  }
+}

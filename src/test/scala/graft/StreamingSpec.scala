@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.{ControlOps, RecordOps}
+import graft.pipeline.Pipeline
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming parity: batch-built pipelines run unchanged on streams;
+  * windowed aggregation with watermark behaves; memory-sink smoke harness
+  * (SURVEY.md §3 EP1 mapping).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // FileStreamSource requires a directory: stage the parquet in a temp dir.
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  private def eventsStream = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = new StructType()
+      .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
+      .add("event_type", StringType).add("value", DoubleType)
+      .add("props", StringType)
+    StreamingOps.fileSource(spark, schema, streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("batch pipeline runs unchanged on a stream (memory sink)") {
+    val pipe = Pipeline("stream-pipe", Seq(
+      ControlOps.dropWhere(col("event_type") === "error"),
+      RecordOps.setValues("topic" -> "@{event_type}-out")))
+    val q = StreamingOps.runToMemory(
+      StreamingOps.transform(eventsStream, pipe), "smoke1")
+    try {
+      val n = spark.sql("SELECT count(*) FROM smoke1").as[Long].head()
+      val batch = Tables.load(spark, sf0, "events")
+        .filter(col("event_type") =!= "error").count()
+      assert(n == batch)
+      val topics = spark.sql("SELECT DISTINCT topic FROM smoke1")
+        .as[String].collect().toSet
+      assert(topics.contains("purchase-out") && !topics.contains("error-out"))
+    } finally q.stop()
+  }
+
+  test("windowed counts with watermark match the batch equivalent") {
+    val agg = StreamingOps.windowedCounts(eventsStream, "ts",
+      watermark = "1 hour", windowLen = "1 hour", groupCols = Seq("event_type"))
+    val q = agg.writeStream.format("memory").queryName("smoke2")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT CAST(window.start AS STRING) AS h, event_type, n FROM smoke2")
+        .as[(String, String, Long)].collect().toSet
+      val batch = Tables.load(spark, sf0, "events")
+        .groupBy(date_trunc("hour", col("ts")).cast("string").as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}

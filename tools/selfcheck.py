@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark output), runs the matching
+oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB against the sfDir
+tables, and compares: column names (sorted), row count, and values (rows
+sorted by all columns, compared with exact equality; floats with 1e-9 rel
+tolerance reported separately so we can see near-misses).
+"""
+import json, math, sys, glob, os
+import duckdb
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+def rows_of(cols, rows):
+    # sort columns by name, then rows
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+n_pass = n_fail = n_skip = 0
+fails = []
+for name in sorted(os.listdir(out_dir)):
+    d = os.path.join(out_dir, name)
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    if not files:
+        print(f"MISSING-OUTPUT {name}")
+        n_fail += 1; fails.append(name)
+        continue
+    spark_rel = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')")
+    s_cols = [c[0] for c in spark_rel.description]
+    s_rows = spark_rel.fetchall()
+    if name not in oracles:
+        print(f"ROWS-ONLY {name}: {len(s_rows)} rows {'OK' if len(s_rows)>0 else 'EMPTY!'}")
+        n_skip += 1
+        continue
+    try:
+        o_rel = con.execute(oracles[name])
+        o_cols = [c[0] for c in o_rel.description]
+        o_rows = o_rel.fetchall()
+    except Exception as e:
+        print(f"ORACLE-ERROR {name}: {e}")
+        n_fail += 1; fails.append(name)
+        continue
+    sc, sr = rows_of(s_cols, s_rows)
+    oc, orr = rows_of(o_cols, o_rows)
+    if sc != oc:
+        print(f"FAIL-COLS {name}: spark={sc} oracle={oc}")
+        n_fail += 1; fails.append(name); continue
+    if len(sr) != len(orr):
+        print(f"FAIL-COUNT {name}: spark={len(sr)} oracle={len(orr)}")
+        n_fail += 1; fails.append(name); continue
+    if sr == orr:
+        print(f"PASS {name} ({len(sr)} rows)")
+        n_pass += 1
+    else:
+        # find first diff
+        diffs = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
+        print(f"FAIL-VALUES {name}: first diffs {diffs}")
+        n_fail += 1; fails.append(name)
+
+print(f"\n== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
+if fails:
+    print("failed:", " ".join(fails))
+    sys.exit(1)
