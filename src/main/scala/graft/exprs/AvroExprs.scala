@@ -1,0 +1,111 @@
+package graft.exprs
+
+import graft.functions.Conform
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** Avro binary codec expressions — the reference's `readAvro` /
+  * `toAvro` / `writeAvroToByteArray` commands (SURVEY.md §2.A/§2.B, kite-avro)
+  * re-expressed as Catalyst expressions over the plain Apache Avro library
+  * (the spark-avro module is not on this classpath).
+  *
+  * Schema is parsed ONCE on the driver (the expression is instantiated with
+  * the JSON string); per-row work is a single decode/encode pass with reused
+  * datum reader/writer. Supported: records of primitives, nullable unions
+  * `[null, T]`, arrays, nested records, `timestamp-millis`.
+  */
+object AvroExprs {
+
+  private def sparkType(schemaJson: String): DataType =
+    Conform.parseAvro(schemaJson).dataType
+
+  /** avro GenericRecord value → Catalyst value for `dt`. */
+  private def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (x: org.apache.avro.util.Utf8, StringType) => UTF8String.fromString(x.toString)
+    case (x: String, StringType) => UTF8String.fromString(x)
+    case (x: java.nio.ByteBuffer, BinaryType) =>
+      val b = new Array[Byte](x.remaining()); x.duplicate().get(b); b
+    case (x: java.lang.Long, TimestampType) => x * 1000L // millis → micros
+    case (x: GenericRecord, st: StructType) =>
+      InternalRow.fromSeq(st.fields.map(f => toCatalyst(x.get(f.name), f.dataType)).toSeq)
+    case (x: java.util.Collection[_], ArrayType(et, _)) =>
+      new GenericArrayData(x.asScala.map(toCatalyst(_, et)).toArray)
+    case (x, _) => x // int/long/float/double/boolean pass through
+  }
+
+  /** Catalyst value → avro value per writer schema node. */
+  private def toAvro(v: Any, dt: DataType, sch: Schema): Any = {
+    val s = if (sch.getType == Schema.Type.UNION)
+      sch.getTypes.asScala.find(_.getType != Schema.Type.NULL).get else sch
+    (v, dt) match {
+      case (null, _) => null
+      case (x: UTF8String, StringType) => x.toString
+      case (x: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(x)
+      case (x: java.lang.Long, TimestampType) => x / 1000L // micros → millis
+      case (x: InternalRow, st: StructType) =>
+        val rec = new GenericData.Record(s)
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          rec.put(f.name, toAvro(x.get(i, f.dataType), f.dataType, s.getField(f.name).schema()))
+        }
+        rec
+      case (x: ArrayData, ArrayType(et, _)) =>
+        val out = new java.util.ArrayList[Any](x.numElements())
+        x.foreach(et, (_, e) => out.add(toAvro(e, et, s.getElementType)))
+        out
+      case (x, _) => x
+    }
+  }
+
+  /** `readAvro`: binary column + writer-schema JSON → struct column. */
+  case class AvroDecode(child: Expression, schemaJson: String)
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
+    @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+    @transient private var decoder: BinaryDecoder = _
+    override val dataType: DataType = sparkType(schemaJson)
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
+      toCatalyst(reader.read(null, decoder), dataType)
+    }
+    override protected def withNewChildInternal(c: Expression): AvroDecode = copy(child = c)
+  }
+
+  /** `toAvro`/`writeAvroToByteArray`: struct column → avro binary. */
+  case class AvroEncode(child: Expression, schemaJson: String)
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
+    @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
+    @transient private lazy val baos = new java.io.ByteArrayOutputStream()
+    @transient private var encoder: BinaryEncoder = _
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(input: Any): Any = {
+      baos.reset()
+      encoder = EncoderFactory.get().binaryEncoder(baos, encoder)
+      val rec = toAvro(input, child.dataType, schema).asInstanceOf[GenericRecord]
+      writer.write(rec, encoder)
+      encoder.flush()
+      baos.toByteArray
+    }
+    override protected def withNewChildInternal(c: Expression): AvroEncode = copy(child = c)
+  }
+
+  import org.apache.spark.sql.classic.GraftBridge
+
+  def from_avro_binary(data: Column, schemaJson: String): Column =
+    GraftBridge.column(AvroDecode(GraftBridge.expression(data), schemaJson))
+
+  def to_avro_binary(data: Column, schemaJson: String): Column =
+    GraftBridge.column(AvroEncode(GraftBridge.expression(data), schemaJson))
+}

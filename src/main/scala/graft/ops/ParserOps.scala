@@ -70,6 +70,23 @@ object ParserOps {
         .withColumn(out, regexp_replace(col(out), sentinel, "\n"))
     }
 
+  /** `readAvro` (kite-avro): decode an Avro-binary column against a writer
+    * schema into a struct column (custom expression over plain Apache Avro —
+    * spark-avro is not on this classpath).
+    */
+  def readAvro(src: String, schemaJson: String, out: String = "avro"): Op =
+    Op("readAvro") { df =>
+      df.withColumn(out,
+        graft.exprs.AvroExprs.from_avro_binary(col(src).cast("binary"), schemaJson))
+    }
+
+  /** `toAvro` + `writeAvroToByteArray`: struct column → Avro binary. */
+  def toAvroBytes(srcStruct: org.apache.spark.sql.Column, schemaJson: String,
+                  out: String = "value"): Op =
+    Op("toAvro") { df =>
+      df.withColumn(out, graft.exprs.AvroExprs.to_avro_binary(srcStruct, schemaJson))
+    }
+
   /** `readBlob`/`readClob`: whole payload as one binary/string field. */
   def readBlob(src: String, out: String = "blob"): Op =
     Op("readBlob")(df => df.withColumn(out, col(src).cast("binary")))

@@ -150,6 +150,33 @@ object RecordOps {
   def grok(field: String, grokExpr: String): Op =
     Op("grok")(df => Grok.extract(df, col(field), grokExpr))
 
+  /** `extractJsonTree` / `extractAvroTree`: recursively flatten a struct
+    * column into one `prefix_path` column per leaf (plan-time schema walk —
+    * emits plain `col(...)` projections, nothing per-row).
+    */
+  def extractTree(src: String, sep: String = "_"): Op =
+    Op("extractTree") { df =>
+      def leaves(prefix: String, dt: org.apache.spark.sql.types.DataType): Seq[(String, String)] =
+        dt match {
+          case st: org.apache.spark.sql.types.StructType =>
+            st.fields.toSeq.flatMap(f => leaves(s"$prefix.${f.name}", f.dataType))
+          case _ => Seq(prefix -> prefix.replace(".", sep))
+        }
+      val cols = leaves(src, df.schema(src).dataType)
+      cols.foldLeft(df) { case (d, (path, out)) => d.withColumn(out, col(path)) }
+        .drop(src)
+    }
+
+  /** `logInfo`/`Metrics` hooks (SURVEY.md §2.F): semantics-free observation —
+    * named accumulator metrics readable from QueryExecutionListener /
+    * StreamingQueryListener, record stream unchanged.
+    */
+  def observeMetrics(name: String, metrics: Column*): Op =
+    Op("observe") { df =>
+      if (metrics.nonEmpty) df.observe(name, metrics.head, metrics.tail: _*)
+      else df.observe(name, count(lit(1)).as("n_records"))
+    }
+
   /** `extractJsonPaths`-style projection with rename map (path → out field).
     * Operates on already-parsed struct columns; see ParserOps.readJson for
     * the string→struct step.

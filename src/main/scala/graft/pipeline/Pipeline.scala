@@ -21,6 +21,11 @@ object Op {
     val name: String = opName
     def apply(df: DataFrame): DataFrame = f(df)
   }
+
+  /** `pipe` / `callParentPipe` (SURVEY.md §2.C): a nested pipeline as a
+    * single op — function composition, one combined Catalyst plan.
+    */
+  def pipe(pipeline: Pipeline): Op = Op(s"pipe:${pipeline.id}")(pipeline.apply)
 }
 
 /** An ordered chain of ops — the morphline itself.

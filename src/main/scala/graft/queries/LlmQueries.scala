@@ -99,6 +99,33 @@ object LlmQueries {
       Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 8)
         .orderBy("id_a", "id_b")),
 
+    // Embedding-cosine near-dup pairs, blocked by label (the shard key):
+    // exact within-block all-pairs — the verification-stage shape; the
+    // unblocked approximate path is s_knn_lsh.
+    "d_embed_neardup" -> ((s, dir) => {
+      // Norms are computed once per vector, not once per pair (the same
+      // float-op sequence as inline recomputation — oracle-stable).
+      val e = emb(s, dir).select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      val a = e.alias("a"); val b = e.alias("b")
+      a.join(b, col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(Similarity.dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Subword (BPE-ish regex) token counts — regex lookarounds not
+    // expressible in the oracle: rows-only.
+    "t_subword_count" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")),
+
     // ---------------- similarity search ----------------
     // Brute-force exact top-5 cosine for 3 query vectors.
     "s_knn_brute" -> ((s, dir) => {
@@ -243,6 +270,24 @@ object LlmQueries {
         |  FROM sh a JOIN sh b
         |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(
+        |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))),
+        |    6) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(
+        |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))),
+        |    6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     "s_knn_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),

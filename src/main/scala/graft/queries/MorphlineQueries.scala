@@ -276,6 +276,83 @@ object MorphlineQueries {
       Conform.conformTo(parsed, target).orderBy("event_id")
     }),
 
+    // readAvro/toAvro roundtrip (kite-avro commands over Apache Avro binary).
+    "m_avro_roundtrip" -> ((s, dir) => {
+      val schema =
+        """{"type":"record","name":"Cust","fields":[
+          |{"name":"id","type":"long"},
+          |{"name":"name","type":["null","string"],"default":null},
+          |{"name":"segment","type":"string"}]}""".stripMargin
+      val pipe = Pipeline("avro", Seq(
+        ParserOps.toAvroBytes(
+          struct(col("c_custkey").as("id"), col("c_name").as("name"),
+            col("c_mktsegment").as("segment")), schema, "avro_bytes"),
+        ParserOps.readAvro("avro_bytes", schema, "decoded")))
+      pipe(customer(s, dir))
+        .select(col("decoded.id").as("id"), col("decoded.name").as("name"),
+          col("decoded.segment").as("segment"))
+        .orderBy("id")
+    }),
+
+    // extractJsonTree/extractAvroTree: recursive flatten of a nested struct.
+    "m_extract_tree" -> ((s, dir) => {
+      val nested = events(s, dir).select(col("event_id"),
+        struct(col("event_type").as("type"),
+          struct(col("user_id").as("id"), col("value").as("v")).as("user"))
+          .as("tree"))
+      val pipe = Pipeline("tree", Seq(RecordOps.extractTree("tree")))
+      pipe(nested)
+        .select(col("event_id"), col("tree_type"), col("tree_user_id"),
+          col("tree_user_v"))
+        .orderBy("event_id")
+    }),
+
+    // addValues/removeValues: multi-valued field lifecycle.
+    "m_multivalue" -> ((s, dir) => {
+      val pipe = Pipeline("mv", Seq(
+        RecordOps.addValues("tags", col("event_type"), lit("all"), lit("raw")),
+        RecordOps.removeValues("tags", lit("raw"))))
+      pipe(events(s, dir))
+        .select(col("event_id"), concat_ws(",", col("tags")).as("tags"))
+        .orderBy("event_id")
+    }),
+
+    // removeFields: projection by dropping.
+    "m_remove_fields" -> ((s, dir) => {
+      val pipe = Pipeline("rm", Seq(
+        RecordOps.removeFields("props", "value", "ts")))
+      pipe(events(s, dir)).orderBy("event_id")
+    }),
+
+    // separateAttachments: one record per attachment (1→N explode).
+    "m_separate_attachments" -> ((s, dir) => {
+      val withAtt = events(s, dir)
+        .withColumn("attachments",
+          array(col("event_type"), col("user_id").cast("string")))
+      val pipe = Pipeline("sep", Seq(
+        ParserOps.separateAttachments("attachments", "att")))
+      pipe(withAtt)
+        .select(col("event_id"), col("att"))
+        .orderBy("event_id", "att")
+    }),
+
+    // sanitizeUnknownSolrFields: schema-driven projection.
+    "m_sanitize_fields" -> ((s, dir) =>
+      graft.io.Sinks.sanitizeToSchema(events(s, dir),
+          Seq("event_id", "event_type", "nonexistent_field"))
+        .orderBy("event_id")),
+
+    // logInfo/Metrics as observe: pass-through with named metrics attached.
+    "m_observe" -> ((s, dir) => {
+      val pipe = Pipeline("obs", Seq(
+        RecordOps.observeMetrics("m_observe_metrics",
+          count(lit(1)).as("n"), sum(col("value")).as("total")),
+        ControlOps.keepWhere(col("event_type") =!= "error")))
+      pipe(events(s, dir))
+        .select(col("event_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
     // writeJson (fromConnectData converter:json serialize-back).
     "m_write_json" -> ((s, dir) => {
       val pipe = Pipeline("writejson", Seq(
@@ -367,6 +444,28 @@ object MorphlineQueries {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
         |  event_type, CAST(NULL AS VARCHAR) AS missing
         |FROM events ORDER BY event_id""".stripMargin,
+    "m_avro_roundtrip" ->
+      """SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+        |FROM customer ORDER BY id""".stripMargin,
+    "m_extract_tree" ->
+      """SELECT event_id, event_type AS tree_type, user_id AS tree_user_id,
+        |  value AS tree_user_v
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m_multivalue" ->
+      """SELECT event_id, event_type || ',all' AS tags
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m_remove_fields" ->
+      """SELECT event_id, user_id, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m_separate_attachments" ->
+      """SELECT event_id,
+        |  unnest([event_type, CAST(user_id AS VARCHAR)]) AS att
+        |FROM events ORDER BY event_id, att""".stripMargin,
+    "m_sanitize_fields" ->
+      """SELECT event_id, event_type FROM events ORDER BY event_id""".stripMargin,
+    "m_observe" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
     "m_write_json" ->
       """SELECT event_id,
         |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS value

@@ -215,6 +215,57 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // GROUPING SETS via spark.sql.
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
+    // Range (interval) join: event pairs from the same user within 60s.
+    // Spark-first scale shape: equi-join on (user, time-bucket) with each
+    // left row probing its own and the next bucket — turns an O(n²) theta
+    // join into a keyed shuffle join; the |dt|≤60s filter runs post-join.
+    "q_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+      val a = e.withColumn("bucket",
+        explode(array(expr("ms div 60000 - 1"), expr("ms div 60000"),
+          expr("ms div 60000 + 1"))))
+      val b = e.withColumn("bucket", expr("ms div 60000"))
+      a.alias("a").join(b.alias("b"),
+          col("a.user_id") === col("b.user_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.event_id") < col("b.event_id") &&
+          abs(col("a.ms") - col("b.ms")) <= 60000)
+        .select(col("a.event_id").as("id_a"), col("b.event_id").as("id_b"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Session windows (gap-based), batch form: sessions per user with a
+    // 30-minute gap rule — the same state shape StreamingOps.sessionCounts
+    // maintains incrementally.
+    "q_session_count" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      e.withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev").isNull ||
+            unix_millis(col("ts").cast("timestamp")) -
+              unix_millis(col("prev").cast("timestamp")) > 30 * 60 * 1000, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // Event-time windowed aggregation (batch form of the streaming window;
     // same plan shape as StreamingOps.windowedCounts).
     "q_time_window" -> ((s, dir) =>
@@ -352,6 +403,28 @@ object RelationalQueries {
         |                   AND s.event_id <= p.event_id))) AS VARCHAR) AS last_signup
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_range_join" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 60000
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_session_count" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |  sum(CASE WHEN prev IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1 ELSE 0 END)
+        |    AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_time_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
         |  count(*) AS n,

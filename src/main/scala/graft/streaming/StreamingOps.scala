@@ -82,6 +82,39 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
   }
 
+  /** Session windows over event time (gap-based) — built-in
+    * `session_window`; state is managed by Spark's streaming aggregation.
+    */
+  def sessionCounts(stream: DataFrame, tsCol: String, gap: String,
+                    keyCols: Seq[String]): DataFrame =
+    stream.groupBy((session_window(col(tsCol), gap) +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Streaming `head` per key (SURVEY.md §7.4 hard part: a global limit is
+    * not streamable, but a per-key first-N is — a counter per key in
+    * `flatMapGroupsWithState`). Emits at most `n` rows per key across the
+    * stream's lifetime.
+    */
+  def streamingHeadPerKey(spark: SparkSession, stream: DataFrame,
+                          keyCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.sql.{Encoders, Row}
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(stream.schema)
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    implicit val intEnc: org.apache.spark.sql.Encoder[Int] = Encoders.scalaInt
+    val keyIdx = stream.schema.fieldIndex(keyCol)
+    stream.groupByKey((r: Row) => r.getLong(keyIdx))
+      .flatMapGroupsWithState[Int, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[Row], state: GroupState[Int]) =>
+          val seen = state.getOption.getOrElse(0)
+          val take = rows.take(math.max(0, n - seen)).toSeq
+          state.update(seen + take.size)
+          take.iterator
+      }
+  }
+
   /** Run a streaming pipeline to the in-memory sink synchronously — the
     * local smoke harness (processAllAvailable drains the source).
     */

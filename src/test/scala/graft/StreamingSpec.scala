@@ -49,6 +49,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming head-per-key: stateful first-N via flatMapGroupsWithState") {
+    val limited = StreamingOps.streamingHeadPerKey(spark, eventsStream,
+      "user_id", n = 2)
+    val q = StreamingOps.runToMemory(limited, "smoke3")
+    try {
+      val perUser = spark.sql("SELECT user_id, count(*) AS c FROM smoke3 GROUP BY user_id")
+        .as[(Long, Long)].collect()
+      assert(perUser.nonEmpty && perUser.forall(_._2 <= 2))
+      val expected = Tables.load(spark, sf0, "events")
+        .groupBy("user_id").count()
+        .select(sum(least(col("count"), lit(2)))).as[Long].head()
+      assert(perUser.map(_._2).sum == expected)
+    } finally q.stop()
+  }
+
+  test("session windows (gap-based) match the batch gaps-and-islands count") {
+    val sessions = StreamingOps.sessionCounts(
+      eventsStream.withWatermark("ts", "1 hour"), "ts", "30 minutes",
+      Seq("user_id"))
+    val q = sessions.writeStream.format("memory").queryName("smoke4")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, count(*) AS n_sessions FROM smoke4 GROUP BY user_id")
+        .as[(Long, Long)].collect().toMap
+      val batch = graft.queries.RelationalQueries
+        .queries("q_session_count")(spark, sf0)
+        .select(col("user_id"), col("n_sessions"))
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark match the batch equivalent") {
     val agg = StreamingOps.windowedCounts(eventsStream, "ts",
       watermark = "1 hour", windowLen = "1 hour", groupCols = Seq("event_type"))
