@@ -127,10 +127,54 @@ object HashExprs {
     override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
   }
 
+  /** Random-hyperplane LSH bucket: array<double> vector → long bucket id of
+    * `nBits` sign bits. The column-function formulation is an nBits×dim-term
+    * expression tree (interpreted, huge); this evaluates the projections in
+    * one loop with a lazily built ±1 hyperplane matrix (deterministic from
+    * the seed — no stored model, reproducible across runs/engines).
+    */
+  case class HyperplaneLsh(child: Expression, nBits: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    @transient private var signs: Array[Array[Double]] = _
+    private def signMatrix(dim: Int): Array[Array[Double]] = {
+      if (signs == null || signs(0).length != dim) {
+        signs = Array.tabulate(nBits, dim) { (b, d) =>
+          // splitmix64-style scramble of (seed, bit, dim)
+          var z = seed + b * 0x9E3779B97F4A7C15L + d * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+        }
+      }
+      signs
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val dim = arr.numElements()
+      val m = signMatrix(dim)
+      var bucket = 0L
+      var b = 0
+      while (b < nBits) {
+        var proj = 0.0
+        val row = m(b)
+        var d = 0
+        while (d < dim) { proj += arr.getDouble(d) * row(d); d += 1 }
+        if (proj >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(bucket)
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
+  }
+
   import org.apache.spark.sql.classic.GraftBridge
 
   def word_shingles(text: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
+
+  def hyperplane_lsh(vec: Column, nBits: Int, seed: Long = 42L): Column =
+    GraftBridge.column(HyperplaneLsh(GraftBridge.expression(vec), nBits, seed))
 
   def minhash_sig(shingles: Column, k: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(shingles), k))

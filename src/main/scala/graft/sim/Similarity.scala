@@ -50,22 +50,13 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: sign bits of `nBits` fixed pseudo-random
-    * hyperplanes. Hyperplane components are derived deterministically from
-    * (seed, bit, dim) via a hash → no stored model, reproducible across runs.
+    * hyperplanes, as a single-pass native expression
+    * ([[graft.exprs.HashExprs.HyperplaneLsh]] — the column formulation is an
+    * nBits×dim-term interpreted tree). Hyperplanes derive deterministically
+    * from the seed → no stored model, reproducible across runs.
     */
-  def lshBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
-    val bits = (0 until nBits).map { b =>
-      // pseudo-random ±1 hyperplane component per dimension
-      val proj = (0 until dim).map { d =>
-        val sign = if (java.lang.Long.hashCode(
-          scala.util.hashing.MurmurHash3.productHash((seed, b, d)).toLong) % 2 == 0)
-          1.0 else -1.0
-        element_at(vec, d + 1).cast("double") * lit(sign)
-      }.reduce(_ + _)
-      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def lshBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column =
+    graft.exprs.HashExprs.hyperplane_lsh(vec, nBits, seed)
 
   /** LSH-bucketed approximate NN: only corpus rows in the query's bucket
     * (or a neighbouring bucket within 1 flipped bit) are scored. At 100 TB

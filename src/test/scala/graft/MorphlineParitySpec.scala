@@ -103,6 +103,13 @@ class MorphlineParitySpec extends SparkSpec {
       "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
   }
 
+  test("flagship entry() runs end-to-end with rows > 0 (driver smoke contract)") {
+    val out = SparkEntry.entry(spark)
+    assert(out.count() > 0)
+    assert(out.columns.toSeq == Seq("topic", "n", "sum_k"))
+    assert(!out.select("topic").as[String].collect().exists(_ == "error-out"))
+  }
+
   test("SMT take-first semantics: 1→N parser keeps record[0] (MorphlineTransform.java:123)") {
     val multi = Seq((1L, "a\nb\nc"), (2L, "x\ny")).toDF("id", "payload")
     val pipe = Pipeline("smt", Seq(
