@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import graft.ops.{ControlOps, ParserOps, RecordOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The standard op registry: every built-in op registered under its
+  * morphline command name (the reference discovers commands by name via the
+  * `CommandBuilder` SPI + `importCommands` globs — this is the Spark-side
+  * equivalent, so a `.conf` command chain ports 1:1 to a spec list).
+  *
+  * Config values are strings (as HOCON scalars); multi-valued configs use
+  * comma separation. Ops needing Column expressions or schemas parse them
+  * from DDL / JSON strings.
+  */
+object StandardOps {
+
+  private def req(cfg: Map[String, String], key: String): String =
+    cfg.getOrElse(key, throw new IllegalArgumentException(s"missing config '$key'"))
+
+  /** Parse a schema config: DDL ("a INT, b STRING") or JSON StructType. */
+  private def schemaOf(s: String): DataType =
+    if (s.trim.startsWith("{")) DataType.fromJson(s)
+    else StructType.fromDDL(s)
+
+  def registry: OpRegistry = {
+    val r = new OpRegistry
+    // parsers (§2.A)
+    r.register("readJson") { c =>
+      ParserOps.readJson(req(c, "field"), schemaOf(req(c, "schema")),
+        c.getOrElse("outputField", "json"))
+    }
+    r.register("readCSV") { c =>
+      ParserOps.readCsv(req(c, "field"),
+        schemaOf(req(c, "schema")).asInstanceOf[StructType],
+        c.getOrElse("separator", ","), c.getOrElse("outputField", "csv"))
+    }
+    r.register("readLine") { c =>
+      ParserOps.readLine(req(c, "field"), c.getOrElse("outputField", "line"),
+        c.get("commentPrefix"))
+    }
+    r.register("readMultiLine") { c =>
+      ParserOps.readMultiLine(req(c, "field"), req(c, "regex"),
+        c.getOrElse("outputField", "line"))
+    }
+    r.register("readBlob")(c =>
+      ParserOps.readBlob(req(c, "field"), c.getOrElse("outputField", "blob")))
+    r.register("readClob")(c =>
+      ParserOps.readClob(req(c, "field"), c.getOrElse("outputField", "clob")))
+    r.register("readAvro") { c =>
+      ParserOps.readAvro(req(c, "field"), req(c, "schemaString"),
+        c.getOrElse("outputField", "avro"))
+    }
+    // field transforms (§2.B)
+    r.register("setValues") { c => RecordOps.setValues(c.toSeq: _*) }
+    r.register("addValues") { c =>
+      RecordOps.addValues(req(c, "field"),
+        req(c, "values").split(",").map(v => lit(v.trim)).toSeq: _*)
+    }
+    r.register("removeFields")(c =>
+      RecordOps.removeFields(req(c, "fields").split(",").map(_.trim).toSeq: _*))
+    r.register("findReplace") { c =>
+      RecordOps.findReplace(req(c, "field"), req(c, "pattern"),
+        req(c, "replacement"))
+    }
+    r.register("split") { c =>
+      RecordOps.splitField(req(c, "field"), req(c, "separator"),
+        c.getOrElse("outputField", req(c, "field")))
+    }
+    r.register("splitKeyValue") { c =>
+      RecordOps.splitKeyValue(req(c, "field"),
+        c.getOrElse("outputField", req(c, "field")),
+        c.getOrElse("pairSeparator", ","), c.getOrElse("separator", "="))
+    }
+    r.register("translate") { c =>
+      val dict = req(c, "dictionary").split(",").map { kv =>
+        val Array(k, v) = kv.split(":"); k.trim -> v.trim
+      }.toMap
+      RecordOps.translate(req(c, "field"), dict,
+        lit(c.getOrElse("fallback", "")), c.getOrElse("outputField", req(c, "field")))
+    }
+    r.register("toString")(c =>
+      RecordOps.toStringField(req(c, "field"),
+        c.get("trim").exists(_.toBoolean)))
+    r.register("convertTimestamp") { c =>
+      RecordOps.convertTimestamp(req(c, "field"),
+        req(c, "inputFormats").split(",").map(_.trim).toSeq,
+        req(c, "outputFormat"), c.getOrElse("outputField", req(c, "field")),
+        c.getOrElse("inputTimezone", "UTC"), c.getOrElse("outputTimezone", "UTC"))
+    }
+    r.register("generateUUID")(c =>
+      RecordOps.generateUUID(c.getOrElse("field", "id")))
+    r.register("grok")(c => RecordOps.grok(req(c, "field"), req(c, "pattern")))
+    r.register("extractJsonPaths") { c =>
+      // paths config: "outField:path,outField2:path2" (flatten of the
+      // reference's paths block)
+      val paths = req(c, "paths").split(",").map { kv =>
+        val Array(out, path) = kv.split(":"); path.trim -> out.trim
+      }.toSeq
+      RecordOps.extractPaths(c.getOrElse("field", "json"), paths: _*)
+    }
+    r.register("extractJsonTree")(c =>
+      RecordOps.extractTree(req(c, "field"), c.getOrElse("separator", "_")))
+    r.register("enrichJson") { c =>
+      Op("enrichJson")(df =>
+        graft.functions.Conform.conformTo(df, req(c, "schemaString")))
+    }
+    r.register("logInfo")(c =>
+      RecordOps.observeMetrics(c.getOrElse("name", "logInfo")))
+    // control flow (§2.C)
+    r.register("dropRecord")(c =>
+      c.get("where") match {
+        case Some(cond) => ControlOps.dropWhere(expr(cond))
+        case None => ControlOps.keepWhere(lit(false))
+      })
+    r.register("equals")(c =>
+      ControlOps.keepWhere(col(req(c, "field")) === req(c, "value")))
+    r.register("not")(c =>
+      ControlOps.keepWhere(col(req(c, "field")) =!= req(c, "value")))
+    r.register("contains")(c =>
+      ControlOps.fieldContains(req(c, "field"), req(c, "value")))
+    r.register("head")(c => ControlOps.head(req(c, "limit").toInt))
+    r.register("sample")(c =>
+      ControlOps.sample(req(c, "probability").toDouble,
+        c.getOrElse("seed", "42").toLong))
+    r.register("separateAttachments")(c =>
+      ParserOps.separateAttachments(req(c, "field"),
+        c.getOrElse("outputField", "attachment")))
+    r
+  }
+
+  /** Compile a named spec — ordered (command, config) pairs — into a
+    * Pipeline, resolving each command through the registry (the morphline
+    * compile step, MorphlineTransform.java:166-195, minus HOCON).
+    */
+  def compile(id: String, spec: Seq[(String, Map[String, String])],
+              reg: OpRegistry = registry): Pipeline =
+    Pipeline(id, spec.map { case (name, cfg) => reg.build(name, cfg) })
+}

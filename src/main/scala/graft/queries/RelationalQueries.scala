@@ -215,6 +215,19 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Skew-safe salted aggregation (graft.scale.Skew): two-phase partial →
+    // final agg over a deterministic salt; exact DECIMAL partials make the
+    // reordering oracle-invisible. Same result as the direct group-by.
+    "q_salted_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("qty_dec", dec("l_quantity"))
+      graft.scale.Skew.saltedSumCount(li, Seq("l_returnflag"), "qty_dec",
+          saltN = 8, discriminator = col("l_orderkey"))
+        .select(col("l_returnflag"),
+          col("sum_qty_dec").cast("double").as("sum_qty"), col("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
     // GROUPING SETS via spark.sql.
     "q_grouping_sets" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -403,6 +416,11 @@ object RelationalQueries {
         |                   AND s.event_id <= p.event_id))) AS VARCHAR) AS last_signup
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n
         |FROM lineitem

@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.Conform
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+
+/** Property tests (SURVEY.md §5 implication): round-trips and totality on
+  * randomized person-shaped data.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Minimal property driver: sample the generator `n` times (fixed seed
+    * sequence via Gen.sample retries) and run the assertion body. */
+  private def forAllSampled[T](gen: Gen[T], n: Int = 8)(body: T => Unit): Unit =
+    (0 until n).foreach { _ =>
+      gen.sample.foreach(body)
+    }
+  import spark.implicits._
+
+  private val nameGen = Gen.alphaStr.suchThat(_.nonEmpty).map(_.take(12))
+  private val personGen = for {
+    fn <- nameGen; ln <- nameGen
+    age <- Gen.chooseNum(0, 120)
+  } yield (fn, ln, age)
+
+  val personSchema = new StructType()
+    .add("firstName", StringType).add("lastName", StringType)
+    .add("age", IntegerType)
+
+  test("to_json → from_json round-trips person records") {
+    forAllSampled(Gen.listOfN(5, personGen)) { people =>
+      if (people.nonEmpty) {
+        val df = people.toDF("firstName", "lastName", "age")
+        val rt = df
+          .select(to_json(struct($"firstName", $"lastName", $"age")).as("j"))
+          .select(from_json($"j", personSchema).as("p"))
+          .select("p.firstName", "p.lastName", "p.age")
+        assert(rt.collect().toSeq == df.collect().toSeq)
+      }
+    }
+  }
+
+  test("conformTo is total on missing/extra fields and preserves present values") {
+    val target =
+      """{"type":"record","name":"P","fields":[
+        |{"name":"firstName","type":["null","string"],"default":null},
+        |{"name":"age","type":"int"},
+        |{"name":"missing","type":["null","string"],"default":null}]}""".stripMargin
+    forAllSampled(Gen.listOfN(5, personGen)) { people =>
+      if (people.nonEmpty) {
+        // input has an extra field (lastName) and lacks `missing`
+        val df = people.toDF("firstName", "lastName", "age")
+        val out = Conform.conformTo(df, target)
+        assert(out.columns.toSeq == Seq("firstName", "age", "missing"))
+        val rows = out.collect()
+        assert(rows.forall(_.isNullAt(2)))
+        assert(rows.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+          people.map(p => (p._1, p._3)))
+      }
+    }
+  }
+
+  test("avro encode→decode round-trips") {
+    val schema =
+      """{"type":"record","name":"P","fields":[
+        |{"name":"firstName","type":"string"},
+        |{"name":"age","type":"int"}]}""".stripMargin
+    forAllSampled(Gen.listOfN(5, personGen)) { people =>
+      if (people.nonEmpty) {
+        val df = people.map(p => (p._1, p._3)).toDF("firstName", "age")
+        val rt = df.select(graft.exprs.AvroExprs.to_avro_binary(
+            struct($"firstName", $"age"), schema).as("b"))
+          .select(graft.exprs.AvroExprs.from_avro_binary($"b", schema).as("p"))
+          .select("p.firstName", "p.age")
+        assert(rt.as[(String, Int)].collect().toSeq ==
+          people.map(p => (p._1, p._3)))
+      }
+    }
+  }
+
+  test("fingerprint is invariant under token permutation and duplication") {
+    forAllSampled(Gen.listOfN(6, nameGen)) { words =>
+      if (words.nonEmpty) {
+        val base = words.mkString(" ")
+        val shuffled = scala.util.Random.shuffle(words).mkString(" ")
+        val duplicated = (words ++ words.take(2)).mkString(" ")
+        val df = Seq(base, shuffled, duplicated).toDF("text")
+        val fps = df.select(TextAnalysis.fingerprint($"text")).as[String].collect()
+        assert(fps(0) == fps(1) && fps(0) == fps(2))
+      }
+    }
+  }
+}
