@@ -54,10 +54,11 @@ object Dedup {
         xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
     }: _*)
 
-  /** Exact Jaccard similarity of two shingle arrays. */
+  /** Exact Jaccard similarity of two shingle arrays — single hash-set pass
+    * ([[graft.exprs.HashExprs.ArrayJaccard]]).
+    */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+    graft.exprs.HashExprs.array_jaccard(a, b)
 
   /** MinHash-LSH near-duplicate pairs.
     *

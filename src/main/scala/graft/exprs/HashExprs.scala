@@ -168,7 +168,66 @@ object HashExprs {
     override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
   }
 
+  /** Dot product of two double arrays in one loop. Accumulation order is
+    * sequential (index 0..n-1) — bit-identical to the
+    * `aggregate(zip_with(...))` formulation and to engines summing lists
+    * left-to-right, but without the per-row zipped-array allocation.
+    */
+  case class VecDot(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+      java.lang.Double.valueOf(acc)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+      copy(left = l, right = r)
+  }
+
+  /** Exact Jaccard similarity of two string arrays in one hash-set pass —
+    * |a ∩ b| / |a ∪ b| over the distinct elements. Replaces the
+    * `array_intersect`/`array_union` pair (two generic set builds per
+    * comparison) in the LSH verification hot path.
+    */
+  case class ArrayJaccard(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val setA = new java.util.HashSet[UTF8String](a.numElements() * 2)
+      var i = 0
+      while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
+      val seenB = new java.util.HashSet[UTF8String](b.numElements() * 2)
+      var inter = 0
+      var j = 0
+      while (j < b.numElements()) {
+        val e = b.getUTF8String(j)
+        if (seenB.add(e) && setA.contains(e)) inter += 1
+        j += 1
+      }
+      val union = setA.size + seenB.size - inter
+      java.lang.Double.valueOf(
+        if (union == 0) 0.0 else inter.toDouble / union.toDouble)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayJaccard =
+      copy(left = l, right = r)
+  }
+
   import org.apache.spark.sql.classic.GraftBridge
+
+  def array_jaccard(a: Column, b: Column): Column =
+    GraftBridge.column(ArrayJaccard(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def vec_dot(a: Column, b: Column): Column =
+    GraftBridge.column(VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   def word_shingles(text: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), n))

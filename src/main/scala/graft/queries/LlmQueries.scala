@@ -76,14 +76,16 @@ object LlmQueries {
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
         TextAnalysis.wordShingles(col("text"), 3).as("sh"))
       val a = d.alias("a"); val b = d.alias("b")
+      // Size-ratio prefilter: Jaccard ≤ min/max of the set sizes, so pairs
+      // whose sizes differ >5× can't reach 0.2 — skip their intersections.
+      // The intersection is then computed once (inner select), not twice.
       a.join(b, col("a.source") === col("b.source") &&
           col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          least(size(col("a.sh")), size(col("b.sh"))).cast("double") >=
+            greatest(size(col("a.sh")), size(col("b.sh"))).cast("double") * 0.2)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-            (size(col("a.sh")) + size(col("b.sh")) -
-              size(array_intersect(col("a.sh"), col("b.sh")))).cast("double"),
-            6).as("jac"))
+          round(Dedup.jaccard(col("a.sh"), col("b.sh")), 6).as("jac"))
         .filter(col("jac") >= 0.2)
         .orderBy("id_a", "id_b")
     }),

@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product of two double arrays (zip_with + aggregate —
-    * codegen'd, no UDF).
+  /** Elementwise dot product of two double arrays — native single-loop
+    * expression ([[graft.exprs.HashExprs.VecDot]]); same sequential
+    * accumulation order as `aggregate(zip_with(...))`, no per-row zipped
+    * array allocation.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    graft.exprs.HashExprs.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
