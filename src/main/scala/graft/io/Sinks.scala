@@ -49,6 +49,19 @@ object Sinks {
   def sanitizeToSchema(df: DataFrame, allowedFields: Seq[String]): DataFrame =
     df.select(df.columns.filter(allowedFields.contains(_)).map(col).toSeq: _*)
 
+  /** Bucketed table write: co-locates join/aggregation keys at write time
+    * so later equi-joins and group-bys on `bucketCols` read both sides
+    * pre-partitioned — no shuffle at query time (the write-once
+    * shuffle-never pattern for repeatedly joined 100 TB tables).
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Partitioned parquet write — the bulk materialization path. Partition
     * count sized by target file size, not fixed: at 100 TB the caller sets
     * `targetFileMB` and we repartition by range on the sort key for

@@ -122,6 +122,15 @@ object RecordOps {
   def addCurrentTime(field: String = "timestamp"): Op =
     Op("addCurrentTime")(df => df.withColumn(field, current_timestamp()))
 
+  /** `addLocalHost`: hostname resolved ONCE on the driver and planted as a
+    * literal (per-executor resolution would make sibling rows differ across
+    * retries — the determinism caveat from SURVEY.md §2.B).
+    */
+  def addLocalHost(field: String = "host"): Op = {
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    Op("addLocalHost")(df => df.withColumn(field, lit(host)))
+  }
+
   /** `generateUUID` (reference: config/cloudsolr.conf:57-61). Nondeterministic. */
   def generateUUID(field: String): Op =
     Op("generateUUID")(df => df.withColumn(field, expr("uuid()")))

@@ -10,6 +10,8 @@ trait SparkSpec extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft-warehouse-${java.lang.ProcessHandle.current().pid()}")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
