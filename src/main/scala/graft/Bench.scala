@@ -18,6 +18,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up codegen/scan paths so the alphabetically-first query doesn't
+    // absorb JVM+session startup in its timing.
+    try {
+      Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
     // Optional arg: only run queries whose name starts with the prefix
     // (focused timing runs while iterating).
     val prefix = args.headOption.getOrElse("")
