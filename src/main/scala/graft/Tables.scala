@@ -15,18 +15,25 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's µs TimestampType
-    // rejects — read it as a nanos long and convert (integer `div`, no
-    // double round-trip).
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path(dir, name))
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else spark.read.parquet(path(dir, name))
-  }
+  // Memoized per (session, dir, name): the testdata is immutable, so the
+  // analyzed scan relation (file listing + footer schema) is reused across
+  // the 70+ queries instead of being re-derived per query.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, name), { _ =>
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's µs
+      // TimestampType rejects — read it as a nanos long and convert
+      // (integer `div`, no double round-trip).
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path(dir, name))
+          .withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+      } else spark.read.parquet(path(dir, name))
+    })
 
   /** Register every table as a temp view for `spark.sql` use. */
   def registerAll(spark: SparkSession, dir: String): Unit =
