@@ -168,6 +168,28 @@ object HashExprs {
     override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
   }
 
+  /** Character n-gram shingles over whitespace-normalized lowercase text —
+    * same single-pass rationale as [[WordShingles]].
+    */
+  case class CharShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String].toString.toLowerCase
+      val s = raw.replaceAll("\\s+", " ")
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      if (s.length >= n) {
+        var i = 0
+        while (i + n <= s.length) {
+          seen.add(UTF8String.fromString(s.substring(i, i + n)))
+          i += 1
+        }
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+    }
+    override protected def withNewChildInternal(c: Expression): CharShingles = copy(child = c)
+  }
+
   /** Dot product of two double arrays in one loop. Accumulation order is
     * sequential (index 0..n-1) — bit-identical to the
     * `aggregate(zip_with(...))` formulation and to engines summing lists
@@ -231,6 +253,9 @@ object HashExprs {
 
   def word_shingles(text: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
+
+  def char_shingles(text: Column, n: Int): Column =
+    GraftBridge.column(CharShingles(GraftBridge.expression(text), n))
 
   def hyperplane_lsh(vec: Column, nBits: Int, seed: Long = 42L): Column =
     GraftBridge.column(HyperplaneLsh(GraftBridge.expression(vec), nBits, seed))

@@ -18,14 +18,22 @@ object Interp {
   private val Ref = raw"@\{([^}]+)\}".r
 
   /** Compile `"prefix @{col} suffix"` into a Column. Null columns render as
-    * empty string (morphline renders missing fields as empty).
+    * empty string (morphline renders missing fields as empty). When the
+    * available column set is known, references to absent columns also render
+    * empty instead of failing analysis — the reference's semantics for a
+    * `@{field}` that no record carries.
     */
-  def interpolate(template: String): Column = {
+  def interpolate(template: String,
+                  available: Option[Set[String]] = None): Column = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
     var last = 0
     for (m <- Ref.findAllMatchIn(template)) {
       if (m.start > last) parts += lit(template.substring(last, m.start))
-      parts += coalesce(col(m.group(1)).cast("string"), lit(""))
+      val name = m.group(1)
+      parts += (available match {
+        case Some(cols) if !cols.contains(name) => lit("")
+        case _ => coalesce(col(name).cast("string"), lit(""))
+      })
       last = m.end
     }
     if (last < template.length) parts += lit(template.substring(last))

@@ -17,7 +17,8 @@ object RecordOps {
   def setValues(assignments: (String, String)*): Op =
     Op("setValues") { df =>
       assignments.foldLeft(df) { case (d, (field, template)) =>
-        d.withColumn(field, Interp.interpolate(template))
+        d.withColumn(field,
+          Interp.interpolate(template, Some(d.columns.toSet)))
       }
     }
 

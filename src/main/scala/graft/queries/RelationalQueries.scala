@@ -32,9 +32,9 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec("l_quantity")).cast("double").as("sum_qty"),
-          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
-          sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount")))
+          round(sum(dec("l_quantity")), 2).cast("double").as("sum_qty"),
+          round(sum(dec("l_extendedprice")), 2).cast("double").as("sum_base_price"),
+          round(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount"))), 2)
             .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
@@ -49,7 +49,7 @@ object RelationalQueries {
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
-        .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount")))
+        .agg(round(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount"))), 2)
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -72,7 +72,7 @@ object RelationalQueries {
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
       joined.groupBy(col("n_name"))
-        .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount")))
+        .agg(round(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount"))), 2)
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
@@ -95,7 +95,7 @@ object RelationalQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "orders")
         .withColumn("running_spend",
-          sum(dec("o_totalprice")).over(w).cast("double"))
+          round(sum(dec("o_totalprice")).over(w), 2).cast("double"))
         .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
         .orderBy("o_custkey", "o_orderkey")
     }),
@@ -175,7 +175,7 @@ object RelationalQueries {
       t(s, dir, "orders")
         .rollup(col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          sum(dec("o_totalprice")).cast("double").as("total"))
+          round(sum(dec("o_totalprice")), 2).cast("double").as("total"))
         .orderBy(col("o_orderpriority").asc_nulls_first,
           col("o_orderstatus").asc_nulls_first)),
 
@@ -224,7 +224,7 @@ object RelationalQueries {
       graft.scale.Skew.saltedSumCount(li, Seq("l_returnflag"), "qty_dec",
           saltN = 8, discriminator = col("l_orderkey"))
         .select(col("l_returnflag"),
-          col("sum_qty_dec").cast("double").as("sum_qty"), col("cnt"))
+          round(col("sum_qty_dec"), 2).cast("double").as("sum_qty"), col("cnt"))
         .orderBy("l_returnflag")
     }),
 
@@ -286,7 +286,7 @@ object RelationalQueries {
         .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(dec("value")).cast("double").as("sum_value"))
+          round(sum(dec("value")), 2).cast("double").as("sum_value"))
         .orderBy("hour", "event_type")),
 
     // Grouped join aggregate over the events "stream" joined to a dimension:
@@ -298,7 +298,7 @@ object RelationalQueries {
       t(s, dir, "events")
         .join(broadcast(users), Seq("user_id"), "left")
         .groupBy(col("segment"))
-        .agg(count(lit(1)).as("n"), sum(dec("value")).cast("double").as("v"))
+        .agg(count(lit(1)).as("n"), round(sum(dec("value")), 2).cast("double").as("v"))
         .orderBy(col("segment").asc_nulls_first)
     })
   )
@@ -306,10 +306,10 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |  CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |    AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
@@ -318,8 +318,8 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |    AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -330,8 +330,8 @@ object RelationalQueries {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |    AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -350,9 +350,9 @@ object RelationalQueries {
         |ORDER BY o_custkey, rnk""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |  CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
         |    AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_window_lag" ->
@@ -395,7 +395,7 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "q_cube" ->
@@ -418,7 +418,7 @@ object RelationalQueries {
         |ORDER BY p.event_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_grouping_sets" ->
@@ -446,14 +446,14 @@ object RelationalQueries {
     "q_time_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
         |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q_event_enrich" ->
       """WITH users AS (
         |  SELECT c_custkey % 50 AS user_id, min(c_mktsegment) AS segment
         |  FROM customer GROUP BY 1)
         |SELECT u.segment, count(*) AS n,
-        |  CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |  CAST(ROUND(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
         |FROM events e LEFT JOIN users u USING (user_id)
         |GROUP BY u.segment ORDER BY u.segment NULLS FIRST""".stripMargin
   )

@@ -107,14 +107,11 @@ object TextAnalysis {
       lit(0L),
       (acc, w) => pmod(acc * lit(31L) + crc32(w).cast("long"), lit(1000000007L)))
 
-  /** Character n-gram shingles (for MinHash / Jaccard). */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = lower(regexp_replace(text, "\\s+", " "))
-    array_distinct(filter(
-      transform(sequence(lit(1), greatest(length(norm) - n + 1, lit(1))),
-        i => norm.substr(i, lit(n))),
-      c => length(c) === n))
-  }
+  /** Character n-gram shingles (for MinHash / Jaccard) — single-pass native
+    * expression (same re-evaluation hazard as word shingles).
+    */
+  def charShingles(text: Column, n: Int): Column =
+    graft.exprs.HashExprs.char_shingles(text, n)
 
   /** Word n-gram shingles — a single-pass native expression
     * ([[graft.exprs.HashExprs.WordShingles]]): the `transform(sequence(...))`

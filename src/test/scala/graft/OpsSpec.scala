@@ -16,6 +16,10 @@ class OpsSpec extends SparkSpec {
     val nulls = Seq((null: String, 7)).toDF("topic", "n")
     assert(nulls.select(Interp.interpolate("x@{topic}y").as("s"))
       .as[String].head() == "xy")
+    // absent column renders empty via setValues (morphline semantics)
+    val absent = RecordOps.setValues("s" -> "a@{no_such_col}b")(nulls)
+      .select("s").as[String].head()
+    assert(absent == "ab")
   }
 
   test("grok expansion produces fields; non-match yields nulls") {
