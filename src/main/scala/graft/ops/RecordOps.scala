@@ -187,6 +187,26 @@ object RecordOps {
       else df.observe(name, count(lit(1)).as("n_records"))
     }
 
+  /** `extractURIComponents` (kite-core): decompose a URI field into
+    * scheme/host/port/path/query/fragment columns via `parse_url`.
+    */
+  def extractUriComponents(field: String, prefix: String = "uri_"): Op =
+    Op("extractURIComponents") { df =>
+      val u = col(field)
+      df.withColumn(s"${prefix}scheme",
+          regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1))
+        .withColumn(s"${prefix}host", parse_url(u, lit("HOST")))
+        .withColumn(s"${prefix}path", parse_url(u, lit("PATH")))
+        .withColumn(s"${prefix}query", parse_url(u, lit("QUERY")))
+        .withColumn(s"${prefix}fragment", parse_url(u, lit("REF")))
+    }
+
+  /** `extractURIQueryParameters`: one named query parameter → column. */
+  def extractUriQueryParam(field: String, param: String, out: String): Op =
+    Op("extractURIQueryParameters") { df =>
+      df.withColumn(out, parse_url(col(field), lit("QUERY"), lit(param)))
+    }
+
   /** `extractJsonPaths`-style projection with rename map (path → out field).
     * Operates on already-parsed struct columns; see ParserOps.readJson for
     * the string→struct step.

@@ -353,6 +353,21 @@ object MorphlineQueries {
         .orderBy("event_id")
     }),
 
+    // extractURIComponents / extractURIQueryParameters over synthesized URLs.
+    "m_extract_uri" -> ((s, dir) => {
+      val urls = events(s, dir).withColumn("url",
+        concat(lit("https://example.com/ev/"), col("event_type"),
+          lit("?user="), col("user_id"), lit("&k="), col("event_id"),
+          lit("#frag")))
+      val pipe = Pipeline("uri", Seq(
+        RecordOps.extractUriComponents("url"),
+        RecordOps.extractUriQueryParam("url", "user", "user_param")))
+      pipe(urls)
+        .select(col("event_id"), col("uri_scheme"), col("uri_host"),
+          col("uri_path"), col("user_param"))
+        .orderBy("event_id")
+    }),
+
     // writeJson (fromConnectData converter:json serialize-back).
     "m_write_json" -> ((s, dir) => {
       val pipe = Pipeline("writejson", Seq(
@@ -466,6 +481,11 @@ object MorphlineQueries {
     "m_observe" ->
       """SELECT event_id, event_type FROM events
         |WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
+    "m_extract_uri" ->
+      """SELECT event_id, 'https' AS uri_scheme, 'example.com' AS uri_host,
+        |  '/ev/' || event_type AS uri_path,
+        |  CAST(user_id AS VARCHAR) AS user_param
+        |FROM events ORDER BY event_id""".stripMargin,
     "m_write_json" ->
       """SELECT event_id,
         |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS value
