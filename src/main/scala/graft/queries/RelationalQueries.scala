@@ -228,6 +228,22 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Custom typed Aggregator (§2.F extension surface): exact per-group
+    // top-k with a bounded buffer — map-side partials carry ≤k rows per
+    // group through the shuffle.
+    "q_custom_topk_agg" -> ((s, dir) => {
+      import graft.exprs.Aggregators
+      import org.apache.spark.sql.functions.udaf
+      val topk = udaf(new Aggregators.TopKByValue(3))
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(topk(col("o_orderkey"), col("o_totalprice")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.k").as("o_orderkey"), col("col.v").as("o_totalprice"))
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
     // GROUPING SETS via spark.sql.
     "q_grouping_sets" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -421,6 +437,13 @@ object RelationalQueries {
         |  CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_custom_topk_agg" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n
         |FROM lineitem

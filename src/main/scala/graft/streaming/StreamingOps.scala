@@ -82,6 +82,16 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
   }
 
+  /** Streaming exact dedup: state-backed `dropDuplicates` on a content
+    * digest, bounded by the watermark (state for keys older than the
+    * watermark is evicted — the streaming form of Dedup.exact; unbounded
+    * key-space dedup at 100 TB needs exactly this eviction bound).
+    */
+  def streamingDedup(stream: DataFrame, tsCol: String, watermark: String,
+                     keyCols: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
   /** Session windows over event time (gap-based) — built-in
     * `session_window`; state is managed by Spark's streaming aggregation.
     */

@@ -83,6 +83,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch duplicates via keyed state") {
+    // Two identical files arrive as separate micro-batches; the second
+    // batch's rows are all duplicates and must be dropped by state.
+    val d = java.nio.file.Files.createTempDirectory("graft-dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0/events.parquet"), d.resolve("a.parquet"))
+    val schema = new StructType()
+      .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
+      .add("event_type", StringType).add("value", DoubleType)
+      .add("props", StringType)
+    val stream = StreamingOps.fileSource(spark, schema, d.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = StreamingOps.streamingDedup(stream, "ts", "10 minutes",
+      Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.sql("SELECT count(*) FROM dedup_stream").as[Long].head()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf0/events.parquet"), d.resolve("b.parquet"))
+      q.processAllAvailable()
+      val n2 = spark.sql("SELECT count(*) FROM dedup_stream").as[Long].head()
+      assert(n1 > 0 && n2 == n1, s"duplicates leaked: $n1 -> $n2")
+    } finally q.stop()
+  }
+
+  test("dead-letter split catches unparseable payloads in a pipeline") {
+    val df = Seq("""{"k": 1}""", "not json at all", """{"k": 3}""")
+      .toDF("props")
+    val parsed = graft.ops.ParserOps.readJson("props",
+      new StructType().add("k", IntegerType))(df)
+    val (ok, dead) = graft.ops.ControlOps.deadLetterSplit(parsed,
+      col("json").isNotNull && col("json.k").isNotNull)
+    assert(ok.count() == 2)
+    assert(dead.select("props").as[String].collect().toSeq ==
+      Seq("not json at all"))
+  }
+
   test("checkpoint recovery: restart reprocesses nothing (offset-commit parity)") {
     // The reference's at-least-once story is Connect offset commits
     // (MorphlineSinkTask.java:148); here the checkpoint is the commit log:
