@@ -62,6 +62,22 @@ class StandardOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq("DE", "2017-01-20", "WARN", "9"))
   }
 
+  test("JSON pipeline spec compiles and runs (morphline-config analogue)") {
+    val spec =
+      """{ "id": "readjson",
+        |  "commands": [
+        |    { "command": "readJson", "field": "value",
+        |      "schema": "firstName STRING, lastName STRING, email STRING, age INT" },
+        |    { "command": "extractJsonPaths",
+        |      "paths": "first_name:firstName, age_x:age" },
+        |    { "command": "dropRecord", "where": "age_x > 100" } ] }""".stripMargin
+    val pipe = graft.pipeline.PipelineSpec.fromJson(spec)
+    assert(pipe.id == "readjson")
+    val out = pipe(Seq(personJson).toDF("value"))
+      .select("first_name", "age_x").head()
+    assert(out.getString(0) == "example" && out.getInt(1) == 27)
+  }
+
   test("unknown command fails at compile with known names listed") {
     val e = intercept[IllegalArgumentException](
       StandardOps.compile("bad", Seq("nope" -> Map())))
