@@ -295,6 +295,58 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // Exact percentiles (interpolated) — the quantile capability; the
+    // approximate path for 100 TB is q_approx_percentile below.
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"))
+        .orderBy("l_returnflag")),
+
+    // Approximate percentile (KLL-style sketch) — rows-only.
+    "q_approx_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)")
+          .as("approx_p"))
+        .orderBy("l_returnflag")),
+
+    // Statistical moments from exact decimal power sums: mean and sample
+    // variance derived as identical double arithmetic on both engines —
+    // no dependence on streaming-variance implementation details.
+    "q_stats_moments" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(dec("l_quantity")), 2).cast("double").as("s1"),
+          round(sum(dec("l_quantity") * dec("l_quantity")), 2).cast("double").as("s2"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("s1") / col("n"), 6).as("mean"),
+          round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 6)
+            .as("variance"))
+        .orderBy("l_returnflag")),
+
+    // Histogram: fixed-width value binning + counts (the profiling shape).
+    "q_histogram" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy((floor(col("value") / 50) * 50).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bin")),
+
+    // Mergeable HLL sketches (Spark 4 datasketches): per-group sketch →
+    // union → global estimate. Rows-only (sketch internals engine-specific);
+    // the mergeability is the 100 TB property (partial sketches combine).
+    "q_hll_sketch" -> ((s, dir) => {
+      val perGroup = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+      perGroup.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("global_distinct"))
+    }),
+
     // Event-time windowed aggregation (batch form of the streaming window;
     // same plan shape as StreamingOps.windowedCounts).
     "q_time_window" -> ((s, dir) =>
@@ -466,6 +518,24 @@ object RelationalQueries {
         |    AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stats_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS s1,
+        |    CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(18,4)) *
+        |             CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, round(s1 / n, 6) AS mean,
+        |  round((s2 - s1 * s1 / n) / (n - 1), 6) AS variance
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bin, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_time_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
         |  count(*) AS n,
