@@ -25,7 +25,18 @@ object Grok {
     "TIMESTAMP_ISO8601" ->
       raw"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
     "USERNAME" -> raw"[a-zA-Z0-9._-]+",
-    "UUID" -> raw"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}")
+    "UUID" -> raw"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "HOSTNAME" -> raw"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?\b",
+    "IPV6" -> raw"(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f:]+",
+    "MAC" -> raw"(?:[0-9A-Fa-f]{2}[:-]){5}[0-9A-Fa-f]{2}",
+    "URIPATH" -> raw"(?:/[A-Za-z0-9$$.+!*'(){},~:;=@#%_\-]*)+",
+    "QS" -> raw"(?:\"(?:\\.|[^\\\"]+)*\")",
+    "POSINT" -> raw"\b[1-9]\d*\b",
+    "BASE10NUM" -> raw"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "MONTH" -> "(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)",
+    "HTTPDATE" -> raw"\d{2}/(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "EMAILADDRESS" -> raw"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "HTTPMETHOD" -> "(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT)")
 
   private val Ref = raw"%\{(\w+)(?::(\w+))?\}".r
 

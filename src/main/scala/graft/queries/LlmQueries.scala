@@ -128,6 +128,26 @@ object LlmQueries {
           TextAnalysis.subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")),
 
+    // Edit distance between consecutive docs per source (windowed single
+    // pass — the fuzzy-dedup verification metric on short fields).
+    "t_edit_distance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      docs(s, dir)
+        .withColumn("prev", lag(substring(col("text"), 1, 60), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("doc_id"),
+          TextAnalysis.editDistance(substring(col("text"), 1, 60), col("prev"))
+            .as("dist"))
+        .orderBy("doc_id")
+    }),
+
+    // Phonetic blocking key — soundex not in DuckDB: rows-only.
+    "t_phonetic_key" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.phoneticKey(col("text")).as("pk"))
+        .orderBy("doc_id")),
+
     // ---------------- similarity search ----------------
     // Brute-force exact top-5 cosine for 3 query vectors.
     "s_knn_brute" -> ((s, dir) => {
@@ -244,6 +264,13 @@ object LlmQueries {
         |    string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
         |    x -> x <> ''))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_edit_distance" ->
+      """WITH g AS (
+        |  SELECT doc_id, substr(text, 1, 60) AS t60,
+        |    lag(substr(text, 1, 60)) OVER (PARTITION BY source ORDER BY doc_id) AS prev
+        |  FROM documents)
+        |SELECT doc_id, levenshtein(t60, prev) AS dist
+        |FROM g WHERE prev IS NOT NULL ORDER BY doc_id""".stripMargin,
     "d_dedup_exact" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn

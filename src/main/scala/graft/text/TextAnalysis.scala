@@ -87,6 +87,22 @@ object TextAnalysis {
     }
   }
 
+  /** Edit distance between two strings (built-in levenshtein) — the
+    * verification metric for fuzzy dedup on short fields (titles, names).
+    */
+  def editDistance(a: Column, b: Column): Column = levenshtein(a, b)
+
+  /** Normalized edit similarity in [0,1]. */
+  def editSimilarity(a: Column, b: Column): Column =
+    lit(1.0) - levenshtein(a, b).cast("double") /
+      greatest(length(a), length(b), lit(1)).cast("double")
+
+  /** Phonetic blocking key (soundex of the first token) — groups
+    * sound-alike values for fuzzy-dedup candidate generation.
+    */
+  def phoneticKey(text: Column): Column =
+    soundex(element_at(split(trim(text), "\\s+"), 1))
+
   /** Word-set fingerprint (the OpenRefine "fingerprint" keying): lowercase,
     * strip punctuation, dedupe+sort tokens, hash. Stable doc identity for
     * fuzzy exact-dedup.

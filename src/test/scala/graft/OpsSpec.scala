@@ -32,6 +32,15 @@ class OpsSpec extends SparkSpec {
     assert(out(1).isNullAt(0) && out(1).isNullAt(1))
   }
 
+  test("grok base dictionary covers an apache-style access log line") {
+    val line = """10.0.0.7 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326"""
+    val df = Seq(line).toDF("l")
+    val out = Grok.extract(df, col("l"),
+      "%{IP:ip} - %{USERNAME:user} \\[%{HTTPDATE:ts}\\] \"%{HTTPMETHOD:method} %{URIPATH:path} HTTP/%{BASE10NUM:ver}\" %{INT:status} %{INT:bytes}")
+      .select("ip", "user", "method", "path", "status").head()
+    assert(out.toSeq == Seq("10.0.0.7", "frank", "GET", "/apache_pb.gif", "200"))
+  }
+
   test("convertTimestamp: multi-format coalesce + unix millis") {
     val df = Seq(("01/20/2017", "1484897702123")).toDF("us", "ms")
     val r = df.select(
