@@ -196,8 +196,7 @@ object HashExprs {
     * left-to-right, but without the per-row zipped-array allocation.
     */
   case class VecDot(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -208,6 +207,26 @@ object HashExprs {
       while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
       java.lang.Double.valueOf(acc)
     }
+    // Full codegen (not CodegenFallback): the dot loop inlines into the
+    // surrounding whole-stage-generated code — no per-row boxing/virtual
+    // calls in the kNN hot path.
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
       copy(left = l, right = r)
   }
