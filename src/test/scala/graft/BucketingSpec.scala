@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
 class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("partitioned write enables partition pruning on read") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Sinks.parquetSink(Tables.load(spark, sf0, "lineitem"), out,
+      partitionCols = Seq("l_returnflag"))
+    val pruned = spark.read.parquet(out).filter(col("l_returnflag") === "R")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"no partition pruning:\n$plan")
+    val full = Tables.load(spark, sf0, "lineitem")
+      .filter(col("l_returnflag") === "R").count()
+    assert(pruned.count() == full)
+  }
+
   test("join of two tables bucketed on the key plans without a shuffle") {
     val orders = Tables.load(spark, sf0, "orders")
     val lineitem = Tables.load(spark, sf0, "lineitem")
