@@ -126,6 +126,46 @@ object StandardOps {
     r.register("separateAttachments")(c =>
       ParserOps.separateAttachments(req(c, "field"),
         c.getOrElse("outputField", "attachment")))
+    // remaining §2.B surface
+    r.register("addValuesIfAbsent") { c =>
+      RecordOps.addValuesIfAbsent(req(c, "field"),
+        req(c, "values").split(",").map(v => lit(v.trim)).toSeq: _*)
+    }
+    r.register("removeValues")(c =>
+      RecordOps.removeValues(req(c, "field"), lit(req(c, "value"))))
+    r.register("replaceValues") { c =>
+      RecordOps.findReplace(req(c, "field"), req(c, "pattern"),
+        req(c, "replacement"))
+    }
+    r.register("toByteArray")(c =>
+      RecordOps.toByteArray(req(c, "field"), c.getOrElse("charset", "UTF-8")))
+    r.register("decodeBase64")(c => RecordOps.decodeBase64(req(c, "field")))
+    r.register("encodeBase64")(c => RecordOps.encodeBase64(req(c, "field")))
+    r.register("addCurrentTime")(c =>
+      RecordOps.addCurrentTime(c.getOrElse("field", "timestamp")))
+    r.register("addLocalHost")(c =>
+      RecordOps.addLocalHost(c.getOrElse("field", "host")))
+    r.register("generateSolrSequenceKey") { c =>
+      RecordOps.deterministicKey(c.getOrElse("field", "id"),
+        req(c, "baseIdField").split(",").map(f => col(f.trim)).toSeq: _*)
+    }
+    r.register("sanitizeUnknownSolrFields") { c =>
+      val allowed = req(c, "fields").split(",").map(_.trim).toSeq
+      Op("sanitizeUnknownSolrFields")(df =>
+        graft.io.Sinks.sanitizeToSchema(df, allowed))
+    }
+    r.register("extractURIComponents")(c =>
+      RecordOps.extractUriComponents(req(c, "field"),
+        c.getOrElse("prefix", "uri_")))
+    r.register("extractURIQueryParameters")(c =>
+      RecordOps.extractUriQueryParam(req(c, "field"), req(c, "parameter"),
+        c.getOrElse("outputField", req(c, "parameter"))))
+    r.register("extractAvroPaths") { c =>
+      val paths = req(c, "paths").split(",").map { kv =>
+        val Array(out, path) = kv.split(":"); path.trim -> out.trim
+      }.toSeq
+      RecordOps.extractPaths(c.getOrElse("field", "avro"), paths: _*)
+    }
     r
   }
 
