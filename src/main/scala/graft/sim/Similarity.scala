@@ -40,10 +40,15 @@ object Similarity {
   def bruteForceKnn(corpus: DataFrame, idCol: String, vecCol: String,
                     queries: DataFrame, qidCol: String, qvecCol: String,
                     k: Int): DataFrame = {
+    // Norms once per row on each side (not per pair) — same float-op
+    // sequence as inline recomputation, so scores are bit-identical.
     val scored = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", norm(col("v")))
       .crossJoin(broadcast(
-        queries.select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("q"))))
-      .select(col("qid"), col("id"), cosine(col("v"), col("q")).as("cosine"))
+        queries.select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("q"))
+          .withColumn("qn", norm(col("q")))))
+      .select(col("qid"), col("id"),
+        (dot(col("v"), col("q")) / (col("vn") * col("qn"))).as("cosine"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))

@@ -160,6 +160,25 @@ class StreamingSpec extends SparkSpec {
     assert(r.getString(1).contains(""""firstName":"example""""))
   }
 
+  test("streaming foreach document sink receives batched docs with keys") {
+    StreamingSpec.sunk.clear()
+    val keyed = eventsStream
+      .withColumn("id", md5(concat_ws(" ", col("event_type"), col("event_id"))))
+      .select("id", "event_type")
+    val q = keyed.writeStream
+      .foreach(new graft.io.Sinks.DocumentSinkWriter("id", batchSize = 100,
+        send = b => StreamingSpec.sunk.addAll(
+          scala.jdk.CollectionConverters.SeqHasAsJava(b).asJava)))
+      .start()
+    try {
+      q.processAllAvailable()
+      val n = Tables.load(spark, sf0, "events").count()
+      assert(StreamingSpec.sunk.size() == n)
+      val doc = StreamingSpec.sunk.iterator().next()
+      assert(doc.keySet == Set("id", "event_type"))
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark match the batch equivalent") {
     val agg = StreamingOps.windowedCounts(eventsStream, "ts",
       watermark = "1 hour", windowLen = "1 hour", groupCols = Seq("event_type"))
@@ -178,4 +197,11 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+}
+
+/** Static collector for the foreach-sink test (ForeachWriter is serialized
+  * to tasks; state must be JVM-global in local mode).
+  */
+object StreamingSpec {
+  val sunk = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, Any]]()
 }
