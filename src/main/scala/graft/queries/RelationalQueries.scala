@@ -100,6 +100,32 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Changelog compaction (CDC upsert shape): latest record per key —
+    // one digest-keyed shuffle, map-side WindowGroupLimit keeps the top row.
+    "q_latest_by_key" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy("user_id")
+    }),
+
+    // Time-range window frame: trailing 1-hour spend per user (RANGE frame
+    // over event-time millis — the sliding-aggregate capability; the
+    // streaming form is windowedCounts with a sliding window).
+    "q_window_range" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+        .rangeBetween(-3600000L, Window.currentRow)
+      e.withColumn("trailing_1h",
+          round(sum(dec("value")).over(w), 2).cast("double"))
+        .select(col("event_id"), col("trailing_1h"))
+        .orderBy("event_id")
+    }),
+
     // Window lag/lead analytics: day gap between consecutive orders.
     "q_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -423,6 +449,19 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
         |    AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_latest_by_key" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_window_range" ->
+      """SELECT event_id,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+        |    AS trailing_1h
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_window_lag" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(date_diff('day',
