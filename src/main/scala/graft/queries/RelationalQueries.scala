@@ -77,6 +77,22 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q14 shape: conditional aggregation over a broadcast part join.
+    "q14_promo_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-09-01") &&
+          col("l_shipdate") < lit("1995-10-01"))
+      li.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type").startsWith("PROMO"),
+              dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .otherwise(lit(0).cast("decimal(18,4)"))), 2).cast("double")
+            .as("promo_revenue"),
+          round(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount"))), 2)
+            .cast("double").as("total_revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     // Window ranking: top-3 orders per customer.
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -449,6 +465,20 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
         |    AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT
+        |  CAST(ROUND(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |         (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS promo_revenue,
+        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |    AS total_revenue,
+        |  count(*) AS n
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin,
     "q_latest_by_key" ->
       """SELECT user_id, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,
