@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * per-row parsing or allocation beyond the output string.
   */
 object Interp {
-  private val Ref = raw"@\{([^}]+)\}".r
+  private val Ref = raw"@\{([^}]*)\}".r
 
   /** Compile `"prefix @{col} suffix"` into a Column. Null columns render as
     * empty string (morphline renders missing fields as empty). When the
@@ -31,6 +31,11 @@ object Interp {
       if (m.start > last) parts += lit(template.substring(last, m.start))
       val name = m.group(1)
       parts += (available match {
+        // `@{}` renders the whole record (the reference's logInfo
+        // `args: ["@{}"]` shape) — JSON of all known columns.
+        case Some(cols) if name.isEmpty =>
+          to_json(struct(cols.toSeq.sorted.map(col): _*))
+        case None if name.isEmpty => lit("@{}")
         case Some(cols) if !cols.contains(name) => lit("")
         case _ => coalesce(col(name).cast("string"), lit(""))
       })

@@ -20,6 +20,11 @@ class OpsSpec extends SparkSpec {
     val absent = RecordOps.setValues("s" -> "a@{no_such_col}b")(nulls)
       .select("s").as[String].head()
     assert(absent == "ab")
+    // @{} renders the whole record as JSON (logInfo args shape)
+    val whole = RecordOps.setValues("s" -> "rec=@{}")(
+        Seq(("x", 1)).toDF("a", "b"))
+      .select("s").as[String].head()
+    assert(whole == """rec={"a":"x","b":1}""")
   }
 
   test("grok expansion produces fields; non-match yields nulls") {
