@@ -1,0 +1,34 @@
+package graft
+
+import graft.io.Sources
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+class AvroContainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  val schemaJson =
+    """{"type":"record","name":"P","fields":[
+      |{"name":"name","type":"string"},
+      |{"name":"age","type":"int"}]}""".stripMargin
+
+  test("readAvroContainer reads an Avro object container file end-to-end") {
+    val schema = new Schema.Parser().parse(schemaJson)
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro")
+    val f = dir.resolve("people.avro").toFile
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    Seq(("example", 27), ("other", 31)).foreach { case (n, a) =>
+      val r = new GenericData.Record(schema)
+      r.put("name", n); r.put("age", a)
+      w.append(r)
+    }
+    w.close()
+
+    val df = Sources.readAvroContainer(spark, dir.toString, schemaJson)
+    assert(df.columns.toSeq == Seq("name", "age"))
+    assert(df.as[(String, Int)].collect().toSet ==
+      Set(("example", 27), ("other", 31)))
+  }
+}
