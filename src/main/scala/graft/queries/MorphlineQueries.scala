@@ -353,6 +353,17 @@ object MorphlineQueries {
         .orderBy("event_id")
     }),
 
+    // Schemaless ingest via VariantType (Spark 4): parse_json with no
+    // declared schema, typed access via variant_get — the modern answer to
+    // the reference's schemaless Map payloads (Records.java:47-69).
+    "m_variant_json" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_id"),
+          try_variant_get(col("v"), "$.k", "int").as("k"),
+          try_variant_get(col("v"), "$.missing", "string").as("missing"))
+        .orderBy("event_id")),
+
     // extractURIComponents / extractURIQueryParameters over synthesized URLs.
     "m_extract_uri" -> ((s, dir) => {
       val urls = events(s, dir).withColumn("url",
@@ -481,6 +492,10 @@ object MorphlineQueries {
     "m_observe" ->
       """SELECT event_id, event_type FROM events
         |WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
+    "m_variant_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  json_extract_string(props, '$.missing') AS missing
+        |FROM events ORDER BY event_id""".stripMargin,
     "m_extract_uri" ->
       """SELECT event_id, 'https' AS uri_scheme, 'example.com' AS uri_host,
         |  '/ev/' || event_type AS uri_path,
