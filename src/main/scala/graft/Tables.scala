@@ -17,12 +17,16 @@ object Tables {
 
   // Memoized per (session, dir, name): the testdata is immutable, so the
   // analyzed scan relation (file listing + footer schema) is reused across
-  // the 70+ queries instead of being re-derived per query.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // the 80+ queries instead of being re-derived per query. Sessions are
+  // weak keys so a stopped SparkSession (and its plans) can be collected.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, dir, name), { _ =>
+    cache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+      .computeIfAbsent((dir, name), { _ =>
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's µs
       // TimestampType rejects — read it as a nanos long and convert
       // (integer `div`, no double round-trip).

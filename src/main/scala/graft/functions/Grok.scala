@@ -68,9 +68,12 @@ object Grok {
   def extract(df: DataFrame, src: Column, grokExpr: String,
               dict: Map[String, String] = basePatterns): DataFrame = {
     val (regex, fields) = expand(grokExpr, dict)
-    fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+    // Evaluate the match guard once per row (not once per field).
+    val guard = "__grok_matched"
+    val withGuard = df.withColumn(guard, src.rlike(regex))
+    fields.zipWithIndex.foldLeft(withGuard) { case (d, (f, i)) =>
       d.withColumn(f,
-        when(src.rlike(regex), regexp_extract(src, regex, i + 1)))
-    }
+        when(col(guard), regexp_extract(src, regex, i + 1)))
+    }.drop(guard)
   }
 }

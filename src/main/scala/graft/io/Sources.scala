@@ -35,8 +35,12 @@ object Sources {
           new org.apache.avro.Schema.Parser().parse(schemaJson))
         val in = new org.apache.avro.file.DataFileStream(
           new java.io.ByteArrayInputStream(bytes), reader)
+        // Records coming out of the stream are resolved to the READER
+        // schema — re-encode with that same schema (encoding with the
+        // file's writer schema would corrupt evolved records).
         val writer = new org.apache.avro.generic.GenericDatumWriter[
-          org.apache.avro.generic.GenericRecord](in.getSchema)
+          org.apache.avro.generic.GenericRecord](
+          new org.apache.avro.Schema.Parser().parse(schemaJson))
         val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
         try {
           while (in.hasNext) {

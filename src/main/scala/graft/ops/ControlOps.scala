@@ -13,7 +13,10 @@ object ControlOps {
     * transform returns null → record dropped). Unconditional drop is
     * `filter(lit(false))` at that chain point.
     */
-  def dropWhere(cond: Column): Op = Op("dropRecord")(df => df.filter(!cond))
+  def dropWhere(cond: Column): Op =
+    // null-cond rows do NOT match the drop condition and must be kept
+    // (!NULL is NULL and would silently drop them).
+    Op("dropRecord")(df => df.filter(!coalesce(cond, lit(false))))
 
   /** Predicate commands `equals` / `contains` / `not`: record passes iff the
     * predicate holds.

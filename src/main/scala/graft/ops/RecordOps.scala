@@ -42,10 +42,18 @@ object RecordOps {
       df.withColumn(field, concat(base, array(values: _*)))
     }
 
-  /** `addValuesIfAbsent`: append only values not already present. */
+  /** `addValuesIfAbsent`: append only values not already present (same
+    * scalar→array promotion and missing-field handling as [[addValues]]).
+    */
   def addValuesIfAbsent(field: String, values: Column*): Op =
     Op("addValuesIfAbsent") { df =>
-      df.withColumn(field, array_union(col(field), array(values: _*)))
+      val base: Column =
+        if (!df.columns.contains(field)) array()
+        else df.schema(field).dataType match {
+          case _: org.apache.spark.sql.types.ArrayType => col(field)
+          case _ => array(col(field))
+        }
+      df.withColumn(field, array_union(base, array(values: _*)))
     }
 
   /** `removeFields` by exact name (drop). */

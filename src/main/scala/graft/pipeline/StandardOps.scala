@@ -74,7 +74,7 @@ object StandardOps {
     }
     r.register("translate") { c =>
       val dict = req(c, "dictionary").split(",").map { kv =>
-        val Array(k, v) = kv.split(":"); k.trim -> v.trim
+        val Array(k, v) = kv.split(":", 2); k.trim -> v.trim
       }.toMap
       RecordOps.translate(req(c, "field"), dict,
         lit(c.getOrElse("fallback", "")), c.getOrElse("outputField", req(c, "field")))
@@ -95,7 +95,7 @@ object StandardOps {
       // paths config: "outField:path,outField2:path2" (flatten of the
       // reference's paths block)
       val paths = req(c, "paths").split(",").map { kv =>
-        val Array(out, path) = kv.split(":"); path.trim -> out.trim
+        val Array(out, path) = kv.split(":", 2); path.trim -> out.trim
       }.toSeq
       RecordOps.extractPaths(c.getOrElse("field", "json"), paths: _*)
     }
@@ -116,7 +116,9 @@ object StandardOps {
     r.register("equals")(c =>
       ControlOps.keepWhere(col(req(c, "field")) === req(c, "value")))
     r.register("not")(c =>
-      ControlOps.keepWhere(col(req(c, "field")) =!= req(c, "value")))
+      // a missing/null field is not equal to the value → record passes
+      ControlOps.keepWhere(
+        !coalesce(col(req(c, "field")) === req(c, "value"), lit(false))))
     r.register("contains")(c =>
       ControlOps.fieldContains(req(c, "field"), req(c, "value")))
     r.register("head")(c => ControlOps.head(req(c, "limit").toInt))
@@ -162,7 +164,7 @@ object StandardOps {
         c.getOrElse("outputField", req(c, "parameter"))))
     r.register("extractAvroPaths") { c =>
       val paths = req(c, "paths").split(",").map { kv =>
-        val Array(out, path) = kv.split(":"); path.trim -> out.trim
+        val Array(out, path) = kv.split(":", 2); path.trim -> out.trim
       }.toSeq
       RecordOps.extractPaths(c.getOrElse("field", "avro"), paths: _*)
     }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.pipeline.Pipeline
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -72,14 +72,17 @@ object StreamingOps {
     */
   def windowedCounts(stream: DataFrame, tsCol: String, watermark: String,
                      windowLen: String, slide: Option[String] = None,
-                     groupCols: Seq[String] = Nil): DataFrame = {
+                     groupCols: Seq[String] = Nil,
+                     aggs: Seq[Column] = Nil): DataFrame = {
     val win = slide match {
       case Some(s) => window(col(tsCol), windowLen, s)
       case None => window(col(tsCol), windowLen)
     }
+    val aggExprs =
+      if (aggs.nonEmpty) aggs else Seq(count(lit(1)).as("n"))
     stream.withWatermark(tsCol, watermark)
       .groupBy((win +: groupCols.map(col)): _*)
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
   }
 
   /** Streaming exact dedup: state-backed `dropDuplicates` on a content
