@@ -190,6 +190,22 @@ object HashExprs {
     override protected def withNewChildInternal(c: Expression): CharShingles = copy(child = c)
   }
 
+  /** Gzip-decompress a binary payload (compressed attachment bodies — the
+    * decompress step ahead of the parsers). Null on corrupt input would
+    * hide data problems, so malformed gzip throws; pre-filter with the
+    * magic-byte sniff (Multimodal.mediaStats) when tolerance is wanted.
+    */
+  case class Gunzip(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(input: Any): Any = {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(input.asInstanceOf[Array[Byte]]))
+      try in.readAllBytes() finally in.close()
+    }
+    override protected def withNewChildInternal(c: Expression): Gunzip = copy(child = c)
+  }
+
   /** Dot product of two double arrays in one loop. Accumulation order is
     * sequential (index 0..n-1) — bit-identical to the
     * `aggregate(zip_with(...))` formulation and to engines summing lists
@@ -266,6 +282,9 @@ object HashExprs {
 
   def array_jaccard(a: Column, b: Column): Column =
     GraftBridge.column(ArrayJaccard(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def gunzip(data: Column): Column =
+    GraftBridge.column(Gunzip(GraftBridge.expression(data)))
 
   def vec_dot(a: Column, b: Column): Column =
     GraftBridge.column(VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))

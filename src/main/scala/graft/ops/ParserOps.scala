@@ -87,6 +87,14 @@ object ParserOps {
       df.withColumn(out, graft.exprs.AvroExprs.to_avro_binary(srcStruct, schemaJson))
     }
 
+  /** `decompress` (gzip): inflate a compressed attachment body ahead of the
+    * parsers.
+    */
+  def gunzip(src: String, out: String): Op =
+    Op("decompress") { df =>
+      df.withColumn(out, graft.exprs.HashExprs.gunzip(col(src).cast("binary")))
+    }
+
   /** `readBlob`/`readClob`: whole payload as one binary/string field. */
   def readBlob(src: String, out: String = "blob"): Op =
     Op("readBlob")(df => df.withColumn(out, col(src).cast("binary")))

@@ -95,6 +95,16 @@ object StreamingOps {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Streaming dedup for duplicates that arrive with *different* event
+    * times within the watermark delay (retries/replays that restamp):
+    * `dropDuplicatesWithinWatermark` keys on content only, state still
+    * evicted by the watermark.
+    */
+  def streamingDedupWithin(stream: DataFrame, tsCol: String, watermark: String,
+                           keyCols: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Session windows over event time (gap-based) — built-in
     * `session_window`; state is managed by Spark's streaming aggregation.
     */

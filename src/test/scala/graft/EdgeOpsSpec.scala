@@ -64,6 +64,41 @@ class EdgeOpsSpec extends SparkSpec {
     assert(sent.flatten.map(_("id")).toSet == Set("d1", "d2", "d3", "d4", "d5"))
   }
 
+  test("gunzip op inflates a compressed payload ahead of a parser") {
+    val json = """{"k": 42}"""
+    val baos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(baos)
+    gz.write(json.getBytes("UTF-8")); gz.close()
+    val df = Seq(Tuple1(baos.toByteArray)).toDF("body")
+    val pipe = Pipeline("gz", Seq(
+      ParserOps.gunzip("body", "payload"),
+      ParserOps.readJson("payload", new StructType().add("k", IntegerType))))
+    assert(pipe(df).select("json.k").as[Int].head() == 42)
+  }
+
+  test("streaming dedup-within-watermark drops restamped duplicates") {
+    val d = java.nio.file.Files.createTempDirectory("graft-ddw")
+    // same key, two different event times within the watermark window
+    Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:00:30"),
+        (2L, "2024-01-01 00:01:00"))
+      .toDF("k", "ts_s")
+      .select(col("k"), col("ts_s").cast("timestamp").as("ts"))
+      .write.mode("overwrite").parquet(d.toString)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema).parquet(d.toString)
+    val deduped = graft.streaming.StreamingOps
+      .streamingDedupWithin(stream, "ts", "10 minutes", Seq("k"))
+    val q = deduped.writeStream.format("memory").queryName("ddw")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(DISTINCT k), count(*) FROM ddw")
+        .as[(Long, Long)].head()
+      assert(n == ((2L, 2L)), s"restamped duplicate leaked: $n")
+    } finally q.stop()
+  }
+
   test("addValuesIfAbsent does not duplicate existing values") {
     val df = Seq(Tuple1(Seq("a", "b"))).toDF("f")
     val out = RecordOps.addValuesIfAbsent("f", lit("b"), lit("c"))(df)
