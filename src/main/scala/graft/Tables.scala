@@ -17,11 +17,20 @@ object Tables {
 
   // Memoized per (session, dir, name): the testdata is immutable, so the
   // analyzed scan relation (file listing + footer schema) is reused across
-  // the 80+ queries instead of being re-derived per query. Sessions are
-  // weak keys so a stopped SparkSession (and its plans) can be collected.
+  // the 80+ queries instead of being re-derived per query. LRU-capped
+  // (NOT a WeakHashMap: a weak key that its own values strongly reference
+  // is never collectible), so stopped sessions' plans are bounded to the
+  // last few sessions rather than retained for the process lifetime.
+  private val MaxSessions = 4
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+    new java.util.LinkedHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession,
+            java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]): Boolean =
+        size() > MaxSessions
+    })
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent(spark,

@@ -29,6 +29,28 @@ object AvroExprs {
   private def sparkType(schemaJson: String): DataType =
     Conform.parseAvro(schemaJson).dataType
 
+  /** The codec handles only `[null, T]` unions (scaladoc contract). A wider
+    * union would silently encode the first non-null branch / decode to a
+    * mismatched Catalyst type — fail fast at construction instead.
+    */
+  private def validateUnions(sch: Schema): Unit = sch.getType match {
+    case Schema.Type.UNION =>
+      val nonNull = sch.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1,
+        s"unsupported Avro union ${sch}: only [null, T] unions are supported")
+      validateUnions(nonNull.head)
+    case Schema.Type.RECORD => sch.getFields.asScala.foreach(f => validateUnions(f.schema()))
+    case Schema.Type.ARRAY => validateUnions(sch.getElementType)
+    case Schema.Type.MAP => validateUnions(sch.getValueType)
+    case _ => ()
+  }
+
+  private def parseValidated(schemaJson: String): Schema = {
+    val s = new Schema.Parser().parse(schemaJson)
+    validateUnions(s)
+    s
+  }
+
   /** avro GenericRecord value → Catalyst value for `dt`. */
   private def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
@@ -70,6 +92,7 @@ object AvroExprs {
   /** `readAvro`: binary column + writer-schema JSON → struct column. */
   case class AvroDecode(child: Expression, schemaJson: String)
       extends UnaryExpression with CodegenFallback {
+    parseValidated(schemaJson) // fail fast on unsupported unions, at plan time
     @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
     @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
     @transient private var decoder: BinaryDecoder = _
@@ -85,6 +108,7 @@ object AvroExprs {
   /** `toAvro`/`writeAvroToByteArray`: struct column → avro binary. */
   case class AvroEncode(child: Expression, schemaJson: String)
       extends UnaryExpression with CodegenFallback {
+    parseValidated(schemaJson) // fail fast on unsupported unions, at plan time
     @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
     @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
     @transient private lazy val baos = new java.io.ByteArrayOutputStream()

@@ -114,6 +114,10 @@ object HashExprs {
         i += 1
       }
       if (sb.length > 0) toks += sb.toString
+      // Empty/whitespace-only text → empty array, not [""]: a non-empty
+      // sentinel shingle would give all empty docs identical signatures and
+      // pile them into one LSH hot bucket (and defeat size(sh)>0 guards).
+      if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
       val count = math.max(toks.length - n, 0) + 1
       val seen = new java.util.LinkedHashSet[UTF8String]()
       var j = 0

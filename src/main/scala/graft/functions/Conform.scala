@@ -107,12 +107,17 @@ object Conform {
   /** ISO-8601 (or epoch-ms long) → timestamp, the coercion enrichJson applies
     * to timestamp-millis fields (EnrichJsonBuilder.java:296-306).
     */
-  private def coerceTimestampMillis(c: Column): Column =
+  private def coerceTimestampMillis(c: Column): Column = {
+    // try_to_timestamp / filtered cast, NOT to_timestamp/cast: Spark 4 runs
+    // ANSI mode, where a parse failure in any coalesce branch aborts the
+    // query instead of falling through to the next format.
+    val s = c.cast(StringType)
     coalesce(
-      to_timestamp(c.cast(StringType), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"),
-      to_timestamp(c.cast(StringType), "yyyy-MM-dd'T'HH:mm:ssXXX"),
-      to_timestamp(c.cast(StringType), "yyyy-MM-dd HH:mm:ss"),
-      timestamp_millis(c.cast(LongType)))
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ss")),
+      timestamp_millis(when(s.rlike("^-?\\d+$"), s).otherwise(lit(null)).cast(LongType)))
+  }
 
   private def conformColumn(c: Column, target: AvroType,
                             source: Option[DataType]): Column = {

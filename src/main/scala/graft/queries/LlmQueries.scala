@@ -218,16 +218,16 @@ object LlmQueries {
 
   val oracle: Map[String, String] = Map(
     "t_token_count" ->
-      """SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+      """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_toks,
         |  round(CAST(length(text) AS DOUBLE) /
-        |        CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS chars_per_tok
+        |        CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) AS chars_per_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t_stopword_ratio" ->
       """SELECT doc_id,
-        |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |  round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         |    x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
         |      'that','for','on','with','as','was','at','by','be','this'], x)))
-        |    AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 6)
+        |    AS DOUBLE) / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE), 6)
         |    AS sw_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t_quality_score" ->
@@ -235,15 +235,15 @@ object LlmQueries {
         |  (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4 +
         |  (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
         |     AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.3 THEN 1.0 ELSE 0.0 END) * 0.3 +
-        |  (CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+        |  (CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         |     x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
         |       'that','for','on','with','as','was','at','by','be','this'], x)))
-        |     AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) > 0.01
+        |     AS DOUBLE) / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) > 0.01
         |   THEN 1.0 ELSE 0.0 END) * 0.3, 4) AS DOUBLE) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t_lang_id" ->
       """WITH sc AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         |s2 AS (
         |  SELECT doc_id,
         |    len(list_filter(toks, x -> list_contains(['the','and','of','is','with','that'], x))) AS s_en,

@@ -347,12 +347,18 @@ object RelationalQueries {
           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"))
         .orderBy("l_returnflag")),
 
-    // Approximate percentile (KLL-style sketch) — rows-only.
+    // Approximate percentile (KLL-style sketch) — rows-only. Scalars, not an
+    // array column: the driver's rows-only path sorts values and cannot hash
+    // numpy arrays, so project element_at into p50/p99 columns.
     "q_approx_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)")
-          .as("approx_p"))
+          .as("ap"))
+        .select(
+          col("l_returnflag"),
+          expr("element_at(ap, 1)").as("p50"),
+          expr("element_at(ap, 2)").as("p99"))
         .orderBy("l_returnflag")),
 
     // Statistical moments from exact decimal power sums: mean and sample
@@ -582,9 +588,9 @@ object RelationalQueries {
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
         |  FROM events)
         |SELECT user_id,
-        |  sum(CASE WHEN prev IS NULL
+        |  CAST(sum(CASE WHEN prev IS NULL
         |           OR epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1 ELSE 0 END)
-        |    AS n_sessions,
+        |    AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_percentile" ->
