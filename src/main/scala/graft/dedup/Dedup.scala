@@ -102,6 +102,66 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT Jaccard-threshold self-join via prefix filtering (the public
+    * set-similarity-join technique of Chaudhuri/Ganti/Kaushik 2006 and
+    * Xiao et al.'s PPJoin): identical output to a blocked all-pairs join,
+    * without the quadratic hazard of joining on coarse block keys alone.
+    *
+    * Principle: order every document's shingles by ascending global
+    * frequency; any pair with Jaccard >= t must share at least one shingle
+    * within each side's first (|s| - floor(t·|s|) + 1) shingles under that
+    * common order. Exploding ONLY those prefixes and equi-joining on
+    * (blockCols, shingle) yields a candidate superset of the true result,
+    * then each candidate pair is verified with one exact Jaccard.
+    *
+    * 100 TB shape: every shuffle is keyed by shingle (fine-grained;
+    * frequency-ascending prefixes keep the join buckets on RARE shingles),
+    * never by a coarse block column alone — a hot (source, lang) block can
+    * no longer go quadratic. Candidate volume per shingle is bounded by
+    * that shingle's document frequency, not the block size. The extra cost
+    * vs LSH is one global token-frequency aggregation (linear, combiner-
+    * friendly) — the price of exactness.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard within
+    * 1e-6 of `threshold` or above (callers round and apply the exact
+    * threshold; the slack means float rounding can only ADD candidates).
+    */
+  def jaccardPairsExact(df: DataFrame, textCol: String, idCol: String,
+                        blockCols: Seq[String] = Nil, shingleSize: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    val tEff = threshold - 1e-6
+    val blocks = blockCols.map(col)
+    val base = df.select((col(idCol).as("id") +: blocks :+
+        TextAnalysis.wordShingles(col(textCol), shingleSize).as("sh")): _*)
+      .filter(size(col("sh")) > 0)
+    val toks = base.select((col("id") +: blocks :+ size(col("sh")).as("sz") :+
+        explode(col("sh")).as("tok")): _*)
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // Per-doc frequency-ascending order; keep only the pigeonhole prefix.
+    // floor (not ceil) of t·sz under-counts the required overlap, so the
+    // prefix is never too short — exactness is preserved at the boundary.
+    val w = Window.partitionBy(col("id")).orderBy(col("cnt"), col("tok"))
+    val prefix = toks.join(freq, "tok")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <=
+        col("sz") - floor(lit(tEff) * col("sz")).cast("int") + 1)
+    val a = prefix.alias("a"); val b = prefix.alias("b")
+    val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+        // length filter: J >= t forces t·|B| <= |A| and t·|A| <= |B|
+        col("a.sz").cast("double") >= lit(tEff) * col("b.sz").cast("double") &&
+        col("b.sz").cast("double") >= lit(tEff) * col("a.sz").cast("double"))(_ && _)
+    val cand = a.join(b, cond)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct() // pairs sharing several prefix shingles verify once
+    cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= tEff)
+  }
+
   /** 64-bit SimHash over word shingles, computed in one per-row pass by
     * [[graft.exprs.HashExprs.SimHash64]] (the column-function formulation
     * needs 64 aggregate passes per row — quadratic and codegen-hostile).

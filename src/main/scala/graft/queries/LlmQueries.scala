@@ -70,25 +70,20 @@ object LlmQueries {
       Dedup.byFingerprint(docs(s, dir), "text", "doc_id")
         .select(col("doc_id")).orderBy("doc_id")),
 
-    // Exact n-gram Jaccard within (source, lang) blocks — blocked all-pairs,
-    // bounded quadratic per block (the verification stage of LSH pipelines).
-    "d_ngram_jaccard" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
-        TextAnalysis.wordShingles(col("text"), 3).as("sh"))
-      val a = d.alias("a"); val b = d.alias("b")
-      // Size-ratio prefilter: Jaccard ≤ min/max of the set sizes, so pairs
-      // whose sizes differ >5× can't reach 0.2 — skip their intersections.
-      // The intersection is then computed once (inner select), not twice.
-      a.join(b, col("a.source") === col("b.source") &&
-          col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          least(size(col("a.sh")), size(col("b.sh"))).cast("double") >=
-            greatest(size(col("a.sh")), size(col("b.sh"))).cast("double") * 0.2)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          round(Dedup.jaccard(col("a.sh"), col("b.sh")), 6).as("jac"))
+    // Exact n-gram Jaccard with (source, lang) block semantics — prefix-
+    // filtered set-similarity join (Dedup.jaccardPairsExact): same result
+    // set as the all-pairs join, but candidates come from a fine-grained
+    // (block, shingle) equi-join, so a hot block can't go quadratic.
+    "d_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairsExact(
+          docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
+            col("text")),
+          "text", "doc_id", Seq("source", "lang"),
+          shingleSize = 3, threshold = 0.2)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jac"))
         .filter(col("jac") >= 0.2)
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
 
     // MinHash-LSH near-dup pairs — xxhash64-based: rows-only.
     "d_minhash_pairs" -> ((s, dir) =>
@@ -102,23 +97,15 @@ object LlmQueries {
         .orderBy("id_a", "id_b")),
 
     // Embedding-cosine near-dup pairs, blocked by label (the shard key):
-    // exact within-block all-pairs — the verification-stage shape; the
-    // unblocked approximate path is s_knn_lsh.
-    "d_embed_neardup" -> ((s, dir) => {
-      // Norms are computed once per vector, not once per pair (the same
-      // float-op sequence as inline recomputation — oracle-stable).
-      val e = emb(s, dir).select(col("vec_id"), col("label"),
-          transform(col("embedding"), _.cast("double")).as("v"))
-        .withColumn("nrm", Similarity.norm(col("v")))
-      val a = e.alias("a"); val b = e.alias("b")
-      a.join(b, col("a.label") === col("b.label") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          round(Similarity.dot(col("a.v"), col("b.v")) /
-            (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+    // two-tier guarded (Similarity.cosinePairsBlocked) — blocks within the
+    // cap verify exactly (all pairs), oversized blocks route through
+    // LSH-bucketed candidates, so no label can go unboundedly quadratic.
+    "d_embed_neardup" -> ((s, dir) =>
+      Similarity.cosinePairsBlocked(emb(s, dir), "vec_id", "embedding",
+          "label", threshold = 0.4, maxExactBlock = 4096)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cos"))
         .filter(col("cos") >= 0.4)
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
 
     // Subword (BPE-ish regex) token counts — regex lookarounds not
     // expressible in the oracle: rows-only.
@@ -291,7 +278,9 @@ object LlmQueries {
         |      i -> array_to_string(
         |        (list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '), x -> x <> ''))[i:i+2],
         |        ' '))) AS sh
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '),
+        |            x -> x <> '')) > 0),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /

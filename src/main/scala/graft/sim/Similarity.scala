@@ -90,6 +90,57 @@ object Similarity {
       .select("qid", "id", "cosine", "rank")
   }
 
+  /** Cosine-threshold near-duplicate pairs within blocks, with a hard guard
+    * against quadratic blow-up. Blocks holding at most `maxExactBlock`
+    * vectors are verified exactly (all pairs within the block — the
+    * verification-stage shape); larger blocks are routed through
+    * hyperplane-LSH bucket candidates (multi-probe, 1-bit flips) with exact
+    * cosine verification.
+    *
+    * Dense vectors admit no exact sub-quadratic threshold join, so the
+    * oversized-block tier trades recall (documented < 1, tunable via
+    * `nBits`) for a hard bound: no block can cost more than
+    * max(maxExactBlock², n·(nBits+1)/2^nBits) comparisons. At 100 TB a hot
+    * label with millions of vectors costs ~n·candidates-per-bucket instead
+    * of n².
+    *
+    * Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold-1e-6
+    * (callers round and apply the exact threshold).
+    */
+  def cosinePairsBlocked(df: DataFrame, idCol: String, vecCol: String,
+                         blockCol: String, threshold: Double,
+                         maxExactBlock: Int = 4096, nBits: Int = 8,
+                         seed: Long = 42L): DataFrame = {
+    val tEff = threshold - 1e-6
+    val e = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    // One tiny row per block; joining it back is broadcast-sized under AQE.
+    val sizes = e.groupBy(col("blk")).agg(count(lit(1)).as("__blk_n"))
+    val tagged = e.join(sizes, Seq("blk"))
+    def scorePair(): Seq[Column] = Seq(
+      col("a.id").as("id_a"), col("b.id").as("id_b"),
+      (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+    val small = tagged.filter(col("__blk_n") <= maxExactBlock)
+    val exact = small.alias("a").join(small.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(scorePair(): _*)
+    val big = tagged.filter(col("__blk_n") > maxExactBlock)
+      .withColumn("bucket", graft.exprs.HashExprs.hyperplane_lsh(col("v"), nBits, seed))
+    // Multi-probe on one side: a pair lands together iff their buckets are
+    // within Hamming distance 1 (XOR-symmetric, so one-sided probing covers
+    // both directions).
+    val probed = big.withColumn("bucket", explode(array(
+        (col("bucket") +: (0 until nBits).map(i =>
+          col("bucket").bitwiseXOR(shiftleft(lit(1L), i)))): _*)))
+    val approx = probed.alias("a").join(big.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(scorePair(): _*)
+      .distinct() // same pair via several probes: identical cosine bits
+    exact.unionAll(approx).filter(col("cosine") >= tEff)
+  }
+
   /** IVF-style coarse quantization: assign each corpus vector to its nearest
     * of `centroids` (broadcast), partition by cell; queries probe `nProbe`
     * nearest cells. Centroids come from a driver-side sample (k-means iters

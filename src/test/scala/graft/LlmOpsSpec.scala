@@ -35,6 +35,60 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("prefix-filtered jaccard join is EXACT: equals the all-pairs result") {
+    val docs = Tables.load(spark, sf0, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val fast = Dedup.jaccardPairsExact(docs, "text", "doc_id",
+        Seq("source", "lang"), shingleSize = 3, threshold = 0.2)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac"))
+      .filter(col("jac") >= 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    // ground truth: unguarded all-pairs within (source, lang)
+    val sh = docs.select(col("doc_id"), col("source"), col("lang"),
+      TextAnalysis.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val brute = sh.alias("a").join(sh.alias("b"),
+        col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        round(Dedup.jaccard(col("a.sh"), col("b.sh")), 6).as("jac"))
+      .filter(col("jac") >= 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast == brute, s"prefix filter diverged: ${fast.diff(brute)} extra, ${brute.diff(fast)} missing")
+  }
+
+  test("cosinePairsBlocked: small blocks exact; oversized blocks LSH-guarded") {
+    val e = Tables.load(spark, sf0, "embeddings")
+    // Tier 1: cap above every block size → identical to all-pairs
+    val guarded = Similarity.cosinePairsBlocked(e, "vec_id", "embedding",
+        "label", threshold = 0.4, maxExactBlock = 100000)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val v = e.select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val brute = v.alias("a").join(v.alias("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        round(Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(guarded == brute)
+    // Tier 2: cap of 1 forces every block through the LSH path. Identical
+    // vectors always share a bucket, so the planted duplicate pair MUST
+    // surface, and nothing below the threshold may appear (exact verify).
+    val vec = (1 to 64).map(i => math.sin(i.toDouble).toFloat)
+    val anti = vec.map(x => -x)
+    val hot = Seq((1L, "L", vec), (2L, "L", vec), (3L, "L", anti))
+      .toDF("vec_id", "label", "embedding")
+    val approx = Similarity.cosinePairsBlocked(hot, "vec_id", "embedding",
+        "label", threshold = 0.4, maxExactBlock = 1)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(approx == Set((1L, 2L)))
+  }
+
   test("simhash: identical→0 hamming, near-dup small, unrelated large") {
     val a = (1 to 50).map(i => s"tok$i").mkString(" ")
     val b = (1 to 48).map(i => s"tok$i").mkString(" ") + " x y"

@@ -41,4 +41,26 @@ class PlanAssertionsSpec extends SparkSpec {
     val p = plan("q_asof_join")
     assert(!p.contains("Join"), s"as-of join materialized a join:\n$p")
   }
+
+  test("ngram jaccard: no self-join keyed only on coarse (source, lang) blocks") {
+    val df = SparkEntry.queries("d_ngram_jaccard")(spark, sf0)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.map(_.sql).getOrElse("")
+    }
+    // every equi-join that matches block columns must also key on a shingle
+    // (candidate generation) — never on the block alone
+    joins.filter(c => c.contains("source") && c.contains("lang")).foreach { c =>
+      assert(c.contains("tok"), s"join keyed only on coarse block: $c")
+    }
+    assert(joins.exists(_.contains("tok")), s"no shingle-keyed candidate join in: $joins")
+  }
+
+  test("embed neardup: exact tier is gated by the block-size guard") {
+    val p = SparkEntry.queries("d_embed_neardup")(spark, sf0)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("__blk_n"), s"block-size guard missing from plan:\n$p")
+    // both tiers present: a guard <= cap (exact) and > cap (LSH bucket join)
+    assert(p.contains("bucket"), s"LSH bucket tier missing from plan:\n$p")
+  }
 }
