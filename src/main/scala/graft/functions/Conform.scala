@@ -167,4 +167,49 @@ object Conform {
     }
     df.select(cols.toSeq: _*)
   }
+
+  /** [[conformTo]] with the schema resolved through a pluggable source
+    * (literal / file / registry — the reference's schemaString/schemaFile/
+    * registry-subject config keys). Resolution happens here, at plan time.
+    */
+  def conformTo(df: DataFrame, provider: graft.schema.SchemaProvider): DataFrame =
+    conformTo(df, provider.schemaJson)
+
+  /** Per-record schema dispatch — the reference's `schemaField`, where each
+    * record carries its target schema as a field value
+    * (EnrichJsonBuilder.java:153-160, ToConnectDataBuilder.java:101-105).
+    *
+    * Spark shape: the DISTINCT schema strings are a bounded model — fetched
+    * once to the driver (hard-capped at `maxSchemas`; per-record arbitrary
+    * schemas would defeat columnar execution), then one conformance branch
+    * per schema, unioned back. Branch output types differ per schema, so
+    * the conformed record is emitted as JSON in `enriched` (the reference
+    * carries a Jackson node payload — JSON is its wire shape). Rows with a
+    * null schema field pass through with `enriched` null (the reference
+    * warns and skips enrichment, EnrichJsonBuilder.java:172-175).
+    */
+  def conformByField(df: DataFrame, schemaField: String, keep: Seq[String],
+                     maxSchemas: Int = 16): DataFrame = {
+    val schemas = df.select(col(schemaField)).filter(col(schemaField).isNotNull)
+      .distinct().limit(maxSchemas + 1).collect().map(_.getString(0)).toSeq
+    require(schemas.size <= maxSchemas,
+      s"schemaField '$schemaField' carries more than $maxSchemas distinct " +
+        "schemas; per-record dispatch requires a bounded schema set")
+    val keepCols = keep.map(col)
+    val payloadFields = df.schema.fields.filterNot(_.name == schemaField)
+    val payloadType = StructType(payloadFields)
+    val payload = struct(payloadFields.map(f => col(f.name)).toSeq: _*)
+    val branches = schemas.map { sj =>
+      val target = parseAvro(sj)
+      require(target.dataType.isInstanceOf[StructType],
+        "schemaField must carry record schemas")
+      df.filter(col(schemaField) === sj)
+        .select((keepCols :+
+          to_json(conformColumn(payload, target, Some(payloadType)))
+            .as("enriched")): _*)
+    }
+    val unenriched = df.filter(col(schemaField).isNull)
+      .select((keepCols :+ lit(null).cast(StringType).as("enriched")): _*)
+    (branches :+ unenriched).reduce(_ unionAll _)
+  }
 }

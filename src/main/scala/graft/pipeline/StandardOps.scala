@@ -102,8 +102,25 @@ object StandardOps {
     r.register("extractJsonTree")(c =>
       RecordOps.extractTree(req(c, "field"), c.getOrElse("separator", "_")))
     r.register("enrichJson") { c =>
-      Op("enrichJson")(df =>
-        graft.functions.Conform.conformTo(df, req(c, "schemaString")))
+      // exactly one schema source, like the reference (schemaString |
+      // schemaFile | schemaField; KafkaDataProducerCommandBuilder.java:183-200)
+      val sources = Seq("schemaString", "schemaFile", "schemaField").filter(c.contains)
+      require(sources.size == 1,
+        s"enrichJson needs exactly one of schemaString/schemaFile/schemaField, got: $sources")
+      sources.head match {
+        case "schemaString" =>
+          Op("enrichJson")(df => graft.functions.Conform.conformTo(df,
+            graft.schema.SchemaProvider.Literal(c("schemaString"))))
+        case "schemaFile" =>
+          Op("enrichJson")(df => graft.functions.Conform.conformTo(df,
+            graft.schema.SchemaProvider.FromFile(c("schemaFile"))))
+        case "schemaField" =>
+          Op("enrichJson")(df => graft.functions.Conform.conformByField(df,
+            c("schemaField"),
+            keep = c.getOrElse("keepFields", "").split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq,
+            maxSchemas = c.getOrElse("maxSchemas", "16").toInt))
+      }
     }
     r.register("logInfo")(c =>
       RecordOps.observeMetrics(c.getOrElse("name", "logInfo")))

@@ -276,6 +276,57 @@ object MorphlineQueries {
       Conform.conformTo(parsed, target).orderBy("event_id")
     }),
 
+    // enrichJson with the schema loaded from a FILE (reference `schemaFile`,
+    // KafkaDataProducerCommandBuilder.java:158-175) — written at plan time,
+    // resolved once on the driver, embedded in the plan.
+    "m_conform_file" -> ((s, dir) => {
+      val schema =
+        """{"type":"record","name":"E","fields":[
+          |{"name":"event_id","type":"long"},
+          |{"name":"user_id","type":"long"},
+          |{"name":"event_type","type":["null","string"],"default":null},
+          |{"name":"extra","type":["null","int"],"default":null}]}"""
+          .stripMargin
+      val f = java.nio.file.Files.createTempFile("graft-schema", ".avsc")
+      java.nio.file.Files.write(f, schema.getBytes("UTF-8"))
+      f.toFile.deleteOnExit()
+      Conform.conformTo(events(s, dir),
+        graft.schema.SchemaProvider.FromFile(f.toString)).orderBy("event_id")
+    }),
+
+    // enrichJson with the schema fetched by SUBJECT from a registry
+    // (reference EnrichJsonBuilder.java:191-200; stub client — no egress) —
+    // latest version wins, fetches cached per subject.
+    "m_conform_registry" -> ((s, dir) => {
+      val v1 = """{"type":"record","name":"E","fields":[
+                 |{"name":"event_id","type":"long"}]}""".stripMargin
+      val v2 = """{"type":"record","name":"E","fields":[
+                 |{"name":"event_id","type":"long"},
+                 |{"name":"value","type":["null","double"],"default":null}]}"""
+        .stripMargin
+      val client = new graft.schema.CachedRegistryClient(
+        new graft.schema.InMemoryRegistry(Map("events-value" -> Seq(v1, v2))))
+      Conform.conformTo(events(s, dir),
+        graft.schema.SchemaProvider.FromRegistry(client, "events-value"))
+        .orderBy("event_id")
+    }),
+
+    // enrichJson with a PER-RECORD schema field (reference `schemaField`,
+    // EnrichJsonBuilder.java:153-160): distinct schemas are a bounded
+    // driver-side model; rows route to one conformance branch per schema.
+    "m_conform_by_field" -> ((s, dir) => {
+      val sA = """{"type":"record","name":"A","fields":[
+                 |{"name":"event_id","type":"long"},
+                 |{"name":"event_type","type":"string"}]}""".stripMargin
+      val sB = """{"type":"record","name":"B","fields":[
+                 |{"name":"event_id","type":"long"},
+                 |{"name":"user_id","type":"long"}]}""".stripMargin
+      val tagged = events(s, dir).withColumn("schema",
+        when(col("event_type") === "click", sA).otherwise(sB))
+      Conform.conformByField(tagged, "schema", keep = Seq("event_id"))
+        .orderBy("event_id")
+    }),
+
     // readAvro/toAvro roundtrip (kite-avro commands over Apache Avro binary).
     "m_avro_roundtrip" -> ((s, dir) => {
       val schema =
@@ -469,6 +520,18 @@ object MorphlineQueries {
     "m_conform_schema" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
         |  event_type, CAST(NULL AS VARCHAR) AS missing
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m_conform_file" ->
+      """SELECT event_id, user_id, event_type, CAST(NULL AS INT) AS extra
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m_conform_registry" ->
+      """SELECT event_id, value FROM events ORDER BY event_id""".stripMargin,
+    "m_conform_by_field" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'click'
+        |    THEN '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}'
+        |    ELSE '{"event_id":' || event_id || ',"user_id":' || user_id || '}'
+        |  END AS enriched
         |FROM events ORDER BY event_id""".stripMargin,
     "m_avro_roundtrip" ->
       """SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
