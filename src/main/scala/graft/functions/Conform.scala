@@ -168,6 +168,18 @@ object Conform {
     df.select(cols.toSeq: _*)
   }
 
+  /** Conform a single struct COLUMN in place (the reference's `valueField`
+    * shape, EnrichJsonBuilder.java:150: only the record's value payload is
+    * enriched, sibling fields pass through untouched).
+    */
+  def conformStruct(df: DataFrame, field: String, schemaJson: String): DataFrame = {
+    val target = parseAvro(schemaJson)
+    require(target.dataType.isInstanceOf[StructType],
+      "conformStruct requires a record schema")
+    df.withColumn(field,
+      conformColumn(col(field), target, Some(df.schema(field).dataType)))
+  }
+
   /** [[conformTo]] with the schema resolved through a pluggable source
     * (literal / file / registry — the reference's schemaString/schemaFile/
     * registry-subject config keys). Resolution happens here, at plan time.

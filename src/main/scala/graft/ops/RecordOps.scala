@@ -116,7 +116,10 @@ object RecordOps {
   def toStringField(field: String, trimOutput: Boolean = false): Op =
     Op("toString") { df =>
       val c = col(field).cast("string")
-      df.withColumn(field, if (trimOutput) trim(c) else c)
+      // full-whitespace trim (tabs/newlines too) — the reference trims with
+      // Java String.trim, not the space-only SQL trim
+      df.withColumn(field,
+        if (trimOutput) regexp_replace(c, "^\\s+|\\s+$", "") else c)
     }
 
   /** `toByteArray` / `decodeBase64` codecs. */

@@ -24,6 +24,103 @@ object PipelineSpec {
 
   private val mapper = new ObjectMapper()
 
+  /** Compile a morphline out of a real HOCON config file — the reference's
+    * actual query language (`morphlines : [ { id, importCommands, commands :
+    * [ {name {config}} ] } ]`, e.g. TESTR/identity.conf) — parsed by
+    * [[Hocon]]. `importCommands` globs are accepted and ignored (command
+    * resolution goes through the registry — the SPI equivalent).
+    *
+    * Morphline-default field wiring applies: parsers read from and write to
+    * `_attachment_body` (the reference's Fields.ATTACHMENT_BODY) unless the
+    * config says otherwise, and each `log*` command gets a unique
+    * observation name (Spark requires observation names unique per query).
+    */
+  def fromHocon(hocon: String, morphlineId: String,
+                registry: OpRegistry = StandardOps.registry): Pipeline = {
+    import com.fasterxml.jackson.databind.JsonNode
+
+    val root = Hocon.parse(hocon)
+    val morphlines = Option(root.get("morphlines"))
+      .filter(_.isArray).map(_.elements.asScala.toSeq)
+      .getOrElse(throw new IllegalArgumentException("no 'morphlines' array"))
+    val m = morphlines
+      .find(c => Option(c.get("id")).exists(_.asText == morphlineId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no morphline '$morphlineId'; available: " +
+          morphlines.flatMap(c => Option(c.get("id")).map(_.asText))
+            .mkString(", ")))
+
+    def scalarOf(v: JsonNode): String =
+      if (v.isArray) v.elements.asScala.map(scalarOf).mkString(",")
+      else v.asText
+    // nested blocks (paths, mappings) flatten to the registry's "k:v,..."
+    def flatten(v: JsonNode): String =
+      if (v.isObject)
+        v.properties.asScala.toSeq // Set → Seq first: keep config order
+          .map(e => s"${e.getKey}:${scalarOf(e.getValue)}")
+          .mkString(",")
+      else scalarOf(v)
+
+    // Morphline parsers replace the attachment body in place
+    // (Fields.ATTACHMENT_BODY); the JSON-spec path defaults to named output
+    // columns instead, so the in-place defaults are injected only here.
+    val inPlace = Map(
+      "readJson" -> Map("field" -> "_attachment_body",
+        "outputField" -> "_attachment_body"),
+      "readCSV" -> Map("field" -> "_attachment_body",
+        "outputField" -> "_attachment_body"),
+      "readAvro" -> Map("field" -> "_attachment_body",
+        "outputField" -> "_attachment_body"),
+      "extractJsonPaths" -> Map("field" -> "_attachment_body"),
+      "extractAvroPaths" -> Map("field" -> "_attachment_body"),
+      "enrichJson" -> Map("valueField" -> "_attachment_body"))
+
+    val commands = Option(m.get("commands")).filter(_.isArray)
+      .getOrElse(throw new IllegalArgumentException(
+        s"morphline '$morphlineId' has no commands array"))
+    val ops = commands.elements.asScala.toSeq.zipWithIndex.map {
+      case (cmd, idx) =>
+        val entries = cmd.properties.asScala.toSeq
+        require(entries.size == 1, s"morphline command must have one key: $cmd")
+        val (name, cfgVal) = (entries.head.getKey, entries.head.getValue)
+        val raw: Map[String, String] =
+          if (cfgVal.isObject)
+            cfgVal.properties.asScala.map(e => e.getKey -> flatten(e.getValue)).toMap
+          else Map.empty
+        val cfg0 = inPlace.getOrElse(name, Map.empty) ++ raw
+        val cfg =
+          if (name.startsWith("log") && !cfg0.contains("name"))
+            cfg0 + ("name" -> s"${name}_$idx") // unique observation names
+          else cfg0
+        registry.build(name, cfg)
+    }
+    Pipeline(morphlineId, connectEnvelopeAliases +: ops)
+  }
+
+  /** The reference's envelope field names (`_value`, `_topic`, …;
+    * MorphlineTransform.java:130-150) aliased onto the Spark Kafka-source
+    * column names, so `valueField : _value` and `@{_topic}` interpolations
+    * in a real `.conf` resolve. Zero-cost projections, added only when the
+    * unprefixed column exists.
+    */
+  private def connectEnvelopeAliases: Op = Op("connectEnvelope") { df =>
+    import org.apache.spark.sql.functions.col
+    Seq("value" -> "_value", "key" -> "_key", "topic" -> "_topic",
+      "partition" -> "_kafkaPartition", "offset" -> "_kafkaOffset",
+      "timestamp" -> "_timestamp")
+      .foldLeft(df) { case (d, (src, dst)) =>
+        if (d.columns.contains(src) && !d.columns.contains(dst))
+          d.withColumn(dst, col(src))
+        else d
+      }
+  }
+
+  /** [[fromHocon]] over a config file path. */
+  def fromHoconFile(path: String, morphlineId: String,
+                    registry: OpRegistry = StandardOps.registry): Pipeline =
+    fromHocon(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8"), morphlineId, registry)
+
   def fromJson(json: String, registry: OpRegistry = StandardOps.registry): Pipeline = {
     val root = mapper.readTree(json)
     val id = Option(root.get("id")).map(_.asText).getOrElse("pipeline")

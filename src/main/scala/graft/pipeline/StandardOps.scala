@@ -27,8 +27,16 @@ object StandardOps {
     val r = new OpRegistry
     // parsers (§2.A)
     r.register("readJson") { c =>
-      ParserOps.readJson(req(c, "field"), schemaOf(req(c, "schema")),
-        c.getOrElse("outputField", "json"))
+      val field = c.getOrElse("field", "_attachment_body")
+      val out = c.getOrElse("outputField", "json")
+      c.get("schema") match {
+        case Some(s) => ParserOps.readJson(field, schemaOf(s), out)
+        case None =>
+          // reference `readJson {}` parses schemaless — sample-infer at plan
+          // time (driver-side, bounded; never per row)
+          Op("readJson")(df =>
+            ParserOps.readJsonInferred(df.sparkSession, field, out)(df))
+      }
     }
     r.register("readCSV") { c =>
       ParserOps.readCsv(req(c, "field"),
@@ -93,9 +101,10 @@ object StandardOps {
     r.register("grok")(c => RecordOps.grok(req(c, "field"), req(c, "pattern")))
     r.register("extractJsonPaths") { c =>
       // paths config: "outField:path,outField2:path2" (flatten of the
-      // reference's paths block)
+      // reference's paths block); morphline "/a/b" paths normalize to "a.b"
       val paths = req(c, "paths").split(",").map { kv =>
-        val Array(out, path) = kv.split(":", 2); path.trim -> out.trim
+        val Array(out, path) = kv.split(":", 2)
+        path.trim.stripPrefix("/").replace('/', '.') -> out.trim
       }.toSeq
       RecordOps.extractPaths(c.getOrElse("field", "json"), paths: _*)
     }
@@ -107,13 +116,23 @@ object StandardOps {
       val sources = Seq("schemaString", "schemaFile", "schemaField").filter(c.contains)
       require(sources.size == 1,
         s"enrichJson needs exactly one of schemaString/schemaFile/schemaField, got: $sources")
+      // reference `valueField` (EnrichJsonBuilder.java:150): when it names a
+      // struct column, only that payload is conformed — otherwise the whole
+      // record, i.e. the top-level columns
+      def enrich(df: org.apache.spark.sql.DataFrame,
+                 p: graft.schema.SchemaProvider) = c.get("valueField") match {
+        case Some(f) if df.schema.fieldNames.contains(f) &&
+            df.schema(f).dataType.isInstanceOf[StructType] =>
+          graft.functions.Conform.conformStruct(df, f, p.schemaJson)
+        case _ => graft.functions.Conform.conformTo(df, p)
+      }
       sources.head match {
         case "schemaString" =>
-          Op("enrichJson")(df => graft.functions.Conform.conformTo(df,
-            graft.schema.SchemaProvider.Literal(c("schemaString"))))
+          Op("enrichJson")(df =>
+            enrich(df, graft.schema.SchemaProvider.Literal(c("schemaString"))))
         case "schemaFile" =>
-          Op("enrichJson")(df => graft.functions.Conform.conformTo(df,
-            graft.schema.SchemaProvider.FromFile(c("schemaFile"))))
+          Op("enrichJson")(df =>
+            enrich(df, graft.schema.SchemaProvider.FromFile(c("schemaFile"))))
         case "schemaField" =>
           Op("enrichJson")(df => graft.functions.Conform.conformByField(df,
             c("schemaField"),
@@ -124,6 +143,46 @@ object StandardOps {
     }
     r.register("logInfo")(c =>
       RecordOps.observeMetrics(c.getOrElse("name", "logInfo")))
+    r.register("logDebug")(c =>
+      RecordOps.observeMetrics(c.getOrElse("name", "logDebug")))
+    r.register("logTrace")(c =>
+      RecordOps.observeMetrics(c.getOrElse("name", "logTrace")))
+    r.register("logWarn")(c =>
+      RecordOps.observeMetrics(c.getOrElse("name", "logWarn")))
+    // Kafka Connect envelope edges (FromConnectDataBuilder.java:94-121,
+    // ToConnectDataBuilder.java:64-130). The schemaField config is accepted
+    // and unused: in Spark the schema travels with the DataFrame.
+    r.register("fromConnectData") { c =>
+      val valueField = c.getOrElse("valueField", "value")
+      val conv = c.getOrElse("converter", "string")
+      Op("fromConnectData")(df => df.withColumn("_attachment_body",
+        if (conv == "avro") col(valueField).cast("binary")
+        else col(valueField).cast("string")))
+    }
+    r.register("toConnectData") { c =>
+      c.get("mappings") match {
+        // mappings block: output connect field ← record field
+        case Some(m) =>
+          val pairs = m.split(",").map { kv =>
+            val Array(out, src) = kv.split(":", 2); out.trim -> src.trim
+          }.toSeq
+          Op("toConnectData")(df =>
+            df.select(pairs.map { case (out, src) => col(src).as(out) }: _*))
+        // no mappings: the attachment body IS the new connect value
+        case None =>
+          Op("toConnectData")(df =>
+            if (df.columns.contains("_attachment_body"))
+              df.withColumn("value", col("_attachment_body"))
+            else df)
+      }
+    }
+    r.register("toAvro") { c =>
+      val sj = c.getOrElse("schemaString", throw new IllegalArgumentException(
+        "toAvro needs schemaString (per-record schemaField schemas don't " +
+          "compile to one batch plan; encode per-schema partitions instead)"))
+      ParserOps.toAvroBytes(col(c.getOrElse("field", "_attachment_body")), sj,
+        c.getOrElse("outputField", "_attachment_body"))
+    }
     // control flow (§2.C)
     r.register("dropRecord")(c =>
       c.get("where") match {

@@ -1,0 +1,83 @@
+package graft
+
+import graft.pipeline.PipelineSpec
+import org.apache.spark.sql.functions._
+
+/** HOCON compatibility: compile the reference's ACTUAL morphline config
+  * files (identity.conf / transform.conf, read verbatim from the reference
+  * tree) and reproduce MorphlineTransformTest's semantics on the same
+  * person-record fixtures (Records.java:29-128).
+  */
+class HoconPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val refDir =
+    "/root/reference/src/test/resources/com/github/epheatt/kafka/connect/morphlines"
+  private def conf(name: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$refDir/$name")), "UTF-8")
+
+  private val personJson =
+    """{"firstName": "example", "lastName": "user", "email": "example.user@example.com", "age": 27}"""
+
+  /** The SinkRecord fixture (topic "test") as the Kafka-shaped envelope. */
+  private def record = Seq(
+    (null: Array[Byte], personJson, "test", 0, 0L)
+  ).toDF("key", "value", "topic", "partition", "offset")
+
+  test("identity.conf#readjson compiles and reproduces testReadJson (:245-263)") {
+    val pipe = PipelineSpec.fromHocon(conf("identity.conf"), "readjson")
+    val out = pipe(record)
+    assert(out.columns.toSeq == Seq("firstName", "lastName", "email", "age"),
+      "toConnectData mappings must define exactly the connect value fields")
+    val r = out.head()
+    assert(r.getAs[String]("firstName") == "example")
+    assert(r.getAs[String]("lastName") == "user")
+    assert(r.getAs[String]("email") == "example.user@example.com")
+    assert(r.getAs[Number]("age").intValue == 27)
+  }
+
+  test("identity.conf#readline compiles and reproduces testReadLine's golden string (:287-301)") {
+    val pipe = PipelineSpec.fromHocon(conf("identity.conf"), "readline")
+    val got = pipe(record).select(col("value").cast("string")).as[String].head()
+    assert(got ==
+      """{"firstName":"example","lastName":"user","email":"example.user@example.com","age":27}""")
+  }
+
+  test("transform.conf#drop compiles and reproduces testDrop (:216-242)") {
+    val pipe = PipelineSpec.fromHocon(conf("transform.conf"), "drop")
+    assert(pipe(record).count() == 0)
+  }
+
+  test("transform.conf#transform compiles: extract, uuid key, rebuilt value") {
+    val pipe = PipelineSpec.fromHocon(conf("transform.conf"), "transform")
+    val in = Seq((null: Array[Byte],
+      """{"name": "the-name", "config": {"topic": "t1"}}""", "test", 0, 0L))
+      .toDF("key", "value", "topic", "partition", "offset")
+    val got = pipe(in).select(col("value").cast("string")).as[String].head()
+    // key is a fresh uuid — assert the surrounding golden shape
+    assert(got.matches(
+      """\{"name":"the-name","topic":"t1","key":"[0-9a-f-]{36}"\}"""), got)
+  }
+
+  test("transform.conf#enrichjson compiles: null-fills `missing` per the avro schema") {
+    val pipe = PipelineSpec.fromHocon(conf("transform.conf"), "enrichjson")
+    val in = Seq((null: Array[Byte],
+      """{"dont": "whatever", "abc": 42, "foo": true, "etc": "etc"}""",
+      "test", 0, 0L)).toDF("key", "value", "topic", "partition", "offset")
+    val out = pipe(in)
+    val body = out.select(col("_attachment_body.*")).head()
+    assert(body.getAs[String]("dont") == "whatever")
+    assert(body.getAs[Number]("abc").intValue == 42)
+    assert(body.getAs[Boolean]("foo"))
+    assert(body.getAs[String]("etc") == "etc")
+    assert(body.isNullAt(body.fieldIndex("missing")))
+  }
+
+  test("unknown morphline id fails with the available ids") {
+    val e = intercept[IllegalArgumentException] {
+      PipelineSpec.fromHocon(conf("identity.conf"), "nope")
+    }
+    assert(e.getMessage.contains("readjson") && e.getMessage.contains("readline"))
+  }
+}
