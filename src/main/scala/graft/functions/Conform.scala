@@ -116,7 +116,8 @@ object Conform {
       try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
       try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
       try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ss")),
-      timestamp_millis(when(s.rlike("^-?\\d+$"), s).otherwise(lit(null)).cast(LongType)))
+      // 1-18 digits: beyond that the ANSI Long cast itself would overflow-throw
+      timestamp_millis(when(s.rlike("^-?\\d{1,18}$"), s).otherwise(lit(null)).cast(LongType)))
   }
 
   private def conformColumn(c: Column, target: AvroType,
