@@ -3,23 +3,98 @@ package graft.pipeline
 import com.fasterxml.jackson.databind.JsonNode
 import com.fasterxml.jackson.databind.node.{JsonNodeFactory, ObjectNode}
 
+import scala.jdk.CollectionConverters._
+
 /** Minimal HOCON reader covering the morphline config subset: objects with
   * unquoted keys (separated by `:`/`=` or a directly-following `{` block),
-  * single- and triple-quoted strings, lists, `#` and `//` comments, and
-  * optional comma/newline separators. Substitutions, includes, and value
-  * concatenation are out of scope — the reference's shipped morphline files
-  * don't use them (transform.conf's one `${?...}` substitution is commented
-  * out). typesafe-config is not on Spark 4.1's classpath and this build adds
-  * no dependencies, hence a reader instead of a library.
+  * single- and triple-quoted strings, lists, `#` and `//` comments, optional
+  * comma/newline separators, and whole-value `${path}` / `${?path}`
+  * substitutions (config/cloudsolr.conf:3-6, TESTR/producer.conf:41-44).
+  * Includes and value concatenation are out of scope — the reference's own
+  * include path is marked broken (MorphlineTransform.java:171 "TODO: broken
+  * for now need tests"). typesafe-config is not on Spark 4.1's classpath and
+  * this build adds no dependencies, hence a reader instead of a library.
   *
   * Output is a Jackson tree, so [[PipelineSpec]] walks HOCON and JSON specs
-  * with the same code.
+  * with the same code. Substitutions parse to marker objects
+  * (`{"%subst": path, "%optional": bool}`) and stay unresolved until
+  * [[resolve]], mirroring typesafe-config's parse-then-resolve split
+  * (`override.withFallback(file)` then `ConfigFactory.load`,
+  * MorphlineTransform.java:187-191).
   */
 object Hocon {
 
   private val F = JsonNodeFactory.instance
+  private val SubstKey = "%subst"
+  private val OptKey = "%optional"
 
   def parse(text: String): JsonNode = new Reader(text).root()
+
+  /** Typesafe-config resolution semantics over a parsed tree:
+    *
+    *  1. `overrides` (flattened dotted keys, the connector's `morphlines.*`
+    *     channel already prefix-stripped; MorphlineSinkTask.java:108,119-127)
+    *     deep-merge OVER the file tree — `override.withFallback(fileConfig)`.
+    *  2. Every `${path}` resolves against the merged root, falling back to
+    *     `env` (typesafe's `useSystemEnvironment`). A missing required path
+    *     throws; a missing `${?path}` drops the enclosing field (or list
+    *     element), exactly like typesafe omits optional-substitution keys.
+    */
+  def resolve(root: JsonNode, overrides: Map[String, String] = Map.empty,
+              env: String => Option[String] = sys.env.get): JsonNode = {
+    val merged = overrides.foldLeft(root) { case (acc, (path, value)) =>
+      setPath(acc, path.split('.').toList, F.textNode(value))
+    }
+
+    def isSubst(n: JsonNode): Boolean = n.isObject && n.has(SubstKey)
+
+    // dotted-path lookup against the merged root; intermediate substitution
+    // markers resolve first so `${a.b}` works when `a` is itself `${x}`
+    def lookup(path: List[String], node: JsonNode,
+               visiting: Set[String]): Option[JsonNode] = path match {
+      case Nil => Some(node)
+      case seg :: rest =>
+        val base = if (isSubst(node)) resolveNode(node, visiting).getOrElse(return None)
+                   else node
+        Option(base.get(seg)).flatMap(lookup(rest, _, visiting))
+    }
+
+    def resolveNode(n: JsonNode, visiting: Set[String]): Option[JsonNode] =
+      if (isSubst(n)) {
+        val path = n.get(SubstKey).asText
+        val optional = n.get(OptKey).asBoolean
+        require(!visiting(path), s"substitution cycle through '$${$path}'")
+        lookup(path.split('.').toList, merged, visiting + path)
+          .flatMap(resolveNode(_, visiting + path))
+          .orElse(env(path).map(F.textNode))
+          .orElse(if (optional) None
+                  else throw new IllegalArgumentException(
+                    s"unresolved required substitution '$${$path}'"))
+      } else if (n.isObject) {
+        val out = F.objectNode()
+        n.properties.asScala.foreach { e =>
+          resolveNode(e.getValue, visiting).foreach(out.set[JsonNode](e.getKey, _))
+        }
+        Some(out)
+      } else if (n.isArray) {
+        val out = F.arrayNode()
+        n.elements.asScala.foreach(resolveNode(_, visiting).foreach(out.add))
+        Some(out)
+      } else Some(n)
+
+    resolveNode(merged, Set.empty).getOrElse(F.objectNode())
+  }
+
+  /** Deep-set a dotted path, merging into existing objects (immutable). */
+  private def setPath(node: JsonNode, path: List[String],
+                      value: JsonNode): JsonNode = path match {
+    case Nil => value
+    case seg :: rest =>
+      val obj = if (node != null && node.isObject)
+        node.asInstanceOf[ObjectNode].deepCopy() else F.objectNode()
+      obj.set[JsonNode](seg, setPath(obj.get(seg), rest, value))
+      obj
+  }
 
   private final class Reader(s: String) {
     private var i = 0
@@ -97,6 +172,7 @@ object Hocon {
       case '[' => list()
       case '"' if s.startsWith("\"\"\"", i) => F.textNode(tripleQuoted())
       case '"' => F.textNode(quoted())
+      case '$' if s.startsWith("${", i) => substitution()
       case _ =>
         // unquoted scalar: runs to a separator/terminator/comment
         val start = i
@@ -111,6 +187,26 @@ object Hocon {
             F.numberNode(n.toDouble)
           case other => F.textNode(other)
         }
+    }
+
+    /** `${path}` / `${?path}` → unresolved marker node (see [[resolve]]).
+      * Whole-value only: `"prefix"${x}` concatenation is unsupported (the
+      * reference's configs never use it) and fails the trailing-content or
+      * separator checks rather than mis-parsing.
+      */
+    private def substitution(): JsonNode = {
+      i += 2 // "${"
+      val optional = peek == '?'
+      if (optional) i += 1
+      val end = s.indexOf('}', i)
+      require(end >= 0, "unterminated ${...} substitution")
+      val path = s.substring(i, end).trim
+      require(path.nonEmpty, "empty substitution path")
+      i = end + 1
+      val node = F.objectNode()
+      node.set[JsonNode]("%subst", F.textNode(path))
+      node.set[JsonNode]("%optional", F.booleanNode(optional))
+      node
     }
 
     private def quoted(): String = {

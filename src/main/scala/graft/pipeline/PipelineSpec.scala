@@ -36,10 +36,22 @@ object PipelineSpec {
     * observation name (Spark requires observation names unique per query).
     */
   def fromHocon(hocon: String, morphlineId: String,
-                registry: OpRegistry = StandardOps.registry): Pipeline = {
+                registry: OpRegistry = StandardOps.registry,
+                settings: Map[String, String] = Map.empty,
+                env: String => Option[String] = sys.env.get): Pipeline = {
     import com.fasterxml.jackson.databind.JsonNode
 
-    val root = Hocon.parse(hocon)
+    // The connector's override channel (MorphlineSinkTask.java:108,119-127):
+    // `morphlines.*` connector settings parse into a config tree that wins
+    // over the file (`override.withFallback(fileConfig)`), then `${path}` /
+    // `${?path}` substitutions resolve against the merged root with env
+    // fallback — so `morphlines.collection=c1` satisfies cloudsolr.conf's
+    // `collection : ${collection}`.
+    val overrides = settings.collect {
+      case (k, v) if k.startsWith("morphlines.") =>
+        k.stripPrefix("morphlines.") -> v
+    }
+    val root = Hocon.resolve(Hocon.parse(hocon), overrides, env)
     val morphlines = Option(root.get("morphlines"))
       .filter(_.isArray).map(_.elements.asScala.toSeq)
       .getOrElse(throw new IllegalArgumentException("no 'morphlines' array"))
@@ -85,7 +97,18 @@ object PipelineSpec {
         val (name, cfgVal) = (entries.head.getKey, entries.head.getValue)
         val raw: Map[String, String] =
           if (cfgVal.isObject)
-            cfgVal.properties.asScala.map(e => e.getKey -> flatten(e.getValue)).toMap
+            cfgVal.properties.asScala.flatMap { e =>
+              // object-valued configs (solrLocator, properties blocks) are
+              // exposed both flattened ("k:v,...") and as dotted keys
+              // ("solrLocator.collection") so ops can read sub-fields without
+              // re-parsing
+              val dotted =
+                if (e.getValue.isObject)
+                  e.getValue.properties.asScala.toSeq.map(s =>
+                    s"${e.getKey}.${s.getKey}" -> scalarOf(s.getValue))
+                else Nil
+              (e.getKey -> flatten(e.getValue)) +: dotted
+            }.toMap
           else Map.empty
         val cfg0 = inPlace.getOrElse(name, Map.empty) ++ raw
         val cfg =
@@ -115,11 +138,16 @@ object PipelineSpec {
       }
   }
 
-  /** [[fromHocon]] over a config file path. */
+  /** [[fromHocon]] over a config file path — the `morphlineFile@morphlineId`
+    * entry point (MorphlineSinkTask.java:96-110).
+    */
   def fromHoconFile(path: String, morphlineId: String,
-                    registry: OpRegistry = StandardOps.registry): Pipeline =
+                    registry: OpRegistry = StandardOps.registry,
+                    settings: Map[String, String] = Map.empty,
+                    env: String => Option[String] = sys.env.get): Pipeline =
     fromHocon(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), "UTF-8"), morphlineId, registry)
+      java.nio.file.Paths.get(path)), "UTF-8"), morphlineId, registry,
+      settings, env)
 
   def fromJson(json: String, registry: OpRegistry = StandardOps.registry): Pipeline = {
     val root = mapper.readTree(json)

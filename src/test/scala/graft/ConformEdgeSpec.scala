@@ -52,6 +52,29 @@ class ConformEdgeSpec extends SparkSpec {
     assert(out == "a=1 b=2")
   }
 
+  test("timestamp-millis coercion: every fallback branch survives ANSI mode") {
+    val target =
+      """{"type":"record","name":"T","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}}]}"""
+        .stripMargin
+    val inputs = Seq(
+      "2017-01-20T07:35:02.123Z",     // format 1: ISO with millis + offset
+      "2017-01-20T07:35:02Z",         // format 2: ISO without millis
+      "2017-01-20 07:35:02",          // format 3: plain datetime (session UTC)
+      "1484897702123",                // epoch-millis digits
+      "-1000",                        // negative epoch-millis
+      "not a timestamp",              // unparseable → null, must not throw
+      "99999999999999999999")         // >18 digits → null, not ANSI overflow
+      .zipWithIndex.map(_.swap)
+    val out = Conform.conformTo(inputs.toDF("id", "ts"), target)
+      .orderBy("id").select(unix_millis(col("ts")))
+      .as[java.lang.Long].collect().toSeq
+    assert(out == Seq[java.lang.Long](
+      1484897702123L, 1484897702000L, 1484897702000L,
+      1484897702123L, -1000L, null, null))
+  }
+
   test("frameSample explodes payloads into bounded chunks") {
     val df = Seq((1L, "x" * 1000), (2L, "y" * 10)).toDF("id", "text")
     val media = Multimodal.asMedia(df, "text", "video/fake")
