@@ -28,23 +28,38 @@ object Bench {
     // Optional arg: only run queries whose name starts with the prefix
     // (focused timing runs while iterating).
     val prefix = args.headOption.getOrElse("")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // Each query runs `iters` times; the reported number is the MEDIAN (the
+    // single-iteration timings of rounds 1-4 swung 2-4x on sub-second
+    // queries from JIT/GC/run-order noise, hiding real regressions). The
+    // cold first-run time is kept as a separate column in the file output.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.startsWith(prefix)).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count()
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $sec%8.2fs  rows=$n")
-      name -> sec
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).count()
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val cold = times.head._1
+      val median = times.map(_._1).sorted.apply(times.size / 2)
+      System.err.println(
+        f"[bench] $name%-24s median=$median%8.2fs cold=$cold%8.2fs rows=${times.head._2}")
+      (name, median, cold)
     }
     val total = results.map(_._2).sum
     def fmt(prec: String, v: Double): String =
       String.format(java.util.Locale.ROOT, prec, Double.box(v))
-    def json(rs: Seq[(String, Double)], prec: String): String = {
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(prec, v) }
+    def json(rs: Seq[(String, Double, Double)], prec: String,
+             withCold: Boolean): String = {
+      val qs = rs.map { case (k, v, _) => "\"" + k + "\":" + fmt(prec, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(prec, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val cold = if (withCold)
+        rs.map { case (k, _, c) => "\"" + k + "\":" + fmt(prec, c) }
+          .mkString(",\"cold\":{", ",", "}")
+      else ""
+      s"""{"metric":"total","value":${fmt(prec, total)},"unit":"sec","iters":$iters,"queries":$qs$cold,"sf":"$sfDir"}"""
     }
     // Full per-query timings go to a file: the driver's stdout capture keeps
     // only a ~2k-char tail, which truncated the 90-query JSON line from the
@@ -52,7 +67,8 @@ object Bench {
     // record; stdout carries a compact headline subset that fits the tail.
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json"))
-    java.nio.file.Files.write(outFile, json(results, "%.6f").getBytes("UTF-8"))
+    java.nio.file.Files.write(outFile,
+      json(results, "%.6f", withCold = true).getBytes("UTF-8"))
     System.err.println(s"[bench] full timings -> ${outFile.toAbsolutePath}")
     val headline = Set(
       "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
@@ -60,7 +76,7 @@ object Bench {
       "q_custom_topk_agg", "d_dedup_exact", "d_minhash_pairs",
       "d_ngram_jaccard", "d_embed_neardup", "s_knn_brute", "s_knn_lsh",
       "m_avro_roundtrip", "m_grok", "t_quality_score", "mm_media_stats")
-    println(json(results.filter(r => headline(r._1)), "%.3f"))
+    println(json(results.filter(r => headline(r._1)), "%.3f", withCold = false))
     spark.stop()
   }
 }

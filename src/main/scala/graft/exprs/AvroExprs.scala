@@ -110,15 +110,17 @@ object AvroExprs {
       extends UnaryExpression with CodegenFallback {
     parseValidated(schemaJson) // fail fast on unsupported unions, at plan time
     @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
-    @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
+    // Any, not GenericRecord: top-level primitive schemas are legal Avro
+    // (the reference's kafkaProducer ships `{"type":"string"}` value schemas,
+    // TESTR/producer.conf:35-37) and GenericDatumWriter handles both.
+    @transient private lazy val writer = new GenericDatumWriter[Any](schema)
     @transient private lazy val baos = new java.io.ByteArrayOutputStream()
     @transient private var encoder: BinaryEncoder = _
     override def dataType: DataType = BinaryType
     override def nullSafeEval(input: Any): Any = {
       baos.reset()
       encoder = EncoderFactory.get().binaryEncoder(baos, encoder)
-      val rec = toAvro(input, child.dataType, schema).asInstanceOf[GenericRecord]
-      writer.write(rec, encoder)
+      writer.write(toAvro(input, child.dataType, schema), encoder)
       encoder.flush()
       baos.toByteArray
     }

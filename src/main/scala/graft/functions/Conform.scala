@@ -225,4 +225,51 @@ object Conform {
       .select((keepCols :+ lit(null).cast(StringType).as("enriched")): _*)
     (branches :+ unenriched).reduce(_ unionAll _)
   }
+
+  /** Registry-by-subject enrichment with a per-record subject — the
+    * reference's `schema-registry-url` + `subjectField` source
+    * (EnrichJsonBuilder.java:110-176, config/morphlines.conf:31-37):
+    * each record's subject resolves to its latest registry schema; the
+    * `valueField` struct is conformed to it and re-emitted as its JSON wire
+    * shape, and the schema is attached as `valueSchema` (the reference's
+    * `outputRecord.put("valueSchema", ...)` — what a downstream
+    * `kafkaProducer { valueSchemaField : valueSchema }` consumes).
+    *
+    * Spark shape: distinct subjects are a bounded model (driver-fetched,
+    * hard-capped) → one conformance branch per subject, unioned. A subject
+    * the registry doesn't know passes through un-enriched with a null
+    * `valueSchema`, like the reference's warn-and-skip.
+    */
+  def conformBySubject(df: DataFrame, subjectField: String, valueField: String,
+                       client: graft.schema.RegistryClient,
+                       maxSubjects: Int = 16): DataFrame = {
+    val srcType = df.schema(valueField).dataType
+    require(srcType.isInstanceOf[StructType],
+      s"conformBySubject: valueField '$valueField' must be a struct (got $srcType)")
+    val subjects = df.select(col(subjectField))
+      .filter(col(subjectField).isNotNull)
+      .distinct().limit(maxSubjects + 1).collect().map(_.getString(0)).toSeq
+    require(subjects.size <= maxSubjects,
+      s"subjectField '$subjectField' carries more than $maxSubjects distinct " +
+        "subjects; per-record dispatch requires a bounded subject set")
+    def branch(pred: Column, schemaJson: Option[String]): DataFrame = {
+      val base = df.filter(pred)
+      schemaJson match {
+        case Some(sj) =>
+          val target = parseAvro(sj)
+          require(target.dataType.isInstanceOf[StructType],
+            s"subject schema must be a record schema: $sj")
+          base.withColumn(valueField,
+              to_json(conformColumn(col(valueField), target, Some(srcType))))
+            .withColumn("valueSchema", lit(sj))
+        case None =>
+          base.withColumn(valueField, to_json(col(valueField)))
+            .withColumn("valueSchema", lit(null).cast(StringType))
+      }
+    }
+    val branches = subjects.map(s =>
+      branch(col(subjectField) === s, client.latest(s)))
+    val noSubject = branch(col(subjectField).isNull, None)
+    (branches :+ noSubject).reduce(_ unionAll _)
+  }
 }

@@ -49,6 +49,117 @@ object Sinks {
   def sanitizeToSchema(df: DataFrame, allowedFields: Seq[String]): DataFrame =
     df.select(df.columns.filter(allowedFields.contains(_)).map(col).toSeq: _*)
 
+  /** Per-JVM pluggable Solr environment for the `loadSolr` /
+    * `sanitizeUnknownSolrFields` commands: the transport that receives
+    * document batches and the known collection schemas. The default sender
+    * is a no-op, so verbatim reference configs compile and run without a
+    * Solr instance; a production deployment installs a real SolrClient-backed
+    * sender at executor startup (the object is JVM-global, so each executor
+    * initializes its own client — the per-partition connection pattern the
+    * reference's loadSolr task uses).
+    */
+  object SolrEnv {
+    @volatile var sender: (String, Seq[Map[String, Any]]) => Unit = (_, _) => ()
+    private val schemas =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    def registerSchema(collection: String, fields: Seq[String]): Unit =
+      schemas.put(collection, fields)
+    def schemaOf(collection: String): Option[Seq[String]] =
+      Option(schemas.get(collection))
+    def reset(): Unit = { sender = (_, _) => (); schemas.clear() }
+  }
+
+  /** Per-JVM pluggable Kafka producer transport for the `kafkaProducer`
+    * command: receives (topic, key, value) triples per batch. Default no-op
+    * (no broker/kafka jar in this container); swap in a KafkaProducer-backed
+    * sender in production.
+    */
+  object KafkaEnv {
+    @volatile var sender: Seq[(String, Array[Byte], Array[Byte])] => Unit = _ => ()
+    def reset(): Unit = sender = _ => ()
+  }
+
+  /** Lazy pass-through sink stage: per partition, buffer `batchSize` rows,
+    * hand each batch to `send`, and yield the rows unchanged downstream —
+    * the execution shape of the reference's terminal-but-not-final commands
+    * (loadSolr / kafkaProducer load the record, then pass it to their child
+    * command). Runs on executors at action time; a replayed epoch re-sends
+    * its batch (at-least-once — the reference's Connect semantics).
+    */
+  def passThrough(df: DataFrame, batchSize: Int)(
+      send: Seq[Row] => Unit): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions(_.grouped(math.max(1, batchSize))
+      .flatMap { b => send(b); b })
+  }
+
+  /** `loadSolr` (config/cloudsolr.conf:74-78): batch documents into the
+    * collection's transport, pass records downstream. Documents are the
+    * row's columns as a field map — the post-sanitize projection IS the
+    * collection schema.
+    */
+  def loadSolr(df: DataFrame, collection: String,
+               batchSize: Int = 1000): DataFrame = {
+    val fields = df.schema.fieldNames.toSeq
+    passThrough(df, batchSize)(rows => SolrEnv.sender(collection,
+      rows.map(r => fields.map(f => f -> r.getAs[Any](f)).toMap)))
+  }
+
+  /** `kafkaProducer` (KafkaDataProducerCommandBuilder.java:84-522): derive
+    * (topic, key, value) columns, batch the triples into the producer
+    * transport, pass the original record downstream. The derived columns
+    * ride the same plan (one codegen'd projection) and are dropped after
+    * the send stage.
+    */
+  def kafkaProduce(df: DataFrame, topic: org.apache.spark.sql.Column,
+                   key: org.apache.spark.sql.Column,
+                   value: org.apache.spark.sql.Column,
+                   batchSize: Int = 1000): DataFrame = {
+    val staged = df.withColumn("_kp_topic", topic)
+      .withColumn("_kp_key", key).withColumn("_kp_value", value)
+    passThrough(staged, batchSize)(rows => KafkaEnv.sender(rows.map(r =>
+      (r.getAs[String]("_kp_topic"), r.getAs[Array[Byte]]("_kp_key"),
+        r.getAs[Array[Byte]]("_kp_value")))))
+      .drop("_kp_topic", "_kp_key", "_kp_value")
+  }
+
+  /** [[kafkaProduce]] with a per-record Avro schema carried in a column —
+    * the reference's `valueSchemaField` config (KafkaDataProducerCommand-
+    * Builder.java:178, fed by enrichJson's `valueSchema` output). Arbitrary
+    * per-record schemas can't compile to one batch plan, but the distinct
+    * schema strings are a bounded model (driver-fetched, hard-capped — the
+    * conformByField pattern): one encode branch per schema, unioned. A JSON
+    * string value column is parsed with the schema's Catalyst type first
+    * (enrichJson's wire shape); rows with a null schema pass through
+    * without being produced (the reference skips them).
+    */
+  def kafkaProduceBySchemaField(df: DataFrame,
+                                topic: org.apache.spark.sql.Column,
+                                key: org.apache.spark.sql.Column,
+                                valueField: String, schemaField: String,
+                                batchSize: Int = 1000,
+                                maxSchemas: Int = 16): DataFrame = {
+    val schemas = df.select(col(schemaField)).filter(col(schemaField).isNotNull)
+      .distinct().limit(maxSchemas + 1).collect().map(_.getString(0)).toSeq
+    require(schemas.size <= maxSchemas,
+      s"valueSchemaField '$schemaField' carries more than $maxSchemas " +
+        "distinct schemas; per-record dispatch requires a bounded schema set")
+    val isJsonString =
+      df.schema(valueField).dataType == org.apache.spark.sql.types.StringType
+    val branches = schemas.map { sj =>
+      val typed =
+        if (isJsonString)
+          from_json(col(valueField),
+            graft.functions.Conform.parseAvro(sj).dataType)
+        else col(valueField)
+      kafkaProduce(df.filter(col(schemaField) === sj), topic, key,
+        graft.exprs.AvroExprs.to_avro_binary(typed, sj), batchSize)
+    }
+    val skipped = df.filter(col(schemaField).isNull)
+    (branches :+ skipped).reduce(_ unionAll _)
+  }
+
   /** Bucketed table write: co-locates join/aggregation keys at write time
     * so later equi-joins and group-bys on `bucketCols` read both sides
     * pre-partitioned — no shuffle at query time (the write-once

@@ -64,7 +64,12 @@ object Hocon {
         val path = n.get(SubstKey).asText
         val optional = n.get(OptKey).asBoolean
         require(!visiting(path), s"substitution cycle through '$${$path}'")
+        // A self-reference (`HOME = ${?HOME}` — the config key IS the
+        // substitution target) is typesafe-config's env-inheritance idiom,
+        // not a cycle: skip the config lookup and go straight to the env;
+        // the cycle error is reserved for genuine multi-key cycles.
         lookup(path.split('.').toList, merged, visiting + path)
+          .filter(_ != n)
           .flatMap(resolveNode(_, visiting + path))
           .orElse(env(path).map(F.textNode))
           .orElse(if (optional) None
@@ -85,12 +90,17 @@ object Hocon {
     resolveNode(merged, Set.empty).getOrElse(F.objectNode())
   }
 
-  /** Deep-set a dotted path, merging into existing objects (immutable). */
+  /** Deep-set a dotted path, merging into existing objects (immutable).
+    * Descending into a substitution *marker* (override
+    * `solrLocator.collection` over `solrLocator : ${SOLR_LOCATOR}`) replaces
+    * the marker with an object holding only the override key — merging INTO
+    * the marker would make resolve() discard the override silently.
+    */
   private def setPath(node: JsonNode, path: List[String],
                       value: JsonNode): JsonNode = path match {
     case Nil => value
     case seg :: rest =>
-      val obj = if (node != null && node.isObject)
+      val obj = if (node != null && node.isObject && !node.has(SubstKey))
         node.asInstanceOf[ObjectNode].deepCopy() else F.objectNode()
       obj.set[JsonNode](seg, setPath(obj.get(seg), rest, value))
       obj
@@ -178,6 +188,10 @@ object Hocon {
         val start = i
         while (i < s.length && !",]}\n#".contains(s.charAt(i))) i += 1
         val raw = s.substring(start, i).trim
+        // value concatenation (`abc${x}`) is out of scope (scaladoc above):
+        // fail loudly instead of silently yielding the literal "abc${x}"
+        require(!raw.contains("${"),
+          s"unsupported value concatenation with substitution: '$raw'")
         raw match {
           case "true" => F.booleanNode(true)
           case "false" => F.booleanNode(false)

@@ -90,34 +90,76 @@ object PipelineSpec {
     val commands = Option(m.get("commands")).filter(_.isArray)
       .getOrElse(throw new IllegalArgumentException(
         s"morphline '$morphlineId' has no commands array"))
-    val ops = commands.elements.asScala.toSeq.zipWithIndex.map {
-      case (cmd, idx) =>
-        val entries = cmd.properties.asScala.toSeq
-        require(entries.size == 1, s"morphline command must have one key: $cmd")
-        val (name, cfgVal) = (entries.head.getKey, entries.head.getValue)
-        val raw: Map[String, String] =
-          if (cfgVal.isObject)
-            cfgVal.properties.asScala.flatMap { e =>
-              // object-valued configs (solrLocator, properties blocks) are
-              // exposed both flattened ("k:v,...") and as dotted keys
-              // ("solrLocator.collection") so ops can read sub-fields without
-              // re-parsing
-              val dotted =
-                if (e.getValue.isObject)
-                  e.getValue.properties.asScala.toSeq.map(s =>
-                    s"${e.getKey}.${s.getKey}" -> scalarOf(s.getValue))
-                else Nil
-              (e.getKey -> flatten(e.getValue)) +: dotted
-            }.toMap
-          else Map.empty
-        val cfg0 = inPlace.getOrElse(name, Map.empty) ++ raw
-        val cfg =
-          if (name.startsWith("log") && !cfg0.contains("name"))
-            cfg0 + ("name" -> s"${name}_$idx") // unique observation names
-          else cfg0
-        registry.build(name, cfg)
+
+    // counter across ALL nesting levels so log observation names stay unique
+    // even when `if`/`tryRules` branches each carry their own log commands
+    val cmdSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+    def fold(ops: Seq[Op]): org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => ops.foldLeft(df)((d, op) => op(d))
+
+    def buildOps(arr: JsonNode): Seq[Op] = {
+      require(arr != null && arr.isArray, s"expected a commands array, got: $arr")
+      arr.elements.asScala.toSeq.map(buildOne)
     }
-    Pipeline(morphlineId, connectEnvelopeAliases +: ops)
+
+    def buildOne(cmd: JsonNode): Op = {
+      val idx = cmdSeq.getAndIncrement()
+      val entries = cmd.properties.asScala.toSeq
+      require(entries.size == 1, s"morphline command must have one key: $cmd")
+      val (name, cfgVal) = (entries.head.getKey, entries.head.getValue)
+      name match {
+        // control-flow commands hold nested command lists, not scalar
+        // config — compile them recursively (same semantics as fromJson's
+        // if/tryRules/pipe handling)
+        case "if" =>
+          val cond = org.apache.spark.sql.functions.expr(
+            Option(cfgVal.get("condition")).map(_.asText).getOrElse(
+              throw new IllegalArgumentException("if needs a 'condition'")))
+          val thenOps = Option(cfgVal.get("then")).map(buildOps).getOrElse(Nil)
+          val elseOps = Option(cfgVal.get("else")).map(buildOps).getOrElse(Nil)
+          graft.ops.ControlOps.ifThenElse(cond, fold(thenOps), fold(elseOps))
+        case "tryRules" =>
+          val rules = Option(cfgVal.get("rules")).filter(_.isArray)
+            .getOrElse(throw new IllegalArgumentException(
+              "tryRules needs a 'rules' array"))
+            .elements.asScala.toSeq.map { rule =>
+              val cond = org.apache.spark.sql.functions.expr(
+                rule.get("condition").asText)
+              (cond, fold(buildOps(rule.get("commands"))))
+            }
+          graft.ops.ControlOps.tryRules(rules,
+            Option(cfgVal.get("catchAll")).map(ca => fold(buildOps(ca))))
+        case "pipe" =>
+          Op.pipe(Pipeline(
+            Option(cfgVal.get("id")).map(_.asText).getOrElse("nested"),
+            buildOps(cfgVal.get("commands"))))
+        case _ =>
+          val raw: Map[String, String] =
+            if (cfgVal.isObject)
+              cfgVal.properties.asScala.flatMap { e =>
+                // object-valued configs (solrLocator, properties blocks) are
+                // exposed both flattened ("k:v,...") and as dotted keys
+                // ("solrLocator.collection") so ops can read sub-fields
+                // without re-parsing
+                val dotted =
+                  if (e.getValue.isObject)
+                    e.getValue.properties.asScala.toSeq.map(s =>
+                      // flatten, not scalarOf: a deeper object-valued
+                      // sub-entry flattens to "k:v,..." instead of asText's ""
+                      s"${e.getKey}.${s.getKey}" -> flatten(s.getValue))
+                  else Nil
+                (e.getKey -> flatten(e.getValue)) +: dotted
+              }.toMap
+            else Map.empty
+          val cfg0 = inPlace.getOrElse(name, Map.empty) ++ raw
+          val cfg =
+            if (name.startsWith("log") && !cfg0.contains("name"))
+              cfg0 + ("name" -> s"${name}_$idx") // unique observation names
+            else cfg0
+          registry.build(name, cfg)
+      }
+    }
+    Pipeline(morphlineId, connectEnvelopeAliases +: buildOps(commands))
   }
 
   /** The reference's envelope field names (`_value`, `_topic`, …;

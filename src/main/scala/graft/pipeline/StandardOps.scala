@@ -112,10 +112,13 @@ object StandardOps {
       RecordOps.extractTree(req(c, "field"), c.getOrElse("separator", "_")))
     r.register("enrichJson") { c =>
       // exactly one schema source, like the reference (schemaString |
-      // schemaFile | schemaField; KafkaDataProducerCommandBuilder.java:183-200)
-      val sources = Seq("schemaString", "schemaFile", "schemaField").filter(c.contains)
+      // schemaFile | schemaField | schema-registry-url;
+      // EnrichJsonBuilder.java:110-131)
+      val sources = Seq("schemaString", "schemaFile", "schemaField",
+        "schema-registry-url").filter(c.contains)
       require(sources.size == 1,
-        s"enrichJson needs exactly one of schemaString/schemaFile/schemaField, got: $sources")
+        "enrichJson needs exactly one of schemaString/schemaFile/" +
+          s"schemaField/schema-registry-url, got: $sources")
       // reference `valueField` (EnrichJsonBuilder.java:150): when it names a
       // struct column, only that payload is conformed — otherwise the whole
       // record, i.e. the top-level columns
@@ -139,6 +142,14 @@ object StandardOps {
             keep = c.getOrElse("keepFields", "").split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq,
             maxSchemas = c.getOrElse("maxSchemas", "16").toInt))
+        case "schema-registry-url" =>
+          // the url is a transport endpoint; the client is the pluggable
+          // SchemaRegistryEnv (config/morphlines.conf:31-37 shape)
+          val subjectField = req(c, "subjectField")
+          Op("enrichJson")(df => graft.functions.Conform.conformBySubject(df,
+            subjectField, c.getOrElse("valueField", "_attachment_body"),
+            graft.schema.SchemaRegistryEnv.client,
+            maxSubjects = c.getOrElse("maxSubjects", "16").toInt))
       }
     }
     r.register("logInfo")(c =>
@@ -149,6 +160,8 @@ object StandardOps {
       RecordOps.observeMetrics(c.getOrElse("name", "logTrace")))
     r.register("logWarn")(c =>
       RecordOps.observeMetrics(c.getOrElse("name", "logWarn")))
+    r.register("logError")(c =>
+      RecordOps.observeMetrics(c.getOrElse("name", "logError")))
     // Kafka Connect envelope edges (FromConnectDataBuilder.java:94-121,
     // ToConnectDataBuilder.java:64-130). The schemaField config is accepted
     // and unused: in Spark the schema travels with the DataFrame.
@@ -228,9 +241,61 @@ object StandardOps {
         req(c, "baseIdField").split(",").map(f => col(f.trim)).toSeq: _*)
     }
     r.register("sanitizeUnknownSolrFields") { c =>
-      val allowed = req(c, "fields").split(",").map(_.trim).toSeq
-      Op("sanitizeUnknownSolrFields")(df =>
-        graft.io.Sinks.sanitizeToSchema(df, allowed))
+      // field list comes from an explicit `fields` config or (the reference
+      // shape, cloudsolr.conf:68-72) the solrLocator collection's registered
+      // schema — looked up at apply time so SolrEnv registration order
+      // doesn't matter. No known schema → pass-through (the reference would
+      // fetch it from live Solr; without one there is nothing to sanitize
+      // against).
+      val explicit = c.get("fields").map(_.split(",").map(_.trim).toSeq)
+      val collection = c.get("solrLocator.collection")
+      Op("sanitizeUnknownSolrFields") { df =>
+        explicit.orElse(collection.flatMap(graft.io.Sinks.SolrEnv.schemaOf))
+          .map(graft.io.Sinks.sanitizeToSchema(df, _)).getOrElse(df)
+      }
+    }
+    // sinks (§2.D) — terminal commands that load and pass the record on
+    r.register("loadSolr") { c =>
+      val collection = c.get("solrLocator.collection").orElse(c.get("collection"))
+        .getOrElse(throw new IllegalArgumentException(
+          "loadSolr needs solrLocator.collection"))
+      val batch = c.get("solrLocator.batchSize").orElse(c.get("batchSize"))
+        .map(_.toInt).getOrElse(1000)
+      Op("loadSolr")(df => graft.io.Sinks.loadSolr(df, collection, batch))
+    }
+    r.register("kafkaProducer") { c =>
+      // KafkaDataProducerCommandBuilder.java:129-243: topic literal or
+      // per-record topicField; key/value fields with optional Avro schemas;
+      // `properties` (bootstrap-servers / kafka-rest-url / schema-registry-
+      // url) configure the transport, which here is the pluggable
+      // Sinks.KafkaEnv — transport endpoints are deployment config, not
+      // plan structure.
+      val batch = c.get("batchSize").map(_.toInt).getOrElse(1000)
+      Op("kafkaProducer") { df =>
+        val topicCol = c.get("topicField").map(f => col(f).cast("string"))
+          .orElse(c.get("topic").map(lit(_)))
+          .getOrElse(throw new IllegalArgumentException(
+            "kafkaProducer needs 'topic' or 'topicField'"))
+        val valueField = c.getOrElse("valueField", "_attachment_body")
+        val keyCol = c.get("keyField") match {
+          case Some(f) => c.get("keySchemaString") match {
+            case Some(ks) => graft.exprs.AvroExprs.to_avro_binary(col(f), ks)
+            case None => col(f).cast("string").cast("binary")
+          }
+          case None => lit(null).cast("binary")
+        }
+        (c.get("valueSchemaString"), c.get("valueSchemaField")) match {
+          case (Some(sch), _) =>
+            graft.io.Sinks.kafkaProduce(df, topicCol, keyCol,
+              graft.exprs.AvroExprs.to_avro_binary(col(valueField), sch), batch)
+          case (None, Some(sf)) =>
+            graft.io.Sinks.kafkaProduceBySchemaField(df, topicCol, keyCol,
+              valueField, sf, batch)
+          case (None, None) =>
+            graft.io.Sinks.kafkaProduce(df, topicCol, keyCol,
+              col(valueField).cast("binary"), batch)
+        }
+      }
     }
     r.register("extractURIComponents")(c =>
       RecordOps.extractUriComponents(req(c, "field"),

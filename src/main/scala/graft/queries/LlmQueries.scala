@@ -146,12 +146,19 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
-    // LSH-bucketed ANN — pseudo-random hyperplanes: rows-only.
+    // LSH-bucketed ANN — pseudo-random hyperplanes: rows-only (recall bound
+    // pinned against s_knn_brute in ApproxBoundsSpec). nBits scales with
+    // corpus size for ~32-vector bucket occupancy: fixed nBits either
+    // over-partitions a small corpus (recall collapses to self-matches) or
+    // under-partitions a large one (scan fraction grows); constant occupancy
+    // keeps per-query candidate work bounded as the corpus scales to 100 TB.
     "s_knn_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
+      val nBits = math.max(4,
+        (math.log(e.count() / 32.0) / math.log(2)).floor.toInt)
       Similarity.lshKnn(e, "vec_id", "embedding",
           e.filter(col("vec_id") < 3), "vec_id", "embedding",
-          k = 5, dim = 64, nBits = 8)
+          k = 5, dim = 64, nBits = nBits)
         .orderBy("qid", "rank")
     }),
 

@@ -60,8 +60,8 @@ object RelationalQueries {
     "q5_local_supplier" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val ord = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1994-01-01") &&
-          col("o_orderdate") < lit("1995-01-01"))
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
       val joined = li
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
@@ -168,10 +168,13 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")),
 
-    // Anti join: customers with no orders.
+    // Anti join: customers with no orders in the first half of 1995 (the
+    // date filter keeps the result non-empty at every sf — every customer
+    // has *some* order, so the unfiltered variant compares empty sets).
     "q_anti_join" -> ((s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders").filter(col("o_orderdate") < lit("1995-07-01")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")),
 
@@ -182,8 +185,10 @@ object RelationalQueries {
         .intersect(e.filter(col("event_type") === "signup").select(col("user_id")))
         .orderBy("user_id")
     }),
+    // (value threshold keeps both sides selective enough that the difference
+    // is non-empty — unfiltered, every purchaser also signed up at sf≥0.01)
     "q_except" -> ((s, dir) => {
-      val e = t(s, dir, "events")
+      val e = t(s, dir, "events").filter(col("value") > 245)
       e.filter(col("event_type") === "purchase").select(col("user_id"))
         .except(e.filter(col("event_type") === "signup").select(col("user_id")))
         .orderBy("user_id")
@@ -454,8 +459,8 @@ object RelationalQueries {
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |  AND r_name = 'ASIA'
-        |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-        |  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, rnk FROM (
@@ -514,7 +519,8 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
     "q_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'
@@ -522,9 +528,9 @@ object RelationalQueries {
         |SELECT user_id FROM events WHERE event_type = 'signup'
         |ORDER BY user_id""".stripMargin,
     "q_except" ->
-      """SELECT user_id FROM events WHERE event_type = 'purchase'
+      """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 245
         |EXCEPT
-        |SELECT user_id FROM events WHERE event_type = 'signup'
+        |SELECT user_id FROM events WHERE event_type = 'signup' AND value > 245
         |ORDER BY user_id""".stripMargin,
     "q_union_distinct" ->
       """SELECT DISTINCT user_id FROM (

@@ -97,3 +97,18 @@ final class InMemoryRegistry(subjects: Map[String, Seq[String]])
   def latest(subject: String): Option[String] =
     subjects.get(subject).flatMap(_.lastOption)
 }
+
+/** Per-JVM pluggable registry client for HOCON-compiled `enrichJson`
+  * commands: a `.conf` file can only name the registry URL (a transport
+  * endpoint — deployment config), so the actual client is installed here at
+  * startup, mirroring Sinks.SolrEnv/KafkaEnv. Default resolves nothing —
+  * every subject "skips enrichment" like the reference does on a registry
+  * miss (EnrichJsonBuilder.java:172-175).
+  */
+object SchemaRegistryEnv {
+  private val empty: RegistryClient = new RegistryClient {
+    def latest(subject: String): Option[String] = None
+  }
+  @volatile var client: RegistryClient = empty
+  def reset(): Unit = client = empty
+}

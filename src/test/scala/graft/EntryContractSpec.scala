@@ -51,3 +51,97 @@ class EntryContractSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Error/recall bounds for the rows-only approximate queries: the driver's
+  * gate can only count their rows, so the accuracy contract is pinned HERE
+  * against the exact counterparts (at sf0.01 — big enough that the bounds
+  * are not vacuous, small enough for the suite).
+  */
+class ApproxBoundsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  private val sf = "/root/testdata/sf0.01"
+  private def li = Tables.load(spark, sf, "lineitem")
+
+  test("s_knn_lsh recall against the s_knn_brute ground truth") {
+    def pairs(name: String) = graft.queries.LlmQueries.queries(name)(spark, sf)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs("s_knn_brute")
+    val lsh = pairs("s_knn_lsh")
+    assert(brute.size == 15)
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // multi-probe LSH at nBits=8 scans ~9/256 of the corpus; the documented
+    // floor is what the deterministic hyperplanes actually achieve here
+    assert(recall >= 0.4, f"LSH recall $recall%.2f fell below 0.4")
+  }
+
+  test("q_approx_distinct relative error vs exact distinct counts") {
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.queries.RelationalQueries
+      .queries("q_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (flag, est) =>
+      val err = math.abs(est.toDouble - exact(flag)) / exact(flag)
+      // rsd 0.02 requested; 0.1 = 5 sigma, a real-regression detector
+      assert(err <= 0.1, f"approx_count_distinct($flag) rel err $err%.3f > 0.1")
+    }
+  }
+
+  test("q_hll_sketch union estimate vs exact global distinct") {
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val est = graft.queries.RelationalQueries.queries("q_hll_sketch")(spark, sf)
+      .head().getLong(0)
+    val err = math.abs(est.toDouble - exact) / exact
+    assert(err <= 0.05, f"hll union estimate rel err $err%.3f > 0.05 " +
+      s"(est=$est exact=$exact)")
+  }
+
+  test("q_approx_percentile rank error vs the exact distribution") {
+    val approx = graft.queries.RelationalQueries
+      .queries("q_approx_percentile")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val counts = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (flag, p50, p99) =>
+      def rankOf(v: Double): Double =
+        li.filter(col("l_returnflag") === flag &&
+          col("l_extendedprice") <= v).count().toDouble / counts(flag)
+      // accuracy=1000 → relative rank error 1/1000; assert a 0.01 cushion
+      val r50 = rankOf(p50)
+      assert(math.abs(r50 - 0.5) <= 0.01,
+        f"$flag p50 landed at rank $r50%.4f (want 0.50 +- 0.01)")
+      val r99 = rankOf(p99)
+      assert(math.abs(r99 - 0.99) <= 0.01,
+        f"$flag p99 landed at rank $r99%.4f (want 0.99 +- 0.01)")
+    }
+  }
+
+  test("minhash ∪ simhash candidates cover the exact Jaccard pairs at j>=0.5") {
+    val docs = Tables.load(spark, sf, "documents")
+    // ground truth: unblocked exact pairs at j>=0.5 (the near-dup regime
+    // LSH is designed for; the 0.2-0.5 gray zone is allowed to slip)
+    val truth = graft.dedup.Dedup.jaccardPairsExact(
+        docs.select(col("doc_id"), col("text")), "text", "doc_id",
+        Nil, shingleSize = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "ground truth vacuous at sf0.01 — raise sf")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val minhash = pairSet(graft.dedup.Dedup.minhashLshPairs(
+      docs, "text", "doc_id", shingleSize = 3, numHashes = 16, bands = 4,
+      threshold = 0.2))
+    val simhash = pairSet(graft.dedup.Dedup.simhashPairs(
+      docs, "text", "doc_id", maxHamming = 8))
+    val candidates = minhash ++ simhash
+    val missed = truth -- candidates
+    assert(missed.isEmpty,
+      s"near-dup candidates missed ${missed.size}/${truth.size} " +
+        s"true pairs at j>=0.5: ${missed.take(5)}")
+  }
+}

@@ -1,0 +1,224 @@
+package graft
+
+import graft.io.Sinks
+import graft.pipeline.PipelineSpec
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.io.DecoderFactory
+import org.apache.spark.sql.functions._
+
+/** The reference's PRODUCTION configs compiled VERBATIM through
+  * `PipelineSpec.fromHoconFile` and run end-to-end:
+  *
+  *  - `config/cloudsolr.conf` (the flagship Solr chain, :1-84): `${?zkHost}`
+  *    dropped, `${collection}` satisfied via the connector's `morphlines.*`
+  *    override channel (MorphlineSinkTask.java:108,119-127), documents land
+  *    in the pluggable Solr transport.
+  *  - `TESTR/producer.conf` (:1-52 "rest", :53-104 "native"): optional env
+  *    substitutions via the env hook, `kafkaProducer` produces (topic, key,
+  *    avro-value) triples into the pluggable Kafka transport.
+  *  - `config/morphlines.conf` (:2-52 "jsontoavropublish" — EP3): streaming
+  *    file source → fromConnectData → readJson → dynamic `@{_topic}-avro`
+  *    routing → registry-subject enrichJson → per-record-schema
+  *    kafkaProducer, with checkpoint-restart no-reprocessing.
+  */
+class ProductionConfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val noEnv: String => Option[String] = _ => None
+
+  private def resetEnvs(): Unit = {
+    Sinks.SolrEnv.reset(); Sinks.KafkaEnv.reset()
+    graft.schema.SchemaRegistryEnv.reset()
+    ProductionConfSpec.solrDocs.clear(); ProductionConfSpec.kafkaMsgs.clear()
+  }
+
+  private def decodeAvro(schemaJson: String, bytes: Array[Byte]): Any = {
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val reader = new GenericDatumReader[Any](schema)
+    reader.read(null, DecoderFactory.get().binaryDecoder(bytes, null))
+  }
+
+  test("cloudsolr.conf compiles verbatim and loads documents into the Solr transport") {
+    resetEnvs()
+    Sinks.SolrEnv.registerSchema("collection1",
+      Seq("id", "name_s", "kafkaTimestamp", "create_dt", "uuid_s"))
+    Sinks.SolrEnv.sender = (coll, docs) =>
+      docs.foreach(d => ProductionConfSpec.solrDocs.add(coll -> d))
+
+    val pipe = PipelineSpec.fromHoconFile(
+      "/root/reference/config/cloudsolr.conf", "cloudsolr",
+      settings = Map("morphlines.collection" -> "collection1"), env = noEnv)
+
+    val input = Seq(
+      ("""{"name": "quickstart-text-file-source", "config": {"topic":"twitter"}}""",
+        "twitter", 0, 0L, 1484897702123L),
+      ("""{"name": "second-source", "config": {"topic":"twitter"}}""",
+        "twitter", 0, 1L, 1484897702124L))
+      .toDF("value", "topic", "partition", "offset", "kafkaTimestamp")
+
+    val rows = pipe(input).collect()
+    assert(rows.length == 2)
+
+    val docs = ProductionConfSpec.solrDocs.toArray
+      .map(_.asInstanceOf[(String, Map[String, Any])]).toSeq
+    assert(docs.size == 2)
+    assert(docs.forall(_._1 == "collection1"))
+    val fields = docs.head._2.keySet
+    assert(fields == Set("id", "name_s", "kafkaTimestamp", "create_dt", "uuid_s"),
+      s"sanitize let unknown fields through: $fields")
+    val doc = docs.map(_._2)
+      .find(_("name_s") == "quickstart-text-file-source").get
+    assert(doc("kafkaTimestamp") == "2017-01-20T07:35:02.123Z")
+    assert(doc("create_dt") == "2017-01-20T07:35:02.123Z")
+    assert(doc("id").asInstanceOf[String].nonEmpty)
+    assert(doc("uuid_s").asInstanceOf[String]
+      .matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+  }
+
+  test("producer.conf 'rest' morphline compiles verbatim and produces avro values") {
+    resetEnvs()
+    Sinks.KafkaEnv.sender = ms => ms.foreach(ProductionConfSpec.kafkaMsgs.add)
+    val refDir =
+      "/root/reference/src/test/resources/com/github/epheatt/kafka/connect/morphlines"
+    val pipe = PipelineSpec.fromHoconFile(s"$refDir/producer.conf", "rest",
+      env = k => if (k == "CONNECT_KAFKA_REST_URL")
+        Some("http://localhost:8082") else None)
+
+    val input = Seq(
+      ("""{"firstName": "example", "age": 27}""", "test", 0, 0L))
+      .toDF("value", "topic", "partition", "offset")
+    val out = pipe(input).collect()
+    assert(out.length == 1)
+
+    val msgs = ProductionConfSpec.kafkaMsgs.toArray
+      .map(_.asInstanceOf[(String, Array[Byte], Array[Byte])]).toSeq
+    assert(msgs.size == 1)
+    val (topic, key, value) = msgs.head
+    assert(topic == "test-copy") // setValues topic : "@{_topic}-copy"
+    assert(key == null) // no keyField in the config
+    // valueSchemaString {"type":"string"}: avro string encoding of "test"
+    assert(decodeAvro("\"string\"", value).toString == "test")
+  }
+
+  test("producer.conf 'native' morphline: optional env substitutions drop cleanly") {
+    resetEnvs()
+    Sinks.KafkaEnv.sender = ms => ms.foreach(ProductionConfSpec.kafkaMsgs.add)
+    val refDir =
+      "/root/reference/src/test/resources/com/github/epheatt/kafka/connect/morphlines"
+    // no env at all: ${?CONNECT_BOOTSTRAP_SERVERS} etc drop, compile succeeds
+    val pipe = PipelineSpec.fromHoconFile(s"$refDir/producer.conf", "native",
+      env = noEnv)
+    val input = Seq(("""{"x": 1}""", "t2", 0, 0L))
+      .toDF("value", "topic", "partition", "offset")
+    pipe(input).collect()
+    val msgs = ProductionConfSpec.kafkaMsgs.toArray
+      .map(_.asInstanceOf[(String, Array[Byte], Array[Byte])]).toSeq
+    assert(msgs.map(_._1) == Seq("t2-copy"))
+    assert(decodeAvro("\"string\"", msgs.head._3).toString == "test")
+  }
+
+  // ---------------------------------------------------------------- EP3 ---
+
+  private val personSchema =
+    """{"type":"record","name":"Person","fields":[
+      |{"name":"firstName","type":"string"},
+      |{"name":"age","type":["null","int"],"default":null}]}""".stripMargin
+
+  test("EP3 morphlines.conf: streaming json->avro publish with dynamic topics and checkpoint restart") {
+    resetEnvs()
+    Sinks.KafkaEnv.sender = ms => ms.foreach(ProductionConfSpec.kafkaMsgs.add)
+    graft.schema.SchemaRegistryEnv.client = new graft.schema.InMemoryRegistry(
+      Map("t1-avro-value" -> Seq(personSchema),
+          "t2-avro-value" -> Seq(personSchema)))
+
+    val pipe = PipelineSpec.fromHoconFile(
+      "/root/reference/config/morphlines.conf", "jsontoavropublish",
+      env = k => Map(
+        "CONNECT_SCHEMA_REGISTRY_URL" -> "mock://registry",
+        "CONNECT_KAFKA_REST_URL" -> "mock://rest").get(k))
+
+    // file-based stream (no broker in this container): Kafka-envelope-shaped
+    // rows arrive as files; foreachBatch applies the compiled pipeline —
+    // exactly the Connect task loop (poll batch -> morphline -> produce)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ep3")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ep3-ckpt").toString
+    // FileStreamSource wants a flat directory of files: stage each batch as
+    // one parquet file moved into the watched dir
+    def writeBatch(name: String, rows: Seq[(String, String, Int, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ep3-stage")
+      rows.toDF("value", "topic", "partition", "offset")
+        .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        dir.resolve(s"$name.parquet"))
+    }
+
+    writeBatch("b1", Seq(
+      ("""{"firstName": "example", "age": 27}""", "t1", 0, 0L),
+      ("""{"firstName": "other", "age": 41}""", "t2", 0, 1L)))
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "value STRING, topic STRING, partition INT, offset BIGINT")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      val q = graft.streaming.StreamingOps.foreachBatchSink(stream, ckpt)(
+        (batch, _) => { pipe(batch).count(); () }).start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+
+    def triples = ProductionConfSpec.kafkaMsgs.toArray
+      .map(_.asInstanceOf[(String, Array[Byte], Array[Byte])]).toSeq
+    val first = triples
+    assert(first.map(_._1).sorted == Seq("t1-avro", "t2-avro"),
+      s"dynamic @{_topic}-avro routing broke: ${first.map(_._1)}")
+    val byTopic = first.map(t =>
+      t._1 -> decodeAvro(personSchema, t._3).asInstanceOf[GenericRecord]).toMap
+    assert(byTopic("t1-avro").get("firstName").toString == "example")
+    assert(byTopic("t1-avro").get("age") == 27)
+    assert(byTopic("t2-avro").get("firstName").toString == "other")
+    assert(byTopic("t2-avro").get("age") == 41)
+
+    // restart on the same checkpoint: nothing reprocessed, nothing re-sent
+    run()
+    assert(triples.size == first.size,
+      s"checkpoint restart re-produced ${triples.size - first.size} messages")
+
+    // a second file is a new micro-batch: only its rows are produced
+    writeBatch("b2", Seq(
+      ("""{"firstName": "third", "age": 7}""", "t1", 0, 2L)))
+    run()
+    val after = triples
+    assert(after.size == first.size + 1)
+    val extra = after.drop(first.size).head
+    assert(extra._1 == "t1-avro")
+    assert(decodeAvro(personSchema, extra._3)
+      .asInstanceOf[GenericRecord].get("firstName").toString == "third")
+  }
+
+  test("unknown registry subject passes through un-enriched (warn-and-skip parity)") {
+    resetEnvs()
+    // registry knows nothing: enrichJson must not fail; valueSchema is null
+    // and kafkaProducer skips the row (no schema to encode with)
+    Sinks.KafkaEnv.sender = ms => ms.foreach(ProductionConfSpec.kafkaMsgs.add)
+    val pipe = PipelineSpec.fromHoconFile(
+      "/root/reference/config/morphlines.conf", "jsontoavropublish",
+      env = k => Map(
+        "CONNECT_SCHEMA_REGISTRY_URL" -> "mock://registry",
+        "CONNECT_KAFKA_REST_URL" -> "mock://rest").get(k))
+    val input = Seq(("""{"firstName": "x"}""", "tx", 0, 0L))
+      .toDF("value", "topic", "partition", "offset")
+    val out = pipe(input).collect()
+    assert(out.length == 1) // record still flows downstream
+    assert(ProductionConfSpec.kafkaMsgs.isEmpty)
+  }
+}
+
+/** JVM-global collectors: the pass-through sink stages run on executor
+  * threads (local mode = same JVM), so test state must be static.
+  */
+object ProductionConfSpec {
+  val solrDocs = new java.util.concurrent.ConcurrentLinkedQueue[Any]()
+  val kafkaMsgs = new java.util.concurrent.ConcurrentLinkedQueue[Any]()
+}
