@@ -4,6 +4,7 @@ import graft.text.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines, each designed for
   * the 100 TB shape:
@@ -76,17 +77,29 @@ object Dedup {
                       shingleSize: Int = 3, numHashes: Int = 16,
                       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // Shingling is the dominant per-row cost and this relation feeds three
+    // consumers (bucket generation + both sides of the verify join), so it
+    // is persisted rather than recomputed per consumer. No unpersist here:
+    // the returned plan is lazy, so the cache must outlive this call —
+    // CacheManager dedupes identical plans across invocations and
+    // ContextCleaner reclaims the storage once unreachable. At 100 TB the
+    // same role is played by a checkpoint of (id, sh) to durable storage.
     val shingled = df.select(
       col(idCol).as("id"),
       TextAnalysis.wordShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Candidate generation carries ONLY (id, band, bucket) — the shingle
     // arrays never enter the bucket shuffle (at 100 TB they'd dominate it).
+    // Persisted because the self-join below evaluates each side
+    // independently — without the cache the minhash signatures would be
+    // computed twice. Rows are slim (id, band, bucket) triples.
     val buckets = shingled
       .select(col("id"),
         explode(lshBands(minhashSignature(col("sh"), numHashes),
           bands, rowsPerBand)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = buckets.alias("a").join(buckets.alias("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -131,20 +144,29 @@ object Dedup {
                         threshold: Double = 0.5): DataFrame = {
     val tEff = threshold - 1e-6
     val blocks = blockCols.map(col)
+    // Both slim relations feed multiple consumers (base: verify-join sides;
+    // toks: frequency agg + prefix join) — persist instead of re-shingling
+    // the corpus per consumer. Lazily returned plan ⇒ no unpersist (see
+    // minhashLshPairs); at 100 TB this is the relation you'd checkpoint.
     val base = df.select((col(idCol).as("id") +: blocks :+
         TextAnalysis.wordShingles(col(textCol), shingleSize).as("sh")): _*)
       .filter(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val toks = base.select((col("id") +: blocks :+ size(col("sh")).as("sz") :+
         explode(col("sh")).as("tok")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     // Per-doc frequency-ascending order; keep only the pigeonhole prefix.
     // floor (not ceil) of t·sz under-counts the required overlap, so the
     // prefix is never too short — exactness is preserved at the boundary.
     val w = Window.partitionBy(col("id")).orderBy(col("cnt"), col("tok"))
+    // Persisted: the a/b self-join would otherwise run the per-doc
+    // frequency-sort window (a shuffle + sort) twice.
     val prefix = toks.join(freq, "tok")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <=
         col("sz") - floor(lit(tEff) * col("sz")).cast("int") + 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = prefix.alias("a"); val b = prefix.alias("b")
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
@@ -181,12 +203,15 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     // Signatures computed once into a slim (id, sig) relation; the block
     // join and the verification both reuse it (8-byte payloads only).
+    // Persisted so the a/b self-join doesn't shingle + SimHash the corpus
+    // twice (each self-join side is evaluated independently).
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val blocked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map { i =>
         struct(lit(i).as("i"),
           shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("v"))
       }: _*)).as("blk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = blocked.alias("a"); val b = blocked.alias("b")
     a.join(b,
         col("a.blk.i") === col("b.blk.i") && col("a.blk.v") === col("b.blk.v") &&

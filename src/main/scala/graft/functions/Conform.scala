@@ -212,18 +212,21 @@ object Conform {
     val payloadFields = df.schema.fields.filterNot(_.name == schemaField)
     val payloadType = StructType(payloadFields)
     val payload = struct(payloadFields.map(f => col(f.name)).toSeq: _*)
-    val branches = schemas.map { sj =>
-      val target = parseAvro(sj)
-      require(target.dataType.isInstanceOf[StructType],
-        "schemaField must carry record schemas")
-      df.filter(col(schemaField) === sj)
-        .select((keepCols :+
-          to_json(conformColumn(payload, target, Some(payloadType)))
-            .as("enriched")): _*)
+    // Single-pass dispatch: conformance is already an expression, so the
+    // per-schema branches compile into ONE chained-when projection — one
+    // scan of the input instead of a filtered scan per schema + union.
+    // A null schema field falls through every branch to the null literal
+    // (the reference's warn-and-skip, EnrichJsonBuilder.java:172-175).
+    val enriched = schemas.foldRight(lit(null).cast(StringType): Column) {
+      (sj, acc) =>
+        val target = parseAvro(sj)
+        require(target.dataType.isInstanceOf[StructType],
+          "schemaField must carry record schemas")
+        when(col(schemaField) === sj,
+          to_json(conformColumn(payload, target, Some(payloadType))))
+          .otherwise(acc)
     }
-    val unenriched = df.filter(col(schemaField).isNull)
-      .select((keepCols :+ lit(null).cast(StringType).as("enriched")): _*)
-    (branches :+ unenriched).reduce(_ unionAll _)
+    df.select((keepCols :+ enriched.as("enriched")): _*)
   }
 
   /** Registry-by-subject enrichment with a per-record subject — the
@@ -252,24 +255,28 @@ object Conform {
     require(subjects.size <= maxSubjects,
       s"subjectField '$subjectField' carries more than $maxSubjects distinct " +
         "subjects; per-record dispatch requires a bounded subject set")
-    def branch(pred: Column, schemaJson: Option[String]): DataFrame = {
-      val base = df.filter(pred)
-      schemaJson match {
-        case Some(sj) =>
-          val target = parseAvro(sj)
-          require(target.dataType.isInstanceOf[StructType],
-            s"subject schema must be a record schema: $sj")
-          base.withColumn(valueField,
-              to_json(conformColumn(col(valueField), target, Some(srcType))))
-            .withColumn("valueSchema", lit(sj))
-        case None =>
-          base.withColumn(valueField, to_json(col(valueField)))
-            .withColumn("valueSchema", lit(null).cast(StringType))
-      }
+    // Registry lookups happen once per distinct subject, at plan time.
+    val resolved = subjects.map(s => s -> client.latest(s))
+    // Single-pass dispatch (see conformByField): two chained-when columns —
+    // the conformed JSON payload and the attached schema — replace the
+    // branch-per-subject union, so the input is scanned once. Null or
+    // registry-unknown subjects fall through to plain to_json + null schema
+    // (the reference's warn-and-skip).
+    val conformed = resolved.foldRight(to_json(col(valueField)): Column) {
+      case ((s, Some(sj)), acc) =>
+        val target = parseAvro(sj)
+        require(target.dataType.isInstanceOf[StructType],
+          s"subject schema must be a record schema: $sj")
+        when(col(subjectField) === s,
+          to_json(conformColumn(col(valueField), target, Some(srcType))))
+          .otherwise(acc)
+      case (_, acc) => acc
     }
-    val branches = subjects.map(s =>
-      branch(col(subjectField) === s, client.latest(s)))
-    val noSubject = branch(col(subjectField).isNull, None)
-    (branches :+ noSubject).reduce(_ unionAll _)
+    val schemaCol = resolved.foldRight(lit(null).cast(StringType): Column) {
+      case ((s, Some(sj)), acc) =>
+        when(col(subjectField) === s, lit(sj)).otherwise(acc)
+      case (_, acc) => acc
+    }
+    df.withColumn(valueField, conformed).withColumn("valueSchema", schemaCol)
   }
 }

@@ -147,17 +147,31 @@ object Sinks {
         "distinct schemas; per-record dispatch requires a bounded schema set")
     val isJsonString =
       df.schema(valueField).dataType == org.apache.spark.sql.types.StringType
-    val branches = schemas.map { sj =>
+    // Single-pass dispatch (the conformByField pattern): the per-schema
+    // encodes compile into ONE chained-when binary column, so the input is
+    // scanned once instead of once per schema + union. Rows with a null
+    // schema still flow downstream but are filtered out of the send batch
+    // (the reference skips producing them).
+    val valueCol = schemas.foldRight(
+        lit(null).cast(org.apache.spark.sql.types.BinaryType):
+          org.apache.spark.sql.Column) { (sj, acc) =>
       val typed =
         if (isJsonString)
           from_json(col(valueField),
             graft.functions.Conform.parseAvro(sj).dataType)
         else col(valueField)
-      kafkaProduce(df.filter(col(schemaField) === sj), topic, key,
-        graft.exprs.AvroExprs.to_avro_binary(typed, sj), batchSize)
+      when(col(schemaField) === sj,
+        graft.exprs.AvroExprs.to_avro_binary(typed, sj)).otherwise(acc)
     }
-    val skipped = df.filter(col(schemaField).isNull)
-    (branches :+ skipped).reduce(_ unionAll _)
+    val staged = df.withColumn("_kp_topic", topic)
+      .withColumn("_kp_key", key).withColumn("_kp_value", valueCol)
+    val schemaIdx = staged.schema.fieldIndex(schemaField)
+    passThrough(staged, batchSize) { rows =>
+      val out = rows.filter(r => !r.isNullAt(schemaIdx)).map(r =>
+        (r.getAs[String]("_kp_topic"), r.getAs[Array[Byte]]("_kp_key"),
+          r.getAs[Array[Byte]]("_kp_value")))
+      if (out.nonEmpty) KafkaEnv.sender(out)
+    }.drop("_kp_topic", "_kp_key", "_kp_value")
   }
 
   /** Bucketed table write: co-locates join/aggregation keys at write time

@@ -63,4 +63,56 @@ class PlanAssertionsSpec extends SparkSpec {
     // both tiers present: a guard <= cap (exact) and > cap (LSH bucket join)
     assert(p.contains("bucket"), s"LSH bucket tier missing from plan:\n$p")
   }
+
+  // --- single-pass dispatch: the per-schema fan-outs must compile to ONE
+  // scan of the input (a chained-when projection), never a branch-per-schema
+  // union of filtered scans — at batch scale N branches = N full re-scans.
+
+  private def assertSingleScan(df: org.apache.spark.sql.DataFrame,
+                               what: String): Unit = {
+    val plan = df.queryExecution.optimizedPlan
+    val unions = plan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }
+    assert(unions.isEmpty, s"$what still unions per-schema branches:\n$plan")
+    assert(plan.collectLeaves().size == 1,
+      s"$what scans its input more than once:\n$plan")
+  }
+
+  test("conformByField compiles to a single scan of the input") {
+    import spark.implicits._
+    val sA = """{"type":"record","name":"A","fields":[{"name":"id","type":"long"}]}"""
+    val sB = """{"type":"record","name":"B","fields":[{"name":"id","type":"long"}]}"""
+    val rows = Seq((1L, Some(sA)), (2L, Some(sB)), (3L, None))
+      .toDF("id", "schema")
+    assertSingleScan(
+      graft.functions.Conform.conformByField(rows, "schema", keep = Seq("id")),
+      "conformByField")
+  }
+
+  test("conformBySubject compiles to a single scan of the input") {
+    import spark.implicits._
+    val t = """{"type":"record","name":"T","fields":[{"name":"v","type":"long"}]}"""
+    val reg = new graft.schema.InMemoryRegistry(
+      Map("a" -> Seq(t), "b" -> Seq(t)))
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "unknown"))
+      .toDF("v", "subj")
+      .select(org.apache.spark.sql.functions.struct($"v").as("value"), $"subj")
+    assertSingleScan(
+      graft.functions.Conform.conformBySubject(rows, "subj", "value", reg),
+      "conformBySubject")
+  }
+
+  test("kafkaProduceBySchemaField compiles to a single scan of the input") {
+    import spark.implicits._
+    val sA = """{"type":"record","name":"A","fields":[{"name":"id","type":"long"}]}"""
+    val sB = """{"type":"record","name":"B","fields":[{"name":"id","type":"long"}]}"""
+    val rows = Seq((1L, """{"id":1}""", Some(sA)), (2L, """{"id":2}""", Some(sB)),
+        (3L, """{"id":3}""", None))
+      .toDF("id", "value", "schema")
+    assertSingleScan(
+      graft.io.Sinks.kafkaProduceBySchemaField(rows,
+        org.apache.spark.sql.functions.lit("t"),
+        $"id".cast("string").cast("binary"), "value", "schema"),
+      "kafkaProduceBySchemaField")
+  }
 }
