@@ -143,12 +143,15 @@ object StandardOps {
               .filter(_.nonEmpty).toSeq,
             maxSchemas = c.getOrElse("maxSchemas", "16").toInt))
         case "schema-registry-url" =>
-          // the url is a transport endpoint; the client is the pluggable
-          // SchemaRegistryEnv (config/morphlines.conf:31-37 shape)
+          // http(s) urls resolve to a real HTTP client (LRU-cached, the
+          // reference's CachedSchemaRegistryClient(url, 100)); other
+          // schemes fall back to the pluggable SchemaRegistryEnv.client
+          // (config/morphlines.conf:31-37 shape)
           val subjectField = req(c, "subjectField")
+          val url = c("schema-registry-url")
           Op("enrichJson")(df => graft.functions.Conform.conformBySubject(df,
             subjectField, c.getOrElse("valueField", "_attachment_body"),
-            graft.schema.SchemaRegistryEnv.client,
+            graft.schema.SchemaRegistryEnv.forUrl(url),
             maxSubjects = c.getOrElse("maxSubjects", "16").toInt))
       }
     }

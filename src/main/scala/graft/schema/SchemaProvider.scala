@@ -110,5 +110,19 @@ object SchemaRegistryEnv {
     def latest(subject: String): Option[String] = None
   }
   @volatile var client: RegistryClient = empty
-  def reset(): Unit = client = empty
+  private val httpClients =
+    new java.util.concurrent.ConcurrentHashMap[String, RegistryClient]()
+
+  /** Resolve the client for a config-file registry URL: a real
+    * `http(s)://` endpoint gets an [[HttpRegistryClient]] (LRU-cached,
+    * one per URL — the reference builds `CachedSchemaRegistryClient(url,
+    * 100)` from the same config key); anything else (`mock://`, tests,
+    * offline) falls back to the installed pluggable [[client]].
+    */
+  def forUrl(url: String): RegistryClient =
+    if (url.startsWith("http://") || url.startsWith("https://"))
+      httpClients.computeIfAbsent(url, HttpRegistryClient.cached(_))
+    else client
+
+  def reset(): Unit = { client = empty; httpClients.clear() }
 }

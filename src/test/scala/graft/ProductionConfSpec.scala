@@ -197,6 +197,55 @@ class ProductionConfSpec extends SparkSpec {
       .asInstanceOf[GenericRecord].get("firstName").toString == "third")
   }
 
+  test("EP3 over a live HTTP registry: CONNECT_SCHEMA_REGISTRY_URL resolves to a real endpoint") {
+    resetEnvs()
+    Sinks.KafkaEnv.sender = ms => ms.foreach(ProductionConfSpec.kafkaMsgs.add)
+    // Confluent-REST-shaped stub: the verbatim config's
+    // ${?CONNECT_SCHEMA_REGISTRY_URL} resolves to this endpoint and the
+    // pipeline fetches schemas through HttpRegistryClient — no pluggable
+    // client installed (SchemaRegistryEnv.client stays the empty default).
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hits = new java.util.concurrent.atomic.AtomicInteger()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (x: com.sun.net.httpserver.HttpExchange) => {
+      val m = "^/subjects/([^/]+)/versions/latest$".r
+        .findFirstMatchIn(x.getRequestURI.getRawPath)
+      val resp: (Int, String) = m.map(_.group(1)) match {
+        case Some("t1-avro-value") =>
+          hits.incrementAndGet()
+          val env = mapper.createObjectNode()
+          env.put("subject", "t1-avro-value"); env.put("version", 1)
+          env.put("id", 1); env.put("schema", personSchema)
+          (200, mapper.writeValueAsString(env))
+        case _ => (404, """{"error_code":40401,"message":"Subject not found"}""")
+      }
+      val bytes = resp._2.getBytes("UTF-8")
+      x.sendResponseHeaders(resp._1, bytes.length)
+      x.getResponseBody.write(bytes); x.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val pipe = PipelineSpec.fromHoconFile(
+        "/root/reference/config/morphlines.conf", "jsontoavropublish",
+        env = k => Map(
+          "CONNECT_SCHEMA_REGISTRY_URL" -> url,
+          "CONNECT_KAFKA_REST_URL" -> "mock://rest").get(k))
+      val input = Seq(
+        ("""{"firstName": "http", "age": 3}""", "t1", 0, 0L))
+        .toDF("value", "topic", "partition", "offset")
+      assert(pipe(input).collect().length == 1)
+      val msgs = ProductionConfSpec.kafkaMsgs.toArray
+        .map(_.asInstanceOf[(String, Array[Byte], Array[Byte])]).toSeq
+      assert(msgs.map(_._1) == Seq("t1-avro"))
+      val rec = decodeAvro(personSchema, msgs.head._3)
+        .asInstanceOf[GenericRecord]
+      assert(rec.get("firstName").toString == "http" && rec.get("age") == 3)
+      assert(hits.get() >= 1, "pipeline never hit the HTTP registry")
+    } finally server.stop(0)
+  }
+
   test("unknown registry subject passes through un-enriched (warn-and-skip parity)") {
     resetEnvs()
     // registry knows nothing: enrichJson must not fail; valueSchema is null
