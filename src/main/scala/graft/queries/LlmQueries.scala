@@ -152,13 +152,18 @@ object LlmQueries {
     // over-partitions a small corpus (recall collapses to self-matches) or
     // under-partitions a large one (scan fraction grows); constant occupancy
     // keeps per-query candidate work bounded as the corpus scales to 100 TB.
+    // Sizing reads Catalyst plan stats (sizeInBytes / ~avg row bytes) — a
+    // plan-time lookup, not a count() job; occupancy needs only the order
+    // of magnitude. 4 OR-amplified tables lift recall to the ≥0.8 bound.
     "s_knn_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
+      // embeddings row ≈ 64 float32 + id, parquet-compressed ~260 B
+      val n = Similarity.approxRowCount(e, avgRowBytes = 260L)
       val nBits = math.max(4,
-        (math.log(e.count() / 32.0) / math.log(2)).floor.toInt)
+        (math.log(n / 32.0) / math.log(2)).floor.toInt)
       Similarity.lshKnn(e, "vec_id", "embedding",
           e.filter(col("vec_id") < 3), "vec_id", "embedding",
-          k = 5, dim = 64, nBits = nBits)
+          k = 5, dim = 64, nBits = nBits, tables = 4)
         .orderBy("qid", "rank")
     }),
 

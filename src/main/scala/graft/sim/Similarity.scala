@@ -65,29 +65,65 @@ object Similarity {
   def lshBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column =
     graft.exprs.HashExprs.hyperplane_lsh(vec, nBits, seed)
 
-  /** LSH-bucketed approximate NN: only corpus rows in the query's bucket
-    * (or a neighbouring bucket within 1 flipped bit) are scored. At 100 TB
-    * with 2^nBits buckets this scans ~ (nBits+1)/2^nBits of the corpus per
-    * query instead of all of it.
+  /** LSH-bucketed approximate NN with OR-amplification: `tables`
+    * independent hyperplane sets (distinct seeds), each multi-probed with
+    * all 1-bit flips — a true neighbour is found if ANY table buckets it
+    * near the query, which is what lifts recall from a single table's
+    * ~0.4-0.6 to ≥0.8 at the same per-table occupancy.
+    *
+    * 100 TB shape: the corpus relation is exploded ×`tables` (the standard
+    * LSH-forest storage trade), but it stays narrow — no shuffle; the query
+    * side (tables × (nBits+1) probe rows per query) is broadcast, and only
+    * (qid, id, cosine) triples reach the top-k shuffle. Per query the
+    * scanned fraction is ≤ tables·(nBits+1)/2^nBits of the corpus.
     */
   def lshKnn(corpus: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, qidCol: String, qvecCol: String,
-             k: Int, dim: Int, nBits: Int = 8): DataFrame = {
+             k: Int, dim: Int, nBits: Int = 8, tables: Int = 4,
+             seed: Long = 42L): DataFrame = {
+    // Seeds spaced by a prime so table hyperplanes are independent.
+    def tableSeed(t: Int): Long = seed + t * 7919L
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), dim, nBits))
-    // query probes: own bucket + all 1-bit flips (multi-probe LSH)
+      .withColumn("tb", explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"),
+          lshBucket(col("v"), dim, nBits, tableSeed(t)).as("bucket"))
+      }: _*)))
+      .select(col("id"), col("v"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    // Query probes: per table, own bucket + all 1-bit flips.
+    val probes = (0 until tables).flatMap { t =>
+      val qb = lshBucket(col("q"), dim, nBits, tableSeed(t))
+      (qb +: (0 until nBits).map(b =>
+        qb.bitwiseXOR(shiftleft(lit(1L), b))))
+        .map(p => struct(lit(t).as("t"), p.as("bucket")))
+    }
     val q = queries.select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("q"))
-      .withColumn("qb", lshBucket(col("q"), dim, nBits))
-      .withColumn("bucket", explode(array(
-        (col("qb") +: (0 until nBits).map(b =>
-          col("qb").bitwiseXOR(shiftleft(lit(1L), b)))): _*)))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("tb", explode(array(probes: _*)))
+      .select(col("qid"), col("q"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    // A pair can surface through several tables; identical float-op sequence
+    // ⇒ identical cosine bits, so distinct collapses duplicates before the
+    // top-k window (without it row_number would rank the same id twice).
+    val scored = c.join(broadcast(q), Seq("t", "bucket"))
       .select(col("qid"), col("id"), cosine(col("v"), col("q")).as("cosine"))
+      .distinct()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "id", "cosine", "rank")
+  }
+
+  /** Catalyst-stats row-count estimate — a plan-time lookup, never a job
+    * (the `df.count()` alternative scans the table once per invocation just
+    * to size a parameter). Parquet exposes sizeInBytes; when exact rowCount
+    * stats are absent, divide by the caller's average-row-size estimate.
+    * Sizing knobs (LSH occupancy) only need the order of magnitude.
+    */
+  def approxRowCount(df: DataFrame, avgRowBytes: Long): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).getOrElse(
+      math.max(1L, stats.sizeInBytes.toLong / math.max(1L, avgRowBytes)))
   }
 
   /** Cosine-threshold near-duplicate pairs within blocks, with a hard guard

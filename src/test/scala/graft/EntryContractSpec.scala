@@ -70,9 +70,10 @@ class ApproxBoundsSpec extends SparkSpec {
     val lsh = pairs("s_knn_lsh")
     assert(brute.size == 15)
     val recall = (brute & lsh).size.toDouble / brute.size
-    // multi-probe LSH at nBits=8 scans ~9/256 of the corpus; the documented
-    // floor is what the deterministic hyperplanes actually achieve here
-    assert(recall >= 0.4, f"LSH recall $recall%.2f fell below 0.4")
+    // 4 OR-amplified tables, each multi-probed with 1-bit flips: a true
+    // neighbour is missed only if EVERY table separates it from the query
+    // by ≥2 hyperplanes — the shippable ANN floor
+    assert(recall >= 0.8, f"LSH recall $recall%.2f fell below 0.8")
   }
 
   test("q_approx_distinct relative error vs exact distinct counts") {
