@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * (`_attachment_body/_mimetype/_charset`, FromConnectDataBuilder.java:104-117)
   * generalized into a first-class column pattern.
   *
-  * The Spark-side plumbing (schema, batch shape, partition sizing) is real;
-  * the media decode itself is STUBBED with a deterministic fake because the
-  * image/audio codecs are not in this container — the stub consumes the real
-  * bytes and emits a schema-correct feature row, so swapping in a real codec
-  * changes no plan shape.
+  * Image payloads decode for real through `javax.imageio` (pure JVM — PNG/
+  * JPEG/GIF/BMP readers ship with the JDK): width/height/channels + a
+  * per-channel mean feature vector. Payloads no codec recognizes (plain
+  * text, audio, video — those codecs aren't in this container) fall back to
+  * a deterministic schema-correct stub, so the plan shape is identical
+  * either way and a richer codec slots into the same per-partition hook.
   */
 object Multimodal {
 
@@ -23,12 +24,15 @@ object Multimodal {
     StructField("mimeType", StringType, nullable = true),
     StructField("charset", StringType, nullable = true)))
 
-  /** Feature schema produced by the decode stage. */
+  /** Feature schema produced by the decode stage. `channels` is non-null
+    * exactly when a real image codec decoded the payload.
+    */
   val featureSchema: StructType = StructType(Seq(
     StructField("byteLen", LongType, nullable = false),
     StructField("contentHash", LongType, nullable = false),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
     StructField("feature", ArrayType(FloatType, containsNull = false), nullable = true)))
 
   /** Wrap any castable column as a media binary column with mime metadata. */
@@ -38,10 +42,11 @@ object Multimodal {
       lit(mimeType).as("mimeType"),
       lit("binary").as("charset")))
 
-  // ======================= STUB DECODE =======================
-  // Deterministic fake decoder: derives pseudo width/height and an 8-dim
-  // feature vector from the byte content. A real implementation would call
-  // the codec here (per-partition, batched); everything else is unchanged.
+  // ================== STUB FALLBACK (non-image payloads) ==================
+  // Deterministic fake decoder for payloads no JVM codec recognizes (audio/
+  // video codecs aren't in this container): pseudo width/height and an 8-dim
+  // feature vector from the byte content — schema-correct, so a real codec
+  // swaps in without any plan change. `channels` stays null on this path.
   private[multimodal] def fakeDecode(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     val h = java.util.Arrays.hashCode(bytes)
     val width = 16 + math.abs(h % 1024)
@@ -50,16 +55,49 @@ object Multimodal {
       (((h * 31 + i * 2654435761L) & 0xFFFF).toFloat / 65535.0f))
     (width, height, feat)
   }
-  // ===========================================================
+  // ========================================================================
+
+  /** Real image decode: `javax.imageio` (JDK-bundled PNG/JPEG/GIF/BMP
+    * readers, headless-safe). Returns (width, height, channels, per-channel
+    * mean over an ≤8×8 sample grid) or None when no installed reader
+    * recognizes the bytes.
+    */
+  private[multimodal] def imageDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val channels = img.getColorModel.getNumComponents
+          // per-channel mean over a bounded sample grid — constant work per
+          // image regardless of resolution
+          val (sx, sy) = (math.max(1, w / 8), math.max(1, h / 8))
+          val sums = new Array[Long](channels)
+          var n = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val px = img.getRaster.getPixel(x, y, null: Array[Int])
+              var c = 0
+              while (c < channels && c < px.length) { sums(c) += px(c); c += 1 }
+              n += 1; x += sx
+            }
+            y += sy
+          }
+          (w, h, channels, sums.map(s => (s.toDouble / n / 255.0).toFloat))
+        }
+    } catch { case _: Exception => None }
 
   /** Decode / feature-extract over the media column.
     *
     * Runs as `mapPartitions` over the typed Dataset — the Scala-side
     * equivalent of `mapInPandas` batch decode: per-partition setup cost is
-    * amortized (a codec would be initialized once per partition, not per
-    * row), and partition byte size is bounded by
+    * amortized (ImageIO's reader registry is touched once per partition,
+    * not per row), and partition byte size is bounded by
     * `spark.sql.files.maxPartitionBytes` at scan time so a partition of
-    * blobs fits executor memory.
+    * blobs fits executor memory. Image bytes decode for real
+    * ([[imageDecode]]); unrecognized payloads take the deterministic stub
+    * with a null `channels`.
     */
   def decodeFeatures(spark: SparkSession, df: DataFrame,
                      bodyCol: String = "media.body"): DataFrame = {
@@ -68,7 +106,8 @@ object Multimodal {
       StructField("features", featureSchema, nullable = true))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     withBytes.mapPartitions { rows =>
-      // per-partition: real codec init would happen here, once
+      // per-partition: codec/registry init happens here, once
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("__bytes")
         val base = Row.fromSeq(
@@ -76,11 +115,49 @@ object Multimodal {
             case (v, f) if f.name != "__bytes" => v
           })
         val feats = if (bytes == null) null else {
-          val (w, h, f) = fakeDecode(bytes)
-          Row(bytes.length.toLong,
-            java.util.Arrays.hashCode(bytes).toLong, w, h, f.toSeq)
+          val len = bytes.length.toLong
+          val hash = java.util.Arrays.hashCode(bytes).toLong
+          imageDecode(bytes) match {
+            case Some((w, h, c, f)) => Row(len, hash, w, h, c, f.toSeq)
+            case None =>
+              val (w, h, f) = fakeDecode(bytes)
+              Row(len, hash, w, h, null, f.toSeq)
+          }
         }
         Row.fromSeq(base.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** Deterministic PNG synthesis (fixture generation for the decode path —
+    * NOT part of the engine surface): a `width`×`height` RGB image whose
+    * fill color derives from `seed`, encoded through the same ImageIO
+    * registry the decoder uses. Lets a corpus with no stored images
+    * exercise the real decode end-to-end.
+    */
+  def synthesizePng(df: DataFrame, widthCol: String, heightCol: String,
+                    seedCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("media", mediaSchema, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val w = r.getAs[Number](widthCol).intValue()
+        val h = r.getAs[Number](heightCol).intValue()
+        val seed = r.getAs[Number](seedCol).longValue()
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val rgb = (seed * 2654435761L & 0xFFFFFF).toInt
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Row.fromSeq(r.toSeq :+ Row(out.toByteArray, "image/png", "binary"))
       }
     }(enc)
   }

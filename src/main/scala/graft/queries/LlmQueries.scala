@@ -195,12 +195,20 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
-    // Stubbed decode/feature-extract via mapPartitions — rows-only.
+    // REAL image decode end-to-end: each doc synthesizes a deterministic
+    // PNG (dims derived from doc_id/text length), and decodeFeatures parses
+    // those bytes back through javax.imageio. The oracle recomputes the
+    // dimension formulas in DuckDB — a decoder that doesn't actually parse
+    // the PNG header cannot match it.
     "mm_decode_features" -> ((s, dir) => {
-      val media = Multimodal.asMedia(docs(s, dir), "text", "text/plain")
+      val staged = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("w0", (lit(1) + octet_length(col("text")) % 64).cast("int"))
+        .withColumn("h0", (lit(1) + col("doc_id") % 48).cast("int"))
+      val media = Multimodal.synthesizePng(staged, "w0", "h0", "doc_id")
       Multimodal.decodeFeatures(s, media)
-        .select(col("doc_id"), col("features.byteLen").as("byte_len"),
-          col("features.width").as("w"), col("features.height").as("h"))
+        .select(col("doc_id"), col("features.width").as("w"),
+          col("features.height").as("h"),
+          col("features.channels").as("channels"))
         .orderBy("doc_id")
     }),
 
@@ -362,6 +370,14 @@ object LlmQueries {
     "mm_frame_sample" ->
       """SELECT doc_id,
         |  CAST(greatest((octet_length(encode(text)) // 64 // 2) - 1, 0) + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the Spark side PNG-encodes then truly decodes; the oracle recomputes
+    // the synthesized dimensions (and RGB channel count) arithmetically
+    "mm_decode_features" ->
+      """SELECT doc_id,
+        |  CAST(1 + octet_length(encode(text)) % 64 AS INT) AS w,
+        |  CAST(1 + doc_id % 48 AS INT) AS h,
+        |  CAST(3 AS INT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -36,8 +36,7 @@ class EntryContractSpec extends AnyFunSuite {
       "t_phonetic_key",      // soundex not in DuckDB
       "q_approx_distinct",   // HLL estimate
       "q_approx_percentile", // KLL estimate
-      "q_hll_sketch",        // sketch internals engine-specific
-      "mm_decode_features")  // stubbed decoder internals
+      "q_hll_sketch")        // sketch internals engine-specific
     assert(rowsOnly == justified,
       s"undocumented rows-only: ${rowsOnly -- justified}; " +
         s"stale justification: ${justified -- rowsOnly}")

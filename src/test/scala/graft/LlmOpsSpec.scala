@@ -152,6 +152,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(again.toSeq == first.toSeq)
   }
 
+  test("multimodal decode: real PNG bytes decode through javax.imageio") {
+    val staged = Seq((1L, 20, 10), (2L, 3, 48)).toDF("id", "w0", "h0")
+    val media = Multimodal.synthesizePng(staged, "w0", "h0", "id")
+    // the synthesized payload is a real PNG (magic bytes present)
+    val magic = media.select(org.apache.spark.sql.functions.hex(
+      org.apache.spark.sql.functions.substring(col("media.body"), 1, 4)))
+      .as[String].collect()
+    assert(magic.forall(_ == "89504E47"), s"not PNG: ${magic.toSeq}")
+    val out = Multimodal.decodeFeatures(spark, media)
+      .select(col("id"), col("features.width"), col("features.height"),
+        col("features.channels"), col("features.feature"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getSeq[Float](4))).toMap
+    assert(out(1L)._1 == 20 && out(1L)._2 == 10, s"dims wrong: ${out(1L)}")
+    assert(out(2L)._1 == 3 && out(2L)._2 == 48, s"dims wrong: ${out(2L)}")
+    assert(out.values.forall(_._3 == 3), "RGB png should have 3 channels")
+    // uniform fill → per-channel means are exact pixel values in [0,1]
+    assert(out.values.forall(_._4.forall(v => v >= 0f && v <= 1f)))
+  }
+
   test("media stats sniffs magic bytes") {
     val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0x01, 0x02)
     val df = Seq((1L, jpeg), (2L, "plain".getBytes)).toDF("id", "body")
