@@ -58,4 +58,25 @@ object Sources {
     binary.select(AvroExprs.from_avro_binary(col("avro_bytes"), schemaJson).as("r"))
       .select("r.*")
   }
+
+  /** `readSequenceFile` (SURVEY.md §2.A; the reference maps kite-hadoop's
+    * sequence-file reader): Hadoop `SequenceFile` of (Text key, BytesWritable
+    * value) → DataFrame (key string, body binary) — the attachment shape the
+    * downstream read* parsers consume. Built on the built-in Hadoop input
+    * (splittable: block-compressed sequence files split by sync markers, so
+    * a 100 TB directory fans out across executors like any Hadoop source).
+    *
+    * Hadoop reuses Writable instances per record; the map materializes
+    * immutable copies before anything caches or shuffles them.
+    */
+  def readSequenceFile(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext
+      .sequenceFile(path, classOf[org.apache.hadoop.io.Text],
+        classOf[org.apache.hadoop.io.BytesWritable])
+      .map { case (k, v) =>
+        (k.toString, java.util.Arrays.copyOfRange(v.getBytes, 0, v.getLength))
+      }
+      .toDF("key", "body")
+  }
 }
