@@ -21,11 +21,60 @@ object ControlOps {
   /** Predicate commands `equals` / `contains` / `not`: record passes iff the
     * predicate holds.
     */
-  def keepWhere(cond: Column): Op = Op("keepWhere")(df => df.filter(cond))
-  def fieldEquals(field: String, value: Any): Op =
-    Op("equals")(df => df.filter(col(field) === lit(value)))
-  def fieldContains(field: String, value: Any): Op =
-    Op("contains")(df => df.filter(array_contains(col(field), value)))
+  def keepWhere(cond: Column): graft.pipeline.PredicateOp =
+    Op.predicate("keepWhere")(_ => cond)
+  def fieldEquals(field: String, value: Any): graft.pipeline.PredicateOp =
+    Op.predicate("equals")(_ => col(field) === lit(value))
+  def fieldContains(field: String, value: Any): graft.pipeline.PredicateOp =
+    Op.predicate("contains")(_ => array_contains(col(field), value))
+
+  private def isArrayField(df: DataFrame, field: String): Boolean =
+    df.schema.fields.find(_.name == field)
+      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+
+  /** Kite-stdlib `equals` shape: a map of field → expected value list;
+    * the record passes iff EVERY named field's values equal the given
+    * list (kite EqualsCommand: `List.equals` per entry). A multi-valued
+    * field compares as array equality; a single-valued field matches a
+    * 1-element list by scalar equality and can never equal a longer list.
+    */
+  def kiteEquals(entries: Seq[(String, Seq[String])]): graft.pipeline.PredicateOp =
+    Op.predicate("equals") { df =>
+      require(entries.nonEmpty, "equals needs at least one field : value entry")
+      entries.map { case (f, vs) =>
+        if (isArrayField(df, f)) col(f) === array(vs.map(lit): _*)
+        else if (vs.size == 1) col(f) === lit(vs.head)
+        else lit(false) // single-valued field vs multi-value list: List.equals fails
+      }.reduce(_ && _)
+    }
+
+  /** Kite-stdlib `contains` shape: field → value list; the record passes iff
+    * the field's values and the given values intersect — the mimetype-
+    * dispatch idiom (`contains { _attachment_mimetype : [avro/binary] }`).
+    */
+  def kiteContains(entries: Seq[(String, Seq[String])]): graft.pipeline.PredicateOp =
+    Op.predicate("contains") { df =>
+      require(entries.nonEmpty, "contains needs at least one field : values entry")
+      entries.map { case (f, vs) =>
+        if (isArrayField(df, f))
+          vs.map(v => array_contains(col(f), v)).reduce(_ || _)
+        else col(f).isin(vs: _*)
+      }.reduce(_ && _)
+    }
+
+  /** Kite-stdlib `not`: wraps a nested command and inverts its per-record
+    * success. The nested command must be predicate-shaped (a filter) — a
+    * transform has no per-record success to invert in a batch plan. Rows
+    * where the nested predicate is null (missing field) did NOT match it,
+    * so `not` keeps them (kite: nested command fails → not succeeds).
+    */
+  def notOp(nested: Op): graft.pipeline.PredicateOp = nested match {
+    case p: graft.pipeline.PredicateOp =>
+      Op.predicate(s"not:${nested.name}")(df =>
+        !coalesce(p.predicateFor(df), lit(false)))
+    case other => throw new IllegalArgumentException(
+      s"not can only wrap a predicate command (equals/contains/...), got '${other.name}'")
+  }
 
   /** `if { conditions then else }`: conditional sub-pipeline. Column-level
     * effects compile to `when(cond, then).otherwise(else)`; record-level

@@ -16,11 +16,32 @@ trait Op extends (DataFrame => DataFrame) with Serializable {
   def name: String
 }
 
+/** A filter-shaped op that exposes its row predicate, so wrappers like the
+  * Kite `not` command invert the predicate structurally (one plan, no
+  * row-set diffing). The predicate is schema-aware — built against the
+  * incoming frame, since Kite value-list matching depends on whether the
+  * field is single- or multi-valued.
+  */
+trait PredicateOp extends Op {
+  def predicateFor(df: DataFrame): org.apache.spark.sql.Column
+}
+
 object Op {
   def apply(opName: String)(f: DataFrame => DataFrame): Op = new Op {
     val name: String = opName
     def apply(df: DataFrame): DataFrame = f(df)
   }
+
+  /** A predicate command: keeps rows matching `cond` (SQL filter semantics —
+    * null does not match).
+    */
+  def predicate(opName: String)(
+      cond: DataFrame => org.apache.spark.sql.Column): PredicateOp =
+    new PredicateOp {
+      val name: String = opName
+      def predicateFor(df: DataFrame): org.apache.spark.sql.Column = cond(df)
+      def apply(df: DataFrame): DataFrame = df.filter(predicateFor(df))
+    }
 
   /** `pipe` / `callParentPipe` (SURVEY.md §2.C): a nested pipeline as a
     * single op — function composition, one combined Catalyst plan.

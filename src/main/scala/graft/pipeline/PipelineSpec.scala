@@ -133,6 +133,12 @@ object PipelineSpec {
           Op.pipe(Pipeline(
             Option(cfgVal.get("id")).map(_.asText).getOrElse("nested"),
             buildOps(cfgVal.get("commands"))))
+        // Kite `not { <command> {...} }`: the value is itself a one-key
+        // command block; compile it and invert its predicate. The legacy
+        // scalar field/value form falls through to the registry below.
+        case "not" if cfgVal.isObject && cfgVal.size() == 1 &&
+            !cfgVal.has("field") =>
+          graft.ops.ControlOps.notOp(buildOne(cfgVal))
         case _ =>
           val raw: Map[String, String] =
             if (cfgVal.isObject)
@@ -234,6 +240,12 @@ object PipelineSpec {
           Op.pipe(Pipeline(
             Option(node.get("id")).map(_.asText).getOrElse("nested"),
             compileCommands(node.get("commands"), registry)))
+        // JSON spelling of the Kite nested form:
+        // {"command": "not", "nested": {"command": "equals", ...}}
+        case "not" if node.has("nested") =>
+          graft.ops.ControlOps.notOp(
+            compileCommands(mapper.createArrayNode().add(node.get("nested")),
+              registry).head)
         case _ =>
           val cfg = node.properties.asScala
             .filter(_.getKey != "command")

@@ -205,14 +205,31 @@ object StandardOps {
         case Some(cond) => ControlOps.dropWhere(expr(cond))
         case None => ControlOps.keepWhere(lit(false))
       })
-    r.register("equals")(c =>
-      ControlOps.keepWhere(col(req(c, "field")) === req(c, "value")))
+    // equals/contains accept BOTH config shapes: the explicit
+    // field/value pair, and the Kite-stdlib map of record-field → value
+    // list (`equals { foo : [bar, baz] }`; lists arrive comma-joined
+    // through the HOCON flattener). If both `field` and `value` keys are
+    // present they are the explicit shape; otherwise every key is a record
+    // field name.
+    def kiteEntries(c: Map[String, String]): Seq[(String, Seq[String])] =
+      c.toSeq.map { case (f, v) =>
+        f -> v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      }
+    r.register("equals") { c =>
+      if (c.contains("field") && c.contains("value"))
+        ControlOps.keepWhere(col(c("field")) === c("value"))
+      else ControlOps.kiteEquals(kiteEntries(c))
+    }
     r.register("not")(c =>
-      // a missing/null field is not equal to the value → record passes
-      ControlOps.keepWhere(
-        !coalesce(col(req(c, "field")) === req(c, "value"), lit(false))))
-    r.register("contains")(c =>
-      ControlOps.fieldContains(req(c, "field"), req(c, "value")))
+      // scalar-config form (field/value pair); the Kite nested-command form
+      // (`not { equals {...} }`) compiles in PipelineSpec via ControlOps.notOp
+      ControlOps.notOp(
+        ControlOps.keepWhere(col(req(c, "field")) === req(c, "value"))))
+    r.register("contains") { c =>
+      if (c.contains("field") && c.contains("value"))
+        ControlOps.fieldContains(c("field"), c("value"))
+      else ControlOps.kiteContains(kiteEntries(c))
+    }
     r.register("head")(c => ControlOps.head(req(c, "limit").toInt))
     r.register("sample")(c =>
       ControlOps.sample(req(c, "probability").toDouble,

@@ -74,6 +74,60 @@ class HoconPipelineSpec extends SparkSpec {
     assert(body.isNullAt(body.fieldIndex("missing")))
   }
 
+  test("Kite config idioms: field→values equals, nested not, list contains") {
+    // the Kite-stdlib shapes verbatim: `equals` with a record-field map,
+    // `not` wrapping a nested command, `contains` with a value list
+    val kiteConf =
+      """morphlines : [
+        |  {
+        |    id : kite
+        |    commands : [
+        |      { equals { lang : en } }
+        |      { not { equals { source : web } } }
+        |      { contains { tags : [keep, gold] } }
+        |    ]
+        |  }
+        |]""".stripMargin
+    val pipe = PipelineSpec.fromHocon(kiteConf, "kite")
+    val in = Seq(
+      (1L, "en", "web", Seq("keep")),
+      (2L, "en", "books", Seq("gold", "x")),
+      (3L, "fr", "web", Seq("x")),
+      (4L, "en", null, Seq("keep")))
+      .toDF("id", "lang", "source", "tags")
+    // 1 dropped by not(equals source=web); 3 by equals lang=en;
+    // 4's null source does NOT equal web → not keeps it (kite parity)
+    assert(pipe(in).select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+  }
+
+  test("Kite equals list semantics: array field is List.equals, scalar can't match a list") {
+    val listConf =
+      """morphlines : [
+        |  { id : l, commands : [ { equals { tags : [a, b] } } ] }
+        |]""".stripMargin
+    val pipe = PipelineSpec.fromHocon(listConf, "l")
+    val in = Seq(
+      (1L, Seq("a", "b")),   // exact list match
+      (2L, Seq("b", "a")),   // order matters for List.equals
+      (3L, Seq("a", "b", "c")))
+      .toDF("id", "tags")
+    assert(pipe(in).select("id").as[Long].collect().toSeq == Seq(1L))
+    // multi-value list against a single-valued field never matches
+    val scalarIn = Seq((1L, "a")).toDF("id", "tags")
+    assert(pipe(scalarIn).count() == 0)
+  }
+
+  test("not rejects wrapping a non-predicate command") {
+    val bad =
+      """morphlines : [
+        |  { id : b, commands : [ { not { generateUUID { field : u } } } ] }
+        |]""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      PipelineSpec.fromHocon(bad, "b")
+    }
+    assert(e.getMessage.contains("predicate"))
+  }
+
   test("unknown morphline id fails with the available ids") {
     val e = intercept[IllegalArgumentException] {
       PipelineSpec.fromHocon(conf("identity.conf"), "nope")
