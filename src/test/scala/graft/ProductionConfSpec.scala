@@ -117,6 +117,67 @@ class ProductionConfSpec extends SparkSpec {
     assert(decodeAvro("\"string\"", msgs.head._3).toString == "test")
   }
 
+  // ---------------------------------------------------------------- EP1 ---
+
+  test("EP1 cloudsolr.conf through the streaming runner: epoch replays upsert, never duplicate") {
+    resetEnvs()
+    Sinks.SolrEnv.registerSchema("collection1",
+      Seq("id", "name_s", "kafkaTimestamp", "create_dt", "uuid_s"))
+    // keyed store simulating Solr's upsert-by-uniqueKey: a replayed doc
+    // with the same id overwrites instead of duplicating
+    val store = new java.util.concurrent.ConcurrentHashMap[String, Map[String, Any]]()
+    Sinks.SolrEnv.sender = (_, docs) =>
+      docs.foreach(d => store.put(d("id").asInstanceOf[String], d))
+
+    val pipe = PipelineSpec.fromHoconFile(
+      "/root/reference/config/cloudsolr.conf", "cloudsolr",
+      settings = Map("morphlines.collection" -> "collection1"), env = noEnv)
+
+    // file-based stream in the Kafka envelope shape (EP3 pattern); the sink
+    // path is loadSolr (config/cloudsolr.conf:74-78) via the pass-through
+    // stage inside foreachBatch — the Connect task loop for the Solr chain
+    val dir = java.nio.file.Files.createTempDirectory("graft-ep1")
+    val stage = java.nio.file.Files.createTempDirectory("graft-ep1-stage")
+    Seq(
+      ("""{"name": "quickstart-text-file-source", "config": {"topic":"twitter"}}""",
+        "twitter", 0, 0L, 1484897702123L),
+      ("""{"name": "second-source", "config": {"topic":"twitter"}}""",
+        "twitter", 0, 1L, 1484897702124L))
+      .toDF("value", "topic", "partition", "offset", "kafkaTimestamp")
+      .repartition(1).write.mode("overwrite").parquet(stage.toString)
+    val part = java.nio.file.Files.list(stage).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    java.nio.file.Files.move(java.nio.file.Paths.get(part),
+      dir.resolve("b1.parquet"))
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "value STRING, topic STRING, partition INT, offset BIGINT, kafkaTimestamp BIGINT")
+    def run(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      val q = graft.streaming.StreamingOps.foreachBatchSink(stream, ckpt)(
+        (batch, _) => { pipe(batch).count(); () }).start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    run(java.nio.file.Files.createTempDirectory("graft-ep1-ck1").toString)
+    assert(store.size == 2, s"expected 2 docs, got ${store.size}")
+    val firstIds = store.keySet().toArray.toSet
+    val firstNames = store.values().toArray
+      .map(_.asInstanceOf[Map[String, Any]]("name_s")).toSet
+    assert(firstNames == Set("quickstart-text-file-source", "second-source"))
+
+    // epoch REPLAY: a fresh checkpoint re-delivers the same file (the
+    // at-least-once path after a checkpoint loss). generateSolrSequenceKey
+    // derives id from name_s (config/cloudsolr.conf:62-67), so the replayed
+    // docs carry the SAME keys and the keyed store stays at 2 — overwrite,
+    // not duplicate. (uuid_s differs per replay; the uniqueKey must not.)
+    run(java.nio.file.Files.createTempDirectory("graft-ep1-ck2").toString)
+    assert(store.size == 2,
+      s"replay duplicated documents: ${store.keySet()}")
+    assert(store.keySet().toArray.toSet == firstIds,
+      "deterministic key changed across replays — replays would duplicate in Solr")
+  }
+
   // ---------------------------------------------------------------- EP3 ---
 
   private val personSchema =
