@@ -249,7 +249,12 @@ object PipelineSpec {
         case _ =>
           val cfg = node.properties.asScala
             .filter(_.getKey != "command")
-            .map(e => e.getKey -> e.getValue.asText)
+            .map(e => e.getKey -> (
+              // arrays comma-join like the HOCON flattener (asText on an
+              // array node is "" — would silently drop Kite value lists)
+              if (e.getValue.isArray)
+                e.getValue.elements.asScala.map(_.asText).mkString(",")
+              else e.getValue.asText))
             .toMap
           registry.build(name, cfg)
       }

@@ -194,6 +194,23 @@ object MorphlineQueries {
         .orderBy("event_id")
     }),
 
+    // Kite-stdlib predicate config shapes compiled from verbatim HOCON:
+    // field→value equals, nested `not`, value-list `contains`.
+    "m_kite_filters" -> ((s, dir) => {
+      val conf =
+        """morphlines : [
+          |  { id : kite, commands : [
+          |    { equals { lang : en } }
+          |    { not { contains { source : [src0, src1, src2] } } }
+          |  ] }
+          |]""".stripMargin
+      val pipe = graft.pipeline.PipelineSpec.fromHocon(conf, "kite",
+        env = _ => None)
+      pipe(documents(s, dir))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // if/then/else routing: column-level conditional.
     "m_if_then_else" -> ((s, dir) => {
       val pipe = Pipeline("ifelse", Seq(
@@ -496,6 +513,13 @@ object MorphlineQueries {
     "m_drop_record" ->
       """SELECT event_id, event_type FROM events
         |WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
+    // `not` keeps rows whose nested predicate is null (kite: nested miss →
+    // not succeeds) — hence the explicit IS NULL arm, unlike SQL NOT IN
+    "m_kite_filters" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE lang = 'en'
+        |  AND (source NOT IN ('src0', 'src1', 'src2') OR source IS NULL)
+        |ORDER BY doc_id""".stripMargin,
     "m_if_then_else" ->
       """SELECT event_id, CASE WHEN value > 100 THEN 'high' ELSE 'low' END AS tier
         |FROM events ORDER BY event_id""".stripMargin,
