@@ -48,6 +48,16 @@ object LlmQueries {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // Gopher-style repetition filter: fraction of duplicated word bigrams.
+    // Tokens materialized once (HOF lambdas re-evaluate referenced subtrees).
+    "t_dup_ngram_ratio" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.asciiTokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          round(TextAnalysis.dupNgramFraction(col("__toks"), 2), 6)
+            .as("dup_ratio"))
+        .orderBy("doc_id")),
+
     "t_fingerprint" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
@@ -167,6 +177,21 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Int8 embedding quantization — verified via exact integer sum of the
+    // quantized vector (list hashing across engines is brittle; the sum
+    // pins every element's rounding).
+    "s_embed_quant" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("scale", Similarity.int8Scale(col("v")))
+      e.select(col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          aggregate(Similarity.quantizeInt8(col("v"), col("scale")),
+            lit(0L), (acc, q) => acc + q.cast("long")).as("qsum"))
+        .orderBy("vec_id")
+    }),
+
     // Vector norms (embedding column plumbing sanity).
     "s_vec_norm" -> ((s, dir) =>
       emb(s, dir)
@@ -271,6 +296,39 @@ object LlmQueries {
         |    string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
         |    x -> x <> ''))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // identical float-op sequence both sides: 1.0 - distinct/total as
+    // doubles, rounded to 6 after (oracle-parity rule)
+    "t_dup_ngram_ratio" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |  ELSE CAST(round(1.0 -
+        |    CAST(len(list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 2, 0) + 2),
+        |      i -> array_to_string(toks[i:i+1], ' ')))) AS DOUBLE) /
+        |    CAST(greatest(len(toks) - 2, 0) + 1 AS DOUBLE), 6) AS DOUBLE)
+        |  END AS dup_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // int8 quantization: scale = 127/max|x| on exact float64 (float32→64
+    // cast is exact), per-element ROUND pinned by the integer sum
+    "s_embed_quant" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, vd,
+        |    CASE WHEN list_max(list_transform(vd, x -> abs(x))) = 0 THEN 0.0
+        |         ELSE 127.0 / list_max(list_transform(vd, x -> abs(x))) END AS sc
+        |  FROM v)
+        |SELECT vec_id,
+        |  CAST(round(sc, 6) AS DOUBLE) AS scale,
+        |  CAST(list_sum(list_transform(vd, x -> CAST(round(x * sc, 0) AS BIGINT))) AS BIGINT) AS qsum
+        |FROM s ORDER BY vec_id""".stripMargin,
     "t_edit_distance" ->
       """WITH g AS (
         |  SELECT doc_id, substr(text, 1, 60) AS t60,

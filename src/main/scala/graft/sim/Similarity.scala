@@ -177,6 +177,23 @@ object Similarity {
     exact.unionAll(approx).filter(col("cosine") >= tEff)
   }
 
+  /** Symmetric int8 quantization scale for a vector: 127 / max|x| (0 for an
+    * all-zero vector). Training-data pipelines quantize embedding columns
+    * to int8 for 4× storage/shuffle reduction at 100 TB; the scale rides
+    * alongside for dequantization. Pure column expressions — runs in the
+    * scan stage, no shuffle.
+    */
+  def int8Scale(vec: Column): Column = {
+    val m = array_max(transform(vec, abs(_)))
+    when(m === 0.0, lit(0.0)).otherwise(lit(127.0) / m)
+  }
+
+  /** Quantize a double-array vector to int8 values with the given scale
+    * (round-half-away-from-zero, matching SQL ROUND semantics).
+    */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, x => round(x * scale, 0).cast("int"))
+
   /** IVF-style coarse quantization: assign each corpus vector to its nearest
     * of `centroids` (broadcast), partition by cell; queries probe `nProbe`
     * nearest cells. Centroids come from a driver-side sample (k-means iters

@@ -136,4 +136,33 @@ object TextAnalysis {
     */
   def wordShingles(text: Column, n: Int): Column =
     graft.exprs.HashExprs.word_shingles(text, n)
+
+  /** ASCII-regex tokenization (lowercase, alnum runs) — the oracle-portable
+    * tokenizer for per-document STATISTICS where the engine and a SQL
+    * oracle must agree token-for-token. Materialize the result into a
+    * column (`withColumn`) before feeding higher-order functions: lambda
+    * bodies re-evaluate referenced subtrees per element.
+    */
+  def asciiTokens(text: Column): Column =
+    filter(split(lower(regexp_replace(text, "[^a-zA-Z0-9]+", " ")), " "),
+      t => t =!= "")
+
+  /** Fraction of duplicated word n-grams in a document — the Gopher-rule
+    * repetition signal for training-data quality filtering (public
+    * technique: Rae et al. 2021 §A1.1 "repetition" filters): documents
+    * whose n-grams repeat heavily (boilerplate, keyword stuffing, decoding
+    * loops) score near 1 and are dropped before training. `toks` must be a
+    * MATERIALIZED token-array column (see [[asciiTokens]]).
+    *
+    * Pure codegen-able column expressions over the row — no shuffle; at
+    * 100 TB this runs in the scan stage like the other quality signals.
+    */
+  def dupNgramFraction(toks: Column, n: Int): Column = {
+    val total = greatest(size(toks) - n, lit(0)) + 1
+    val grams = transform(sequence(lit(1), total),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(grams)).cast("double") / total.cast("double"))
+  }
 }

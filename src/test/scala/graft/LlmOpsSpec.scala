@@ -135,6 +135,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(cs.contains("a b") && cs.forall(_.length == 3))
   }
 
+  test("dup-ngram fraction: repetitive text scores high, diverse text zero") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),  // 5 bigrams, 1 distinct → 0.8
+      (2L, "the quick brown fox jumps"),      // all bigrams distinct → 0.0
+      (3L, ""),                               // empty → 0.0
+      (4L, "one"))                            // single token → 1 "gram", distinct → 0.0
+      .toDF("id", "text")
+      .withColumn("__toks", TextAnalysis.asciiTokens(col("text")))
+    val out = df.select(col("id"),
+        org.apache.spark.sql.functions.round(
+          TextAnalysis.dupNgramFraction(col("__toks"), 2), 6).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.8, s"got ${out(1L)}")
+    assert(out(2L) == 0.0 && out(3L) == 0.0 && out(4L) == 0.0)
+  }
+
+  test("int8 quantization: max element maps to ±127, zero vector guarded") {
+    val df = Seq(
+      (1L, Seq(0.5, -1.0, 0.25)),
+      (2L, Seq(0.0, 0.0, 0.0)))
+      .toDF("id", "v")
+      .withColumn("scale", Similarity.int8Scale(col("v")))
+      .withColumn("q", Similarity.quantizeInt8(col("v"), col("scale")))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (r.getDouble(2), r.getSeq[Int](3))).toMap
+    assert(rows(1L)._2 == Seq(64, -127, 32), s"got ${rows(1L)._2}")
+    assert(rows(2L)._1 == 0.0 && rows(2L)._2 == Seq(0, 0, 0))
+  }
+
   test("multimodal decode: schema-correct deterministic features from bytes") {
     val df = Seq((1L, "payload-one"), (2L, "payload-two")).toDF("id", "text")
     val media = Multimodal.asMedia(df, "text", "application/octet-stream")
