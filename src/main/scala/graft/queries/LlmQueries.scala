@@ -177,6 +177,21 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // IVF ANN: probe the 2 nearest of 3 fixed cells, exact top-5 within.
+    // Deterministic (no hashing) → fully oracle-checkable, unlike LSH.
+    "s_knn_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.filter(col("vec_id") < 3).orderBy("vec_id")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      Similarity.ivfKnn(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 3), "vec_id", "embedding",
+          centroids, nProbe = 2, k = 5)
+        .select(col("qid"), col("id"), round(col("cosine"), 6).as("cos"),
+          col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // Int8 embedding quantization — verified via exact integer sum of the
     // quantized vector (list hashing across engines is brittle; the sum
     // pins every element's rounding).
@@ -313,6 +328,42 @@ object LlmQueries {
         |    CAST(greatest(len(toks) - 2, 0) + 1 AS DOUBLE), 6) AS DOUBLE)
         |  END AS dup_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+    // same d2/assignment arithmetic as s_ivf_assign, same cosine as
+    // s_knn_brute — the IVF result is deterministic, so fully checkable
+    "s_knn_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 3),
+        |d AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+        |           (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))) AS d2
+        |  FROM embeddings e CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM d) WHERE rn = 1),
+        |probe AS (
+        |  SELECT vec_id AS qid, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM d WHERE vec_id < 3) WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.qid, a.vec_id AS id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))))) AS cosine
+        |  FROM assign a
+        |  JOIN probe p ON a.cell = p.cell
+        |  JOIN embeddings e ON e.vec_id = a.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = p.qid),
+        |ranked AS (
+        |  SELECT qid, id, round(cosine, 6) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
+        |  FROM scored)
+        |SELECT qid, id, cos, rank FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
     // int8 quantization: scale = 127/max|x| on exact float64 (float32→64
     // cast is exact), per-element ROUND pinned by the integer sum
     "s_embed_quant" ->

@@ -209,4 +209,41 @@ object Similarity {
     }
     corpus.withColumn("cell", least(dists: _*).getField("cell"))
   }
+
+  /** IVF approximate NN: corpus vectors are pre-assigned to their nearest
+    * centroid cell ([[ivfAssign]]); each query probes its `nProbe` nearest
+    * cells and takes an exact top-k within them. Deterministic given the
+    * centroids (ties broken by cell id) — no hashing involved.
+    *
+    * 100 TB shape: the corpus partitioned/bucketed by `cell` makes the
+    * probe join a pruned scan of nProbe/nCells of the data; queries
+    * (exploded ×nProbe) are broadcast; only (qid, id, cosine) triples reach
+    * the top-k shuffle. Centroids are a driver-side bounded model.
+    */
+  def ivfKnn(corpus: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, qidCol: String, qvecCol: String,
+             centroids: Seq[Seq[Double]], nProbe: Int, k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, vecCol, centroids)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), col("cell"))
+      .withColumn("vn", norm(col("v")))
+    val dists = centroids.zipWithIndex.map { case (cvec, i) =>
+      val c = typedLit(cvec)
+      struct(dot(zip_with(col("q"), c, (a, b) => a - b),
+        zip_with(col("q"), c, (a, b) => a - b)).as("d2"), lit(i).as("cell"))
+    }
+    val probed = queries
+      .select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("q"))
+      .withColumn("qn", norm(col("q")))
+      .withColumn("pc",
+        explode(slice(array_sort(array(dists: _*)), 1, nProbe)))
+      .withColumn("cell", col("pc.cell")).drop("pc")
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .select(col("qid"), col("id"),
+        (dot(col("v"), col("q")) / (col("vn") * col("qn"))).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
 }

@@ -119,6 +119,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(top == 1L)
   }
 
+  test("ivf knn: self is rank 1; only probed cells are searched") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(-1.0, 0.0)),
+      (3L, Seq(0.9, 0.1)), (4L, Seq(0.1, 0.9)), (5L, Seq(-0.9, -0.1)))
+      .toDF("id", "v")
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))
+    val out = Similarity.ivfKnn(vecs, "id", "v",
+        vecs.filter(col("id") === 0L), "id", "v",
+        centroids, nProbe = 2, k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    // query (1,0) probes cells 0 and 1: candidates {0,3} ∪ {1,4}; cell 2
+    // ({2,5}) is never searched. Top-3 by cosine: 0 (1.0), 3 (~0.99),
+    // 4 (~0.11) — vector 1 (cos 0) ranks below 4.
+    assert(out.head == (0L, 1), s"self not rank 1: ${out.toSeq}")
+    assert(out.map(_._1).toSet == Set(0L, 3L, 4L), s"got ${out.toSeq}")
+    assert(!out.map(_._1).contains(2L) && !out.map(_._1).contains(5L),
+      "unprobed cell leaked into candidates")
+  }
+
   test("langId picks marker-heavy language") {
     val df = Seq("the cat and the dog is with that",
       "der hund und die katze ist nicht das").toDF("text")
