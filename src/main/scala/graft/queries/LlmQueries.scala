@@ -48,6 +48,20 @@ object LlmQueries {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // PII redaction, de-vacuated: synthetic per-doc PII (email/IP/phone
+    // derived from doc_id) is appended to the text so the redaction has
+    // real matches; the oracle builds the identical string and applies the
+    // identical RE2-safe patterns. Compared via md5 of the redacted text.
+    "t_redact_pii" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          md5(TextAnalysis.redactPii(concat(
+            col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com from 10.0."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".7 or call +1 555 0123 456 now")))).as("red_md5"))
+        .orderBy("doc_id")),
+
     // Gopher-style repetition filter: fraction of duplicated word bigrams.
     // Tokens materialized once (HOF lambdas re-evaluate referenced subtrees).
     "t_dup_ngram_ratio" -> ((s, dir) =>
@@ -310,6 +324,16 @@ object LlmQueries {
         |  md5(array_to_string(list_sort(list_distinct(list_filter(
         |    string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
         |    x -> x <> ''))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_redact_pii" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |      '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |      '.7 or call +1 555 0123 456 now',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d -]{7,}\d', '<PHONE>', 'g')) AS red_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     // identical float-op sequence both sides: 1.0 - distinct/total as
     // doubles, rounded to 6 after (oracle-parity rule)

@@ -194,6 +194,53 @@ object Similarity {
   def quantizeInt8(vec: Column, scale: Column): Column =
     transform(vec, x => round(x * scale, 0).cast("int"))
 
+  /** Train IVF centroids: Lloyd's k-means on a driver-side bounded sample —
+    * the 100 TB pattern (model small, data never collected: the `.collect()`
+    * here fetches at most `sampleN` vectors once, at fit time). Seeded
+    * shuffle init → deterministic, reproducible centroids; empty cells
+    * keep their previous center. Returns centroids for [[ivfAssign]] /
+    * [[ivfKnn]].
+    */
+  def kmeansFit(df: DataFrame, vecCol: String, k: Int, iters: Int = 10,
+                sampleN: Int = 10000, seed: Long = 42L): Seq[Seq[Double]] = {
+    val sample = df.select(asDouble(col(vecCol)).as("v")).limit(sampleN)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    val centers = rnd.shuffle(sample.indices.toVector).take(k)
+      .map(i => sample(i).clone).toArray
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = v(i) - centers(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearest(v); counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centers(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+    }
+    centers.map(_.toSeq).toSeq
+  }
+
   /** IVF-style coarse quantization: assign each corpus vector to its nearest
     * of `centroids` (broadcast), partition by cell; queries probe `nProbe`
     * nearest cells. Centroids come from a driver-side sample (k-means iters

@@ -157,6 +157,21 @@ object TextAnalysis {
     * Pure codegen-able column expressions over the row — no shuffle; at
     * 100 TB this runs in the scan stage like the other quality signals.
     */
+  /** PII redaction for training corpora: emails → `<EMAIL>`, IPv4 → `<IP>`,
+    * phone-like digit runs → `<PHONE>`, applied in that order (emails/IPs
+    * are redacted before the looser phone pattern can eat their digits).
+    * Patterns are RE2-safe (no lookarounds/backrefs) so a SQL oracle
+    * applies the identical semantics. Pure codegen'd regexp_replace chain —
+    * scan-stage work, like the other text signals.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d -]{7,}\\d", "<PHONE>")
+  }
+
   def dupNgramFraction(toks: Column, n: Int): Column = {
     val total = greatest(size(toks) - n, lit(0)) + 1
     val grams = transform(sequence(lit(1), total),

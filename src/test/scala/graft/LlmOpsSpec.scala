@@ -138,6 +138,38 @@ class LlmOpsSpec extends SparkSpec {
       "unprobed cell leaked into candidates")
   }
 
+  test("kmeans fit recovers well-separated clusters; assignment is pure") {
+    // 3 tight clusters around (0,0), (10,0), (0,10)
+    val pts = (0 until 30).map { i =>
+      val (cx, cy) = Seq((0.0, 0.0), (10.0, 0.0), (0.0, 10.0))(i % 3)
+      (i.toLong, Seq(cx + (i % 5) * 0.01, cy + (i % 7) * 0.01))
+    }.toDF("id", "v")
+    val centroids = Similarity.kmeansFit(pts, "v", k = 3, iters = 10)
+    assert(centroids.size == 3)
+    // every point assigns to a centroid near its true center
+    val cells = Similarity.ivfAssign(pts, "v", centroids)
+      .select(col("id"), col("cell")).collect()
+      .map(r => r.getLong(0) % 3 -> r.getInt(1))
+    val purity = cells.groupBy(_._1).values
+      .map(g => g.groupBy(_._2).values.map(_.size).max.toDouble / g.size)
+    assert(purity.forall(_ == 1.0), s"clusters mixed: ${cells.toSeq}")
+    // deterministic: same seed → same centroids
+    assert(Similarity.kmeansFit(pts, "v", k = 3, iters = 10) == centroids)
+  }
+
+  test("pii redaction: email, ip, phone each replaced; order protects digits") {
+    val df = Seq(
+      "mail a.b+c@foo-bar.example.org now",
+      "server at 192.168.0.1 port 8080",
+      "call +1 555 0123 456 today",
+      "clean text with no pii at all").toDF("text")
+    val out = df.select(TextAnalysis.redactPii(col("text"))).as[String].collect()
+    assert(out(0) == "mail <EMAIL> now", out(0))
+    assert(out(1) == "server at <IP> port 8080", out(1))
+    assert(out(2) == "call <PHONE> today", out(2))
+    assert(out(3) == "clean text with no pii at all")
+  }
+
   test("langId picks marker-heavy language") {
     val df = Seq("the cat and the dog is with that",
       "der hund und die katze ist nicht das").toDF("text")
