@@ -92,4 +92,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("dup-ngram fraction is total and within [0, 1]") {
+    forAllSampled(Gen.listOfN(4, Gen.oneOf(
+      Gen.alphaStr.map(_.take(20)), Gen.const(""), Gen.const("a a a a a")))) {
+      texts =>
+        val df = texts.toDF("text")
+          .withColumn("__toks", TextAnalysis.asciiTokens($"text"))
+        val rs = df.select(TextAnalysis.dupNgramFraction($"__toks", 2))
+          .as[Double].collect()
+        assert(rs.forall(r => r >= 0.0 && r <= 1.0), rs.toSeq)
+    }
+  }
+
+  test("int8 quantization stays within [-127, 127] and is sign-preserving") {
+    forAllSampled(Gen.listOfN(8, Gen.chooseNum(-1e6, 1e6))) { xs =>
+      val df = Seq(Tuple1(xs)).toDF("v")
+        .withColumn("scale", graft.sim.Similarity.int8Scale($"v"))
+        .withColumn("q", graft.sim.Similarity.quantizeInt8($"v", $"scale"))
+      val Row2 = df.select($"v", $"q").collect().head
+      val v = Row2.getSeq[Double](0); val q = Row2.getSeq[Int](1)
+      assert(q.forall(x => x >= -127 && x <= 127), q)
+      v.zip(q).foreach { case (x, qx) =>
+        assert(qx == 0 || math.signum(x) == math.signum(qx.toDouble), (x, qx))
+      }
+    }
+  }
+
+  test("pii redaction is idempotent and leaves no raw emails behind") {
+    forAllSampled(Gen.listOfN(3, nameGen)) { ws =>
+      val text = s"${ws.mkString(" ")} ${ws.headOption.getOrElse("a")}@x.example.com tail"
+      val df = Seq(text).toDF("text")
+      val once = df.select(TextAnalysis.redactPii($"text")).as[String].head()
+      assert(!once.contains("@x.example.com"), once)
+      val twice = Seq(once).toDF("text")
+        .select(TextAnalysis.redactPii($"text")).as[String].head()
+      assert(twice == once, s"not idempotent: $once -> $twice")
+    }
+  }
 }
