@@ -22,6 +22,28 @@ class BucketingSpec extends SparkSpec {
     assert(pruned.count() == full)
   }
 
+  test("IVF corpus partitioned by cell: a probe scans only nProbe cells") {
+    // the 100 TB claim behind Similarity.ivfKnn: with the assigned corpus
+    // written partitioned by cell, probing nProbe cells is a PRUNED scan —
+    // unprobed cells never leave the file index
+    val e = Tables.load(spark, sf0, "embeddings")
+    val centroids = e.filter(col("vec_id") < 3).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val out = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Sinks.parquetSink(
+      graft.sim.Similarity.ivfAssign(e, "embedding", centroids),
+      out, partitionCols = Seq("cell"))
+    val probed = spark.read.parquet(out).filter(col("cell").isin(0, 2))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"no cell pruning:\n$plan")
+    // pruning is semantic too: only the probed cells' rows come back
+    val cells = probed.select("cell").distinct()
+      .as[Int].collect().toSet
+    assert(cells.subsetOf(Set(0, 2)), s"unprobed cells leaked: $cells")
+  }
+
   test("join of two tables bucketed on the key plans without a shuffle") {
     val orders = Tables.load(spark, sf0, "orders")
     val lineitem = Tables.load(spark, sf0, "lineitem")
