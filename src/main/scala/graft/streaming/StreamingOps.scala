@@ -105,6 +105,22 @@ object StreamingOps {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dup dedup: dedup on the normalized-word-set fingerprint
+    * (whitespace/punct/word-order variants collapse — the streaming form of
+    * Dedup.byFingerprint) or any signature column. State is one small
+    * digest per distinct doc, watermark-evicted; the full LSH pair search
+    * stays a batch job (pair generation needs a corpus-wide self-join), but
+    * the fingerprint tier runs in-stream and drops the bulk of near-dups
+    * before they ever land.
+    */
+  def streamingNearDedup(stream: DataFrame, textCol: String, tsCol: String,
+                         watermark: String): DataFrame =
+    stream
+      .withColumn("__fp", graft.text.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__fp"))
+      .drop("__fp")
+
   /** Session windows over event time (gap-based) — built-in
     * `session_window`; state is managed by Spark's streaming aggregation.
     */

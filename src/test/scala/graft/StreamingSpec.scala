@@ -110,6 +110,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup collapses whitespace/word-order variants in-stream") {
+    val d = java.nio.file.Files.createTempDirectory("graft-neardup")
+    val schema = new StructType()
+      .add("id", LongType).add("ts", LongType).add("text", StringType)
+    def drop(name: String, rows: Seq[(Long, Long, String)]): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft-neardup-st")
+      rows.toDF("id", "ts", "text").repartition(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        d.resolve(s"$name.parquet"))
+    }
+    val t0 = 1700000000000000L
+    drop("a", Seq(
+      (1L, t0, "the quick brown fox"),
+      (2L, t0 + 1, "The  Quick   BROWN fox!!"),   // near-dup of 1
+      (3L, t0 + 2, "something else entirely")))
+    val stream = StreamingOps.fileSource(spark, schema, d.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = StreamingOps.streamingNearDedup(stream, "text", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM neardup_stream").as[Long].head() == 2,
+        "near-duplicate not collapsed in the first batch")
+      // cross-batch: a later word-order variant hits state and drops too
+      drop("b", Seq((4L, t0 + 3, "fox brown quick the"),
+        (5L, t0 + 4, "genuinely new content")))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM neardup_stream ORDER BY id")
+        .as[Long].collect().toSeq
+      assert(!ids.contains(4L) && ids.contains(5L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("dead-letter split catches unparseable payloads in a pipeline") {
     val df = Seq("""{"k": 1}""", "not json at all", """{"k": 3}""")
       .toDF("props")
