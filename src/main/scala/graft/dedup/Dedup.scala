@@ -184,6 +184,48 @@ object Dedup {
       .filter(col("jaccard") >= tEff)
   }
 
+  /** Near-dup CLUSTERS from a pair list: connected components by iterative
+    * min-label propagation — each doc's label converges to the smallest id
+    * reachable through the pair graph, which doubles as the canonical
+    * (keep) document per cluster. Returns (id, label).
+    *
+    * 100 TB shape: near-dup graphs are dense little cliques with tiny
+    * diameter, so the loop converges in a handful of rounds; each round is
+    * two shuffles of (id, label) pairs — never the documents. Lineage is
+    * cut with localCheckpoint every round (iterative plans otherwise grow
+    * unboundedly). For adversarial long-chain graphs the published
+    * large-star/small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) halves rounds to
+    * O(log n); the propagation loop here is the same join shape.
+    */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Symmetrized edge list; every node starts labeled with itself.
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // each node adopts the min of its own and its neighbours' labels
+      val nbr = edges.join(labels, edges("id_b") === labels("id"))
+        .groupBy(edges("id_a").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint() // cut lineage: iterative plans grow unboundedly
+      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash over word shingles, computed in one per-row pass by
     * [[graft.exprs.HashExprs.SimHash64]] (the column-function formulation
     * needs 64 aggregate passes per row — quadratic and codegen-hostile).

@@ -109,6 +109,21 @@ object LlmQueries {
         .filter(col("jac") >= 0.2)
         .orderBy("id_a", "id_b")),
 
+    // Near-dup clusters: connected components over the exact-Jaccard pair
+    // graph; the label IS the canonical (keep) doc per cluster.
+    "d_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairsExact(
+          docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
+            col("text")),
+          "text", "doc_id", Seq("source", "lang"),
+          shingleSize = 3, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac"))
+        .filter(col("jac") >= 0.2)
+      Dedup.dedupClusters(pairs)
+        .select(col("id").as("doc_id"), col("label").as("canonical"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash-LSH near-dup pairs — xxhash64-based: rows-only.
     "d_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id",
@@ -442,6 +457,39 @@ object LlmQueries {
         |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+    // same pair generation as d_ngram_jaccard, then transitive closure via
+    // recursive CTE; canonical = smallest reachable doc_id (incl. self)
+    "d_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, source, lang,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' ')) - 1, 2)),
+        |      i -> array_to_string(
+        |        (list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '), x -> x <> ''))[i:i+2],
+        |        ' '))) AS sh
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '),
+        |            x -> x <> '')) > 0),
+        |pf AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jac
+        |    FROM sh a JOIN sh b
+        |      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  WHERE jac >= 0.2),
+        |sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pf
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM pf),
+        |reach AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym)
+        |SELECT n.id AS doc_id, least(n.id, min(r.dst)) AS canonical
+        |FROM nodes n LEFT JOIN reach r ON r.src = n.id
+        |GROUP BY n.id ORDER BY n.id""".stripMargin,
     "d_embed_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, label,

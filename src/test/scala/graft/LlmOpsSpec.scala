@@ -89,6 +89,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(approx == Set((1L, 2L)))
   }
 
+  test("dedup clusters: chained pairs collapse to one canonical label") {
+    // components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,6}; singleton 7-8 pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L), labels)
+  }
+
   test("simhash: identical→0 hamming, near-dup small, unrelated large") {
     val a = (1 to 50).map(i => s"tok$i").mkString(" ")
     val b = (1 to 48).map(i => s"tok$i").mkString(" ") + " x y"
