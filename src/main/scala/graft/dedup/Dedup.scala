@@ -209,17 +209,18 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // each node adopts the min of its own and its neighbours' labels
+      // each node adopts the min of its own and its neighbours' labels;
+      // the previous label rides along so convergence is a filter over the
+      // checkpointed result, not a second join
       val nbr = edges.join(labels, edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("id"))
         .agg(min(col("label")).as("nlabel"))
       val next = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint() // cut lineage: iterative plans grow unboundedly
-      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.drop("prev")
       i += 1
     }
     edges.unpersist()
