@@ -205,20 +205,25 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       // each node adopts the min of its own and its neighbours' labels;
       // the previous label rides along so convergence is a filter over the
-      // checkpointed result, not a second join
+      // materialized result, not a second join
       val nbr = edges.join(labels, edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("id"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(nbr, Seq("id"), "left")
+      val next0 = labels.join(nbr, Seq("id"), "left")
         .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint() // cut lineage: iterative plans grow unboundedly
+      // persist each round (the convergence job below materializes it);
+      // every 5th round localCheckpoint instead — persist keeps the logical
+      // lineage growing per round, and an unbounded iterative plan is what
+      // blows up analysis/canonicalization time at high iteration counts
+      val next = if (i % 5 == 4) next0.localCheckpoint()
+        else next0.persist(StorageLevel.MEMORY_AND_DISK)
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       labels = next.drop("prev")
       i += 1
