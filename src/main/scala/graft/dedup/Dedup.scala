@@ -225,6 +225,9 @@ object Dedup {
       val next = if (i % 5 == 4) next0.localCheckpoint()
         else next0.persist(StorageLevel.MEMORY_AND_DISK)
       converged = next.filter(col("label") =!= col("prev")).isEmpty
+      // the convergence job materialized `next`; the previous round's cache
+      // is dead weight from here on (at 100 TB: one labels copy, not i)
+      labels.unpersist()
       labels = next.drop("prev")
       i += 1
     }
