@@ -457,6 +457,18 @@ object LlmQueries {
         |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+    // portable polynomial hash: pure BIGINT arithmetic over codepoints,
+    // identical fold order both sides (list_prepend(0, ...) = init-0 fold)
+    "t_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |    string_split_regex(trim(text), '\s+'),
+        |    w -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 131 + c) % 1000000007))),
+        |    (acc, h) -> (acc * 31 + h) % 1000000007) AS rh
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // same pair generation as d_ngram_jaccard, then transitive closure via
     // recursive CTE; canonical = smallest reachable doc_id (incl. self)
     "d_dedup_clusters" ->

@@ -113,15 +113,22 @@ object TextAnalysis {
         filter(split(lower(regexp_replace(text, raw"[^\p{L}\p{N}\s]", " ")), "\\s+"),
           t => length(t) > 0)))))
 
-  /** Rolling-hash document fingerprint: polynomial hash over tokens, mod a
+  /** Rolling-hash document fingerprint: polynomial hash over tokens, each
+    * token itself a polynomial hash of its character codepoints, mod a
     * large prime (keeps the accumulator in range under ANSI arithmetic).
     * Order-sensitive (unlike [[fingerprint]]); detects exact reorderings.
+    * Engine-portable by construction — pure integer arithmetic over
+    * codepoints, reproducible in any SQL engine with list folds.
     */
-  def rollingHash(text: Column): Column =
+  def rollingHash(text: Column): Column = {
+    def wordHash(w: Column): Column =
+      aggregate(transform(split(w, ""), c => ascii(c).cast("long")),
+        lit(0L), (a, c) => pmod(a * lit(131L) + c, lit(1000000007L)))
     aggregate(
       split(trim(text), "\\s+"),
       lit(0L),
-      (acc, w) => pmod(acc * lit(31L) + crc32(w).cast("long"), lit(1000000007L)))
+      (acc, w) => pmod(acc * lit(31L) + wordHash(w), lit(1000000007L)))
+  }
 
   /** Character n-gram shingles (for MinHash / Jaccard) — single-pass native
     * expression (same re-evaluation hazard as word shingles).
