@@ -457,6 +457,16 @@ object LlmQueries {
         |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+    // identical capture-group boundary insertion + split on both engines
+    "t_subword_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '(\p{L})(\p{N})', '\1 \2', 'g'),
+        |      '(\p{N})(\p{L})', '\1 \2', 'g'),
+        |      '([!-/:-@\[-`{-~])', ' \1 ', 'g'),
+        |    '\s+'), x -> x <> '')) AS INT) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // portable polynomial hash: pure BIGINT arithmetic over codepoints,
     // identical fold order both sides (list_prepend(0, ...) = init-0 fold)
     "t_rolling_hash" ->

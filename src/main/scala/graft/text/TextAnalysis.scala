@@ -14,13 +14,18 @@ object TextAnalysis {
     size(split(trim(text), "\\s+"))
 
   /** BPE-ish subword count: splits on word boundaries AND intra-word
-    * transitions (letter/digit/punct runs), approximating tokenizer
-    * granularity without a vocab. Regex-only — stays in codegen.
+    * transitions (letter/digit runs, ASCII punctuation), approximating
+    * tokenizer granularity without a vocab. Regex-only — stays in codegen.
+    * Boundaries are marked by capture-group space insertion rather than
+    * lookarounds, so the identical RE2-safe patterns run in a SQL oracle.
     */
-  def subwordCount(text: Column): Column =
-    size(filter(
-      split(text, raw"(?<=\p{L})(?=\p{N})|(?<=\p{N})(?=\p{L})|\s+|(?=\p{Punct})|(?<=\p{Punct})"),
-      c => length(c) > 0))
+  def subwordCount(text: Column): Column = {
+    val punct = "[!-/:-@\\[-`{-~]" // ASCII punctuation, both regex engines
+    val s1 = regexp_replace(text, raw"(\p{L})(\p{N})", "$1 $2")
+    val s2 = regexp_replace(s1, raw"(\p{N})(\p{L})", "$1 $2")
+    val s3 = regexp_replace(s2, "(" + punct + ")", " $1 ")
+    size(filter(split(s3, "\\s+"), c => length(c) > 0))
+  }
 
   /** Characters-per-token ratio — a cheap fertility proxy. */
   def charsPerToken(text: Column): Column =
