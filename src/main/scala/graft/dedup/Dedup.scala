@@ -184,6 +184,36 @@ object Dedup {
       .filter(col("jaccard") >= tEff)
   }
 
+  /** Per-document fraction of sentences duplicated elsewhere in the corpus —
+    * the C4/Lee-et-al. sentence-level dedup signal (public technique:
+    * Raffel et al. 2020 §2.2 three-sentence-span dedup, Lee et al. 2021
+    * "Deduplicating Training Data..."): boilerplate-heavy documents score
+    * high and get filtered or stripped before training.
+    *
+    * 100 TB shape: sentences leave the scan as (doc_id, md5) pairs — the
+    * corpus-wide duplicate count shuffles 16-byte digests, never sentence
+    * text; the join back to documents is digest-keyed. Min length filters
+    * trivial sentences like C4 does.
+    */
+  def dupSentenceFraction(df: DataFrame, textCol: String, idCol: String,
+                          minChars: Int = 20): DataFrame = {
+    val sents = df.select(col(idCol).as("id"),
+        explode(filter(
+          transform(split(col(textCol), "[.!?]\\s+|[.!?]$"), s => trim(s)),
+          s => length(s) >= minChars)).as("sent"))
+      .select(col("id"), md5(lower(col("sent"))).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds the count AND the join
+    val counts = sents.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("nd"))
+    sents.join(counts, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sent"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("id"),
+        (col("n_dup").cast("double") / col("n_sent").cast("double"))
+          .as("dup_sent_frac"))
+  }
+
   /** Near-dup CLUSTERS from a pair list: connected components by iterative
     * min-label propagation — each doc's label converges to the smallest id
     * reachable through the pair graph, which doubles as the canonical

@@ -109,6 +109,14 @@ object LlmQueries {
         .filter(col("jac") >= 0.2)
         .orderBy("id_a", "id_b")),
 
+    // C4-style sentence-level dedup signal: per-doc fraction of sentences
+    // whose normalized hash appears in more than one document.
+    "d_dup_sentence_frac" -> ((s, dir) =>
+      Dedup.dupSentenceFraction(docs(s, dir), "text", "doc_id")
+        .select(col("id").as("doc_id"),
+          round(col("dup_sent_frac"), 6).as("dup_frac"))
+        .orderBy("doc_id")),
+
     // Near-dup clusters: connected components over the exact-Jaccard pair
     // graph; the label IS the canonical (keep) doc per cluster.
     "d_dedup_clusters" -> ((s, dir) => {
@@ -457,6 +465,20 @@ object LlmQueries {
         |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+    // identical sentence split/normalize/filter on both engines; fraction
+    // is a double division of exact counts, rounded after
+    "d_dup_sentence_frac" ->
+      """WITH s AS (
+        |  SELECT doc_id, md5(lower(s)) AS h
+        |  FROM (SELECT doc_id, trim(unnest(string_split_regex(text, '[.!?]\s+|[.!?]$'))) AS s
+        |        FROM documents)
+        |  WHERE length(s) >= 20),
+        |c AS (SELECT h, count(DISTINCT doc_id) AS nd FROM s GROUP BY h)
+        |SELECT s.doc_id,
+        |  CAST(round(CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |       CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS dup_frac
+        |FROM s JOIN c ON s.h = c.h
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     // identical capture-group boundary insertion + split on both engines
     "t_subword_count" ->
       """SELECT doc_id,
