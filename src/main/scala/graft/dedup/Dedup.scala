@@ -79,27 +79,26 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     // Shingling is the dominant per-row cost and this relation feeds three
     // consumers (bucket generation + both sides of the verify join), so it
-    // is persisted rather than recomputed per consumer. No unpersist here:
-    // the returned plan is lazy, so the cache must outlive this call —
-    // CacheManager dedupes identical plans across invocations and
-    // ContextCleaner reclaims the storage once unreachable. At 100 TB the
-    // same role is played by a checkpoint of (id, sh) to durable storage.
-    val shingled = df.select(
+    // is persisted rather than recomputed per consumer. The returned plan
+    // is lazy and reads this cache, so it cannot be unpersisted here; its
+    // lifetime is handed to the caller via [[graft.CacheScope.releaseAll]]
+    // (SQL-cached relations are pinned by CacheManager and are NOT
+    // reclaimed by ContextCleaner). At 100 TB the same role is played by a
+    // checkpoint of (id, sh) to durable storage.
+    val shingled = graft.CacheScope.cache(df.select(
       col(idCol).as("id"),
       TextAnalysis.wordShingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("sh")) > 0))
     // Candidate generation carries ONLY (id, band, bucket) — the shingle
     // arrays never enter the bucket shuffle (at 100 TB they'd dominate it).
-    // Persisted because the self-join below evaluates each side
-    // independently — without the cache the minhash signatures would be
-    // computed twice. Rows are slim (id, band, bucket) triples.
-    val buckets = shingled
+    // Cached (caller-released, see above) because the self-join below
+    // evaluates each side independently — without the cache the minhash
+    // signatures would be computed twice. Rows are slim triples.
+    val buckets = graft.CacheScope.cache(shingled
       .select(col("id"),
         explode(lshBands(minhashSignature(col("sh"), numHashes),
           bands, rowsPerBand)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
     val cand = buckets.alias("a").join(buckets.alias("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -145,28 +144,28 @@ object Dedup {
     val tEff = threshold - 1e-6
     val blocks = blockCols.map(col)
     // Both slim relations feed multiple consumers (base: verify-join sides;
-    // toks: frequency agg + prefix join) — persist instead of re-shingling
-    // the corpus per consumer. Lazily returned plan ⇒ no unpersist (see
-    // minhashLshPairs); at 100 TB this is the relation you'd checkpoint.
-    val base = df.select((col(idCol).as("id") +: blocks :+
+    // toks: frequency agg + prefix join) — cached instead of re-shingling
+    // the corpus per consumer. Lazily returned plan ⇒ cache lifetime is the
+    // caller's, via [[graft.CacheScope.releaseAll]] (see minhashLshPairs);
+    // at 100 TB this is the relation you'd checkpoint.
+    val base = graft.CacheScope.cache(
+      df.select((col(idCol).as("id") +: blocks :+
         TextAnalysis.wordShingles(col(textCol), shingleSize).as("sh")): _*)
-      .filter(size(col("sh")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val toks = base.select((col("id") +: blocks :+ size(col("sh")).as("sz") :+
-        explode(col("sh")).as("tok")): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("sh")) > 0))
+    val toks = graft.CacheScope.cache(
+      base.select((col("id") +: blocks :+ size(col("sh")).as("sz") :+
+        explode(col("sh")).as("tok")): _*))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     // Per-doc frequency-ascending order; keep only the pigeonhole prefix.
     // floor (not ceil) of t·sz under-counts the required overlap, so the
     // prefix is never too short — exactness is preserved at the boundary.
     val w = Window.partitionBy(col("id")).orderBy(col("cnt"), col("tok"))
-    // Persisted: the a/b self-join would otherwise run the per-doc
-    // frequency-sort window (a shuffle + sort) twice.
-    val prefix = toks.join(freq, "tok")
+    // Cached (caller-released): the a/b self-join would otherwise run the
+    // per-doc frequency-sort window (a shuffle + sort) twice.
+    val prefix = graft.CacheScope.cache(toks.join(freq, "tok")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <=
-        col("sz") - floor(lit(tEff) * col("sz")).cast("int") + 1)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        col("sz") - floor(lit(tEff) * col("sz")).cast("int") + 1))
     val a = prefix.alias("a"); val b = prefix.alias("b")
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
@@ -197,12 +196,13 @@ object Dedup {
     */
   def dupSentenceFraction(df: DataFrame, textCol: String, idCol: String,
                           minChars: Int = 20): DataFrame = {
-    val sents = df.select(col(idCol).as("id"),
+    // feeds the corpus-wide count AND the join back — cached, caller-
+    // released via [[graft.CacheScope.releaseAll]]
+    val sents = graft.CacheScope.cache(df.select(col(idCol).as("id"),
         explode(filter(
           transform(split(col(textCol), "[.!?]\\s+|[.!?]$"), s => trim(s)),
           s => length(s) >= minChars)).as("sent"))
-      .select(col("id"), md5(lower(col("sent"))).as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds the count AND the join
+      .select(col("id"), md5(lower(col("sent"))).as("h")))
     val counts = sents.groupBy(col("h"))
       .agg(countDistinct(col("id")).as("nd"))
     sents.join(counts, "h")
@@ -214,55 +214,114 @@ object Dedup {
           .as("dup_sent_frac"))
   }
 
-  /** Near-dup CLUSTERS from a pair list: connected components by iterative
-    * min-label propagation — each doc's label converges to the smallest id
-    * reachable through the pair graph, which doubles as the canonical
-    * (keep) document per cluster. Returns (id, label).
+  /** Large-star round of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond" (SoCC 2014), §3: for every node u (as the
+    * center of its symmetrized neighborhood N(u)) with m = min(N(u) ∪
+    * {u}), emit an edge (v, m) for each STRICTLY LARGER neighbor v > u.
+    * Output edges are canonical (first endpoint > second); no self-loops
+    * (v > u ≥ m). No distinct here — duplicate edges don't change any
+    * later min and the smallStar output dedupes.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
+  }
+
+  /** Small-star round (same paper, §3): edges arrive canonical (u > v);
+    * for every center u with smaller-neighbor set N⁻(u) and m = min(N⁻(u))
+    * — which is min(N⁻(u) ∪ {u}) since every member is < u — emit (x, m)
+    * for each x ∈ N⁻(u) ∪ {u} except m itself. Output stays canonical
+    * (x > m by minimality) and is deduped, so round-over-round edge sets
+    * compare as sets.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("mn"))
+    val fromNbrs = e.join(mins, "u")
+      .filter(col("v") =!= col("mn"))
+      .select(col("v").as("u"), col("mn").as("v"))
+    fromNbrs.unionAll(mins.select(col("u"), col("mn").as("v"))).distinct()
+  }
+
+  /** Near-dup CLUSTERS from a pair list: connected components via the
+    * alternating large-star/small-star algorithm (Kiveris et al., SoCC
+    * 2014) — each round contracts every node toward the minimum id of its
+    * component, converging in O(log² n) rounds (vs O(diameter) for plain
+    * min-label propagation) to a star per component rooted at its minimum
+    * node. That root doubles as the canonical (keep) document per cluster.
+    * Returns (id, label).
     *
-    * 100 TB shape: near-dup graphs are dense little cliques with tiny
-    * diameter, so the loop converges in a handful of rounds; each round is
-    * two shuffles of (id, label) pairs — never the documents. Lineage is
-    * cut with localCheckpoint every round (iterative plans otherwise grow
-    * unboundedly). For adversarial long-chain graphs the published
-    * large-star/small-star algorithm (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SoCC 2014) halves rounds to
-    * O(log n); the propagation loop here is the same join shape.
+    * 100 TB shape: every shuffle carries (u, v) id pairs only — never the
+    * documents; round count is logarithmic even for adversarial long-chain
+    * graphs. ONE driver-synchronized job per round: the materializing
+    * aggregate doubles as the convergence signal (edge count + order-
+    * independent hash digest), so there is no separate convergence scan. A
+    * stats match is confirmed with one exact set comparison (both sides
+    * are cached, deduped, slim) before declaring convergence, so a 64-bit
+    * hash-sum collision cannot produce wrong labels. Lineage is cut with
+    * localCheckpoint every 4th round (iterative plans otherwise grow
+    * analysis time unboundedly); localCheckpoint blocks are RDD-level and
+    * ARE reclaimed by ContextCleaner once unreachable, unlike SQL caches,
+    * which this loop unpersists explicitly as each round supersedes the
+    * last. The final round's cache backs the lazily-returned labels and is
+    * registered with [[graft.CacheScope]] for caller-controlled release.
     */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // Symmetrized edge list; every node starts labeled with itself.
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val spark = pairs.sparkSession
+    // Canonical directed edge list (u, v), u > v; self-pairs dropped.
+    var e = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cachedRound = e // the round whose SQL cache is currently live
+    var prevCnt = -1L
+    var prevSum = 0L
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // each node adopts the min of its own and its neighbours' labels;
-      // the previous label rides along so convergence is a filter over the
-      // materialized result, not a second join
-      val nbr = edges.join(labels, edges("id_b") === labels("id"))
-        .groupBy(edges("id_a").as("id"))
-        .agg(min(col("label")).as("nlabel"))
-      val next0 = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      // persist each round (the convergence job below materializes it);
-      // every 5th round localCheckpoint instead — persist keeps the logical
-      // lineage growing per round, and an unbounded iterative plan is what
-      // blows up analysis/canonicalization time at high iteration counts
-      val next = if (i % 5 == 4) next0.localCheckpoint()
+      val next0 = smallStar(largeStar(e))
+      // Every round MUST truncate the logical lineage: one star round
+      // references its input ~8× (sym twice in largeStar, the join back in
+      // smallStar), so un-truncated plans grow 8^rounds nodes and OOM the
+      // driver during analysis/AQE explain long before the data is big.
+      // Persist + the fused agg below materializes the round in ONE job;
+      // wrapping the cached result as a LogicalRDD (createDataFrame over
+      // next.rdd) gives the next round a flat plan. Every 4th round a
+      // localCheckpoint additionally cuts the RDD lineage chain (the
+      // executor-loss recompute path), which grows linearly otherwise.
+      val checkpointRound = i % 4 == 3
+      val next = if (checkpointRound) next0.localCheckpoint()
         else next0.persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.filter(col("label") =!= col("prev")).isEmpty
-      // the convergence job materialized `next`; the previous round's cache
-      // is dead weight from here on (at 100 TB: one labels copy, not i)
-      labels.unpersist()
-      labels = next.drop("prev")
-      i += 1
+      // ONE job: materializes `next` into its cache AND yields the
+      // convergence stats — count + order-independent XOR digest of the
+      // edge set (XOR, not SUM: ANSI mode makes a 64-bit sum overflow).
+      val r = next.agg(count(lit(1)).as("c"),
+        expr("bit_xor(xxhash64(u, v))").as("s")).head()
+      val cnt = r.getLong(0)
+      val hsum = if (r.isNullAt(1)) 0L else r.getLong(1)
+      if (cnt == prevCnt && hsum == prevSum) {
+        // probable fixpoint — exact confirmation: equal-cardinality deduped
+        // sets are identical iff the difference is empty (both cached)
+        converged = next.exceptAll(e).isEmpty
+      }
+      prevCnt = cnt; prevSum = hsum
+      e = if (checkpointRound) next
+        else spark.createDataFrame(next.rdd, next.schema) // flat LogicalRDD
+      if (cachedRound != null) cachedRound.unpersist() // superseded SQL cache
+      cachedRound = if (checkpointRound) null else next // (checkpoint RDD
+      i += 1 // blocks are reclaimed by ContextCleaner once unreachable)
     }
-    edges.unpersist()
-    labels
+    if (cachedRound != null) graft.CacheScope.register(cachedRound)
+    // At the star fixpoint every edge points directly at its component's
+    // minimum node, so labels read straight off the edges; roots (targets)
+    // label themselves. groupBy-min also degrades gracefully to "min
+    // incident label" if maxIters was exhausted before the fixpoint.
+    e.select(col("u").as("id"), col("v").as("label"))
+      .unionAll(e.select(col("v").as("id"), col("v").as("label")))
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
   }
 
   /** 64-bit SimHash over word shingles, computed in one per-row pass by
@@ -284,15 +343,15 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     // Signatures computed once into a slim (id, sig) relation; the block
     // join and the verification both reuse it (8-byte payloads only).
-    // Persisted so the a/b self-join doesn't shingle + SimHash the corpus
-    // twice (each self-join side is evaluated independently).
+    // Cached (caller-released via [[graft.CacheScope.releaseAll]]) so the
+    // a/b self-join doesn't shingle + SimHash the corpus twice (each
+    // self-join side is evaluated independently).
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-    val blocked = sigs.select(col("id"), col("sig"),
+    val blocked = graft.CacheScope.cache(sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map { i =>
         struct(lit(i).as("i"),
           shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("v"))
-      }: _*)).as("blk"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      }: _*)).as("blk")))
     val a = blocked.alias("a"); val b = blocked.alias("b")
     a.join(b,
         col("a.blk.i") === col("b.blk.i") && col("a.blk.v") === col("b.blk.v") &&

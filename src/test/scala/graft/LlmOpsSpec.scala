@@ -99,6 +99,38 @@ class LlmOpsSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L), labels)
   }
 
+  test("dedup clusters: adversarial long chain converges in O(log n) rounds") {
+    // a 64-link path graph has diameter 64 — plain min-label propagation
+    // would need >20 rounds; the large-star/small-star loop must finish
+    // (and be exact) within the default maxIters = 20 ≫ log²(65)
+    val pairs = (1L until 65L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 65 && labels.values.forall(_ == 1L), labels)
+  }
+
+  test("dedup clusters: reversed-id chain (worst case for min-rooting)") {
+    // chain 65-64-...-1 fed as (hi, lo) pairs plus a disjoint 2-cycle
+    val pairs = ((65L until 130L).map(i => (i + 1, i)) :+ (200L, 201L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((65L to 130L).forall(labels(_) == 65L) && labels(200L) == 200L &&
+      labels(201L) == 200L, labels)
+  }
+
+  test("CacheScope: library-op caches are caller-releasable") {
+    CacheScope.releaseAll(blocking = true)
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w v u"))
+      .toDF("id", "text")
+    Dedup.minhashLshPairs(df, "text", "id").count()
+    assert(CacheScope.liveCount > 0)
+    CacheScope.releaseAll(blocking = true)
+    assert(CacheScope.liveCount == 0)
+    // released caches re-materialize lazily: the op still runs afterwards
+    assert(Dedup.minhashLshPairs(df, "text", "id").count() >= 1)
+  }
+
   test("simhash: identical→0 hamming, near-dup small, unrelated large") {
     val a = (1 to 50).map(i => s"tok$i").mkString(" ")
     val b = (1 to 48).map(i => s"tok$i").mkString(" ") + " x y"
