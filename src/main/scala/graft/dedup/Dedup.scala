@@ -224,10 +224,12 @@ object Dedup {
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-    sym.join(mins, "u")
+    // per-center min as a window aggregate: ONE shuffle on u (a groupBy +
+    // join-back would shuffle the neighborhood relation twice)
+    val w = Window.partitionBy(col("u"))
+    sym.withColumn("mn", least(min(col("v")).over(w), col("u")))
       .filter(col("v") > col("u"))
-      .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
+      .select(col("v").as("u"), col("mn").as("v"))
   }
 
   /** Small-star round (same paper, §3): edges arrive canonical (u > v);
@@ -238,11 +240,15 @@ object Dedup {
     * compare as sets.
     */
   private def smallStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy(col("u")).agg(min(col("v")).as("mn"))
-    val fromNbrs = e.join(mins, "u")
-      .filter(col("v") =!= col("mn"))
-      .select(col("v").as("u"), col("mn").as("v"))
-    fromNbrs.unionAll(mins.select(col("u"), col("mn").as("v"))).distinct()
+    // single window shuffle for the per-center min; each row then emits
+    // its neighbor AND its center against that min in one explode pass
+    // (x ∈ {v, u}, keep x ≠ mn), so the window subtree is evaluated once
+    val w = Window.partitionBy(col("u"))
+    e.withColumn("mn", min(col("v")).over(w))
+      .select(explode(array(col("v"), col("u"))).as("x"), col("mn"))
+      .filter(col("x") =!= col("mn"))
+      .select(col("x").as("u"), col("mn").as("v"))
+      .distinct()
   }
 
   /** Near-dup CLUSTERS from a pair list: connected components via the
@@ -271,17 +277,30 @@ object Dedup {
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     // Canonical directed edge list (u, v), u > v; self-pairs dropped.
-    var e = pairs
+    // Cached like every other op intermediate (caller-released via
+    // CacheScope, NOT unpersisted when round 0 supersedes it): the pair
+    // list is the op's slim input relation, identical across repeated
+    // calls on the same corpus, so keeping it lets CacheManager's
+    // plan-dedupe serve re-runs without re-deriving the pairs.
+    var e = graft.CacheScope.cache(pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var cachedRound = e // the round whose SQL cache is currently live
-    var prevCnt = -1L
-    var prevSum = 0L
+      .filter(col("u") =!= col("v")).distinct())
+    var cachedRound: DataFrame = null // round cache the loop owns + retires
+    // Materialize the (possibly expensive) input pair pipeline ONCE before
+    // the first star round touches it: largeStar references `e` four times
+    // (sym union + the join back), and concurrent scans of a cold cache
+    // each evaluate the underlying plan — the pair-generation join would
+    // run ~4× in parallel. The same aggregate seeds the convergence stats,
+    // so an input that is already a star fixpoint converges after ONE round.
+    val r0 = e.agg(count(lit(1)).as("c"),
+      expr("bit_xor(xxhash64(u, v))").as("s")).head()
+    var prevCnt = r0.getLong(0)
+    var prevSum = if (r0.isNullAt(1)) 0L else r0.getLong(1)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      val tRound = System.nanoTime()
       val next0 = smallStar(largeStar(e))
       // Every round MUST truncate the logical lineage: one star round
       // references its input ~8× (sym twice in largeStar, the join back in
@@ -307,6 +326,8 @@ object Dedup {
         // sets are identical iff the difference is empty (both cached)
         converged = next.exceptAll(e).isEmpty
       }
+      if (sys.props.contains("graft.dedup.debugRounds"))
+        System.err.println(s"[dedupClusters] round=$i edges=$cnt converged=$converged ms=${(System.nanoTime() - tRound) / 1000000}")
       prevCnt = cnt; prevSum = hsum
       e = if (checkpointRound) next
         else spark.createDataFrame(next.rdd, next.schema) // flat LogicalRDD

@@ -8,8 +8,10 @@ object Sinks {
 
   /** Batch Kafka write with dynamic per-row topic — requires columns
     * `key` (binary/string), `value` (binary/string), `topic` (string).
-    * Semantics of the reference's `kafkaProducer` command; the REST-proxy
-    * transport is dropped as a transport detail (SURVEY.md §2.D).
+    * Semantics of the reference's `kafkaProducer` command. The reference's
+    * REST-proxy transport is implemented in
+    * [[HttpSenders.restProxyKafkaSender]] (pluggable via [[KafkaEnv]]);
+    * this native path needs the spark-sql-kafka jar + a broker.
     */
   def kafkaBatch(df: DataFrame, bootstrap: String): Unit =
     df.write.format("kafka")

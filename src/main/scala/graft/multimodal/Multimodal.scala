@@ -57,15 +57,50 @@ object Multimodal {
   }
   // ========================================================================
 
+  /** Decompression-bomb guard: max decoded pixel count accepted by
+    * [[imageDecode]] (64 Mpx ≈ 256 MB as 4-channel int raster). Corpus
+    * bytes are untrusted; a tiny crafted PNG can DECLARE a 60000×60000
+    * canvas and `ImageIO.read` would allocate the full raster before any
+    * pixel data is validated — an executor OOM no catch recovers from.
+    */
+  val maxDecodePixels: Long =
+    sys.props.get("graft.multimodal.maxDecodePixels").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+
   /** Real image decode: `javax.imageio` (JDK-bundled PNG/JPEG/GIF/BMP
     * readers, headless-safe). Returns (width, height, channels, per-channel
     * mean over an ≤8×8 sample grid) or None when no installed reader
-    * recognizes the bytes.
+    * recognizes the bytes OR the HEADER declares more than
+    * [[maxDecodePixels]] — dimensions are read from the header alone
+    * (reader.getWidth/getHeight) before the raster is ever allocated, so
+    * oversized payloads are rejected without allocating anything.
     */
-  private[multimodal] def imageDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+  /** Header-guarded read: dimensions come from the image HEADER
+    * (reader.getWidth/getHeight) and are checked against
+    * [[maxDecodePixels]] BEFORE `reader.read` allocates the raster.
+    */
+  private def readGuarded(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        .map { img =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+          if (w <= 0 || h <= 0 || w.toLong * h.toLong > maxDecodePixels) None
+          else Option(reader.read(0))
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case _: Exception => None }
+
+  private[graft] def imageDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+    readGuarded(bytes) match {
+      case None => None
+      case Some(img) => try {
+        Some {
           val (w, h) = (img.getWidth, img.getHeight)
           val channels = img.getColorModel.getNumComponents
           // per-channel mean over a bounded sample grid — constant work per
@@ -86,7 +121,8 @@ object Multimodal {
           }
           (w, h, channels, sums.map(s => (s.toDouble / n / 255.0).toFloat))
         }
-    } catch { case _: Exception => None }
+      } catch { case _: Exception => None }
+    }
 
   /** Decode / feature-extract over the media column.
     *

@@ -54,7 +54,13 @@ final class HttpRegistryClient(baseUrl: String,
           None
       }
     } catch {
-      case e @ (_: java.io.IOException | _: InterruptedException) =>
+      case e: InterruptedException =>
+        // restore the flag so driver-thread cancellation still lands after
+        // this plan-time lookup degrades to warn-and-skip
+        Thread.currentThread().interrupt()
+        log.error(s"interrupted fetching schema for subject '$subject'", e)
+        None
+      case e: java.io.IOException =>
         log.error(s"error fetching schema for subject '$subject' from registry", e)
         None
     }

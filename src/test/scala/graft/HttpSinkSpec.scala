@@ -1,0 +1,149 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.io.HttpSenders
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** [[HttpSenders]] against in-process REST-proxy / Solr-shaped stubs: wire
+  * format, the 50003 retry-once loop of
+  * KafkaDataProducerCommandBuilder.java:317-327, retriable IO failures, and
+  * the Solr JSON update surface behind `loadSolr`.
+  */
+class HttpSinkSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  private final case class Hit(path: String, contentType: String, body: String)
+
+  /** Stub server answering every POST from `responses` in sequence (last one
+    * repeats); records each hit.
+    */
+  private def withStub(responses: Seq[(Int, String)])(
+      body: (String, java.util.List[Hit]) => Unit): Unit = {
+    val hits = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Hit]())
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      val reqBody = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+      hits.add(Hit(x.getRequestURI.toString,
+        Option(x.getRequestHeaders.getFirst("Content-Type")).getOrElse(""),
+        reqBody))
+      val (status, resp) =
+        responses(math.min(n.getAndIncrement(), responses.size - 1))
+      val bytes = resp.getBytes("UTF-8")
+      x.sendResponseHeaders(status, bytes.length)
+      x.getResponseBody.write(bytes); x.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}", hits)
+    finally server.stop(0)
+  }
+
+  private def b64(s: String) =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  test("rest proxy: records arrive base64-encoded in the v2 binary format") {
+    withStub(Seq((200, """{"offsets":[{"partition":0,"offset":0}]}"""))) {
+      (url, hits) =>
+        val send = HttpSenders.restProxyKafkaSender(url)
+        send(Seq(("events", "k1".getBytes, "v1".getBytes),
+          ("events", null, "v2".getBytes)))
+        assert(hits.size == 1)
+        val h = hits.get(0)
+        assert(h.path == "/topics/events")
+        assert(h.contentType == "application/vnd.kafka.binary.v2+json")
+        val recs = mapper.readTree(h.body).get("records")
+        assert(recs.size == 2)
+        assert(recs.get(0).get("key").asText() == b64("k1"))
+        assert(recs.get(0).get("value").asText() == b64("v1"))
+        assert(!recs.get(1).has("key")) // null key omitted, like the reference
+        assert(recs.get(1).get("value").asText() == b64("v2"))
+    }
+  }
+
+  test("rest proxy: one POST per topic, order preserved within a topic") {
+    withStub(Seq((200, "{}"))) { (url, hits) =>
+      HttpSenders.restProxyKafkaSender(url)(Seq(
+        ("a", null, "1".getBytes), ("b", null, "2".getBytes),
+        ("a", null, "3".getBytes)))
+      assert(hits.size == 2)
+      val byTopic = hits.asScala.map(h => h.path -> mapper.readTree(h.body)
+        .get("records").elements().asScala.map(_.get("value").asText()).toSeq)
+        .toMap
+      assert(byTopic("/topics/a") == Seq(b64("1"), b64("3")))
+      assert(byTopic("/topics/b") == Seq(b64("2")))
+    }
+  }
+
+  test("rest proxy: error_code 50003 is retried exactly once, then succeeds") {
+    withStub(Seq(
+      (500, """{"error_code":50003,"message":"broker transient"}"""),
+      (200, "{}"))) { (url, hits) =>
+      HttpSenders.restProxyKafkaSender(url)(
+        Seq(("t", null, "v".getBytes)))
+      assert(hits.size == 2, "first 50003 must trigger exactly one retry")
+      assert(hits.get(0).body == hits.get(1).body, "retry must resend the batch")
+    }
+  }
+
+  test("rest proxy: persistent 50003 throws after the single retry") {
+    withStub(Seq((500, """{"error_code":50003,"message":"still down"}"""))) {
+      (url, hits) =>
+        val e = intercept[HttpSenders.ProducerHttpException] {
+          HttpSenders.restProxyKafkaSender(url)(Seq(("t", null, "v".getBytes)))
+        }
+        assert(e.errorCode == 50003)
+        assert(hits.size == 2, "exactly two attempts — no retry storm")
+    }
+  }
+
+  test("rest proxy: non-50003 error codes fail immediately, no retry") {
+    withStub(Seq((422, """{"error_code":42201,"message":"bad record"}"""))) {
+      (url, hits) =>
+        val e = intercept[HttpSenders.ProducerHttpException] {
+          HttpSenders.restProxyKafkaSender(url)(Seq(("t", null, "v".getBytes)))
+        }
+        assert(e.errorCode == 42201 && hits.size == 1)
+    }
+  }
+
+  test("rest proxy: connection error is retriable (epoch replay semantics)") {
+    val dead = new java.net.ServerSocket(0)
+    val port = dead.getLocalPort; dead.close()
+    intercept[HttpSenders.RetriableSinkException] {
+      HttpSenders.restProxyKafkaSender(s"http://127.0.0.1:$port",
+        java.time.Duration.ofMillis(500))(Seq(("t", null, "v".getBytes)))
+    }
+  }
+
+  test("solr: documents arrive as a JSON array on the collection update path") {
+    withStub(Seq((200, """{"responseHeader":{"status":0}}"""))) { (url, hits) =>
+      val send = HttpSenders.solrHttpSender(url, commitWithinMs = 5000)
+      send("collection1", Seq(
+        Map("id" -> "doc-1", "name_s" -> "first", "n_l" -> 7L, "skip" -> null),
+        Map("id" -> "doc-2", "ok_b" -> true)))
+      assert(hits.size == 1)
+      val h = hits.get(0)
+      assert(h.path == "/collection1/update?commitWithin=5000")
+      assert(h.contentType == "application/json")
+      val arr = mapper.readTree(h.body)
+      assert(arr.size == 2)
+      assert(arr.get(0).get("id").asText() == "doc-1")
+      assert(arr.get(0).get("n_l").asLong() == 7L)
+      assert(!arr.get(0).has("skip"), "null fields must be omitted")
+      assert(arr.get(1).get("ok_b").asBoolean())
+    }
+  }
+
+  test("solr: non-2xx surfaces as retriable so the epoch replays") {
+    withStub(Seq((503, """{"error":{"msg":"overloaded"}}"""))) { (url, _) =>
+      intercept[HttpSenders.RetriableSinkException] {
+        HttpSenders.solrHttpSender(url)("c", Seq(Map("id" -> "x")))
+      }
+    }
+  }
+}

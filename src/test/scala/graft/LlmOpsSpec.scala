@@ -294,6 +294,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.values.forall(_._4.forall(v => v >= 0f && v <= 1f)))
   }
 
+  test("multimodal decode: decompression bomb rejected from the header") {
+    // a syntactically valid PNG whose IHDR DECLARES 60000×60000 (3.6 Gpx)
+    // with almost no pixel data: the header pre-check must route it to the
+    // stub path (channels null) instead of allocating a ~14 GB raster
+    val realPng = {
+      val img = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val bomb = realPng.clone()
+    // IHDR width/height are big-endian ints at offsets 16..19 / 20..23
+    def putInt(off: Int, v: Int): Unit = {
+      bomb(off) = (v >>> 24).toByte; bomb(off + 1) = (v >>> 16).toByte
+      bomb(off + 2) = (v >>> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    putInt(16, 60000); putInt(20, 60000)
+    assert(Multimodal.imageDecode(bomb).isEmpty,
+      "oversized declared canvas must be rejected before decode")
+    assert(Multimodal.imageDecode(realPng).exists(d => d._1 == 2 && d._2 == 2))
+    val df = Seq((1L, bomb)).toDF("id", "body")
+      .withColumn("media", struct(col("body").as("body"),
+        lit("image/png").as("mimeType"), lit("binary").as("charset")))
+    val feats = Multimodal.decodeFeatures(spark, df)
+      .select(col("features.channels")).collect()
+    assert(feats.head.isNullAt(0), "bomb must fall through to the stub path")
+  }
+
   test("media stats sniffs magic bytes") {
     val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0x01, 0x02)
     val df = Seq((1L, jpeg), (2L, "plain".getBytes)).toDF("id", "body")

@@ -1,5 +1,6 @@
 package graft
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import graft.io.Sinks
 import graft.pipeline.PipelineSpec
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
@@ -322,6 +323,86 @@ class ProductionConfSpec extends SparkSpec {
     val out = pipe(input).collect()
     assert(out.length == 1) // record still flows downstream
     assert(ProductionConfSpec.kafkaMsgs.isEmpty)
+  }
+
+  // ------------------------------------------- live HTTP sink transports ---
+
+  /** POST-recording stub; responds from `responses` in sequence. */
+  private def withHttpStub(responses: Seq[(Int, String)])(
+      body: (String, java.util.List[(String, String)]) => Unit): Unit = {
+    val hits = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, String)]())
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (x: com.sun.net.httpserver.HttpExchange) => {
+      hits.add(x.getRequestURI.toString ->
+        new String(x.getRequestBody.readAllBytes(), "UTF-8"))
+      val (status, resp) =
+        responses(math.min(n.getAndIncrement(), responses.size - 1))
+      val bytes = resp.getBytes("UTF-8")
+      x.sendResponseHeaders(status, bytes.length)
+      x.getResponseBody.write(bytes); x.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}", hits)
+    finally server.stop(0)
+  }
+
+  test("producer.conf 'rest' through a LIVE REST-proxy stub incl. 50003 retry") {
+    resetEnvs()
+    // first POST answers the broker-transient error; the sender must retry
+    // once and the avro value must arrive intact on the second attempt
+    withHttpStub(Seq(
+      (500, """{"error_code":50003,"message":"transient"}"""),
+      (200, """{"offsets":[{"partition":0,"offset":0}]}"""))) { (url, hits) =>
+      Sinks.KafkaEnv.sender = graft.io.HttpSenders.restProxyKafkaSender(url)
+      val refDir =
+        "/root/reference/src/test/resources/com/github/epheatt/kafka/connect/morphlines"
+      val pipe = PipelineSpec.fromHoconFile(s"$refDir/producer.conf", "rest",
+        env = k => if (k == "CONNECT_KAFKA_REST_URL") Some(url) else None)
+      val input = Seq(("""{"firstName": "example", "age": 27}""", "test", 0, 0L))
+        .toDF("value", "topic", "partition", "offset")
+      assert(pipe(input).collect().length == 1)
+      assert(hits.size == 2, "50003 must be retried exactly once")
+      assert(hits.get(0)._1 == "/topics/test-copy" &&
+        hits.get(0)._2 == hits.get(1)._2)
+      // the bytes that arrived: base64 binary-v2 record -> avro string "test"
+      val rec = new ObjectMapper().readTree(hits.get(1)._2)
+        .get("records").get(0)
+      val value = java.util.Base64.getDecoder.decode(rec.get("value").asText())
+      assert(decodeAvro("\"string\"", value).toString == "test")
+      assert(!rec.has("key"), "no keyField in the config -> key omitted")
+    }
+  }
+
+  test("cloudsolr.conf through a LIVE Solr update stub: sanitized docs arrive") {
+    resetEnvs()
+    Sinks.SolrEnv.registerSchema("collection1",
+      Seq("id", "name_s", "kafkaTimestamp", "create_dt", "uuid_s"))
+    withHttpStub(Seq((200, """{"responseHeader":{"status":0}}"""))) {
+      (url, hits) =>
+        Sinks.SolrEnv.sender =
+          graft.io.HttpSenders.solrHttpSender(url, commitWithinMs = 1000)
+        val pipe = PipelineSpec.fromHoconFile(
+          "/root/reference/config/cloudsolr.conf", "cloudsolr",
+          settings = Map("morphlines.collection" -> "collection1"), env = noEnv)
+        val input = Seq(
+          ("""{"name": "quickstart-text-file-source", "config": {"topic":"twitter"}}""",
+            "twitter", 0, 0L, 1484897702123L))
+          .toDF("value", "topic", "partition", "offset", "kafkaTimestamp")
+        assert(pipe(input).collect().length == 1)
+        assert(hits.size == 1)
+        val (path, body) = (hits.get(0)._1, hits.get(0)._2)
+        assert(path == "/collection1/update?commitWithin=1000")
+        val doc = new ObjectMapper().readTree(body).get(0)
+        assert(doc.get("name_s").asText() == "quickstart-text-file-source")
+        assert(doc.get("kafkaTimestamp").asText() == "2017-01-20T07:35:02.123Z")
+        assert(scala.jdk.CollectionConverters.IteratorHasAsScala(
+          doc.fieldNames()).asScala.toSet.subsetOf(
+          Set("id", "name_s", "kafkaTimestamp", "create_dt", "uuid_s")),
+          "sanitizeUnknownSolrFields must hold on the wire")
+    }
   }
 }
 
