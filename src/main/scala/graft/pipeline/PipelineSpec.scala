@@ -62,8 +62,10 @@ object PipelineSpec {
           morphlines.flatMap(c => Option(c.get("id")).map(_.asText))
             .mkString(", ")))
 
+    // arrays join with the unit separator so elements holding commas
+    // survive the string carrier (StandardOps.splitList splits them back)
     def scalarOf(v: JsonNode): String =
-      if (v.isArray) v.elements.asScala.map(scalarOf).mkString(",")
+      if (v.isArray) v.elements.asScala.map(scalarOf).mkString("\u001F")
       else v.asText
     // nested blocks (paths, mappings) flatten to the registry's "k:v,..."
     def flatten(v: JsonNode): String =
@@ -250,10 +252,11 @@ object PipelineSpec {
           val cfg = node.properties.asScala
             .filter(_.getKey != "command")
             .map(e => e.getKey -> (
-              // arrays comma-join like the HOCON flattener (asText on an
-              // array node is "" — would silently drop Kite value lists)
+              // arrays join like the HOCON flattener — unit separator, so
+              // a Kite value-list element containing a comma is not mangled
+              // (asText on an array node is "" — would drop the list)
               if (e.getValue.isArray)
-                e.getValue.elements.asScala.map(_.asText).mkString(",")
+                e.getValue.elements.asScala.map(_.asText).mkString("\u001F")
               else e.getValue.asText))
             .toMap
           registry.build(name, cfg)

@@ -18,6 +18,16 @@ object StandardOps {
   private def req(cfg: Map[String, String], key: String): String =
     cfg.getOrElse(key, throw new IllegalArgumentException(s"missing config '$key'"))
 
+  /** Split a list-valued config. HOCON/JSON ARRAY values are flattened by
+    * the spec walkers with the ASCII unit separator (U+001F — a character
+    * no config text contains), so an array element holding a comma (Kite
+    * `contains { title : ["a, b"] }`) survives intact; plain scalar
+    * comma-lists ("a,b,c") keep splitting on ','.
+    */
+  private[pipeline] def splitList(v: String): Seq[String] =
+    (if (v.indexOf('\u001F') >= 0) v.split('\u001F') else v.split(','))
+      .toSeq.map(_.trim).filter(_.nonEmpty)
+
   /** Parse a schema config: DDL ("a INT, b STRING") or JSON StructType. */
   private def schemaOf(s: String): DataType =
     if (s.trim.startsWith("{")) DataType.fromJson(s)
@@ -63,10 +73,10 @@ object StandardOps {
     r.register("setValues") { c => RecordOps.setValues(c.toSeq: _*) }
     r.register("addValues") { c =>
       RecordOps.addValues(req(c, "field"),
-        req(c, "values").split(",").map(v => lit(v.trim)).toSeq: _*)
+        splitList(req(c, "values")).map(lit): _*)
     }
     r.register("removeFields")(c =>
-      RecordOps.removeFields(req(c, "fields").split(",").map(_.trim).toSeq: _*))
+      RecordOps.removeFields(splitList(req(c, "fields")): _*))
     r.register("findReplace") { c =>
       RecordOps.findReplace(req(c, "field"), req(c, "pattern"),
         req(c, "replacement"))
@@ -92,7 +102,7 @@ object StandardOps {
         c.get("trim").exists(_.toBoolean)))
     r.register("convertTimestamp") { c =>
       RecordOps.convertTimestamp(req(c, "field"),
-        req(c, "inputFormats").split(",").map(_.trim).toSeq,
+        splitList(req(c, "inputFormats")),
         req(c, "outputFormat"), c.getOrElse("outputField", req(c, "field")),
         c.getOrElse("inputTimezone", "UTC"), c.getOrElse("outputTimezone", "UTC"))
     }
@@ -139,8 +149,7 @@ object StandardOps {
         case "schemaField" =>
           Op("enrichJson")(df => graft.functions.Conform.conformByField(df,
             c("schemaField"),
-            keep = c.getOrElse("keepFields", "").split(",").map(_.trim)
-              .filter(_.nonEmpty).toSeq,
+            keep = splitList(c.getOrElse("keepFields", "")),
             maxSchemas = c.getOrElse("maxSchemas", "16").toInt))
         case "schema-registry-url" =>
           // http(s) urls resolve to a real HTTP client (LRU-cached, the
@@ -213,7 +222,7 @@ object StandardOps {
     // field name.
     def kiteEntries(c: Map[String, String]): Seq[(String, Seq[String])] =
       c.toSeq.map { case (f, v) =>
-        f -> v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        f -> splitList(v)
       }
     r.register("equals") { c =>
       if (c.contains("field") && c.contains("value"))
@@ -240,7 +249,7 @@ object StandardOps {
     // remaining §2.B surface
     r.register("addValuesIfAbsent") { c =>
       RecordOps.addValuesIfAbsent(req(c, "field"),
-        req(c, "values").split(",").map(v => lit(v.trim)).toSeq: _*)
+        splitList(req(c, "values")).map(lit): _*)
     }
     r.register("removeValues")(c =>
       RecordOps.removeValues(req(c, "field"), lit(req(c, "value"))))
@@ -258,7 +267,7 @@ object StandardOps {
       RecordOps.addLocalHost(c.getOrElse("field", "host")))
     r.register("generateSolrSequenceKey") { c =>
       RecordOps.deterministicKey(c.getOrElse("field", "id"),
-        req(c, "baseIdField").split(",").map(f => col(f.trim)).toSeq: _*)
+        splitList(req(c, "baseIdField")).map(col): _*)
     }
     r.register("sanitizeUnknownSolrFields") { c =>
       // field list comes from an explicit `fields` config or (the reference
@@ -267,7 +276,7 @@ object StandardOps {
       // doesn't matter. No known schema → pass-through (the reference would
       // fetch it from live Solr; without one there is nothing to sanitize
       // against).
-      val explicit = c.get("fields").map(_.split(",").map(_.trim).toSeq)
+      val explicit = c.get("fields").map(splitList)
       val collection = c.get("solrLocator.collection")
       Op("sanitizeUnknownSolrFields") { df =>
         explicit.orElse(collection.flatMap(graft.io.Sinks.SolrEnv.schemaOf))

@@ -206,8 +206,11 @@ object LlmQueries {
       val e = emb(s, dir)
       // embeddings row ≈ 64 float32 + id, parquet-compressed ~260 B
       val n = Similarity.approxRowCount(e, avgRowBytes = 260L)
-      val nBits = math.max(4,
-        (math.log(n / 32.0) / math.log(2)).floor.toInt)
+      // clamp to [4, 20] bits: 2^20 buckets is already ample occupancy
+      // headroom, and a stats mis-estimate can then cost at most scan
+      // fraction, never recall collapse
+      val nBits = math.min(20, math.max(4,
+        (math.log(n / 32.0) / math.log(2)).floor.toInt))
       Similarity.lshKnn(e, "vec_id", "embedding",
           e.filter(col("vec_id") < 3), "vec_id", "embedding",
           k = 5, dim = 64, nBits = nBits, tables = 4)

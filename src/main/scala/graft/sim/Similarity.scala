@@ -119,11 +119,24 @@ object Similarity {
     * to size a parameter). Parquet exposes sizeInBytes; when exact rowCount
     * stats are absent, divide by the caller's average-row-size estimate.
     * Sizing knobs (LSH occupancy) only need the order of magnitude.
+    *
+    * Sources with NO real stats report the `spark.sql.defaultSizeInBytes`
+    * sentinel (Long.MaxValue by default) as sizeInBytes; treating that as a
+    * measurement would estimate n≈10^16 rows and size LSH to ~2^50 buckets,
+    * silently collapsing recall. Such plans fall back to `fallbackRows`
+    * (a deliberately modest default: under-partitioned LSH scans more than
+    * needed but stays correct, over-partitioned loses recall).
     */
-  def approxRowCount(df: DataFrame, avgRowBytes: Long): Long = {
+  def approxRowCount(df: DataFrame, avgRowBytes: Long,
+                     fallbackRows: Long = 1L << 20): Long = {
     val stats = df.queryExecution.optimizedPlan.stats
-    stats.rowCount.map(_.toLong).getOrElse(
-      math.max(1L, stats.sizeInBytes.toLong / math.max(1L, avgRowBytes)))
+    val default = BigInt(
+      df.sparkSession.conf.get("spark.sql.defaultSizeInBytes",
+        Long.MaxValue.toString))
+    stats.rowCount.map(_.toLong).getOrElse {
+      if (stats.sizeInBytes >= default) fallbackRows
+      else math.max(1L, stats.sizeInBytes.toLong / math.max(1L, avgRowBytes))
+    }
   }
 
   /** Cosine-threshold near-duplicate pairs within blocks, with a hard guard
@@ -196,20 +209,50 @@ object Similarity {
 
   /** Train IVF centroids: Lloyd's k-means on a driver-side bounded sample —
     * the 100 TB pattern (model small, data never collected: the `.collect()`
-    * here fetches at most `sampleN` vectors once, at fit time). Seeded
-    * shuffle init → deterministic, reproducible centroids; empty cells
-    * keep their previous center. Returns centroids for [[ivfAssign]] /
-    * [[ivfKnn]].
+    * here fetches at most `sampleN` vectors once, at fit time).
+    *
+    * The sample is LAYOUT-INDEPENDENT: the `sampleN` vectors with the
+    * smallest content hash (`xxhash64` of the vector), fetched via
+    * orderBy+limit (per-partition top-N merge, no global sort shuffle) —
+    * `limit().collect()` alone takes rows in partition order, which
+    * changes under repartitioning/compaction and would silently break the
+    * "deterministic, reproducible centroids" contract. The collected rows
+    * are hash-ordered, so shuffle-seeded init is reproducible too; empty
+    * cells keep their previous center. Returns centroids for
+    * [[ivfAssign]] / [[ivfKnn]].
     */
   def kmeansFit(df: DataFrame, vecCol: String, k: Int, iters: Int = 10,
                 sampleN: Int = 10000, seed: Long = 42L): Seq[Seq[Double]] = {
-    val sample = df.select(asDouble(col(vecCol)).as("v")).limit(sampleN)
+    val sample = df.select(asDouble(col(vecCol)).as("v"))
+      .withColumn("__h", xxhash64(col("v")))
+      .orderBy(col("__h"))
+      .limit(sampleN)
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
     val dim = sample.head.length
+    // farthest-first (Gonzalez) seeding: first center drawn by seed, each
+    // further center the sample point farthest from all chosen ones — the
+    // public 2-approximation for k-center, deterministic given the
+    // hash-ordered sample (random draws over a reordered sample would not
+    // be), and immune to the merged-cluster starts plain random init hits
     val rnd = new scala.util.Random(seed)
-    val centers = rnd.shuffle(sample.indices.toVector).take(k)
-      .map(i => sample(i).clone).toArray
+    val centers = new Array[Array[Double]](k)
+    centers(0) = sample(rnd.nextInt(sample.length)).clone
+    val minD = Array.fill(sample.length)(Double.MaxValue)
+    for (c <- 1 until k) {
+      var farthest = 0; var farD = -1.0
+      var s = 0
+      while (s < sample.length) {
+        var d = 0.0; var i = 0
+        while (i < dim) {
+          val t = sample(s)(i) - centers(c - 1)(i); d += t * t; i += 1
+        }
+        if (d < minD(s)) minD(s) = d
+        if (minD(s) > farD) { farD = minD(s); farthest = s }
+        s += 1
+      }
+      centers(c) = sample(farthest).clone
+    }
     def nearest(v: Array[Double]): Int = {
       var best = 0; var bestD = Double.MaxValue
       var c = 0

@@ -117,6 +117,23 @@ class HoconPipelineSpec extends SparkSpec {
     assert(pipe(scalarIn).count() == 0)
   }
 
+  test("Kite value-list elements containing commas survive the config carrier") {
+    // ["a, b"] is ONE element with an embedded comma — the unit-separator
+    // array flattening must not mangle it into two values
+    val listConf =
+      """morphlines : [
+        |  { id : c, commands : [ { contains { title : ["a, b", solo] } } ] }
+        |]""".stripMargin
+    val pipe = PipelineSpec.fromHocon(listConf, "c")
+    val in = Seq(
+      (1L, "a, b"),  // matches the comma-bearing element
+      (2L, "a"),     // half of the mangled split — must NOT match
+      (3L, "b"),     // other half — must NOT match
+      (4L, "solo"))
+      .toDF("id", "title")
+    assert(pipe(in).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+  }
+
   test("not rejects wrapping a non-predicate command") {
     val bad =
       """morphlines : [

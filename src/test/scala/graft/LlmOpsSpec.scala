@@ -197,6 +197,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(purity.forall(_ == 1.0), s"clusters mixed: ${cells.toSeq}")
     // deterministic: same seed → same centroids
     assert(Similarity.kmeansFit(pts, "v", k = 3, iters = 10) == centroids)
+    // LAYOUT-independent: the content-hash sample makes centroids identical
+    // after an arbitrary repartition (limit-in-partition-order would not be)
+    assert(Similarity.kmeansFit(pts.repartition(7), "v", k = 3, iters = 10)
+      == centroids)
+    assert(Similarity.kmeansFit(pts.repartition(1).sort(col("id").desc),
+      "v", k = 3, iters = 10) == centroids)
+  }
+
+  test("approxRowCount: stats sentinel falls back instead of exploding") {
+    // a LogicalRDD has no stats: sizeInBytes is the defaultSizeInBytes
+    // sentinel (Long.MaxValue); dividing it by avgRowBytes would estimate
+    // ~3.5e16 rows and size LSH to 2^50 buckets — recall collapse
+    val statless = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType))))
+    val est = Similarity.approxRowCount(statless, avgRowBytes = 260L)
+    assert(est == (1L << 20), s"sentinel must hit the fallback, got $est")
+    // real stats still flow through
+    val real = Seq(1L, 2L, 3L).toDF("x")
+    assert(Similarity.approxRowCount(real, avgRowBytes = 8L) < 1000)
   }
 
   test("pii redaction: email, ip, phone each replaced; order protects digits") {
