@@ -176,7 +176,8 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
-    // Phonetic blocking key — soundex not in DuckDB: rows-only.
+    // Phonetic blocking key — oracle-checked against a DuckDB list_reduce
+    // replication of the soundex automaton (see oracleSql).
     "t_phonetic_key" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.phoneticKey(col("text")).as("pk"))
@@ -328,6 +329,38 @@ object LlmQueries {
         |     AS DOUBLE) / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) > 0.01
         |   THEN 1.0 ELSE 0.0 END) * 0.3, 4) AS DOUBLE) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Spark soundex replicated as a DuckDB automaton: translate letters to
+    // the US-English code string (H/W = '7'), then fold char-by-char with
+    // list_reduce carrying (lastCode | accumulated digits) — '7' is
+    // transparent (lastCode survives), '0' (vowels AND non-letters) resets,
+    // repeats of lastCode collapse. A token whose first char is not an
+    // ASCII letter passes through unchanged, like UTF8String.soundex.
+    "t_phonetic_key" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_extract(string_split_regex(trim(text), '\s+'), 1) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok,
+        |    translate(regexp_replace(upper(tok), '[^A-Z]', 'A', 'g'),
+        |      'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202') AS codes
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN tok IS NULL THEN NULL
+        |    WHEN tok = '' THEN ''
+        |    WHEN NOT regexp_matches(substr(tok,1,1), '^[A-Za-z]$') THEN tok
+        |    ELSE upper(substr(tok,1,1)) || substr(
+        |      substr(list_reduce(
+        |        list_prepend(substr(codes, 1, 1),
+        |          list_filter(string_split(substr(codes, 2), ''), x -> x <> '')),
+        |        (s, x) -> CASE
+        |          WHEN x = '7' THEN s
+        |          WHEN x = '0' THEN '0' || substr(s, 2)
+        |          WHEN x = substr(s, 1, 1) THEN s
+        |          ELSE x || substr(s, 2) || x END), 2) || '000', 1, 3)
+        |  END AS pk
+        |FROM c ORDER BY doc_id""".stripMargin,
     "t_lang_id" ->
       """WITH sc AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

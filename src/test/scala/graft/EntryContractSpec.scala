@@ -31,7 +31,6 @@ class EntryContractSpec extends AnyFunSuite {
       "d_minhash_pairs",     // xxhash64 not in DuckDB
       "d_simhash_pairs",     // xxhash64 not in DuckDB
       "s_knn_lsh",           // hyperplane hash not in DuckDB
-      "t_phonetic_key",      // soundex not in DuckDB
       "q_approx_distinct",   // HLL estimate
       "q_approx_percentile", // KLL estimate
       "q_hll_sketch")        // sketch internals engine-specific
