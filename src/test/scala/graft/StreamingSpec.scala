@@ -147,6 +147,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fingerprint dedup agrees with the batch operator on a replayed corpus") {
+    // cross-engine consistency: replaying the documents corpus through the
+    // streaming fingerprint tier must keep exactly one representative per
+    // normalized fingerprint — the same equivalence classes the batch
+    // Dedup.byFingerprint keeps (ids may differ: streaming keeps first
+    // arrival, batch keeps min id; the CLASSES must match)
+    val docs = Tables.load(spark, sf0, "documents")
+      .select(col("doc_id"), col("text"))
+    val batchSurvivors = graft.dedup.Dedup.byFingerprint(docs, "text", "doc_id")
+    val expectFps = batchSurvivors
+      .select(graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[String].collect().sorted.toSeq
+    val d = java.nio.file.Files.createTempDirectory("graft-paritydedup")
+    val t0 = 1700000000000000L
+    docs.withColumn("ts", lit(t0)).repartition(1)
+      .write.mode("overwrite").parquet(d.toString)
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType).add("ts", LongType)
+    val stream = StreamingOps.fileSource(spark, schema, d.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = StreamingOps.streamingNearDedup(stream, "text", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("parity_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamFps = spark.sql("SELECT text FROM parity_dedup")
+        .select(graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .as[String].collect().sorted.toSeq
+      assert(streamFps == expectFps,
+        s"streaming kept ${streamFps.size} classes, batch ${expectFps.size}")
+    } finally q.stop()
+  }
+
   test("dead-letter split catches unparseable payloads in a pipeline") {
     val df = Seq("""{"k": 1}""", "not json at all", """{"k": 3}""")
       .toDF("props")
