@@ -345,6 +345,36 @@ object Dedup {
       .groupBy(col("id")).agg(min(col("label")).as("label"))
   }
 
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one `n`-gram with an evaluation corpus — the published
+    * train-test-overlap guard (Brown et al. 2020 appendix C 13-gram
+    * dedup; Lee et al. 2021 §4.2). Returns (id, n_hits) where n_hits is
+    * the count of DISTINCT contaminated n-grams in the doc (0 = clean),
+    * so callers can either drop or threshold.
+    *
+    * 100 TB shape: the eval corpus is the small side by construction —
+    * its distinct shingle digests broadcast (16-byte md5 each; a full
+    * benchmark suite is ~10⁶ shingles ≈ 16 MB); the corpus-side explode
+    * stays in the scan stage and the aggregation shuffles (id, count)
+    * pairs only. No shuffle ever carries document text.
+    */
+  def decontaminate(docs: DataFrame, textCol: String, idCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    n: Int = 8): DataFrame = {
+    val benchShingles = bench
+      .select(explode(TextAnalysis.wordShingles(col(benchTextCol), n)).as("sh"))
+      .select(md5(col("sh")).as("h")).distinct()
+    val docShingles = docs.select(col(idCol).as("id"),
+        explode(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
+      .select(col("id"), md5(col("sh")).as("h")).distinct()
+    val hits = docShingles
+      .join(broadcast(benchShingles), Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   /** 64-bit SimHash over word shingles, computed in one per-row pass by
     * [[graft.exprs.HashExprs.SimHash64]] (the column-function formulation
     * needs 64 aggregate passes per row — quadratic and codegen-hostile).

@@ -132,6 +132,16 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: docs sharing any 8-gram with the "eval
+    // set" (docs 0-4 stand in) get a positive distinct-hit count.
+    "d_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(d, "text", "doc_id",
+          d.filter(col("doc_id") < 5), "text", n = 8)
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash-LSH near-dup pairs — xxhash64-based: rows-only.
     "d_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id",
@@ -570,6 +580,28 @@ object LlmQueries {
         |SELECT n.id AS doc_id, least(n.id, min(r.dst)) AS canonical
         |FROM nodes n LEFT JOIN reach r ON r.src = n.id
         |GROUP BY n.id ORDER BY n.id""".stripMargin,
+    // identical tokenization + 8-gram construction both sides; membership
+    // compares raw shingle strings (Spark joins md5 digests of the same
+    // strings — equal membership), distinct-hit counts are exact ints
+    "d_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(t) - 8, 0) + 2),
+        |      i -> array_to_string(t[i:i+7], ' ')))) AS s
+        |  FROM toks WHERE len(t) > 0),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n FROM (
+        |    SELECT DISTINCT doc_id, s FROM sh WHERE s IN (SELECT s FROM bench))
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(h.n, CAST(0 AS BIGINT)) AS n_hits
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "d_embed_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, label,

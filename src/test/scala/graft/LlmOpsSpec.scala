@@ -119,6 +119,19 @@ class LlmOpsSpec extends SparkSpec {
       labels(201L) == 200L, labels)
   }
 
+  test("decontamination: only docs sharing an 8-gram with the eval set flag") {
+    val egram = (1 to 8).map(i => s"e$i").mkString(" ")
+    val docsDf = Seq(
+      (10L, s"prefix words $egram trailing content here"), // contains the 8-gram
+      (11L, (100 to 140).map(i => s"w$i").mkString(" ")),  // clean
+      (12L, egram))                                        // exactly the 8-gram
+      .toDF("doc_id", "text")
+    val bench = Seq((0L, s"other stuff $egram and more")).toDF("bid", "btext")
+    val out = Dedup.decontaminate(docsDf, "text", "doc_id", bench, "btext")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(10L) >= 1 && out(12L) == 1L && out(11L) == 0L, out)
+  }
+
   test("CacheScope: library-op caches are caller-releasable") {
     CacheScope.releaseAll(blocking = true)
     val df = Seq((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w v u"))
