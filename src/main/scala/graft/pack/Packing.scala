@@ -1,0 +1,78 @@
+package graft.pack
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Training-batch assembly operators: sequence packing and deterministic
+  * source mixing — the last-mile steps between a filtered corpus and a
+  * training dataloader.
+  */
+object Packing {
+
+  /** Concat-and-chop sequence packing: documents, taken in deterministic
+    * id order, are laid head-to-tail into an infinite token tape; context
+    * window `capacity` chops the tape, and each document is assigned the
+    * window its FIRST token lands in. The GPT-style packing scheme (Brown
+    * et al. 2020 §2.2 pack-to-2048; the T5 "pack examples" input pipeline).
+    * Returns (id, n_toks, bin).
+    *
+    * Scalable global cumulative sum: a bare `Window.orderBy(id)` funnels
+    * the whole corpus through ONE task — the classic global-sort bottleneck.
+    * Instead the cumsum is two-level: (1) per-doc token counts stay in the
+    * scan stage; (2) contiguous id RANGES aggregate their token sums (slim
+    * (range, sum) shuffle with map-side combine); (3) the bounded range
+    * list — corpus/rangeSize entries, the caller sizes it like any
+    * driver-side model — prefix-sums on the driver and broadcast-joins
+    * back; (4) within-range cumsums run as a window PARTITIONED BY range,
+    * parallel across ranges. No stage sees more than a range of rows in
+    * one task.
+    */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+                    capacity: Long, rangeSize: Long = 4096): DataFrame = {
+    val spark = df.sparkSession
+    val tc = df.select(col(idCol).cast("long").as("id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_toks"))
+      .withColumn("rng", expr(s"id div $rangeSize"))
+    // Bounded driver fetch: one (range, sum) row per id range.
+    val rangeSums = tc.groupBy(col("rng")).agg(sum(col("n_toks")).as("rs"))
+      .orderBy(col("rng")).collect()
+    var acc = 0L
+    val prefixRows = rangeSums.map { r =>
+      val p = acc; acc += r.getLong(1); Row(r.getLong(0), p)
+    }
+    val prefixDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(prefixRows.toSeq, 1),
+      StructType(Seq(StructField("rng", LongType, nullable = false),
+        StructField("prefix", LongType, nullable = false))))
+    val w = Window.partitionBy(col("rng")).orderBy(col("id"))
+    tc.join(broadcast(prefixDf), Seq("rng"))
+      .withColumn("cum_end", col("prefix") + sum(col("n_toks")).over(w))
+      .withColumn("bin", expr(s"(cum_end - n_toks) div $capacity"))
+      .select(col("id"), col("n_toks"), col("bin"))
+  }
+
+  /** Deterministic source-mixing filter: keep each row with a per-source
+    * per-mille rate, decided by a PORTABLE content hash (md5 of
+    * "seed|id" — reproducible across engines and runs, unlike rand()).
+    * The domain-reweighting step every trained-corpus recipe has (C4's
+    * source mixing, The Pile's per-set epochs): rates express the target
+    * mixture, the hash makes the draw stable under re-runs, retries, and
+    * engine changes. Rates are integer per-mille so threshold compares
+    * are exact in any engine's arithmetic.
+    */
+  def mixSources(df: DataFrame, idCol: String, sourceCol: String,
+                 ratesPermille: Map[String, Int], seed: Long = 42L): DataFrame = {
+    require(ratesPermille.values.forall(r => r >= 0 && r <= 1000),
+      "rates are per-mille: 0..1000")
+    val rate = ratesPermille.foldLeft(lit(0): org.apache.spark.sql.Column) {
+      case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    val bucket = conv(substring(
+        md5(concat(lit(s"$seed|"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000
+    df.filter(bucket < rate)
+  }
+}
