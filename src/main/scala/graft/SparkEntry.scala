@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{LlmQueries, MorphlineQueries, RelationalQueries}
+import graft.queries.{CorpusQueries, LlmQueries, MorphlineQueries, RelationalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,12 +37,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    MorphlineQueries.queries ++ RelationalQueries.queries ++ LlmQueries.queries
+    MorphlineQueries.queries ++ RelationalQueries.queries ++
+      LlmQueries.queries ++ CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (nondeterministic or
     * hash-function-dependent ops) get the driver's rows-only check.
     */
   def oracleSql: Map[String, String] =
-    MorphlineQueries.oracle ++ RelationalQueries.oracle ++ LlmQueries.oracle
+    MorphlineQueries.oracle ++ RelationalQueries.oracle ++
+      LlmQueries.oracle ++ CorpusQueries.oracle
 }

@@ -375,6 +375,51 @@ object Dedup {
       .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
+  /** Cross-document duplicate-span coverage: for each document, the
+    * fraction of word `n`-gram START positions whose n-gram also occurs in
+    * at least one OTHER document — the per-document signal behind exact
+    * substring deduplication (Lee et al. 2021 "Deduplicating Training Data
+    * Makes Language Models Better", §4.1: remove spans shared across
+    * documents). Documents made of boilerplate shared with the rest of the
+    * corpus score near 1; unique prose scores near 0. Positional n-grams
+    * (with multiplicity), unlike [[TextAnalysis]]'s within-doc repetition
+    * ratio (same doc) and [[dupSentenceFraction]] (sentence granularity).
+    * Returns (id, n_pos, dup_frac); docs shorter than n tokens have
+    * n_pos = 0 and dup_frac = 0.
+    *
+    * 100 TB shape: n-gram TEXT never shuffles — positions leave the scan
+    * as (id, xxhash64(gram)) pairs (8-byte keys), the corpus-wide
+    * distinct-doc count and the join back are both digest-keyed. A 64-bit
+    * digest collides at birthday scale (~2^32 grams); a collision upgrades
+    * a unique gram to "duplicated" — acceptable for a filter signal, and
+    * the digest width is swappable for md5's 128 bits where it isn't.
+    */
+  def crossDocSpanDupFraction(df: DataFrame, textCol: String, idCol: String,
+                              n: Int = 5): DataFrame = {
+    val t = df.select(col(idCol).as("id"),
+      TextAnalysis.asciiTokens(col(textCol)).as("toks"))
+    // positional n-grams with multiplicity: slide i over 1..len-n+1;
+    // sequence(1, 0) would EXPAND descending, so short docs guard to []
+    val grams = graft.CacheScope.cache(t.select(col("id"),
+        explode(when(size(col("toks")) >= n,
+            transform(sequence(lit(1), size(col("toks")) - lit(n - 1)),
+              i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h")))
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2)
+    val perDoc = grams.join(dup.select(col("h")), Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
+    t.select(col("id"),
+        greatest(size(col("toks")) - lit(n - 1), lit(0)).cast("long").as("n_pos"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_pos"),
+        round(when(col("n_pos") > 0,
+            coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_pos").cast("double"))
+          .otherwise(lit(0.0)), 6).as("dup_frac"))
+  }
+
   /** 64-bit SimHash over word shingles, computed in one per-row pass by
     * [[graft.exprs.HashExprs.SimHash64]] (the column-function formulation
     * needs 64 aggregate passes per row — quadratic and codegen-hostile).

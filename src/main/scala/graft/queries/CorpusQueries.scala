@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.pack.Packing
+import graft.sim.Similarity
+import graft.text.CorpusStats
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly and corpus-statistics operators — the steps between a
+  * filtered document set and a training dataloader: sequence packing,
+  * deterministic source mixing, LM-based quality scoring, retrieval
+  * scoring, cross-document span dedup, and embedding-cluster diagnostics.
+  * Every query here is deterministic and DuckDB-expressible, so all carry
+  * full hash oracles.
+  */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Per-mille keep rates for the mixing query: srcN keeps N·50‰, so the
+    * mixture spans drop-everything (src0) to keep-95% (src19). */
+  private val mixRates: Map[String, Int] =
+    (0 to 19).map(i => s"src$i" -> i * 50).toMap
+
+  private val bm25Terms = Seq("join", "vector", "stream")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // GPT-style concat-and-chop sequence packing (two-level distributed
+    // prefix sum — no global-sort bottleneck; see Packing.packSequences).
+    "p_pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(docs(s, dir), "text", "doc_id", capacity = 2048)
+        .orderBy("id")),
+
+    // Deterministic per-source downsampling via a portable md5 draw.
+    "p_mix_sources" -> ((s, dir) =>
+      Packing.mixSources(docs(s, dir), "doc_id", "source", mixRates)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
+    // CCNet-style unigram-LM self-perplexity score per document.
+    "t_lm_score" -> ((s, dir) =>
+      CorpusStats.unigramNll(docs(s, dir), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_toks"), col("avg_nll"))
+        .orderBy("doc_id")),
+
+    // Okapi BM25 top-20 for a fixed query-term bag.
+    "t_bm25_topk" -> ((s, dir) =>
+      CorpusStats.bm25TopK(docs(s, dir), "text", "doc_id", bm25Terms, k = 20)
+        .select(col("id").as("doc_id"), col("score"))),
+
+    // Lee-et-al-style cross-document duplicate-span coverage.
+    "d_dup_span_frac" -> ((s, dir) =>
+      Dedup.crossDocSpanDupFraction(docs(s, dir), "text", "doc_id", n = 5)
+        .select(col("id").as("doc_id"), col("n_pos"), col("dup_frac"))
+        .orderBy("doc_id")),
+
+    // Per-label embedding centroid diagnostics (size / mean ‖x‖² / inertia).
+    "s_centroid_stats" -> ((s, dir) =>
+      Similarity.centroidStats(emb(s, dir), "embedding", "label")
+        .orderBy("label"))
+  )
+
+  // DuckDB tokenizer identical to TextAnalysis.asciiTokens: lowercase,
+  // non-alphanumeric runs → space, split, drop empties.
+  private val duckToks =
+    """list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x != '')"""
+
+  val oracle: Map[String, String] = Map(
+    "p_pack_sequences" ->
+      """SELECT id, n_toks, (cum_end - n_toks) // 2048 AS bin FROM (
+        |  SELECT doc_id AS id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+')))
+        |         OVER (ORDER BY doc_id) AS BIGINT) AS cum_end
+        |  FROM documents)
+        |ORDER BY id""".stripMargin,
+
+    "p_mix_sources" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+        |      < 50 * CAST(substr(source, 4) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+
+    "t_lm_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+         |counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+         |stats AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, count(*) AS v FROM counts),
+         |agg AS (
+         |  SELECT t.doc_id, count(*) AS n_toks,
+         |    round(avg(-ln((c.cnt + 0.5) / (s.n + 0.5 * s.v))), 6) AS avg_nll
+         |  FROM tok t JOIN counts c USING (tok) CROSS JOIN stats s
+         |  GROUP BY t.doc_id)
+         |SELECT d.doc_id, coalesce(a.n_toks, 0) AS n_toks, a.avg_nll
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "t_bm25_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+         |consts AS (SELECT count(*) AS nd, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+         |  WHERE tok IN ('join', 'vector', 'stream')
+         |  GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS dfq FROM tf GROUP BY tok),
+         |sc AS (
+         |  SELECT t.doc_id,
+         |    round(sum(ln(1.0 + (c.nd - q.dfq + 0.5) / (q.dfq + 0.5))
+         |      * t.tf * 2.2
+         |      / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))), 6) AS score
+         |  FROM tf t JOIN dfq q USING (tok) JOIN dl d USING (doc_id)
+         |       CROSS JOIN consts c
+         |  GROUP BY t.doc_id)
+         |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "d_dup_span_frac" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents),
+         |p AS (SELECT doc_id, toks, len(toks) AS nt FROM toks),
+         |g AS (
+         |  SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+         |  FROM p CROSS JOIN unnest(range(1, nt - 5 + 2)) AS t(i)
+         |  WHERE nt >= 5),
+         |dup AS (
+         |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g)
+         |  WHERE nd >= 2),
+         |dp AS (SELECT doc_id, count(*) AS n_dup FROM g JOIN dup USING (g) GROUP BY doc_id)
+         |SELECT p.doc_id, CAST(greatest(p.nt - 4, 0) AS BIGINT) AS n_pos,
+         |  round(CASE WHEN p.nt >= 5
+         |    THEN CAST(coalesce(dp.n_dup, 0) AS DOUBLE) / (p.nt - 4)
+         |    ELSE 0.0 END, 6) AS dup_frac
+         |FROM p LEFT JOIN dp USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "s_centroid_stats" ->
+      """WITH e AS (
+        |  SELECT label, embedding FROM embeddings),
+        |norms AS (
+        |  SELECT label, count(*) AS n,
+        |    avg(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS m2
+        |  FROM e GROUP BY label),
+        |cells AS (
+        |  SELECT label, i, avg(CAST(x AS DOUBLE)) AS m FROM (
+        |    SELECT label, unnest(embedding) AS x,
+        |           generate_subscripts(embedding, 1) AS i FROM e)
+        |  GROUP BY label, i),
+        |mu AS (SELECT label, sum(m * m) AS mu2 FROM cells GROUP BY label)
+        |SELECT n.label, n.n, round(n.m2, 6) AS mean_sqnorm,
+        |  round(n.m2 - mu.mu2, 6) AS inertia
+        |FROM norms n JOIN mu USING (label)
+        |ORDER BY label""".stripMargin
+  )
+}

@@ -336,4 +336,32 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "id", "cosine", "rank")
   }
+
+  /** Per-label centroid diagnostics over an embedding column: cluster
+    * size, mean squared norm, and inertia (mean squared distance to the
+    * label's centroid) — the k-means quality numbers an embedding-curation
+    * pipeline tracks per shard/class. Inertia uses the algebraic identity
+    * E‖x − μ‖² = E‖x‖² − ‖μ‖², so NO second pass joins the centroid back
+    * to the vectors. Returns (label, n, mean_sqnorm, inertia).
+    *
+    * Scale: one aggregation over (label, dim) cells for the centroid (rows
+    * = |labels|·dim, map-side combined) and one over labels for the norms;
+    * vectors themselves never shuffle — per-row squared norms fold in the
+    * scan stage (sequential `aggregate`, deterministic order). The
+    * (label, dim) shuffle keys are uniform by construction — no skew.
+    */
+  def centroidStats(emb: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val e = emb.select(col(labelCol).as("label"),
+      col(vecCol).cast("array<double>").as("v"))
+    val norms = e.select(col("label"),
+        aggregate(col("v"), lit(0.0), (a, x) => a + x * x).as("sq"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), avg(col("sq")).as("m2"))
+    val mu2 = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label")).agg(sum(col("m") * col("m")).as("mu2"))
+    norms.join(mu2, Seq("label"))
+      .select(col("label"), col("n"), round(col("m2"), 6).as("mean_sqnorm"),
+        round(col("m2") - col("mu2"), 6).as("inertia"))
+  }
 }

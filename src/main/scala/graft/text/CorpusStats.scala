@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text scoring: statistics that need a pass over the WHOLE
+  * corpus (a language model, document frequencies) before any single
+  * document can be scored. Complements [[TextAnalysis]], whose signals are
+  * all per-row.
+  *
+  * Both ops here follow the same 100 TB shape: the corpus-wide model is a
+  * token-keyed aggregate (slim (token, count) rows with map-side combine),
+  * and scoring joins it back to the exploded token stream. Neither side
+  * ever collects unbounded data to the driver — the only driver-side
+  * values are O(1) scalars (corpus size, vocab size, average doc length),
+  * read off a single-row aggregate.
+  */
+object CorpusStats {
+
+  private def toks(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      TextAnalysis.asciiTokens(col(textCol)).as("toks"))
+
+  /** Unigram-LM negative log-likelihood per document — the CCNet-style
+    * "perplexity filter" (Wenzek et al., LREC 2020: score web documents
+    * with an LM; drop/partition by perplexity band). The LM here is fit on
+    * the corpus itself (self-perplexity): token probabilities are add-k
+    * smoothed unigram MLE, p(t) = (cnt(t) + k) / (N + k·V), and a
+    * document's score is the mean of −ln p(t) over its tokens. Boilerplate
+    * and keyword-stuffed documents score LOW (their tokens are corpus-
+    * frequent); rare-vocabulary noise scores HIGH — both tails are what a
+    * quality pipeline trims.
+    *
+    * Returns (id, n_toks, avg_nll·1e6-rounded) — one row per input row,
+    * zero-token documents carry n_toks = 0 and NULL avg_nll.
+    *
+    * Scale: two shuffles — (token, count) aggregation (map-side combined;
+    * vocabulary-sized, not corpus-sized) and the score-join keyed on the
+    * token. The count relation is left to AQE: broadcast when the vocab is
+    * small, shuffle-join when it isn't (a 100 TB web corpus's vocab does
+    * not fit one executor). N and V are two Longs fetched from a one-row
+    * aggregate.
+    */
+  def unigramNll(df: DataFrame, textCol: String, idCol: String,
+                 addK: Double = 0.5): DataFrame = {
+    val t = toks(df, textCol, idCol)
+    val tok = t.select(col("id"), explode(col("toks")).as("tok"))
+    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val r = counts.agg(sum(col("cnt")), count(lit(1))).head()
+    val n = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val v = r.getLong(1)
+    val denom = n + addK * v // exact in double for any real corpus (< 2^53)
+    val scored = tok.join(counts, Seq("tok"))
+      .select(col("id"),
+        (-log((col("cnt").cast("double") + lit(addK)) / lit(denom))).as("nll"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"), round(avg(col("nll")), 6).as("avg_nll"))
+    t.select(col("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        col("avg_nll"))
+  }
+
+  /** BM25 top-k retrieval (Robertson/Spärck Jones probabilistic relevance
+    * framework; the Okapi BM25 formula with the standard k1/b defaults and
+    * the Lucene-style idf = ln(1 + (N − df + ½)/(df + ½)), which keeps idf
+    * positive for terms in over half the corpus). Scores every document
+    * against a fixed bag of query terms and returns the k best:
+    * (id, score) with score rounded to 6 decimals BEFORE ranking so the
+    * ordering is reproducible across engines, ties broken by id.
+    *
+    * Scale: the per-(doc, term) frequency aggregate filters to the query's
+    * terms at the scan (predicate on the exploded token — pushes to a
+    * partial aggregate), so the shuffle carries only matching docs ×
+    * |terms| rows. Document frequencies reduce that same relation —
+    * |terms| rows total. N and avgdl are driver scalars off a one-row
+    * aggregate; the final top-k is a TakeOrdered, not a global sort.
+    */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val t = toks(df, textCol, idCol).select(
+      col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val r = t.agg(count(lit(1)), sum(col("dl"))).head()
+    val nDocs = r.getLong(0)
+    val avgdl = (if (r.isNullAt(1)) 0L else r.getLong(1)).toDouble / nDocs
+    val tf = t.select(col("id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("dfq"))
+    val idf: Column =
+      log(lit(1.0) + (lit(nDocs.toDouble) - col("dfq") + lit(0.5)) / (col("dfq") + lit(0.5)))
+    tf.join(broadcast(dfreq), Seq("tok")) // |terms| rows — always broadcast
+      .select(col("id"),
+        (idf * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))))
+          .as("c"))
+      .groupBy(col("id")).agg(round(sum(col("c")), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+}

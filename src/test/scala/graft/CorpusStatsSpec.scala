@@ -1,0 +1,150 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.pack.Packing
+import graft.sim.Similarity
+import graft.text.CorpusStats
+import org.apache.spark.sql.functions._
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------- sequence packing ----------------
+
+  test("packSequences chops the concatenated token tape at capacity") {
+    // 4 docs of 3 tokens each, capacity 5: tape offsets 0,3,6,9 → bins
+    // 0,0,1,1 (a doc is assigned the bin its FIRST token lands in).
+    val df = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"), (4L, "j k l"))
+      .toDF("doc_id", "text")
+    val out = Packing.packSequences(df, "text", "doc_id", capacity = 5)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 0L), (2L, 3L, 0L), (3L, 3L, 1L), (4L, 3L, 1L)))
+  }
+
+  test("packSequences is invariant to input partitioning and range size") {
+    val df = Tables.load(spark, sf0, "documents")
+    val a = Packing.packSequences(df, "text", "doc_id", capacity = 2048)
+      .orderBy("id").collect().toSeq
+    val b = Packing.packSequences(df.repartition(7), "text", "doc_id",
+        capacity = 2048, rangeSize = 17)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("packSequences bins are contiguous and capacity-consistent") {
+    // every bin's token span must start strictly inside the bin (first
+    // token offset < (bin+1)*capacity) — i.e. assignment matches the tape.
+    val df = Tables.load(spark, sf0, "documents")
+    val rows = Packing.packSequences(df, "text", "doc_id", capacity = 1024)
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    var off = 0L
+    rows.foreach { case (_, nToks, bin) =>
+      assert(off / 1024 == bin)
+      off += nToks
+    }
+  }
+
+  // ---------------- source mixing ----------------
+
+  test("mixSources keeps rate-1000 sources, drops rate-0, is deterministic") {
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "keep" else "drop"))
+      .toDF("doc_id", "source")
+    val out = Packing.mixSources(df, "doc_id", "source",
+      Map("keep" -> 1000, "drop" -> 0))
+    assert(out.count() == 200)
+    assert(out.filter(col("source") === "drop").count() == 0)
+    // half-rate keeps roughly half, and identically across calls
+    val half = Packing.mixSources(df, "doc_id", "source",
+      Map("keep" -> 500, "drop" -> 500))
+    val ids1 = half.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Packing.mixSources(df.repartition(5), "doc_id", "source",
+        Map("keep" -> 500, "drop" -> 500))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    assert(math.abs(ids1.size - 200) < 60) // md5 draw ≈ uniform
+  }
+
+  // ---------------- unigram LM scoring ----------------
+
+  test("unigramNll: rare-vocabulary docs score higher than frequent ones") {
+    val common = (1 to 50).map(_ => "the cat sat").mkString(" ")
+    val df = Seq((1L, common), (2L, common), (3L, common),
+      (4L, "zyx wvu tsr qpo nml")).toDF("doc_id", "text")
+    val out = CorpusStats.unigramNll(df, "text", "doc_id")
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    val byId = out.map(r => r._1 -> r._3).toMap
+    assert(byId(4L) > byId(1L))
+    assert(out.find(_._1 == 1L).get._2 == 150L)
+  }
+
+  test("unigramNll matches a hand-computed two-doc corpus") {
+    // corpus: "a a b" + "b" → N=4, V=2; p(a)=(2+.5)/(4+1)=.5, p(b)=(2+.5)/5=.5
+    val df = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val out = CorpusStats.unigramNll(df, "text", "doc_id")
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    val expected = BigDecimal(-math.log(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq((1L, 3L, expected), (2L, 1L, expected)))
+  }
+
+  // ---------------- BM25 ----------------
+
+  test("bm25TopK ranks the term-dense short doc first") {
+    val df = Seq(
+      (1L, "join join join"), // dense in the query term
+      (2L, "join " + (1 to 60).map(i => s"w$i").mkString(" ")), // diluted
+      (3L, "nothing relevant here"),
+      (4L, "vector vector join")).toDF("doc_id", "text")
+    val out = CorpusStats.bm25TopK(df, "text", "doc_id",
+        Seq("join", "vector"), k = 3)
+      .as[(Long, Double)].collect()
+    assert(out.map(_._1).head == 4L) // hits BOTH terms
+    assert(out.map(_._1).toSet == Set(1L, 2L, 4L)) // doc 3 scores nothing
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.reverse.toSeq)
+  }
+
+  // ---------------- cross-doc span dup ----------------
+
+  test("crossDocSpanDupFraction flags only spans shared ACROSS documents") {
+    val shared = "one two three four five six seven"
+    val df = Seq(
+      (1L, shared + " alpha beta gamma delta epsilon"),
+      (2L, shared + " zeta eta theta iota kappa"),
+      (3L, "totally different words with no overlap at all ok"),
+      (4L, "tiny doc")).toDF("doc_id", "text") // < n tokens
+    val out = Dedup.crossDocSpanDupFraction(df, "text", "doc_id", n = 5)
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    // docs 1,2: 12 tokens → 8 positions; the 3 five-grams fully inside
+    // `shared` (positions 1..3) are cross-doc dups → 3/8
+    assert(out(0) == (1L, 8L, 0.375))
+    assert(out(1) == (2L, 8L, 0.375))
+    assert(out(2) == (3L, 5L, 0.0)) // 9 tokens → 5 five-gram positions
+    assert(out(3) == (4L, 0L, 0.0))
+  }
+
+  test("crossDocSpanDupFraction counts repeated spans with multiplicity") {
+    val span = "p q r s t"
+    val df = Seq(
+      (1L, s"$span x $span"), // the shared 5-gram occurs twice in doc 1
+      (2L, span)).toDF("doc_id", "text")
+    val out = Dedup.crossDocSpanDupFraction(df, "text", "doc_id", n = 5)
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    // doc1: 11 tokens → 7 positions, dup positions = 2 (both copies of span)
+    assert(out(0) == (1L, 7L, BigDecimal(2.0 / 7.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(out(1) == (2L, 1L, 1.0))
+  }
+
+  // ---------------- centroid stats ----------------
+
+  test("centroidStats computes size, mean sqnorm, and inertia per label") {
+    // label 0: vectors (1,0) and (-1,0) → centroid (0,0), m2 = 1, inertia = 1
+    // label 1: two copies of (3,4) → centroid (3,4), m2 = 25, inertia = 0
+    val df = Seq((0, Seq(1.0f, 0.0f)), (0, Seq(-1.0f, 0.0f)),
+      (1, Seq(3.0f, 4.0f)), (1, Seq(3.0f, 4.0f)))
+      .toDF("label", "embedding")
+    val out = Similarity.centroidStats(df, "embedding", "label")
+      .orderBy("label").as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((0, 2L, 1.0, 1.0), (1, 2L, 25.0, 0.0)))
+  }
+}

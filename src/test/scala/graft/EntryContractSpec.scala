@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{LlmQueries, MorphlineQueries, RelationalQueries}
+import graft.queries.{CorpusQueries, LlmQueries, MorphlineQueries, RelationalQueries}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Driver-contract invariants for SparkEntry: the three query modules merge
@@ -11,12 +11,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class EntryContractSpec extends AnyFunSuite {
 
   test("query names are disjoint across modules") {
-    val m = MorphlineQueries.queries.keySet
-    val r = RelationalQueries.queries.keySet
-    val l = LlmQueries.queries.keySet
-    assert((m & r).isEmpty && (m & l).isEmpty && (r & l).isEmpty,
-      s"colliding names: ${(m & r) ++ (m & l) ++ (r & l)}")
-    assert(SparkEntry.queries.size == m.size + r.size + l.size)
+    val sets = Seq(MorphlineQueries.queries.keySet,
+      RelationalQueries.queries.keySet, LlmQueries.queries.keySet,
+      CorpusQueries.queries.keySet)
+    val collisions = sets.combinations(2).flatMap { case Seq(a, b) => a & b }.toSet
+    assert(collisions.isEmpty, s"colliding names: $collisions")
+    assert(SparkEntry.queries.size == sets.map(_.size).sum)
   }
 
   test("every oracle key names an existing query") {
