@@ -420,6 +420,57 @@ object Dedup {
           .otherwise(lit(0.0)), 6).as("dup_frac"))
   }
 
+  /** Exact duplicate-span REMOVAL — the rewrite operator behind Lee et
+    * al. 2021's ExactSubstr dedup: every token covered by a word `n`-gram
+    * that also occurs in another document is cut out, and the document is
+    * reassembled from the surviving tokens. (The paper removes one copy
+    * and keeps one; removing all copies is the conservative variant used
+    * when any cross-document boilerplate is unwanted — the choice is a
+    * policy knob, the plumbing is identical.) Returns
+    * (id, n_toks, n_removed, clean_md5) — the md5 travels instead of the
+    * rewritten text so downstream compares stay fixed-width; swap the
+    * select to carry `clean` itself in a real pipeline.
+    *
+    * 100 TB shape: three digest-or-integer-keyed shuffles — (id, gram-
+    * digest) for the corpus-wide duplicate count, (id, position) for
+    * coverage expansion, and the per-doc reassembly whose rows are (pos,
+    * token) pairs. Reassembly sorting happens per document via
+    * `array_sort` on collected (pos, tok) structs — a doc-sized sort, not
+    * a global one; document text enters exactly two scans and no join
+    * carries it.
+    */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                           n: Int = 5): DataFrame = {
+    val t = graft.CacheScope.cache(df.select(col(idCol).as("id"),
+      TextAnalysis.asciiTokens(col(textCol)).as("toks")))
+    val grams = graft.CacheScope.cache(t.select(col("id"),
+        posexplode(when(size(col("toks")) >= n,
+            transform(sequence(lit(1), size(col("toks")) - lit(n - 1)),
+              i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("p0", "g")))
+      .select(col("id"), (col("p0") + 1).as("i"), xxhash64(col("g")).as("h")))
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("nd")).filter(col("nd") >= 2)
+    // positions covered by ANY duplicated n-gram start: i .. i+n-1
+    val covered = grams.join(dup.select(col("h")), Seq("h"), "left_semi")
+      .select(col("id"), explode(sequence(col("i"), col("i") + lit(n - 1))).as("pos"))
+      .distinct()
+    val tokens = t.select(col("id"),
+      posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = tokens.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean"))
+    t.select(col("id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_toks"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
+  }
+
   /** 64-bit SimHash over word shingles, computed in one per-row pass by
     * [[graft.exprs.HashExprs.SimHash64]] (the column-function formulation
     * needs 64 aggregate passes per row — quadratic and codegen-hostile).

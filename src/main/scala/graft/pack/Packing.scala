@@ -54,6 +54,32 @@ object Packing {
       .select(col("id"), col("n_toks"), col("bin"))
   }
 
+  /** Temperature-scaled mixture weights per source — the domain-
+    * reweighting formula multilingual/multi-source corpora use (the
+    * mBERT/XLM-R exponential-smoothing recipe; The Pile's per-set epoch
+    * tuning): w_s ∝ c_s^(1/T), so T = 1 reproduces the natural mix and
+    * larger T up-weights small sources. Returns one row per source:
+    * (source, n_docs, weight) with Σ weight = 1.
+    *
+    * Scale: one map-side-combined count per source plus an unpartitioned
+    * window over the |sources| count rows — the window input is
+    * dimension-sized (sources, not documents), so the single-task stage
+    * is bounded the same way every per-source model is.
+    */
+  def temperatureMixWeights(df: DataFrame, sourceCol: String,
+                            temperature: Double): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("p", pow(col("n_docs").cast("double"), 1.0 / temperature))
+    counts
+      .withColumn("z", sum(col("p")).over(
+        Window.orderBy(col("source"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("source"), col("n_docs"),
+        round(col("p") / col("z"), 6).as("weight"))
+  }
+
   /** Deterministic source-mixing filter: keep each row with a per-source
     * per-mille rate, decided by a PORTABLE content hash (md5 of
     * "seed|id" — reproducible across engines and runs, unlike rand()).

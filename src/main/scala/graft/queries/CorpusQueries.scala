@@ -63,7 +63,19 @@ object CorpusQueries {
     // Per-label embedding centroid diagnostics (size / mean ‖x‖² / inertia).
     "s_centroid_stats" -> ((s, dir) =>
       Similarity.centroidStats(emb(s, dir), "embedding", "label")
-        .orderBy("label"))
+        .orderBy("label")),
+
+    // Lee-et-al ExactSubstr REMOVAL: rewrite docs without cross-doc spans.
+    "d_remove_dup_spans" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(docs(s, dir), "text", "doc_id", n = 5)
+        .select(col("id").as("doc_id"), col("n_toks"), col("n_removed"),
+          col("clean_md5"))
+        .orderBy("doc_id")),
+
+    // Temperature-scaled per-source mixture weights (T = 2).
+    "p_mix_weights" -> ((s, dir) =>
+      Packing.temperatureMixWeights(docs(s, dir), "source", temperature = 2.0)
+        .orderBy("source"))
   )
 
   // DuckDB tokenizer identical to TextAnalysis.asciiTokens: lowercase,
@@ -141,6 +153,48 @@ object CorpusQueries {
          |    ELSE 0.0 END, 6) AS dup_frac
          |FROM p LEFT JOIN dp USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "d_remove_dup_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents),
+         |p AS (SELECT doc_id, toks, len(toks) AS nt FROM toks),
+         |g AS (
+         |  SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS g
+         |  FROM p CROSS JOIN unnest(range(1, nt - 5 + 2)) AS t(i)
+         |  WHERE nt >= 5),
+         |dup AS (
+         |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g)
+         |  WHERE nd >= 2),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos
+         |  FROM (SELECT doc_id, unnest(range(i, i + 5)) AS pos
+         |        FROM g JOIN dup USING (g))),
+         |tokens AS (
+         |  SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+         |         unnest(toks) AS tok
+         |  FROM toks),
+         |kept AS (
+         |  SELECT t.doc_id, count(*) AS n_kept,
+         |         string_agg(t.tok, ' ' ORDER BY t.pos) AS clean
+         |  FROM tokens t ANTI JOIN covered c
+         |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  GROUP BY t.doc_id)
+         |SELECT p.doc_id, CAST(p.nt AS BIGINT) AS n_toks,
+         |  CAST(p.nt - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+         |  md5(coalesce(k.clean, '')) AS clean_md5
+         |FROM p LEFT JOIN kept k USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
+
+    "p_mix_weights" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    pow(CAST(count(*) AS DOUBLE), 0.5) AS p
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs,
+        |  round(p / sum(p) OVER (ORDER BY source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6)
+        |    AS weight
+        |FROM counts ORDER BY source""".stripMargin,
 
     "s_centroid_stats" ->
       """WITH e AS (

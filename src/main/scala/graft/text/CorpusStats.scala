@@ -44,7 +44,11 @@ object CorpusStats {
   def unigramNll(df: DataFrame, textCol: String, idCol: String,
                  addK: Double = 0.5): DataFrame = {
     val t = toks(df, textCol, idCol)
-    val tok = t.select(col("id"), explode(col("toks")).as("tok"))
+    // (id, tok) feeds the vocab count AND the score join's probe side —
+    // cached (caller-released via [[graft.CacheScope.releaseAll]]) so the
+    // corpus is tokenized once, not once per consumer
+    val tok = graft.CacheScope.cache(
+      t.select(col("id"), explode(col("toks")).as("tok")))
     val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val r = counts.agg(sum(col("cnt")), count(lit(1))).head()
     val n = if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -79,8 +83,11 @@ object CorpusStats {
   def bm25TopK(df: DataFrame, textCol: String, idCol: String,
                terms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val t = toks(df, textCol, idCol).select(
-      col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    // the N/avgdl scalar job below materializes this cache, so the main
+    // query re-reads tokens instead of re-splitting the corpus (caller-
+    // released via [[graft.CacheScope.releaseAll]])
+    val t = graft.CacheScope.cache(toks(df, textCol, idCol).select(
+      col("id"), col("toks"), size(col("toks")).cast("long").as("dl")))
     val r = t.agg(count(lit(1)), sum(col("dl"))).head()
     val nDocs = r.getLong(0)
     val avgdl = (if (r.isNullAt(1)) 0L else r.getLong(1)).toDouble / nDocs

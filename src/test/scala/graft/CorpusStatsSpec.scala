@@ -135,6 +135,50 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(1) == (2L, 1L, 1.0))
   }
 
+  // ---------------- duplicate-span removal ----------------
+
+  test("removeDuplicateSpans cuts shared spans, keeps unique prose") {
+    val shared = "one two three four five"
+    val df = Seq(
+      (1L, s"alpha $shared omega"), // 7 toks; positions 2..6 covered
+      (2L, shared), //                 5 toks; all covered
+      (3L, "entirely unrelated text here")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "text", "doc_id", n = 5)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0) == (1L, 7L, 5L, m("alpha omega")))
+    assert(out(1) == (2L, 5L, 5L, m("")))
+    assert(out(2) == (3L, 4L, 0L, m("entirely unrelated text here")))
+  }
+
+  test("removeDuplicateSpans removes overlapping span unions exactly") {
+    // docs share a 6-token run → two overlapping 5-gram starts in each;
+    // covered union is the full 6 tokens, not 10
+    val run = "a b c d e f"
+    val df = Seq((1L, s"$run tail1 tail2"), (2L, s"head0 $run"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "text", "doc_id", n = 5)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq((1L, 8L, 6L), (2L, 7L, 6L)))
+  }
+
+  // ---------------- temperature mixing weights ----------------
+
+  test("temperatureMixWeights: T=1 is the natural mix, large T flattens") {
+    val df = (1 to 90).map(i => (i.toLong, if (i <= 81) "big" else "small"))
+      .toDF("doc_id", "source")
+    val t1 = Packing.temperatureMixWeights(df, "source", 1.0)
+      .orderBy("source").as[(String, Long, Double)].collect().toSeq
+    assert(t1 == Seq(("big", 81L, 0.9), ("small", 9L, 0.1)))
+    val t2 = Packing.temperatureMixWeights(df, "source", 2.0)
+      .orderBy("source").as[(String, Long, Double)].collect().toSeq
+    assert(t2 == Seq(("big", 81L, 0.75), ("small", 9L, 0.25))) // 9:3
+    val flat = Packing.temperatureMixWeights(df, "source", 1e9)
+      .orderBy("source").as[(String, Long, Double)].collect()
+    assert(flat.forall(r => math.abs(r._3 - 0.5) < 1e-3))
+  }
+
   // ---------------- centroid stats ----------------
 
   test("centroidStats computes size, mean sqnorm, and inertia per label") {
