@@ -75,7 +75,8 @@ object Bench {
       "q14_promo_revenue", "q_window_rank", "q_range_join", "q_asof_join",
       "q_custom_topk_agg", "d_dedup_exact", "d_minhash_pairs",
       "d_ngram_jaccard", "d_embed_neardup", "s_knn_brute", "s_knn_lsh",
-      "m_avro_roundtrip", "m_grok", "t_quality_score", "mm_media_stats")
+      "m_avro_roundtrip", "m_grok", "t_quality_score", "mm_media_stats",
+      "d_remove_dup_spans", "t_lm_score", "t_bm25_topk", "p_pack_sequences")
     println(json(results.filter(r => headline(r._1)), "%.3f", withCold = false))
     spark.stop()
   }

@@ -4,7 +4,7 @@ import graft.Tables
 import graft.dedup.Dedup
 import graft.pack.Packing
 import graft.sim.Similarity
-import graft.text.CorpusStats
+import graft.text.{CorpusStats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,6 +49,12 @@ object CorpusQueries {
         .select(col("id").as("doc_id"), col("n_toks"), col("avg_nll"))
         .orderBy("doc_id")),
 
+    // Interpolated bigram-LM score (one rung toward CCNet's KenLM).
+    "t_lm_bigram" -> ((s, dir) =>
+      CorpusStats.bigramNll(docs(s, dir), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_toks"), col("avg_nll"))
+        .orderBy("doc_id")),
+
     // Okapi BM25 top-20 for a fixed query-term bag.
     "t_bm25_topk" -> ((s, dir) =>
       CorpusStats.bm25TopK(docs(s, dir), "text", "doc_id", bm25Terms, k = 20)
@@ -64,6 +70,27 @@ object CorpusQueries {
     "s_centroid_stats" -> ((s, dir) =>
       Similarity.centroidStats(emb(s, dir), "embedding", "label")
         .orderBy("label")),
+
+    // The composed C4/Gopher-style curation filter: language gate → length
+    // gate → repetition gate → quality gate, first failing rule wins. One
+    // scan-stage projection — every signal is a codegen'd column
+    // expression, so the whole pipeline runs shuffle-free at any corpus
+    // size. Signals are ROUNDED before threshold compares so the
+    // keep/drop decision at a boundary is engine-portable.
+    "p_filter_pipeline" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lp"),
+          TextAnalysis.tokenCount(col("text")).as("nt"),
+          round(TextAnalysis.dupNgramFraction(
+            TextAnalysis.asciiTokens(col("text")), 2), 6).as("rep"),
+          round(TextAnalysis.qualityScore(col("text")), 4).as("q"))
+        .select(col("doc_id"),
+          when(col("lp") =!= "en", "lang")
+            .when(col("nt") < 20, "short")
+            .when(col("rep") > 0.2, "repetition")
+            .when(col("q") < 0.5, "quality")
+            .otherwise("keep").as("verdict"))
+        .orderBy("doc_id")),
 
     // Lee-et-al ExactSubstr REMOVAL: rewrite docs without cross-doc spans.
     "d_remove_dup_spans" -> ((s, dir) =>
@@ -114,6 +141,29 @@ object CorpusQueries {
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    "t_lm_bigram" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, tok,
+         |    coalesce(lag(tok) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS prev
+         |  FROM (SELECT doc_id, unnest(toks) AS tok,
+         |               generate_subscripts(toks, 1) AS pos FROM toks)),
+         |big AS (SELECT prev, tok, count(*) AS cb FROM pairs GROUP BY prev, tok),
+         |ctx AS (SELECT prev, sum(cb) AS cc FROM big GROUP BY prev),
+         |uni AS (SELECT tok, count(*) AS cu FROM pairs GROUP BY tok),
+         |stats AS (SELECT CAST(sum(cu) AS DOUBLE) AS n, count(*) AS v FROM uni),
+         |agg AS (
+         |  SELECT p.doc_id, count(*) AS n_toks,
+         |    round(avg(-ln(0.7 * ((b.cb + 0.5) / (c.cc + 0.5 * s.v))
+         |            + 0.3 * ((u.cu + 0.5) / (s.n + 0.5 * s.v)))), 6) AS avg_nll
+         |  FROM pairs p JOIN big b USING (prev, tok) JOIN ctx c USING (prev)
+         |       JOIN uni u USING (tok) CROSS JOIN stats s
+         |  GROUP BY p.doc_id)
+         |SELECT d.doc_id, coalesce(a.n_toks, 0) AS n_toks, a.avg_nll
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "t_bm25_topk" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $duckToks AS toks FROM documents),
@@ -153,6 +203,52 @@ object CorpusQueries {
          |    ELSE 0.0 END, 6) AS dup_frac
          |FROM p LEFT JOIN dp USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "p_filter_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS atoks,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ltoks,
+        |    len(string_split_regex(trim(text), '\s+')) AS nt
+        |  FROM documents),
+        |s2 AS (
+        |  SELECT doc_id,
+        |    len(list_filter(ltoks, x -> list_contains(['the','and','of','is','with','that'], x))) AS s_en,
+        |    len(list_filter(ltoks, x -> list_contains(['der','die','und','ist','nicht','das'], x))) AS s_de,
+        |    len(list_filter(ltoks, x -> list_contains(['el','la','que','los','una','por'], x))) AS s_es,
+        |    len(list_filter(ltoks, x -> list_contains(['le','les','des','est','une','dans'], x))) AS s_fr
+        |  FROM t),
+        |sig AS (
+        |  SELECT t.doc_id, t.nt,
+        |    CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'en'
+        |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'de'
+        |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'es'
+        |         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'fr'
+        |         ELSE 'und' END AS lp,
+        |    CASE WHEN len(atoks) = 0 THEN 0.0
+        |      ELSE CAST(round(1.0 -
+        |        CAST(len(list_distinct(list_transform(
+        |          range(1, greatest(len(atoks) - 2, 0) + 2),
+        |          i -> array_to_string(atoks[i:i+1], ' ')))) AS DOUBLE) /
+        |        CAST(greatest(len(atoks) - 2, 0) + 1 AS DOUBLE), 6) AS DOUBLE) END AS rep,
+        |    CAST(round(
+        |      (CASE WHEN length(t.text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+        |      (CASE WHEN CAST(length(t.text) - length(regexp_replace(t.text, '[[:punct:]]', '', 'g'))
+        |         AS DOUBLE) / CAST(length(t.text) AS DOUBLE) < 0.3 THEN 1.0 ELSE 0.0 END) * 0.3 +
+        |      (CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(t.text)), '\s+'),
+        |         x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |           'that','for','on','with','as','was','at','by','be','this'], x)))
+        |         AS DOUBLE) / CAST(len(string_split_regex(trim(lower(t.text)), '\s+')) AS DOUBLE) > 0.01
+        |       THEN 1.0 ELSE 0.0 END) * 0.3, 4) AS DOUBLE) AS q
+        |  FROM t JOIN s2 USING (doc_id))
+        |SELECT doc_id,
+        |  CASE WHEN lp <> 'en' THEN 'lang'
+        |       WHEN nt < 20 THEN 'short'
+        |       WHEN rep > 0.2 THEN 'repetition'
+        |       WHEN q < 0.5 THEN 'quality'
+        |       ELSE 'keep' END AS verdict
+        |FROM sig ORDER BY doc_id""".stripMargin,
 
     "d_remove_dup_spans" ->
       s"""WITH toks AS (

@@ -65,6 +65,55 @@ object CorpusStats {
         col("avg_nll"))
   }
 
+  /** Interpolated bigram-LM negative log-likelihood — one rung up the
+    * n-gram ladder from [[unigramNll]], toward the 5-gram KenLM CCNet
+    * actually scores with: p(t|prev) = λ·p₂(t|prev) + (1−λ)·p₁(t), both
+    * parts add-k smoothed, with a `<s>` sentinel context for each
+    * document's first token (its context count is the document count, as
+    * in any sentence-start LM state). Returns (id, n_toks, avg_nll).
+    *
+    * Scale: the previous-token pairing is a window lag PARTITIONED BY
+    * document — a per-doc sort, never global. Three model aggregates
+    * ((prev,tok), prev, tok — all map-side combined, vocabulary²-bounded
+    * with the usual Zipf truncation far below that) and two token-keyed
+    * score joins. Driver sees two scalars.
+    */
+  def bigramNll(df: DataFrame, textCol: String, idCol: String,
+                addK: Double = 0.5, lambda: Double = 0.7): DataFrame = {
+    val t = toks(df, textCol, idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    // (id, prev, tok) with a sentinel context for position 1 — cached:
+    // feeds the bigram model AND the score join (caller-released via
+    // [[graft.CacheScope.releaseAll]])
+    val pairs = graft.CacheScope.cache(
+      t.select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+        .withColumn("prev", coalesce(lag(col("tok"), 1).over(w), lit("<s>")))
+        .select(col("id"), col("prev"), col("tok")))
+    val big = pairs.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cb"))
+    val ctx = big.groupBy(col("prev")).agg(sum(col("cb")).as("cc"))
+    val uni = pairs.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val r = uni.agg(sum(col("cu")), count(lit(1))).head()
+    val n = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val v = r.getLong(1)
+    val uniDenom = n + addK * v
+    val p2 = (col("cb").cast("double") + lit(addK)) /
+      (col("cc").cast("double") + lit(addK) * lit(v.toDouble))
+    val p1 = (col("cu").cast("double") + lit(addK)) / lit(uniDenom)
+    val scored = pairs
+      .join(big, Seq("prev", "tok"))
+      .join(ctx, Seq("prev"))
+      .join(uni, Seq("tok"))
+      .select(col("id"),
+        (-log(lit(lambda) * p2 + lit(1.0 - lambda) * p1)).as("nll"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"), round(avg(col("nll")), 6).as("avg_nll"))
+    t.select(col("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        col("avg_nll"))
+  }
+
   /** BM25 top-k retrieval (Robertson/Spärck Jones probabilistic relevance
     * framework; the Okapi BM25 formula with the standard k1/b defaults and
     * the Lucene-style idf = ln(1 + (N − df + ½)/(df + ½)), which keeps idf

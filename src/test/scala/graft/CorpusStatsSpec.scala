@@ -87,6 +87,20 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L, expected), (2L, 1L, expected)))
   }
 
+  test("bigramNll penalizes scrambled word order that unigramNll cannot see") {
+    val fluent = (1 to 30).map(_ => "the cat sat down").mkString(" ")
+    val df = Seq((1L, fluent), (2L, fluent), (3L, fluent),
+      (4L, "down the sat cat " + fluent.split(' ').drop(4).mkString(" ")))
+      .toDF("doc_id", "text")
+    val uni = CorpusStats.unigramNll(df, "text", "doc_id")
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    val bi = CorpusStats.bigramNll(df, "text", "doc_id")
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    // same unigram bag → unigram scores nearly equal; bigram separates
+    assert(math.abs(uni(3)._3 - uni(0)._3) < 0.05)
+    assert(bi(3)._3 > bi(0)._3 + 0.05)
+  }
+
   // ---------------- BM25 ----------------
 
   test("bm25TopK ranks the term-dense short doc first") {
