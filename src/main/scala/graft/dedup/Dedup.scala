@@ -398,13 +398,8 @@ object Dedup {
                               n: Int = 5): DataFrame = {
     val t = df.select(col(idCol).as("id"),
       TextAnalysis.asciiTokens(col(textCol)).as("toks"))
-    // positional n-grams with multiplicity: slide i over 1..len-n+1;
-    // sequence(1, 0) would EXPAND descending, so short docs guard to []
     val grams = graft.CacheScope.cache(t.select(col("id"),
-        explode(when(size(col("toks")) >= n,
-            transform(sequence(lit(1), size(col("toks")) - lit(n - 1)),
-              i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
-          .otherwise(array().cast("array<string>"))).as("g"))
+        explode(TextAnalysis.positionalNgrams(col("toks"), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("h")))
     val dup = grams.groupBy(col("h"))
       .agg(countDistinct(col("id")).as("nd"))
@@ -444,10 +439,7 @@ object Dedup {
     val t = graft.CacheScope.cache(df.select(col(idCol).as("id"),
       TextAnalysis.asciiTokens(col(textCol)).as("toks")))
     val grams = graft.CacheScope.cache(t.select(col("id"),
-        posexplode(when(size(col("toks")) >= n,
-            transform(sequence(lit(1), size(col("toks")) - lit(n - 1)),
-              i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
-          .otherwise(array().cast("array<string>"))).as(Seq("p0", "g")))
+        posexplode(TextAnalysis.positionalNgrams(col("toks"), n)).as(Seq("p0", "g")))
       .select(col("id"), (col("p0") + 1).as("i"), xxhash64(col("g")).as("h")))
     val dup = grams.groupBy(col("h"))
       .agg(countDistinct(col("id")).as("nd")).filter(col("nd") >= 2)

@@ -49,6 +49,10 @@ object CorpusQueries {
         .select(col("id").as("doc_id"), col("n_toks"), col("avg_nll"))
         .orderBy("doc_id")),
 
+    // Corpus-wide frequent trigrams (boilerplate mining, exact tier).
+    "t_top_ngrams" -> ((s, dir) =>
+      CorpusStats.topNgrams(docs(s, dir), "text", n = 3, k = 25)),
+
     // Interpolated bigram-LM score (one rung toward CCNet's KenLM).
     "t_lm_bigram" -> ((s, dir) =>
       CorpusStats.bigramNll(docs(s, dir), "text", "doc_id")
@@ -140,6 +144,17 @@ object CorpusQueries {
          |SELECT d.doc_id, coalesce(a.n_toks, 0) AS n_toks, a.avg_nll
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "t_top_ngrams" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (
+         |  SELECT array_to_string(toks[i:i+2], ' ') AS ngram
+         |  FROM (SELECT doc_id, toks, len(toks) AS nt FROM toks)
+         |  CROSS JOIN unnest(range(1, nt - 3 + 2)) AS t(i)
+         |  WHERE nt >= 3)
+         |SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
+         |ORDER BY cnt DESC, ngram LIMIT 25""".stripMargin,
 
     "t_lm_bigram" ->
       s"""WITH toks AS (

@@ -65,6 +65,27 @@ object CorpusStats {
         col("avg_nll"))
   }
 
+  /** Corpus-wide most frequent word n-grams — the exact frequent-items
+    * pass behind boilerplate mining (find the navigation bars / cookie
+    * banners polluting a crawl) and stop-phrase lists. Returns the `k`
+    * heaviest (ngram, cnt) rows, count-descending, ties broken by the
+    * n-gram string so the cut is deterministic.
+    *
+    * Scale: positional n-grams aggregate with map-side combine — the
+    * shuffle carries (ngram, partial count), bounded by DISTINCT n-grams
+    * per partition, not corpus positions; the top-k is a TakeOrdered
+    * (per-partition heaps + driver merge of k·partitions rows), never a
+    * global sort. For corpora where even distinct n-grams overwhelm the
+    * shuffle, the sketch path is [[graft.exprs.Aggregators.TopKByValue]];
+    * this op is the exact tier.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(TextAnalysis.positionalNgrams(
+        TextAnalysis.asciiTokens(col(textCol)), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+
   /** Interpolated bigram-LM negative log-likelihood — one rung up the
     * n-gram ladder from [[unigramNll]], toward the 5-gram KenLM CCNet
     * actually scores with: p(t|prev) = λ·p₂(t|prev) + (1−λ)·p₁(t), both

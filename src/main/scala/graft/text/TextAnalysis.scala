@@ -159,6 +159,19 @@ object TextAnalysis {
     filter(split(lower(regexp_replace(text, "[^a-zA-Z0-9]+", " ")), " "),
       t => t =!= "")
 
+  /** POSITIONAL word n-grams over a materialized token array: one entry
+    * per start position 1..len−n+1, WITH multiplicity (unlike
+    * [[wordShingles]], which is a distinct set) — the building block for
+    * span-level dedup and corpus n-gram statistics. Empty array for docs
+    * shorter than n (`sequence(1, 0)` would EXPAND descending, hence the
+    * guard). Pure scan-stage expressions.
+    */
+  def positionalNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
   /** Fraction of duplicated word n-grams in a document — the Gopher-rule
     * repetition signal for training-data quality filtering (public
     * technique: Rae et al. 2021 §A1.1 "repetition" filters): documents

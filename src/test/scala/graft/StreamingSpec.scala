@@ -180,6 +180,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation filter yields exactly the batch verdicts on a replayed corpus") {
+    // the composed curation filter (lang → length → repetition → quality)
+    // is a stateless scan-stage projection, so it must run UNCHANGED over
+    // a stream and give row-identical verdicts to the batch query
+    val docs = Tables.load(spark, sf0, "documents").select(col("doc_id"), col("text"))
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        graft.text.TextAnalysis.langId(col("text")).as("lp"),
+        graft.text.TextAnalysis.tokenCount(col("text")).as("nt"),
+        round(graft.text.TextAnalysis.dupNgramFraction(
+          graft.text.TextAnalysis.asciiTokens(col("text")), 2), 6).as("rep"),
+        round(graft.text.TextAnalysis.qualityScore(col("text")), 4).as("q"))
+      .select(col("doc_id"),
+        when(col("lp") =!= "en", "lang").when(col("nt") < 20, "short")
+          .when(col("rep") > 0.2, "repetition").when(col("q") < 0.5, "quality")
+          .otherwise("keep").as("verdict"))
+    val expect = verdicts(docs).as[(Long, String)].collect().sortBy(_._1).toSeq
+    val d = java.nio.file.Files.createTempDirectory("graft-paritycurate")
+    docs.repartition(1).write.mode("overwrite").parquet(d.toString)
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    val q = verdicts(StreamingOps.fileSource(spark, schema, d.toString))
+      .writeStream.format("memory").queryName("parity_curate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, verdict FROM parity_curate")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(got == expect)
+      assert(expect.map(_._2).toSet.size > 1) // corpus exercises >1 verdict
+    } finally q.stop()
+  }
+
   test("dead-letter split catches unparseable payloads in a pipeline") {
     val df = Seq("""{"k": 1}""", "not json at all", """{"k": 3}""")
       .toDF("props")
