@@ -154,6 +154,49 @@ object StreamingOps {
       }
   }
 
+  /** Streaming sequence packing: the tape semantics of
+    * [[graft.pack.Packing.packSequences]] over an unbounded stream — each
+    * key keeps its running token offset in group state, so context-window
+    * bins continue seamlessly across micro-batches (a restart resumes from
+    * the checkpointed offset; no bin is ever reused). Arrival order within
+    * the key defines tape order, because an unbounded stream has no global
+    * id order to sort by — the batch op and this one agree exactly when
+    * arrival order matches id order (asserted in StreamingSpec).
+    *
+    * Input rows carry a precomputed token count (`tokenCol`, long) — the
+    * tokenizing itself stays a stateless scan-stage expression upstream.
+    * State per key is ONE long; at 100 TB of stream the state store holds
+    * |keys| longs, not documents.
+    */
+  def streamingPack(stream: DataFrame, keyCol: String, idCol: String,
+                    tokenCol: String, capacity: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val in = stream.select(col(keyCol).cast("string").as("key"),
+      col(idCol).cast("long").as("id"),
+      col(tokenCol).cast("long").as("n_toks"))
+    val outSchema = new StructType().add("key", StringType)
+      .add("id", LongType).add("n_toks", LongType).add("bin", LongType)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    in.groupByKey((r: Row) => r.getString(0))
+      .flatMapGroupsWithState[Long, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = rows.map { r =>
+            val nt = r.getLong(2)
+            val bin = off / capacity
+            off += nt
+            Row(key, r.getLong(1), nt, bin)
+          }.toSeq // drain BEFORE state.update sees the final offset
+          state.update(off)
+          out.iterator
+      }
+  }
+
   /** Run a streaming pipeline to the in-memory sink synchronously — the
     * local smoke harness (processAllAvailable drains the source).
     */

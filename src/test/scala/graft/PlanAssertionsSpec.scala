@@ -102,6 +102,53 @@ class PlanAssertionsSpec extends SparkSpec {
       "conformBySubject")
   }
 
+  test("curation filter is shuffle-free: no Exchange anywhere in the plan") {
+    val p = plan("p_filter_pipeline")
+    // every signal is a scan-stage expression; the orderBy in the query
+    // surface is the only allowed exchange (a rangepartitioning for output
+    // ordering, not a hash shuffle for computation)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"curation filter hash-shuffles:\n$p")
+  }
+
+  test("sequence packing never funnels the corpus through one task") {
+    val p = plan("p_pack_sequences")
+    // the classic bug is Window.orderBy(id) with NO partition spec —
+    // Spark plans that as Exchange SinglePartition + a global Sort. The
+    // two-level prefix sum must instead window PARTITIONED BY range.
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0)
+    assert(p.contains("windowspecdefinition(rng"),
+      s"window not partitioned by id-range:\n$p")
+    // the only SinglePartition exchange allowed is for the bounded
+    // (range, prefix) driver relation, never under the corpus window
+    assert(!p.substring(0, winIdx).contains("Exchange SinglePartition"),
+      s"corpus window runs in one task:\n$p")
+  }
+
+  test("LM scorer joins the model by token — document text never joins") {
+    val df = SparkEntry.queries("t_lm_score")(spark, sf0)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.map(_.sql).getOrElse("")
+    }
+    assert(joins.nonEmpty)
+    joins.foreach(c => assert(!c.contains("text"),
+      s"LM join keyed on document text: $c"))
+  }
+
+  test("span removal shuffles digests and positions — never n-gram strings") {
+    val p = plan("d_remove_dup_spans")
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    // shuffle keys must be the xxhash64 digest (h), ids, or positions —
+    // if a raw gram string (g) becomes a shuffle key the 100 TB shape is lost
+    exchanges.foreach { e =>
+      assert(!e.matches(".*hashpartitioning\\(g[#,].*"),
+        s"gram string used as shuffle key: $e")
+    }
+    assert(exchanges.nonEmpty)
+  }
+
   test("kafkaProduceBySchemaField compiles to a single scan of the input") {
     import spark.implicits._
     val sA = """{"type":"record","name":"A","fields":[{"name":"id","type":"long"}]}"""

@@ -180,6 +180,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pack continues bin offsets across micro-batches, matching batch") {
+    // two micro-batches (one file each, arrival order = id order) must
+    // produce EXACTLY the batch packSequences assignment over the union —
+    // the per-key offset carries across batches through group state
+    val docs = Tables.load(spark, sf0, "documents")
+      .select(col("doc_id"), col("text")).orderBy("doc_id").limit(100)
+    val expect = graft.pack.Packing.packSequences(docs, "text", "doc_id", 512)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val tokenized = docs.select(lit("all").as("key"), col("doc_id"),
+      graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+    val d = java.nio.file.Files.createTempDirectory("graft-streampack")
+    val (lo, hi) = (tokenized.filter(col("doc_id") < 50),
+      tokenized.filter(col("doc_id") >= 50))
+    lo.orderBy("doc_id").coalesce(1).write.parquet(s"$d/b0")
+    val schema = new StructType().add("key", StringType)
+      .add("doc_id", LongType).add("n_toks", LongType)
+    // one file per trigger => deterministic two-batch replay in id order
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$d/b*/")
+    val packed = StreamingOps.streamingPack(stream, "key", "doc_id", "n_toks", 512)
+    val q = packed.writeStream.format("memory").queryName("stream_pack")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      hi.orderBy("doc_id").coalesce(1).write.parquet(s"$d/b1")
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id, n_toks, bin FROM stream_pack")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == expect)
+    } finally q.stop()
+  }
+
   test("streaming curation filter yields exactly the batch verdicts on a replayed corpus") {
     // the composed curation filter (lang → length → repetition → quality)
     // is a stateless scan-stage projection, so it must run UNCHANGED over
