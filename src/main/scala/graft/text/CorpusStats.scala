@@ -41,6 +41,46 @@ object CorpusStats {
     * not fit one executor). N and V are two Longs fetched from a one-row
     * aggregate.
     */
+  /** A fitted unigram LM: the (token, count) relation plus the smoothing
+    * scalars. Fit once on a reference corpus, score anything — including
+    * an unbounded stream ([[scoreUnigramNll]] is a stream-legal static
+    * join). The counts relation is cached (caller-released via
+    * [[graft.CacheScope.releaseAll]]): a model is by definition reused
+    * across scoring calls.
+    */
+  final case class UnigramLm(counts: DataFrame, n: Long, v: Long, addK: Double)
+
+  /** Fit the add-k unigram LM: one vocabulary-keyed aggregate (map-side
+    * combined) + a one-row scalar job. */
+  def fitUnigramLm(df: DataFrame, textCol: String,
+                   addK: Double = 0.5): UnigramLm = {
+    val counts = graft.CacheScope.cache(
+      df.select(explode(TextAnalysis.asciiTokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
+    val r = counts.agg(sum(col("cnt")), count(lit(1))).head()
+    UnigramLm(counts,
+      n = if (r.isNullAt(0)) 0L else r.getLong(0),
+      v = r.getLong(1), addK = addK)
+  }
+
+  /** Score documents under a fitted LM: (id, n_toks, avg −ln p). Stream-
+    * legal — a static model join plus a per-document aggregate (update
+    * mode). Tokens unseen at fit time get the add-k floor probability
+    * k/(N + k·V) through the left join's null count.
+    */
+  def scoreUnigramNll(lm: UnigramLm, df: DataFrame, textCol: String,
+                      idCol: String): DataFrame = {
+    val denom = lm.n + lm.addK * lm.v // exact in double below 2^53
+    df.select(col(idCol).cast("long").as("id"),
+        explode(TextAnalysis.asciiTokens(col(textCol))).as("tok"))
+      .join(lm.counts, Seq("tok"), "left")
+      .select(col("id"),
+        (-log((coalesce(col("cnt"), lit(0L)).cast("double") + lit(lm.addK)) /
+          lit(denom))).as("nll"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"), round(avg(col("nll")), 6).as("avg_nll"))
+  }
+
   def unigramNll(df: DataFrame, textCol: String, idCol: String,
                  addK: Double = 0.5): DataFrame = {
     val t = toks(df, textCol, idCol)

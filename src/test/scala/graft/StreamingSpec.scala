@@ -212,6 +212,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch-fit LM scores a stream identically to the batch scorer") {
+    // the deployment shape: fit the unigram LM on the reference corpus in
+    // batch, then score an unbounded stream against the STATIC model —
+    // per-doc scores must equal the batch scorer's on the same rows
+    val docs = Tables.load(spark, sf0, "documents").select(col("doc_id"), col("text"))
+    val lm = graft.text.CorpusStats.fitUnigramLm(docs, "text")
+    val expect = graft.text.CorpusStats.scoreUnigramNll(lm, docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // cross-check: fit+score == the one-shot op on the SAME corpus
+    val oneShot = graft.text.CorpusStats.unigramNll(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(expect == oneShot)
+    val d = java.nio.file.Files.createTempDirectory("graft-streamlm")
+    docs.repartition(1).write.mode("overwrite").parquet(d.toString)
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    val scored = graft.text.CorpusStats.scoreUnigramNll(lm,
+      StreamingOps.fileSource(spark, schema, d.toString), "text", "doc_id")
+    val q = scored.writeStream.format("memory").queryName("stream_lm")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id, n_toks, avg_nll FROM stream_lm")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got == expect)
+    } finally q.stop()
+  }
+
   test("streaming curation filter yields exactly the batch verdicts on a replayed corpus") {
     // the composed curation filter (lang → length → repetition → quality)
     // is a stateless scan-stage projection, so it must run UNCHANGED over
