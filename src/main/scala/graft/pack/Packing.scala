@@ -51,7 +51,10 @@ object Packing {
     tc.join(broadcast(prefixDf), Seq("rng"))
       .withColumn("cum_end", col("prefix") + sum(col("n_toks")).over(w))
       .withColumn("bin", expr(s"(cum_end - n_toks) div $capacity"))
-      .select(col("id"), col("n_toks"), col("bin"))
+      // where in its window the doc STARTS — the dataloader needs this to
+      // place attention/loss-mask boundaries without re-counting tokens
+      .withColumn("bin_off", expr(s"(cum_end - n_toks) % $capacity"))
+      .select(col("id"), col("n_toks"), col("bin"), col("bin_off"))
   }
 
   /** Temperature-scaled mixture weights per source — the domain-

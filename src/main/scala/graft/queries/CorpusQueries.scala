@@ -49,6 +49,16 @@ object CorpusQueries {
         .select(col("id").as("doc_id"), col("n_toks"), col("avg_nll"))
         .orderBy("doc_id")),
 
+    // Winnowing document signatures (MOSS): sorted distinct window-min
+    // k-gram hashes per doc, surfaced as count + digest.
+    "t_winnow_fps" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("wh", TextAnalysis.winnowGramHashes(col("text"), k = 5))
+        .select(col("doc_id"), TextAnalysis.winnowSelect(col("wh"), w = 4).as("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
+          md5(concat_ws(",", transform(col("fps"), _.cast("string")))).as("fp_md5"))
+        .orderBy("doc_id")),
+
     // Corpus-wide frequent trigrams (boilerplate mining, exact tier).
     "t_top_ngrams" -> ((s, dir) =>
       CorpusStats.topNgrams(docs(s, dir), "text", n = 3, k = 25)),
@@ -116,7 +126,8 @@ object CorpusQueries {
 
   val oracle: Map[String, String] = Map(
     "p_pack_sequences" ->
-      """SELECT id, n_toks, (cum_end - n_toks) // 2048 AS bin FROM (
+      """SELECT id, n_toks, (cum_end - n_toks) // 2048 AS bin,
+        |  (cum_end - n_toks) % 2048 AS bin_off FROM (
         |  SELECT doc_id AS id,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
         |    CAST(sum(len(string_split_regex(trim(text), '\s+')))
@@ -144,6 +155,28 @@ object CorpusQueries {
          |SELECT d.doc_id, coalesce(a.n_toks, 0) AS n_toks, a.avg_nll
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "t_winnow_fps" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS s
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, CASE WHEN length(s) - 4 >= 1 THEN
+        |    list_transform(range(1, length(s) - 4 + 1), i ->
+        |      ((((CAST(ascii(s[i:i]) AS BIGINT) * 31 + ascii(s[i+1:i+1])) * 31
+        |        + ascii(s[i+2:i+2])) * 31 + ascii(s[i+3:i+3])) * 31
+        |        + ascii(s[i+4:i+4])))
+        |    ELSE [] END AS wh FROM n),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(wh) >= 4 THEN
+        |      list_sort(list_distinct(list_transform(range(1, len(wh) - 3 + 1),
+        |        j -> list_min(wh[j:j+3]))))
+        |    WHEN len(wh) >= 1 THEN [list_min(wh)]
+        |    ELSE [] END AS fps FROM h)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+        |  md5(array_to_string(fps, ',')) AS fp_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "t_top_ngrams" ->
       s"""WITH toks AS (

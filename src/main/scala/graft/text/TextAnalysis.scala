@@ -159,6 +159,47 @@ object TextAnalysis {
     filter(split(lower(regexp_replace(text, "[^a-zA-Z0-9]+", " ")), " "),
       t => t =!= "")
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): normalize to lowercase
+    * alphanumerics, hash every char `k`-gram with an exact small-range
+    * polynomial (base-31 over code points — NO modulus: max value for
+    * k ≤ 9 stays far under 2⁶³, so every engine computes it bit-exactly),
+    * then keep the MINIMUM hash of each sliding window of `w` consecutive
+    * k-grams. Guarantees a shared fingerprint for any match of length
+    * ≥ w+k−1 while storing ~2/(w+1) of the hashes — the classic
+    * sublinear document signature for plagiarism/near-dup detection.
+    * Returns the SORTED DISTINCT selected hashes (array<long>).
+    *
+    * Pure scan-stage expressions (no shuffle, no UDF); k is unrolled at
+    * plan time so the polynomial is a flat codegen expression.
+    */
+  def winnowGramHashes(text: Column, k: Int = 5): Column = {
+    require(k >= 1 && k <= 9, "k-gram hash is exact only for k <= 9")
+    val norm = regexp_replace(lower(text), "[^a-z0-9]+", "")
+    val m = length(norm) - lit(k - 1) // k-gram count (may be <= 0)
+    val gramHash: Column => Column = i =>
+      (1 until k).foldLeft(ascii(norm.substr(i, lit(1))).cast("long")) {
+        (acc, j) => acc * 31 + ascii(norm.substr(i + lit(j), lit(1))).cast("long")
+      }
+    when(m >= 1, transform(sequence(lit(1), m), gramHash))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  /** Window-minimum selection over a MATERIALIZED k-gram hash array (see
+    * [[winnowGramHashes]]; materialize between the two steps — a lambda
+    * referencing the hash subtree would re-evaluate it per window).
+    * Documents with fewer than `w` grams contribute their single minimum;
+    * empty hash arrays select nothing.
+    */
+  def winnowSelect(hashes: Column, w: Int = 4): Column = {
+    val m = size(hashes)
+    when(m >= w,
+        array_sort(array_distinct(transform(sequence(lit(1), m - lit(w - 1)),
+          j => array_min(slice(hashes, j, lit(w)))))))
+      .otherwise(when(m >= 1, array(array_min(hashes)))
+        .otherwise(array().cast("array<long>")))
+  }
+
   /** POSITIONAL word n-grams over a materialized token array: one entry
     * per start position 1..len−n+1, WITH multiplicity (unlike
     * [[wordShingles]], which is a distinct set) — the building block for

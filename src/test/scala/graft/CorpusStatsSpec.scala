@@ -17,8 +17,9 @@ class CorpusStatsSpec extends SparkSpec {
     val df = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"), (4L, "j k l"))
       .toDF("doc_id", "text")
     val out = Packing.packSequences(df, "text", "doc_id", capacity = 5)
-      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
-    assert(out == Seq((1L, 3L, 0L), (2L, 3L, 0L), (3L, 3L, 1L), (4L, 3L, 1L)))
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 0L, 0L), (2L, 3L, 0L, 3L),
+      (3L, 3L, 1L, 1L), (4L, 3L, 1L, 4L)))
   }
 
   test("packSequences is invariant to input partitioning and range size") {
@@ -36,10 +37,11 @@ class CorpusStatsSpec extends SparkSpec {
     // token offset < (bin+1)*capacity) — i.e. assignment matches the tape.
     val df = Tables.load(spark, sf0, "documents")
     val rows = Packing.packSequences(df, "text", "doc_id", capacity = 1024)
-      .orderBy("id").as[(Long, Long, Long)].collect()
+      .orderBy("id").as[(Long, Long, Long, Long)].collect()
     var off = 0L
-    rows.foreach { case (_, nToks, bin) =>
+    rows.foreach { case (_, nToks, bin, binOff) =>
       assert(off / 1024 == bin)
+      assert(off % 1024 == binOff)
       off += nToks
     }
   }
@@ -147,6 +149,37 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(0) == (1L, 7L, BigDecimal(2.0 / 7.0)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
     assert(out(1) == (2L, 1L, 1.0))
+  }
+
+  // ---------------- winnowing ----------------
+
+  test("winnowing guarantees a shared fingerprint for matches >= w+k-1 chars") {
+    import graft.text.TextAnalysis
+    // normalized shared run: "sharedboilerplateregion" (23 chars >= 8)
+    val df = Seq(
+      (1L, "AAA shared boilerplate region BBB"),
+      (2L, "xyz shared-boilerplate/region qqq"),
+      (3L, "completely different content z9")).toDF("doc_id", "text")
+    val fps = df.withColumn("wh", TextAnalysis.winnowGramHashes(col("text"), 5))
+      .select(col("doc_id"), TextAnalysis.winnowSelect(col("wh"), 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared 23-char run produced no shared fp")
+    assert((fps(1L) & fps(3L)).isEmpty)
+    // selection is sublinear: far fewer fingerprints than k-grams
+    val nGrams = df.select(TextAnalysis.winnowGramHashes(col("text"), 5))
+      .as[Seq[Long]].collect().map(_.size)
+    assert(fps(1L).size < nGrams(0))
+  }
+
+  test("winnowing edge cases: short and empty docs") {
+    import graft.text.TextAnalysis
+    val df = Seq((1L, "ab"), (2L, ""), (3L, "abcdef")).toDF("doc_id", "text")
+    val out = df.withColumn("wh", TextAnalysis.winnowGramHashes(col("text"), 5))
+      .select(col("doc_id"), TextAnalysis.winnowSelect(col("wh"), 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2).toMap
+    assert(out(1L).isEmpty) // 2 chars < k
+    assert(out(2L).isEmpty)
+    assert(out(3L).size == 1) // 2 grams < w -> single global min
   }
 
   // ---------------- duplicate-span removal ----------------

@@ -55,11 +55,12 @@ class CurationPipelineSpec extends SparkSpec {
 
     // 5. pack the surviving corpus into 1024-token training sequences
     val packed = Packing.packSequences(kept4, "text", "doc_id", capacity = 1024)
-      .orderBy("id").as[(Long, Long, Long)].collect()
+      .orderBy("id").as[(Long, Long, Long, Long)].collect()
     assert(packed.length == n4)
     var off = 0L
-    packed.foreach { case (_, nToks, bin) =>
+    packed.foreach { case (_, nToks, bin, binOff) =>
       assert(off / 1024 == bin, "bin assignment broke the tape invariant")
+      assert(off % 1024 == binOff)
       off += nToks
     }
     // the funnel is real: every stage is populated and ordered

@@ -187,6 +187,7 @@ class StreamingSpec extends SparkSpec {
     val docs = Tables.load(spark, sf0, "documents")
       .select(col("doc_id"), col("text")).orderBy("doc_id").limit(100)
     val expect = graft.pack.Packing.packSequences(docs, "text", "doc_id", 512)
+      .select("id", "n_toks", "bin")
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     val tokenized = docs.select(lit("all").as("key"), col("doc_id"),
       graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
