@@ -43,7 +43,16 @@ object ScaleBench {
         concat(col("text"), lit(" cpy"), col("cpy")).as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
-    System.err.println(s"[scale] built ${factor}x documents at $bigDir")
+    // embeddings blow-up: byte-identical copies with offset ids —
+    // deliberately adversarial for pair ops (true output grows
+    // quadratically); labels keep their distribution
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val maxVid = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    emb.crossJoin(copies)
+      .select((col("vec_id") + col("cpy") * maxVid).as("vec_id"),
+        col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+    System.err.println(s"[scale] built ${factor}x documents+embeddings at $bigDir")
 
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
