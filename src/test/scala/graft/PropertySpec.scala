@@ -130,4 +130,59 @@ class PropertySpec extends SparkSpec {
       assert(twice == once, s"not idempotent: $once -> $twice")
     }
   }
+
+  test("packing preserves the tape: bins/offsets reproduce the running sum") {
+    val docGen = for {
+      n <- Gen.chooseNum(1, 40)
+      words <- Gen.listOfN(n, Gen.const("w"))
+    } yield words.mkString(" ")
+    forAllSampled(Gen.listOfN(12, docGen), n = 4) { texts =>
+      if (texts.nonEmpty) {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val rows = graft.pack.Packing
+          .packSequences(df, "text", "doc_id", capacity = 17, rangeSize = 3)
+          .orderBy("id").as[(Long, Long, Long, Long)].collect()
+        var off = 0L
+        rows.foreach { case (_, nToks, bin, binOff) =>
+          assert(bin == off / 17 && binOff == off % 17)
+          off += nToks
+        }
+        assert(rows.map(_._2).sum == off)
+      }
+    }
+  }
+
+  test("winnowing: any shared normalized run >= w+k-1 chars shares a fingerprint") {
+    val g = for {
+      shared <- Gen.listOfN(10, Gen.alphaLowerChar).map(_.mkString) // 10 >= 4+5-1
+      pre <- Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+      post <- Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+    } yield (shared, pre, post)
+    forAllSampled(g, n = 6) { case (shared, pre, post) =>
+      val df = Seq((1L, s"$pre $shared"), (2L, s"$shared $post"))
+        .toDF("doc_id", "text")
+      val fps = df
+        .withColumn("wh", TextAnalysis.winnowGramHashes($"text", 5))
+        .select($"doc_id", TextAnalysis.winnowSelect($"wh", 4).as("fps"))
+        .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toSet).toMap
+      assert((fps(1L) & fps(2L)).nonEmpty,
+        s"no shared fp for shared run '$shared'")
+    }
+  }
+
+  test("mixSources is monotone in rate: a higher rate keeps a superset") {
+    // bucket(id) < rate means raising the rate can only ADD rows — the
+    // property that makes mixture-rate tuning reproducible run-over-run
+    forAllSampled(Gen.zip(Gen.chooseNum(0, 1000), Gen.chooseNum(0, 1000)), n = 4) {
+      case (r1, r2) =>
+        val (lo, hi) = (math.min(r1, r2), math.max(r1, r2))
+        val df = (1L to 300L).map(i => (i, "s")).toDF("doc_id", "source")
+        def kept(r: Int) = graft.pack.Packing
+          .mixSources(df, "doc_id", "source", Map("s" -> r))
+          .select("doc_id").as[Long].collect().toSet
+        val (a, b) = (kept(lo), kept(hi))
+        assert(a.subsetOf(b), s"rate $lo kept rows rate $hi dropped")
+    }
+  }
 }
