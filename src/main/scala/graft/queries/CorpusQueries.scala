@@ -106,6 +106,25 @@ object CorpusQueries {
             .otherwise("keep").as("verdict"))
         .orderBy("doc_id")),
 
+    // Per-source dataset-card statistics: the corpus manifest a curation
+    // run publishes alongside the data (doc/token/char volumes, quality
+    // mean, language purity). One map-side-combined aggregate over
+    // scan-stage signals — dimension-sized output.
+    "p_corpus_stats" -> ((s, dir) =>
+      docs(s, dir).select(col("source"),
+          col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"),
+          round(TextAnalysis.qualityScore(col("text")), 4).as("q"),
+          TextAnalysis.langId(col("text")).as("lp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          round(avg(col("q")), 6).as("avg_quality"),
+          round(sum(when(col("lp") === "en", 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("pct_en"))
+        .orderBy("source")),
+
     // Lee-et-al ExactSubstr REMOVAL: rewrite docs without cross-doc spans.
     "d_remove_dup_spans" -> ((s, dir) =>
       Dedup.removeDuplicateSpans(docs(s, dir), "text", "doc_id", n = 5)
@@ -251,6 +270,38 @@ object CorpusQueries {
          |    ELSE 0.0 END, 6) AS dup_frac
          |FROM p LEFT JOIN dp USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "p_corpus_stats" ->
+      """WITH sig AS (
+        |  SELECT source, n_chars,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt,
+        |    CAST(round(
+        |      (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+        |      (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+        |         AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.3 THEN 1.0 ELSE 0.0 END) * 0.3 +
+        |      (CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |         x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |           'that','for','on','with','as','was','at','by','be','this'], x)))
+        |         AS DOUBLE) / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) > 0.01
+        |       THEN 1.0 ELSE 0.0 END) * 0.3, 4) AS DOUBLE) AS q,
+        |    (SELECT CASE
+        |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'de'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'fr'
+        |       ELSE 'und' END
+        |     FROM (SELECT
+        |       len(list_filter(toks, x -> list_contains(['the','and','of','is','with','that'], x))) AS s_en,
+        |       len(list_filter(toks, x -> list_contains(['der','die','und','ist','nicht','das'], x))) AS s_de,
+        |       len(list_filter(toks, x -> list_contains(['el','la','que','los','una','por'], x))) AS s_es,
+        |       len(list_filter(toks, x -> list_contains(['le','les','des','est','une','dans'], x))) AS s_fr
+        |       FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks))) AS lp
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars, round(avg(q), 6) AS avg_quality,
+        |  round(CAST(sum(CASE WHEN lp = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS pct_en
+        |FROM sig GROUP BY source ORDER BY source""".stripMargin,
 
     "p_filter_pipeline" ->
       """WITH t AS (
