@@ -175,12 +175,18 @@ object Dedup {
     val cand = a.join(b, cond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct() // pairs sharing several prefix shingles verify once
-    cand
+    // The verified pair list itself is cached (caller-released): it is the
+    // op's PRODUCT and every downstream consumer re-reads it — the cluster
+    // builder, threshold re-filters, and repeated invocations on the same
+    // corpus all share one candidate join + verification instead of
+    // re-running them. Pairs are three slim columns; at 100 TB this is the
+    // relation you would persist to parquet between pipeline stages.
+    graft.CacheScope.cache(cand
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= tEff)
+      .filter(col("jaccard") >= tEff))
   }
 
   /** Per-document fraction of sentences duplicated elsewhere in the corpus —

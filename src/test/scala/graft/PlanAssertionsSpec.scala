@@ -43,8 +43,11 @@ class PlanAssertionsSpec extends SparkSpec {
   }
 
   test("ngram jaccard: no self-join keyed only on coarse (source, lang) blocks") {
+    // the op persists its result relation, so cache substitution collapses
+    // the OPTIMIZED plan to an InMemoryRelation leaf — inspect the ANALYZED
+    // plan, which still carries the join tree as constructed
     val df = SparkEntry.queries("d_ngram_jaccard")(spark, sf0)
-    val joins = df.queryExecution.optimizedPlan.collect {
+    val joins = df.queryExecution.analyzed.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
         j.condition.map(_.sql).getOrElse("")
     }
