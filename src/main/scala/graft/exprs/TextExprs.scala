@@ -1,0 +1,51 @@
+package graft.exprs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode-normalization expressions for corpus cleaning.
+  *
+  * Training-data pipelines canonicalize text before hashing/dedup so that
+  * visually-identical strings (e.g. "é" composed vs "e"+U+0301 decomposed)
+  * produce identical fingerprints — otherwise every dedup tier silently
+  * under-merges. The reference has no Unicode layer (its `toString` command
+  * only trims — StandardOps covers that); this is part of the §2.G
+  * training-data surface.
+  *
+  * Spark has no built-in NFC function, and the `transform`/regexp toolbox
+  * can't express canonical composition, so this is the (b)-tier custom
+  * Expression from SURVEY.md §7.3. `java.text.Normalizer` implements the
+  * Unicode-standard algorithm (UAX #15), the same spec DuckDB's
+  * `nfc_normalize` (utf8proc) implements — which is what makes the op
+  * oracle-checkable across engines.
+  */
+object TextExprs {
+
+  /** NFC-normalize a string (Unicode canonical composition). Nulls pass
+    * through (UnaryExpression default); already-NFC ASCII is returned
+    * as-is without re-encoding (the fast path for most corpus text).
+    */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) {
+        input
+      } else {
+        UTF8String.fromString(
+          java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): NfcNormalize =
+      copy(child = c)
+  }
+
+  import org.apache.spark.sql.classic.GraftBridge
+
+  def nfc_normalize(text: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(text)))
+}

@@ -1,0 +1,118 @@
+package graft.sql
+
+import graft.exprs.{HashExprs, TextExprs}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedException
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the graft native expressions.
+  *
+  * The reference is config-driven (morphline `.conf`), but its users also
+  * query the resulting tables with SQL; a Spark-native engine should expose
+  * every custom signature/similarity primitive to `spark.sql(...)` so a
+  * pure-SQL pipeline (or a BI tool / thriftserver session) can run the same
+  * dedup math as the Scala API — SURVEY.md §2.F extension surface.
+  *
+  * Two installation paths, same function table:
+  *  - `SparkSession.builder().withExtensions(new GraftSqlExtensions)` at
+  *    session build time (cluster-wide via
+  *    `spark.sql.extensions=graft.sql.GraftSqlExtensions`);
+  *  - `GraftSqlExtensions.install(spark)` on a live session.
+  *
+  * Deliberately NO custom optimizer rule or SparkStrategy rides along:
+  * every graft operator lowers to Catalyst expressions + standard logical
+  * operators, so the built-in optimizer already sees through them
+  * (SURVEY.md §7.3 — custom plan nodes are a last resort and nothing here
+  * needs one).
+  */
+class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftSqlExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftSqlExtensions {
+
+  private def intArg(fn: String, pos: Int, e: Expression): Int = e match {
+    case Literal(v, IntegerType) => v.asInstanceOf[Int]
+    case other => throw new UnresolvedException(
+      s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+  }
+
+  private def longArg(fn: String, pos: Int, e: Expression): Long = e match {
+    case Literal(v, t) if t == IntegerType => v.asInstanceOf[Int].toLong
+    case Literal(v, org.apache.spark.sql.types.LongType) => v.asInstanceOf[Long]
+    case other => throw new UnresolvedException(
+      s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int*): Unit =
+    if (!n.contains(args.length)) throw new UnresolvedException(
+      s"$fn expects ${n.mkString(" or ")} arguments, got ${args.length}")
+
+  private def desc(name: String, usage: String, builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.exprs.HashExprs", "", name, usage, "", "", "",
+        "hash_funcs", "4.0.0", "", "built-in"),
+      builder)
+
+  /** The full SQL function table — one entry per native expression. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    desc("graft_word_shingles",
+      "graft_word_shingles(text, n) - distinct word n-gram shingles", { args =>
+        arity("graft_word_shingles", args, 2)
+        HashExprs.WordShingles(args.head, intArg("graft_word_shingles", 1, args(1)))
+      }),
+    desc("graft_char_shingles",
+      "graft_char_shingles(text, n) - distinct char n-gram shingles", { args =>
+        arity("graft_char_shingles", args, 2)
+        HashExprs.CharShingles(args.head, intArg("graft_char_shingles", 1, args(1)))
+      }),
+    desc("graft_minhash",
+      "graft_minhash(shingles, k) - k-permutation minhash signature", { args =>
+        arity("graft_minhash", args, 2)
+        HashExprs.MinHashSig(args.head, intArg("graft_minhash", 1, args(1)))
+      }),
+    desc("graft_simhash",
+      "graft_simhash(shingles) - 64-bit simhash signature", { args =>
+        arity("graft_simhash", args, 1)
+        HashExprs.SimHash64(args.head)
+      }),
+    desc("graft_hyperplane_lsh",
+      "graft_hyperplane_lsh(vec, nBits[, seed]) - sign-random-projection bucket", { args =>
+        arity("graft_hyperplane_lsh", args, 2, 3)
+        val seed = if (args.length == 3) longArg("graft_hyperplane_lsh", 2, args(2)) else 42L
+        HashExprs.HyperplaneLsh(args.head, intArg("graft_hyperplane_lsh", 1, args(1)), seed)
+      }),
+    desc("graft_vec_dot",
+      "graft_vec_dot(a, b) - dot product of two double arrays", { args =>
+        arity("graft_vec_dot", args, 2)
+        HashExprs.VecDot(args.head, args(1))
+      }),
+    desc("graft_array_jaccard",
+      "graft_array_jaccard(a, b) - exact Jaccard of two string arrays", { args =>
+        arity("graft_array_jaccard", args, 2)
+        HashExprs.ArrayJaccard(args.head, args(1))
+      }),
+    desc("graft_gunzip",
+      "graft_gunzip(bin) - gzip-decompress a binary column", { args =>
+        arity("graft_gunzip", args, 1)
+        HashExprs.Gunzip(args.head)
+      }),
+    desc("graft_nfc",
+      "graft_nfc(text) - Unicode NFC canonical composition", { args =>
+        arity("graft_nfc", args, 1)
+        TextExprs.NfcNormalize(args.head)
+      }))
+
+  /** Post-hoc registration into a live session (idempotent — re-register
+    * replaces the same table).
+    */
+  def install(spark: SparkSession): Unit =
+    functions.foreach { case (name, info, builder) =>
+      org.apache.spark.sql.classic.GraftBridge
+        .registerFunction(spark, name, info, builder)
+    }
+}

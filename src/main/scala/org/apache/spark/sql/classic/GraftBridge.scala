@@ -13,4 +13,32 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function into an EXISTING session's registry (the
+    * post-hoc path for sessions not built with `.withExtensions`).
+    * `sessionState` is `private[sql]` in Spark 4 — same re-export
+    * rationale as the Column bridge above.
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[SparkSession].sessionState.functionRegistry
+      .registerFunction(name, info, builder)
+
+  /** Apply a SparkSessionExtensions configurator to a fresh registry and
+    * return the registered function names — lets a test exercise the
+    * `injectFunction` → session-state wiring without building a second
+    * SparkSession (the shared-fixture session is getOrCreate'd, so
+    * `.withExtensions` on a live JVM would be silently ignored).
+    */
+  def injectedFunctionNames(
+      configure: org.apache.spark.sql.SparkSessionExtensions => Unit): Seq[String] = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    configure(ext)
+    val reg = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    ext.registerFunctions(reg)
+    reg.listFunction().map(_.funcName)
+  }
 }

@@ -1,0 +1,112 @@
+package graft
+
+import graft.exprs.{HashExprs, TextExprs}
+import graft.sql.GraftSqlExtensions
+import org.apache.spark.sql.classic.GraftBridge
+import org.apache.spark.sql.functions._
+
+/** SQL surface of the native expressions (SURVEY.md §2.F): every graft
+  * Expression callable from `spark.sql(...)`, with the same results as the
+  * Column API, through both installation paths.
+  */
+class SqlExtensionsSpec extends SparkSpec {
+
+  private lazy val installed: Unit = GraftSqlExtensions.install(spark)
+
+  // e-acute as one code point (NFC) vs 'e' + U+0301 COMBINING ACUTE ACCENT
+  private val composed = "Caf\u00e9"
+  private val decomposed = "Cafe\u0301"
+
+  test("injectFunction path registers the full function table") {
+    val names = GraftBridge.injectedFunctionNames(new GraftSqlExtensions()(_))
+    val expected = GraftSqlExtensions.functions.map(_._1.funcName).toSet
+    assert(expected.subsetOf(names.toSet), s"missing: ${expected -- names.toSet}")
+    assert(expected.size == 9)
+  }
+
+  test("SQL results match the Column API on real corpus text") {
+    installed
+    val docs = spark.read.parquet(s"$sf0/documents.parquet")
+    docs.createOrReplaceTempView("sqlx_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_simhash(graft_word_shingles(text, 3)) AS sh,
+        |  graft_minhash(graft_word_shingles(text, 3), 4) AS mh,
+        |  graft_array_jaccard(graft_char_shingles(text, 5),
+        |                      graft_char_shingles(upper(text), 5)) AS jac
+        |FROM sqlx_docs ORDER BY doc_id LIMIT 20""".stripMargin).collect()
+    val viaApi = docs
+      .select(col("doc_id"),
+        HashExprs.simhash64(HashExprs.word_shingles(col("text"), 3)).as("sh"),
+        HashExprs.minhash_sig(HashExprs.word_shingles(col("text"), 3), 4).as("mh"),
+        HashExprs.array_jaccard(HashExprs.char_shingles(col("text"), 5),
+          HashExprs.char_shingles(upper(col("text")), 5)).as("jac"))
+      .orderBy("doc_id").limit(20).collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+  }
+
+  test("graft_nfc composes decomposed sequences; NFC text passes through") {
+    installed
+    assert(composed != decomposed, "fixture must start distinct")
+    val out = spark.sql(
+      s"SELECT graft_nfc('$composed') AS a, graft_nfc('$decomposed') AS b, " +
+        "graft_nfc(CAST(NULL AS STRING)) AS c").head()
+    assert(out.getString(0) == composed)
+    assert(out.getString(1) == composed)
+    assert(out.isNullAt(2))
+    // normalization unifies the dedup fingerprint — the reason the op exists
+    val fp = spark.sql(
+      s"SELECT md5(graft_nfc('$composed')) = md5(graft_nfc('$decomposed')) AS same")
+      .head()
+    assert(fp.getBoolean(0))
+  }
+
+  test("graft_vec_dot and graft_hyperplane_lsh agree with the Column API") {
+    installed
+    val row = spark.sql(
+      """SELECT graft_vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
+        |       graft_hyperplane_lsh(array(0.5D, -0.25D, 1.5D, 0.75D), 8) AS b1,
+        |       graft_hyperplane_lsh(array(0.5D, -0.25D, 1.5D, 0.75D), 8, 42L) AS b2
+        |""".stripMargin).head()
+    assert(row.getDouble(0) == 32.0)
+    assert(row.getLong(1) == row.getLong(2), "default seed must be 42")
+    val api = spark.range(1).select(
+      HashExprs.hyperplane_lsh(
+        array(lit(0.5), lit(-0.25), lit(1.5), lit(0.75)), 8, 42L)).head().getLong(0)
+    assert(row.getLong(1) == api)
+  }
+
+  test("graft_gunzip round-trips through SQL") {
+    installed
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write("corpus payload".getBytes("UTF-8")); gz.close()
+      bos.toByteArray
+    }
+    import spark.implicits._
+    Seq(bytes).toDF("raw").createOrReplaceTempView("sqlx_gz")
+    val out = spark.sql(
+      "SELECT CAST(graft_gunzip(raw) AS STRING) AS s FROM sqlx_gz").head()
+    assert(out.getString(0) == "corpus payload")
+  }
+
+  test("non-literal shape parameter is rejected at analysis, not at runtime") {
+    installed
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(graft_word_shingles('a b c', 2), doc_id) " +
+        "FROM (SELECT 1 AS doc_id)").collect()
+    }
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+  }
+
+  test("NfcNormalize Column API: mixed composed/decomposed corpus unifies") {
+    val df = spark.createDataFrame(Seq(
+      (1, s"$composed au lait"), (2, s"$decomposed au lait"), (3, "plain ascii")))
+      .toDF("id", "t")
+    assert(df.select(col("t")).distinct().count() == 3)
+    val n = df.select(TextExprs.nfc_normalize(col("t")).as("n"))
+      .distinct().count()
+    assert(n == 2)
+  }
+}
