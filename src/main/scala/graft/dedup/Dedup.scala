@@ -394,8 +394,8 @@ object Dedup {
     * n_pos = 0 and dup_frac = 0.
     *
     * 100 TB shape: n-gram TEXT never shuffles — positions leave the scan
-    * as (id, xxhash64(gram)) pairs (8-byte keys), the corpus-wide
-    * distinct-doc count and the join back are both digest-keyed. A 64-bit
+    * as (id, xxhash64(gram)) pairs (8-byte keys), and the cross-doc test
+    * is a min/max window over ONE digest-keyed shuffle. A 64-bit
     * digest collides at birthday scale (~2^32 grams); a collision upgrades
     * a unique gram to "duplicated" — acceptable for a filter signal, and
     * the digest width is swappable for md5's 128 bits where it isn't.
@@ -404,13 +404,17 @@ object Dedup {
                               n: Int = 5): DataFrame = {
     val t = df.select(col(idCol).as("id"),
       TextAnalysis.asciiTokens(col(textCol)).as("toks"))
-    val grams = graft.CacheScope.cache(t.select(col("id"),
+    val grams = t.select(col("id"),
         explode(TextAnalysis.positionalNgrams(col("toks"), n)).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("h")))
-    val dup = grams.groupBy(col("h"))
-      .agg(countDistinct(col("id")).as("nd"))
-      .filter(col("nd") >= 2)
-    val perDoc = grams.join(dup.select(col("h")), Seq("h"), "left_semi")
+      .select(col("id"), xxhash64(col("g")).as("h"))
+    // "h occurs in >= 2 distinct docs" ⟺ min(id) != max(id) over h — ONE
+    // shuffle of the slim (id, h) relation instead of the former
+    // countDistinct aggregate + left-semi join back (which also carried an
+    // intermittent AQE empty-result hazard; see PLANS.md round 8).
+    val w = Window.partitionBy(col("h"))
+    val perDoc = grams
+      .withColumn("xdoc", min(col("id")).over(w) =!= max(col("id")).over(w))
+      .filter(col("xdoc"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
     t.select(col("id"),
         greatest(size(col("toks")) - lit(n - 1), lit(0)).cast("long").as("n_pos"))
@@ -433,7 +437,7 @@ object Dedup {
     * select to carry `clean` itself in a real pipeline.
     *
     * 100 TB shape: three digest-or-integer-keyed shuffles — (id, gram-
-    * digest) for the corpus-wide duplicate count, (id, position) for
+    * digest) for the cross-doc window test, (id, position) for
     * coverage expansion, and the per-doc reassembly whose rows are (pos,
     * token) pairs. Reassembly sorting happens per document via
     * `array_sort` on collected (pos, tok) structs — a doc-sized sort, not
@@ -444,13 +448,18 @@ object Dedup {
                            n: Int = 5): DataFrame = {
     val t = graft.CacheScope.cache(df.select(col(idCol).as("id"),
       TextAnalysis.asciiTokens(col(textCol)).as("toks")))
-    val grams = graft.CacheScope.cache(t.select(col("id"),
+    val grams = t.select(col("id"),
         posexplode(TextAnalysis.positionalNgrams(col("toks"), n)).as(Seq("p0", "g")))
-      .select(col("id"), (col("p0") + 1).as("i"), xxhash64(col("g")).as("h")))
-    val dup = grams.groupBy(col("h"))
-      .agg(countDistinct(col("id")).as("nd")).filter(col("nd") >= 2)
-    // positions covered by ANY duplicated n-gram start: i .. i+n-1
-    val covered = grams.join(dup.select(col("h")), Seq("h"), "left_semi")
+      .select(col("id"), (col("p0") + 1).as("i"), xxhash64(col("g")).as("h"))
+    // positions covered by ANY cross-doc-duplicated n-gram start: i..i+n-1.
+    // "h in >= 2 distinct docs" ⟺ min(id) != max(id) over h — one window
+    // over one shuffle of the slim (id, i, h) relation, replacing the
+    // former countDistinct aggregate + left-semi join back (which also
+    // carried an intermittent AQE empty-result hazard; PLANS.md round 8).
+    val w = Window.partitionBy(col("h"))
+    val covered = grams
+      .withColumn("xdoc", min(col("id")).over(w) =!= max(col("id")).over(w))
+      .filter(col("xdoc"))
       .select(col("id"), explode(sequence(col("i"), col("i") + lit(n - 1))).as("pos"))
       .distinct()
     val tokens = t.select(col("id"),

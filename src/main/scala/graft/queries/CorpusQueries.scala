@@ -135,7 +135,81 @@ object CorpusQueries {
     // Temperature-scaled per-source mixture weights (T = 2).
     "p_mix_weights" -> ((s, dir) =>
       Packing.temperatureMixWeights(docs(s, dir), "source", temperature = 2.0)
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // SemDeDup (Abbas et al. 2023): coarse cells + within-cell cosine
+    // threshold. Near-dup copies are synthesized (dim-0 scaled 5%, ids
+    // offset +10000) because the raw corpus has no semantic dups (natural
+    // within-cell max cosine ≈ 0.51); deterministic min-id keep rule makes
+    // the drop set fully oracle-checkable.
+    "d_semantic_dedup" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      val pert = base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            when(i === 0, x * lit(1.05)).otherwise(x)).as("v"))
+      val corpus = base.unionAll(pert)
+      val centroids = base.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("v")).collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
+      Similarity.semanticDedup(corpus, "vec_id", "v", centroids, tau = 0.9)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
+
+    // Unicode NFC normalization ahead of fingerprinting — decomposed
+    // diacritic runs are appended so the op provably composes (the md5
+    // matches DuckDB's utf8proc NFC only if composition really happened).
+    "t_normalize_text" -> ((s, dir) => {
+      val tail = lit(" Cafe\u0301 No\u0308el A\u030Angstro\u0308m")
+      val norm = graft.exprs.TextExprs.nfc_normalize(concat(col("text"), tail))
+      docs(s, dir).select(col("doc_id"),
+          length(norm).cast("long").as("norm_len"),
+          md5(norm).as("norm_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // The SQL extension surface end-to-end: graft functions injected into
+    // the session registry and driven from spark.sql — the same math the
+    // Column API runs, now via the §2.F SQL path.
+    "x_sql_surface" -> ((s, dir) => {
+      graft.sql.GraftSqlExtensions.install(s)
+      docs(s, dir).createOrReplaceTempView("graft_docs_sqlx")
+      s.sql(
+        """SELECT doc_id,
+          |  CAST(round(graft_array_jaccard(graft_word_shingles(text, 2),
+          |    graft_word_shingles(substring(text, 1, 120), 2)), 6) AS DOUBLE) AS jac2,
+          |  md5(graft_nfc(concat(text, ' Cafe\u0301'))) AS norm_md5
+          |FROM graft_docs_sqlx ORDER BY doc_id""".stripMargin)
+    }),
+
+    // RefinedWeb/C4 line-wise quality signals. Documents are single-line
+    // word streams, so line structure is synthesized deterministically
+    // (6-token lines; terminal '.' when (doc_id+i)%3=0, '- ' bullet when
+    // (doc_id+i)%7=0) — the operator under test is the measuring side.
+    "t_line_quality" -> ((s, dir) => {
+      val staged = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          sequence(lit(0),
+            ((size(col("toks")) - 1) / lit(6)).cast("int")).as("idx"))
+        .select(col("doc_id"),
+          transform(col("idx"), j => concat(
+            when((col("doc_id") + j) % 7 === 0, lit("- ")).otherwise(lit("")),
+            array_join(slice(col("toks"), j * 6 + 1, lit(6)), " "),
+            when((col("doc_id") + j) % 3 === 0, lit(".")).otherwise(lit(""))))
+            .as("lines"))
+      staged.select(
+          (col("doc_id") +: CorpusStats.lineQualitySignals(col("lines"))): _*)
+        .orderBy("doc_id")
+    }),
+
+    // Top-3 terms per document by tf-idf (deterministic tiebreak).
+    "t_tfidf_topk" -> ((s, dir) =>
+      CorpusStats.tfIdfTopK(docs(s, dir), "text", "doc_id", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank"))
   )
 
   // DuckDB tokenizer identical to TextAnalysis.asciiTokens: lowercase,
@@ -390,6 +464,128 @@ object CorpusQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6)
         |    AS weight
         |FROM counts ORDER BY source""".stripMargin,
+
+    // same assignment/cosine arithmetic as s_knn_ivf (proven bit-parity);
+    // exact tier only — every cell is far below the 4096 block cap
+    "d_semantic_dedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |corp AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(range(1, 65),
+        |      i -> CASE WHEN i = 1 THEN v[i] * 1.05 ELSE v[i] END)
+        |  FROM base WHERE vec_id % 5 = 0),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 4),
+        |d AS (
+        |  SELECT corp.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (corp.v[i] - c.cv[i]) * (corp.v[i] - c.cv[i]))) AS d2
+        |  FROM corp CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM d) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> ea.v[i] * ea.v[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> eb.v[i] * eb.v[i])))) AS cosine
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN corp ea ON ea.vec_id = a.vec_id
+        |  JOIN corp eb ON eb.vec_id = b.vec_id),
+        |dups AS (
+        |  SELECT id_b AS vec_id, id_a AS dup_of, cosine,
+        |    row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+        |  FROM pairs WHERE cosine >= 0.9)
+        |SELECT vec_id, dup_of, CAST(round(cosine, 6) AS DOUBLE) AS cos
+        |FROM dups WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // utf8proc NFC (DuckDB) vs java.text.Normalizer NFC (Spark) — both
+    // implement UAX #15, so md5/length agree iff composition happened
+    "t_normalize_text" ->
+      """SELECT doc_id,
+        |  CAST(length(nfc_normalize(text || ' Cafe' || chr(769) || ' No' ||
+        |    chr(776) || 'el A' || chr(778) || 'ngstro' || chr(776) || 'm')) AS BIGINT)
+        |    AS norm_len,
+        |  md5(nfc_normalize(text || ' Cafe' || chr(769) || ' No' || chr(776) ||
+        |    'el A' || chr(778) || 'ngstro' || chr(776) || 'm')) AS norm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // word-bigram jaccard: same tokenizer as duckToks, same clamped-slice
+    // shingling as t_dup_ngram_ratio, set semantics via list_distinct
+    "x_sql_surface" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckToks AS ta,
+         |    list_filter(string_split(lower(regexp_replace(substr(text, 1, 120),
+         |      '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x != '') AS tb
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, greatest(len(ta) - 2, 0) + 2),
+         |      i -> array_to_string(ta[i:i+1], ' '))) AS sa,
+         |    list_distinct(list_transform(range(1, greatest(len(tb) - 2, 0) + 2),
+         |      i -> array_to_string(tb[i:i+1], ' '))) AS sb
+         |  FROM t),
+         |j AS (
+         |  SELECT doc_id, len(list_intersect(sa, sb)) AS inter,
+         |    len(sa) + len(sb) - len(list_intersect(sa, sb)) AS uni
+         |  FROM sh)
+         |SELECT j.doc_id,
+         |  CASE WHEN uni = 0 THEN 0.0
+         |       ELSE CAST(round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS DOUBLE)
+         |  END AS jac2,
+         |  md5(nfc_normalize(d.text || ' Cafe' || chr(769))) AS norm_md5
+         |FROM j JOIN documents d ON d.doc_id = j.doc_id
+         |ORDER BY j.doc_id""".stripMargin,
+
+    // same 6-token line synthesis, then the line-wise signals
+    "t_line_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, (len(toks) - 1) // 6 + 1), j ->
+        |      (CASE WHEN (doc_id + j) % 7 = 0 THEN '- ' ELSE '' END) ||
+        |      array_to_string(toks[j*6+1 : j*6+6], ' ') ||
+        |      (CASE WHEN (doc_id + j) % 3 = 0 THEN '.' ELSE '' END)) AS lines
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(round(CAST(len(list_filter(lines,
+        |      x -> right(x, 1) IN ('.', '!', '?', '"'))) AS DOUBLE) /
+        |    CAST(len(lines) AS DOUBLE), 6) AS DOUBLE) AS punct_frac,
+        |  CAST(round(CAST(len(list_filter(lines,
+        |      x -> substr(x, 1, 2) IN ('- ', '* '))) AS DOUBLE) /
+        |    CAST(len(lines) AS DOUBLE), 6) AS DOUBLE) AS bullet_frac,
+        |  CAST(round(CAST(list_sum(list_transform(lines, x -> length(x))) AS DOUBLE) /
+        |    CAST(len(lines) AS DOUBLE), 6) AS DOUBLE) AS mean_line_chars
+        |FROM l ORDER BY doc_id""".stripMargin,
+
+    // tf·ln(N/df), rank ties broken by term — integer tf/df/N so the only
+    // float ops are the ln and one multiply, identical on both engines
+    "t_tfidf_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(toks) AS term FROM toks)
+         |  GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, term, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, rank, CAST(round(score, 6) AS DOUBLE) AS score
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "s_centroid_stats" ->
       """WITH e AS (

@@ -190,6 +190,38 @@ object Similarity {
     exact.unionAll(approx).filter(col("cosine") >= tEff)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication = coarse k-means clustering + within-cluster cosine
+    * threshold. A vector is a duplicate iff some LOWER-id vector in the
+    * same cell is within `tau` cosine; the min-id representative of each
+    * ε-neighborhood survives (a deterministic stand-in for the paper's
+    * keep-farthest-from-centroid tiebreak, which DuckDB can then mirror
+    * bit-for-bit). Returns the DROPPED rows: (id, dup_of, cos) where
+    * `dup_of` is the smallest qualifying lower id.
+    *
+    * 100 TB shape (the paper's own argument): the cluster count scales
+    * with the corpus so cell size stays roughly constant — the quadratic
+    * tier is bounded per cell, and the pair join is cell-keyed, never
+    * all-pairs. Composes [[ivfAssign]] (scan-stage assignment against
+    * broadcast centroids) with [[cosinePairsBlocked]] (which adds the
+    * LSH overflow guard for cells that still exceed `maxExactBlock`).
+    * Only (id_a, id_b, cosine) scalars reach the keep-min shuffle.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Double]], tau: Double,
+                    maxExactBlock: Int = 4096): DataFrame = {
+    val assigned = ivfAssign(
+      corpus.select(col(idCol), col(vecCol)), vecCol, centroids)
+    cosinePairsBlocked(assigned, idCol, vecCol, "cell", tau, maxExactBlock)
+      .filter(col("cosine") >= tau)
+      .groupBy(col("id_b").as("id"))
+      // min over (id_a, cosine) structs = row of the smallest id_a; ids are
+      // distinct so the cosine rides along uniquely
+      .agg(min(struct(col("id_a"), col("cosine"))).as("m"))
+      .select(col("id"), col("m.id_a").as("dup_of"),
+        round(col("m.cosine"), 6).as("cos"))
+  }
+
   /** Symmetric int8 quantization scale for a vector: 127 / max|x| (0 for an
     * all-zero vector). Training-data pipelines quantize embedding columns
     * to int8 for 4× storage/shuffle reduction at 100 TB; the scale rides
@@ -297,7 +329,10 @@ object Similarity {
       struct(dot(zip_with(v, c, (a, b) => a - b),
         zip_with(v, c, (a, b) => a - b)).as("d2"), lit(i).as("cell"))
     }
-    corpus.withColumn("cell", least(dists: _*).getField("cell"))
+    // least() requires >= 2 args; a single-centroid index is one cell
+    val cell =
+      if (dists.length == 1) lit(0) else least(dists: _*).getField("cell")
+    corpus.withColumn("cell", cell)
   }
 
   /** IVF approximate NN: corpus vectors are pre-assigned to their nearest

@@ -220,4 +220,63 @@ object CorpusStats {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /** RefinedWeb/C4-style line-wise quality signals over an array-of-lines
+    * column: line count, fraction of lines ending in terminal punctuation,
+    * fraction of bullet-style lines, and mean line length. Documents with
+    * few terminal-punctuation lines or many bullets are boilerplate/menu
+    * candidates (Penedo et al. 2023 §3.3 line-wise filters; C4's
+    * terminal-punctuation rule, Raffel et al. 2020 §2.2).
+    *
+    * Pure scan-stage column expressions over an already-materialized
+    * array — no shuffle, no re-tokenization (pass a COLUMN holding the
+    * split lines; see PLANS.md on materializing arrays before
+    * higher-order functions).
+    */
+  def lineQualitySignals(lines: Column): Seq[Column] = {
+    val n = size(lines)
+    def frac(cnt: Column): Column =
+      when(n === 0, lit(0.0)).otherwise(
+        round(cnt.cast("double") / n.cast("double"), 6))
+    Seq(
+      n.cast("long").as("n_lines"),
+      frac(size(filter(lines, l =>
+        substring(l, -1, 1).isin(".", "!", "?", "\"")))).as("punct_frac"),
+      frac(size(filter(lines, l =>
+        substring(l, 1, 2).isin("- ", "* ")))).as("bullet_frac"),
+      when(n === 0, lit(0.0)).otherwise(
+        round(aggregate(lines, lit(0L), (a, l) => a + length(l)).cast("double") /
+          n.cast("double"), 6)).as("mean_line_chars"))
+  }
+
+  /** Top-k terms per document by tf-idf (tf · ln(N/df)) — the classic
+    * keyword-extraction / dataset-card signal. Deterministic tiebreak
+    * (score desc, term asc) so the result is oracle-checkable.
+    *
+    * Scale: tf is one (id, term) aggregate off the token explode; df
+    * reduces that same relation to vocab-sized rows and joins back as a
+    * broadcast; N is a one-row aggregate joined by cross-broadcast, not a
+    * driver `count()`. The top-k is a per-doc WindowGroupLimit — map-side
+    * pruned, never a global sort of the full (doc × term) relation.
+    */
+  def tfIdfTopK(df: DataFrame, textCol: String, idCol: String,
+                k: Int): DataFrame = {
+    val t = toks(df, textCol, idCol)
+    val tf = t.select(col("id"), explode(col("toks")).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("id"), col("term"),
+        (col("tf").cast("double") *
+          log(col("n").cast("double") / col("df").cast("double"))).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("term"), col("rank"),
+        round(col("score"), 6).as("score"))
+  }
 }

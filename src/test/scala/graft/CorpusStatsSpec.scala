@@ -238,4 +238,63 @@ class CorpusStatsSpec extends SparkSpec {
       .orderBy("label").as[(Int, Long, Double, Double)].collect().toSeq
     assert(out == Seq((0, 2L, 1.0, 1.0), (1, 2L, 25.0, 0.0)))
   }
+
+  // ---------------- semantic dedup (SemDeDup) ----------------
+
+  test("semanticDedup drops the min-id ε-neighborhood tails within a cell") {
+    // cell axes: centroid 0 ≈ x-axis, centroid 1 ≈ y-axis.
+    // ids 10,11,12 are near-parallel x-ish vectors (pairwise cos > 0.99);
+    // id 20 is x-ish but far (cos < τ); id 30 is y-ish (other cell).
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val df = Seq(
+      (10L, Seq(1.0, 0.01)), (11L, Seq(1.0, 0.02)), (12L, Seq(0.9, 0.012)),
+      (20L, Seq(1.0, 0.7)), (30L, Seq(0.05, 1.0)))
+      .toDF("vec_id", "v")
+    val out = Similarity.semanticDedup(df, "vec_id", "v", centroids, tau = 0.99)
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    // 11 and 12 both fold into 10 (their smallest qualifying lower id);
+    // 20 survives (below τ to everything), 30 survives (alone in its cell).
+    assert(out.map(t => (t._1, t._2)) == Seq((11L, 10L), (12L, 10L)))
+    assert(out.forall(_._3 >= 0.99))
+  }
+
+  test("semanticDedup keeps exactly one representative per duplicate set") {
+    // 4 identical vectors: 3 dropped, all pointing at the min id.
+    val centroids = Seq(Seq(1.0, 0.0))
+    val df = Seq((5L, Seq(0.6, 0.8)), (2L, Seq(0.6, 0.8)),
+      (9L, Seq(0.6, 0.8)), (7L, Seq(0.6, 0.8))).toDF("vec_id", "v")
+    val out = Similarity.semanticDedup(df, "vec_id", "v", centroids, tau = 0.999)
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(t => (t._1, t._2)) == Seq((5L, 2L), (7L, 2L), (9L, 2L)))
+  }
+
+  // ---------------- line quality ----------------
+
+  test("lineQualitySignals measures punct/bullet/length over a lines array") {
+    val df = Seq(
+      (1L, Seq("A real sentence.", "- bullet item", "no punct here", "Ends too!")),
+      (2L, Seq.empty[String]))
+      .toDF("id", "lines")
+    val out = df.select((col("id") +:
+        CorpusStats.lineQualitySignals(col("lines"))): _*)
+      .orderBy("id").as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out(0) == ((1L, 4L, 0.5, 0.25, 12.75)))
+    assert(out(1) == ((2L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  // ---------------- tf-idf ----------------
+
+  test("tfIdfTopK surfaces each doc's distinguishing terms, not shared ones") {
+    // 'shared' appears in every doc → idf = ln(1) = 0, never ranks.
+    val df = Seq(
+      (1L, "shared alpha alpha beta"),
+      (2L, "shared beta beta gamma"),
+      (3L, "shared gamma delta")).toDF("doc_id", "text")
+    val out = CorpusStats.tfIdfTopK(df, "text", "doc_id", k = 2)
+      .orderBy("id", "rank").as[(Long, String, Int, Double)].collect().toSeq
+    assert(out.map(_._2) == Seq("alpha", "beta", "beta", "gamma", "delta", "gamma"))
+    // alpha: tf=2, df=1 → 2·ln(3); delta: tf=1, df=1 → ln(3)
+    assert(math.abs(out.head._4 - 2 * math.log(3)) < 1e-6)
+    assert(out.forall(_._4 > 0.0), "zero-idf 'shared' must never appear")
+  }
 }
