@@ -194,6 +194,52 @@ object HashExprs {
     override protected def withNewChildInternal(c: Expression): CharShingles = copy(child = c)
   }
 
+  /** Nearest-centroid assignment: array<double> vector → index of the
+    * closest centroid by squared L2, ties to the LOWEST index. The centroid
+    * matrix rides as a constructor parameter (like [[HyperplaneLsh]]'s
+    * hyperplanes), NOT as k literal-array children: the column-function
+    * formulation (k `struct(zip_with·zip_with)` branches + `least`) puts
+    * k·dim literal doubles and 2k interpreted higher-order lambdas into the
+    * plan — at k = 32, dim = 64 the per-iteration ANALYSIS/canonicalization
+    * of that tree cost ~1.3 s, dwarfing execution (measured round 8,
+    * PLANS.md). One plan node + one fused loop removes both costs.
+    *
+    * Arithmetic is bit-identical to the zip_with formulation and the SQL
+    * oracles: d² accumulates (v_j − c_j)² sequentially over j.
+    * `Seq[Seq[Double]]` (not Array) so structural equality keeps canonical
+    * plan matching — and therefore cache reuse — working across calls.
+    */
+  case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+      extends UnaryExpression with CodegenFallback {
+    require(centroids.nonEmpty, "NearestCentroid needs at least one centroid")
+    override def dataType: DataType = IntegerType
+    @transient private lazy val cs: Array[Array[Double]] =
+      centroids.map(_.toArray).toArray
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val dim = arr.numElements()
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var i = 0
+      while (i < cs.length) {
+        val c = cs(i)
+        val n = math.min(dim, c.length)
+        var d = 0.0
+        var j = 0
+        while (j < n) {
+          val diff = arr.getDouble(j) - c(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = i } // strict <: lowest index wins ties
+        i += 1
+      }
+      java.lang.Integer.valueOf(best)
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCentroid =
+      copy(child = c)
+  }
+
   /** Gzip-decompress a binary payload (compressed attachment bodies — the
     * decompress step ahead of the parsers). Null on corrupt input would
     * hide data problems, so malformed gzip throws; pre-filter with the
@@ -304,6 +350,9 @@ object HashExprs {
 
   def minhash_sig(shingles: Column, k: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(shingles), k))
+
+  def nearest_centroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftBridge.column(NearestCentroid(GraftBridge.expression(vec), centroids))
 
   def simhash64(shingles: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(shingles)))

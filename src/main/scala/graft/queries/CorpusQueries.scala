@@ -150,7 +150,9 @@ object CorpusQueries {
           transform(col("v"), (x, i) =>
             when(i === 0, x * lit(1.05)).otherwise(x)).as("v"))
       val corpus = base.unionAll(pert)
-      val centroids = base.filter(col("vec_id") < 4).orderBy("vec_id")
+      // 32 fixed cells: SemDeDup's cluster count scales with the corpus so
+      // the within-cell quadratic tier stays bounded (~n/32 per cell here)
+      val centroids = base.filter(col("vec_id") < 32).orderBy("vec_id")
         .select(col("v")).collect()
         .map(_.getSeq[Double](0).toSeq).toSeq
       Similarity.semanticDedup(corpus, "vec_id", "v", centroids, tau = 0.9)
@@ -478,7 +480,7 @@ object CorpusQueries {
         |    list_transform(range(1, 65),
         |      i -> CASE WHEN i = 1 THEN v[i] * 1.05 ELSE v[i] END)
         |  FROM base WHERE vec_id % 5 = 0),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 4),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 32),
         |d AS (
         |  SELECT corp.vec_id, c.cid,
         |    list_sum(list_transform(range(1, 65),

@@ -210,8 +210,13 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[Seq[Double]], tau: Double,
                     maxExactBlock: Int = 4096): DataFrame = {
-    val assigned = ivfAssign(
-      corpus.select(col(idCol), col(vecCol)), vecCol, centroids)
+    // The pair join below references the assigned relation from several
+    // branches (both self-join sides + the block-size aggregate); persist
+    // it so the k-centroid assignment expression — k zip_with/dot chains
+    // per row — evaluates once per row, not once per branch.
+    // Caller-released via [[graft.CacheScope.releaseAll]].
+    val assigned = graft.CacheScope.cache(ivfAssign(
+      corpus.select(col(idCol), col(vecCol)), vecCol, centroids))
     cosinePairsBlocked(assigned, idCol, vecCol, "cell", tau, maxExactBlock)
       .filter(col("cosine") >= tau)
       .groupBy(col("id_b").as("id"))
@@ -322,18 +327,14 @@ object Similarity {
     * over a sample — the 100 TB pattern: model small, data never collected).
     */
   def ivfAssign(corpus: DataFrame, vecCol: String,
-                centroids: Seq[Seq[Double]]): DataFrame = {
-    val v = asDouble(col(vecCol))
-    val dists = centroids.zipWithIndex.map { case (cvec, i) =>
-      val c = typedLit(cvec)
-      struct(dot(zip_with(v, c, (a, b) => a - b),
-        zip_with(v, c, (a, b) => a - b)).as("d2"), lit(i).as("cell"))
-    }
-    // least() requires >= 2 args; a single-centroid index is one cell
-    val cell =
-      if (dists.length == 1) lit(0) else least(dists: _*).getField("cell")
-    corpus.withColumn("cell", cell)
-  }
+                centroids: Seq[Seq[Double]]): DataFrame =
+    // One native expression holding the centroid matrix (scan-stage, no
+    // shuffle) — same (v−c)² sequential arithmetic and lowest-index tie
+    // rule as the former k-branch struct+least formulation, but without
+    // putting k·dim literals and 2k interpreted lambdas into the plan
+    // (which cost more to ANALYZE than to run at k = 32; PLANS.md round 8).
+    corpus.withColumn("cell",
+      graft.exprs.HashExprs.nearest_centroid(asDouble(col(vecCol)), centroids))
 
   /** IVF approximate NN: corpus vectors are pre-assigned to their nearest
     * centroid cell ([[ivfAssign]]); each query probes its `nProbe` nearest
