@@ -105,6 +105,24 @@ object GraftSqlExtensions {
       "graft_nfc(text) - Unicode NFC canonical composition", { args =>
         arity("graft_nfc", args, 1)
         TextExprs.NfcNormalize(args.head)
+      }),
+    desc("graft_nearest_centroid",
+      "graft_nearest_centroid(vec, array(array(..), ..)) - index of nearest centroid (squared L2, ties low)", { args =>
+        arity("graft_nearest_centroid", args, 2)
+        val cents = args(1) match {
+          case e if e.foldable => e.eval() match {
+            case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+              (0 until ad.numElements()).map { i =>
+                val row = ad.getArray(i)
+                (0 until row.numElements()).map(row.getDouble).toSeq
+              }.toSeq
+            case other => throw new UnresolvedException(
+              s"graft_nearest_centroid: argument 2 evaluated to $other, expected array<array<double>>")
+          }
+          case other => throw new UnresolvedException(
+            s"graft_nearest_centroid: argument 2 must be a foldable array<array<double>> literal, got $other")
+        }
+        HashExprs.NearestCentroid(args.head, cents)
       }))
 
   /** Post-hoc registration into a live session (idempotent — re-register

@@ -21,7 +21,22 @@ class SqlExtensionsSpec extends SparkSpec {
     val names = GraftBridge.injectedFunctionNames(new GraftSqlExtensions()(_))
     val expected = GraftSqlExtensions.functions.map(_._1.funcName).toSet
     assert(expected.subsetOf(names.toSet), s"missing: ${expected -- names.toSet}")
-    assert(expected.size == 9)
+    assert(expected.size == 10)
+  }
+
+  test("graft_nearest_centroid assigns cells from a nested array literal") {
+    installed
+    val out = spark.sql(
+      """SELECT graft_nearest_centroid(array(0.9D, 0.1D),
+        |         array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS a,
+        |       graft_nearest_centroid(array(0.1D, 2.0D),
+        |         array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS b,
+        |       graft_nearest_centroid(array(1.0D, 1.0D),
+        |         array(array(0.0D, 0.0D), array(2.0D, 2.0D))) AS tie
+        |""".stripMargin).head()
+    assert(out.getInt(0) == 0)
+    assert(out.getInt(1) == 1)
+    assert(out.getInt(2) == 0, "equidistant must tie to the lower index")
   }
 
   test("SQL results match the Column API on real corpus text") {
