@@ -121,6 +121,33 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("__fp"))
       .drop("__fp")
 
+  /** Streaming tier of SemDeDup (Abbas et al. 2023): assign each vector to
+    * its nearest-centroid cell (stateless scan-stage
+    * [[graft.exprs.HashExprs.NearestCentroid]] against the driver-small
+    * centroid model) and drop vectors whose int8-quantized signature was
+    * already seen within the watermark. Quantization collapses "identical
+    * up to 1/127 per dim" to one representative with bounded per-key state
+    * (one md5 per distinct signature, watermark-evicted); the exact
+    * within-cell cosine pass ([[graft.sim.Similarity.semanticDedup]])
+    * stays a batch job — the same tier split as [[streamingNearDedup]] vs
+    * the batch LSH pair search.
+    */
+  def streamingSemanticDedup(stream: DataFrame, vecCol: String, tsCol: String,
+                             watermark: String,
+                             centroids: Seq[Seq[Double]]): DataFrame = {
+    val v = org.apache.spark.sql.functions.transform(col(vecCol), _.cast("double"))
+    val sc = graft.sim.Similarity.int8Scale(v)
+    val sig = md5(concat_ws(",",
+      graft.exprs.HashExprs.nearest_centroid(v, centroids).cast("string"),
+      concat_ws(",", org.apache.spark.sql.functions.transform(
+        graft.sim.Similarity.quantizeInt8(v, sc), _.cast("string")))))
+    stream
+      .withColumn("__sig", sig)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__sig"))
+      .drop("__sig")
+  }
+
   /** Session windows over event time (gap-based) — built-in
     * `session_window`; state is managed by Spark's streaming aggregation.
     */

@@ -358,6 +358,40 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming semantic-dedup tier keeps one vector per quantized cell signature") {
+    // replay embeddings with exact duplicate copies (ids offset); the
+    // streaming tier must keep exactly the batch-computed signature classes
+    val emb = Tables.load(spark, sf0, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+      .as[Seq[Double]].collect().map(_.toSeq).toSeq
+    val doubled = emb.unionAll(emb.select((col("vec_id") + 100000).as("vec_id"),
+      col("embedding")))
+    val d = java.nio.file.Files.createTempDirectory("graft-semdedup")
+    val t0 = 1700000000000000L
+    doubled.withColumn("ts", lit(t0)).repartition(1)
+      .write.mode("overwrite").parquet(d.toString)
+    val schema = new StructType()
+      .add("vec_id", LongType)
+      .add("embedding", ArrayType(FloatType)).add("ts", LongType)
+    val stream = StreamingOps.fileSource(spark, schema, d.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = StreamingOps.streamingSemanticDedup(
+      stream, "embedding", "ts", "10 minutes", centroids)
+    val q = deduped.writeStream.format("memory").queryName("sem_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT vec_id FROM sem_dedup").as[Long].collect()
+      // every duplicate pair collapsed to one survivor; no original lost
+      assert(kept.length == emb.count(),
+        s"kept ${kept.length}, distinct vectors ${emb.count()}")
+      assert(kept.map(_ % 100000).distinct.length == kept.length,
+        "a vector and its exact copy both survived")
+    } finally q.stop()
+  }
 }
 
 /** Static collector for the foreach-sink test (ForeachWriter is serialized
