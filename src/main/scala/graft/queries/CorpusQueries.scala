@@ -211,7 +211,44 @@ object CorpusQueries {
     "t_tfidf_topk" -> ((s, dir) =>
       CorpusStats.tfIdfTopK(docs(s, dir), "text", "doc_id", k = 3)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id", "rank"))
+        .orderBy("doc_id", "rank")),
+
+    // Per-source token-length percentiles — the dataset-card length
+    // profile (exact type-7 interpolated quantiles, the same definition
+    // DuckDB's quantile_cont implements). One map-side-combinable
+    // aggregate; output is dimension-sized.
+    "p_length_percentiles" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("double").as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(nt, array(0.5D, 0.9D, 0.99D))").as("p"))
+        .select(col("source"), col("n_docs"),
+          round(col("p").getItem(0), 6).as("p50"),
+          round(col("p").getItem(1), 6).as("p90"),
+          round(col("p").getItem(2), 6).as("p99"))
+        .orderBy("source")),
+
+    // Deterministic dataloader sharding: each doc draws a stable md5
+    // bucket (the mixSources draw), shard = draw mod 16, position = rank
+    // of the draw within the shard — a reproducible global shuffle whose
+    // order is independent of input layout, retries, and engine. Per-shard
+    // ranking sorts shards in parallel (shard count scales with the
+    // corpus; at 100 TB use thousands of shards so each sort stays
+    // executor-sized — same lever as SemDeDup's cell count).
+    "p_shard_shuffle" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val draw = conv(substring(
+          md5(concat(lit("42|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+      val w = Window.partitionBy(col("shard")).orderBy(col("draw"), col("doc_id"))
+      docs(s, dir).select(col("doc_id"), draw.as("draw"))
+        .withColumn("shard", (col("draw") % 16).cast("int"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    })
   )
 
   // DuckDB tokenizer identical to TextAnalysis.asciiTokens: lowercase,
@@ -588,6 +625,28 @@ object CorpusQueries {
          |  FROM scored)
          |SELECT doc_id, term, rank, CAST(round(score, 6) AS DOUBLE) AS score
          |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // type-7 quantiles on both engines (Spark percentile / quantile_cont)
+    "p_length_percentiles" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS nt
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(round(quantile_cont(nt, 0.5), 6) AS DOUBLE) AS p50,
+        |  CAST(round(quantile_cont(nt, 0.9), 6) AS DOUBLE) AS p90,
+        |  CAST(round(quantile_cont(nt, 0.99), 6) AS DOUBLE) AS p99
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // same md5 draw as p_mix_sources; rank ties broken by doc_id
+    "p_shard_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS draw
+        |  FROM documents)
+        |SELECT doc_id, CAST(draw % 16 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY draw % 16 ORDER BY draw, doc_id) AS BIGINT) AS pos
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "s_centroid_stats" ->
       """WITH e AS (
