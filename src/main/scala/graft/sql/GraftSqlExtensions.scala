@@ -28,8 +28,10 @@ import org.apache.spark.sql.types.IntegerType
   * needs one).
   */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftSqlExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.MaterializeGeneratorInput)
+  }
 }
 
 object GraftSqlExtensions {
@@ -133,4 +135,16 @@ object GraftSqlExtensions {
       org.apache.spark.sql.classic.GraftBridge
         .registerFunction(spark, name, info, builder)
     }
+
+  /** Post-hoc optimizer-rule registration for a live session (the
+    * build-time path is `injectOptimizerRule` in [[GraftSqlExtensions]]).
+    * Idempotent.
+    */
+  def installOptimizations(spark: SparkSession): Unit = {
+    val rule = graft.plans.MaterializeGeneratorInput
+    if (!spark.experimental.extraOptimizations.contains(rule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+    }
+  }
 }

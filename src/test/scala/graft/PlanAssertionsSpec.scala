@@ -152,6 +152,30 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(exchanges.nonEmpty)
   }
 
+  test("scan-stage text signals are shuffle-free: line quality, NFC, SQL surface") {
+    Seq("t_line_quality", "t_normalize_text", "x_sql_surface").foreach { q =>
+      val p = plan(q)
+      // the only exchange allowed is the final presentation orderBy
+      val exchanges = p.split("\n").filter(_.contains("Exchange"))
+        .filterNot(_.contains("rangepartitioning"))
+      assert(exchanges.isEmpty, s"$q has a non-sort shuffle:\n$p")
+    }
+  }
+
+  test("semantic dedup: pair join is cell-keyed, never a cartesian product") {
+    val p = plan("d_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup degenerated to all-pairs:\n$p")
+    // the assignment expression is one plan node, not a k-branch least()
+    assert(!p.contains("least("), s"k-branch centroid assignment resurfaced:\n$p")
+  }
+
+  test("shard shuffle: one hash shuffle on the shard key plus the output sort") {
+    val p = plan("p_shard_shuffle")
+    val hashEx = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(hashEx.length == 1, s"expected exactly one hash shuffle:\n$p")
+  }
+
   test("kafkaProduceBySchemaField compiles to a single scan of the input") {
     import spark.implicits._
     val sA = """{"type":"record","name":"A","fields":[{"name":"id","type":"long"}]}"""
