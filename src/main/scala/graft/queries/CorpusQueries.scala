@@ -230,6 +230,24 @@ object CorpusQueries {
           round(col("p").getItem(2), 6).as("p99"))
         .orderBy("source")),
 
+    // CCNet's corpus partitioning (Wenzek 2020 §4.3): split by LM
+    // perplexity terciles into head/middle/tail bands — head trains,
+    // middle is model-dependent, tail is dropped. Thresholds are exact
+    // type-7 quantiles off a one-row broadcast aggregate.
+    "p_quality_bands" -> ((s, dir) => {
+      val scored = CorpusStats.unigramNll(docs(s, dir), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("avg_nll"))
+      val qs = scored.agg(expr(
+        "percentile(avg_nll, array(0.3333333333333333D, 0.6666666666666666D))")
+        .as("q"))
+      scored.crossJoin(broadcast(qs))
+        .select(col("doc_id"), col("avg_nll"),
+          when(col("avg_nll") <= col("q").getItem(0), "head")
+            .when(col("avg_nll") <= col("q").getItem(1), "middle")
+            .otherwise("tail").as("band"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic dataloader sharding: each doc draws a stable md5
     // bucket (the mixSources draw), shard = draw mod 16, position = rank
     // of the draw within the shard — a reproducible global shuffle whose
@@ -637,6 +655,31 @@ object CorpusQueries {
         |  CAST(round(quantile_cont(nt, 0.9), 6) AS DOUBLE) AS p90,
         |  CAST(round(quantile_cont(nt, 0.99), 6) AS DOUBLE) AS p99
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // same LM pipeline as t_lm_score; tercile thresholds via quantile_cont
+    "p_quality_bands" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+         |counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+         |stats AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, count(*) AS v FROM counts),
+         |agg AS (
+         |  SELECT t.doc_id,
+         |    round(avg(-ln((c.cnt + 0.5) / (s.n + 0.5 * s.v))), 6) AS avg_nll
+         |  FROM tok t JOIN counts c USING (tok) CROSS JOIN stats s
+         |  GROUP BY t.doc_id),
+         |scored AS (
+         |  SELECT d.doc_id, a.avg_nll
+         |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+         |q AS (
+         |  SELECT quantile_cont(avg_nll, 0.3333333333333333) AS q1,
+         |         quantile_cont(avg_nll, 0.6666666666666666) AS q2
+         |  FROM scored)
+         |SELECT s.doc_id, s.avg_nll,
+         |  CASE WHEN s.avg_nll <= q.q1 THEN 'head'
+         |       WHEN s.avg_nll <= q.q2 THEN 'middle'
+         |       ELSE 'tail' END AS band
+         |FROM scored s CROSS JOIN q ORDER BY s.doc_id""".stripMargin,
 
     // same md5 draw as p_mix_sources; rank ties broken by doc_id
     "p_shard_shuffle" ->
