@@ -202,19 +202,21 @@ object Dedup {
     */
   def dupSentenceFraction(df: DataFrame, textCol: String, idCol: String,
                           minChars: Int = 20): DataFrame = {
-    // feeds the corpus-wide count AND the join back — cached, caller-
-    // released via [[graft.CacheScope.releaseAll]]
-    val sents = graft.CacheScope.cache(df.select(col(idCol).as("id"),
+    val sents = df.select(col(idCol).as("id"),
         explode(filter(
           transform(split(col(textCol), "[.!?]\\s+|[.!?]$"), s => trim(s)),
           s => length(s) >= minChars)).as("sent"))
-      .select(col("id"), md5(lower(col("sent"))).as("h")))
-    val counts = sents.groupBy(col("h"))
-      .agg(countDistinct(col("id")).as("nd"))
-    sents.join(counts, "h")
+      .select(col("id"), md5(lower(col("sent"))).as("h"))
+    // "sentence in >= 2 distinct docs" ⟺ min(id) != max(id) over h — one
+    // shuffle of the slim digest relation; replaces the former
+    // countDistinct aggregate + join back (same rewrite as the span ops;
+    // PLANS.md round 8), which also made the sents cache unnecessary
+    val w = Window.partitionBy(col("h"))
+    sents
+      .withColumn("xdoc", min(col("id")).over(w) =!= max(col("id")).over(w))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_sent"),
-        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+        sum(when(col("xdoc"), 1L).otherwise(0L)).as("n_dup"))
       .select(col("id"),
         (col("n_dup").cast("double") / col("n_sent").cast("double"))
           .as("dup_sent_frac"))
