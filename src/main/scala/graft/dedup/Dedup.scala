@@ -464,6 +464,45 @@ object Dedup {
       .filter(col("xdoc"))
       .select(col("id"), explode(sequence(col("i"), col("i") + lit(n - 1))).as("pos"))
       .distinct()
+    removeCovered(t, covered)
+  }
+
+  /** Within-document repeated-span REMOVAL: every token covered by a word
+    * `n`-gram that occurs at 2+ positions of the SAME document is cut —
+    * the decoding-loop / stutter cleanup counterpart of
+    * [[removeDuplicateSpans]] (whose signal is cross-document).
+    * [[TextAnalysis]]'s Gopher repetition ratio SCORES this; here the
+    * spans are actually rewritten out. Same return shape:
+    * (id, n_toks, n_removed, clean_md5).
+    *
+    * 100 TB shape: the repeat test is a count window over (id, digest) —
+    * doc-local keys, so the shuffle partitions by document content and
+    * has no corpus-wide hot keys; everything downstream is the shared
+    * position-set reassembly (doc-sized sorts, text never joins).
+    */
+  def removeRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+                          n: Int = 5): DataFrame = {
+    val t = graft.CacheScope.cache(df.select(col(idCol).as("id"),
+      TextAnalysis.asciiTokens(col(textCol)).as("toks")))
+    val grams = t.select(col("id"),
+        posexplode(TextAnalysis.positionalNgrams(col("toks"), n)).as(Seq("p0", "g")))
+      .select(col("id"), (col("p0") + 1).as("i"), xxhash64(col("g")).as("h"))
+    val w = Window.partitionBy(col("id"), col("h"))
+    val covered = grams
+      .withColumn("rep", count(lit(1)).over(w) > 1)
+      .filter(col("rep"))
+      .select(col("id"), explode(sequence(col("i"), col("i") + lit(n - 1))).as("pos"))
+      .distinct()
+    removeCovered(t, covered)
+  }
+
+  /** Shared span-removal reassembly: drop the covered (id, pos) token
+    * positions and rebuild each document from the survivors (per-doc
+    * `array_sort` on collected (pos, tok) structs — a doc-sized sort, not
+    * a global one; document text enters exactly two scans and no join
+    * carries it). `t` must be (id, toks).
+    */
+  private def removeCovered(t: DataFrame, covered: DataFrame): DataFrame = {
     val tokens = t.select(col("id"),
       posexplode(col("toks")).as(Seq("p0", "tok")))
       .select(col("id"), (col("p0") + 1).as("pos"), col("tok"))

@@ -137,6 +137,28 @@ object CorpusQueries {
       Packing.temperatureMixWeights(docs(s, dir), "source", temperature = 2.0)
         .orderBy("source")),
 
+    // Within-doc repeated-span removal (decoding-loop cleanup): n = 3
+    // because the corpus has natural trigram stutters but no 5-gram ones.
+    "d_remove_selfrep_spans" -> ((s, dir) =>
+      Dedup.removeRepeatedSpans(docs(s, dir), "text", "doc_id", n = 3)
+        .select(col("id").as("doc_id"), col("n_toks"), col("n_removed"),
+          col("clean_md5"))
+        .orderBy("doc_id")),
+
+    // Stratified train/val/test assignment: the same stable md5 draw as
+    // mixSources, thresholded 98/1/1 — reproducible under retries,
+    // engine-portable, and per-source proportions hold automatically
+    // because the draw is independent of source.
+    "p_eval_split" -> ((s, dir) => {
+      val draw = conv(substring(
+          md5(concat(lit("42|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000
+      docs(s, dir).select(col("doc_id"), col("source"),
+          when(draw < 980, "train").when(draw < 990, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023): coarse cells + within-cell cosine
     // threshold. Near-dup copies are synthesized (dim-0 scaled 5%, ids
     // offset +10000) because the raw corpus has no semantic dups (natural
@@ -510,6 +532,47 @@ object CorpusQueries {
          |  md5(coalesce(k.clean, '')) AS clean_md5
          |FROM p LEFT JOIN kept k USING (doc_id)
          |ORDER BY p.doc_id""".stripMargin,
+
+    // same position machinery as d_remove_dup_spans; repeat test is
+    // per-(doc, gram) multiplicity, n = 3
+    "d_remove_selfrep_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents),
+         |p AS (SELECT doc_id, toks, len(toks) AS nt FROM toks),
+         |g AS (
+         |  SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS g
+         |  FROM p CROSS JOIN unnest(range(1, nt - 3 + 2)) AS t(i)
+         |  WHERE nt >= 3),
+         |rep AS (
+         |  SELECT doc_id, g FROM (
+         |    SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+         |  WHERE c >= 2),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos
+         |  FROM (SELECT g.doc_id, unnest(range(g.i, g.i + 3)) AS pos
+         |        FROM g JOIN rep ON g.doc_id = rep.doc_id AND g.g = rep.g)),
+         |tokens AS (
+         |  SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+         |         unnest(toks) AS tok
+         |  FROM toks),
+         |kept AS (
+         |  SELECT t.doc_id, count(*) AS n_kept,
+         |         string_agg(t.tok, ' ' ORDER BY t.pos) AS clean
+         |  FROM tokens t ANTI JOIN covered c
+         |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  GROUP BY t.doc_id)
+         |SELECT p.doc_id, CAST(p.nt AS BIGINT) AS n_toks,
+         |  CAST(p.nt - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+         |  md5(coalesce(k.clean, '')) AS clean_md5
+         |FROM p LEFT JOIN kept k USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
+
+    "p_eval_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 980 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 990 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p_mix_weights" ->
       """WITH counts AS (

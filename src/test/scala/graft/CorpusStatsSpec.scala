@@ -239,6 +239,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out == Seq((0, 2L, 1.0, 1.0), (1, 2L, 25.0, 0.0)))
   }
 
+  test("removeRepeatedSpans cuts only the doc's own stutters") {
+    // doc 1: 'a b c' repeats (positions 1-3 and 6-8) → all 6 of those
+    // positions covered, middle tokens survive; doc 2 is clean prose and
+    // shares text with doc 1 — cross-doc sharing must NOT trigger removal
+    val df = Seq(
+      (1L, "a b c x y a b c z"),
+      (2L, "a b c is fine here")).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(df, "text", "doc_id", n = 3)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out(0)._2 == 9 && out(0)._3 == 6)
+    assert(out(1)._2 == 6 && out(1)._3 == 0, "cross-doc span wrongly removed")
+    // the survivors are the unrepeated middle/tail tokens, in order
+    val expectedClean = java.security.MessageDigest.getInstance("MD5")
+      .digest("x y z".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0)._4 == expectedClean)
+    CacheScope.releaseAll()
+  }
+
   // ---------------- semantic dedup (SemDeDup) ----------------
 
   test("semanticDedup drops the min-id ε-neighborhood tails within a cell") {
