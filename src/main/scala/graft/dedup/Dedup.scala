@@ -207,16 +207,16 @@ object Dedup {
           transform(split(col(textCol), "[.!?]\\s+|[.!?]$"), s => trim(s)),
           s => length(s) >= minChars)).as("sent"))
       .select(col("id"), md5(lower(col("sent"))).as("h"))
-    // "sentence in >= 2 distinct docs" ⟺ min(id) != max(id) over h — one
-    // shuffle of the slim digest relation; replaces the former
-    // countDistinct aggregate + join back (same rewrite as the span ops;
-    // PLANS.md round 8), which also made the sents cache unnecessary
-    val w = Window.partitionBy(col("h"))
-    sents
-      .withColumn("xdoc", min(col("id")).over(w) =!= max(col("id")).over(w))
+    // "sentence in >= 2 distinct docs" ⟺ min(id) != max(id) per h — the
+    // map-side-combinable rewrite of the former countDistinct aggregate
+    // (see crossDocSpanDupFraction for the full rationale: streams on hot
+    // digests, no Expand, no filtered-aggregate branch; PLANS.md round 8)
+    val minmax = sents.groupBy(col("h"))
+      .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
+    sents.join(minmax, Seq("h"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_sent"),
-        sum(when(col("xdoc"), 1L).otherwise(0L)).as("n_dup"))
+        sum(when(col("__mn") =!= col("__mx"), 1L).otherwise(0L)).as("n_dup"))
       .select(col("id"),
         (col("n_dup").cast("double") / col("n_sent").cast("double"))
           .as("dup_sent_frac"))
@@ -409,14 +409,18 @@ object Dedup {
     val grams = t.select(col("id"),
         explode(TextAnalysis.positionalNgrams(col("toks"), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("h"))
-    // "h occurs in >= 2 distinct docs" ⟺ min(id) != max(id) over h — ONE
-    // shuffle of the slim (id, h) relation instead of the former
-    // countDistinct aggregate + left-semi join back (which also carried an
-    // intermittent AQE empty-result hazard; see PLANS.md round 8).
-    val w = Window.partitionBy(col("h"))
-    val perDoc = grams
-      .withColumn("xdoc", min(col("id")).over(w) =!= max(col("id")).over(w))
-      .filter(col("xdoc"))
+    // "h occurs in >= 2 distinct docs" ⟺ min(id) != max(id) per h. The
+    // min/max aggregate is MAP-SIDE COMBINABLE (unlike the former
+    // countDistinct, whose Expand + two-phase plan also carried an
+    // intermittent AQE empty-result hazard — PLANS.md round 8), the join
+    // back is against a one-row-per-h relation so a corpus-wide hot
+    // boilerplate digest STREAMS through the join instead of being
+    // buffered whole by one window task, and the cross-doc filter sits
+    // AFTER the join — no filtered-aggregate branch to mis-plan as empty.
+    val minmax = grams.groupBy(col("h"))
+      .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
+    val perDoc = grams.join(minmax, Seq("h"))
+      .filter(col("__mn") =!= col("__mx"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
     t.select(col("id"),
         greatest(size(col("toks")) - lit(n - 1), lit(0)).cast("long").as("n_pos"))
@@ -454,14 +458,14 @@ object Dedup {
         posexplode(TextAnalysis.positionalNgrams(col("toks"), n)).as(Seq("p0", "g")))
       .select(col("id"), (col("p0") + 1).as("i"), xxhash64(col("g")).as("h"))
     // positions covered by ANY cross-doc-duplicated n-gram start: i..i+n-1.
-    // "h in >= 2 distinct docs" ⟺ min(id) != max(id) over h — one window
-    // over one shuffle of the slim (id, i, h) relation, replacing the
-    // former countDistinct aggregate + left-semi join back (which also
-    // carried an intermittent AQE empty-result hazard; PLANS.md round 8).
-    val w = Window.partitionBy(col("h"))
-    val covered = grams
-      .withColumn("xdoc", min(col("id")).over(w) =!= max(col("id")).over(w))
-      .filter(col("xdoc"))
+    // "h in >= 2 distinct docs" ⟺ min(id) != max(id) per h — map-side-
+    // combinable aggregate + streaming join back, filter AFTER the join
+    // (see crossDocSpanDupFraction for the hot-digest / AQE rationale;
+    // PLANS.md round 8).
+    val minmax = grams.groupBy(col("h"))
+      .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
+    val covered = grams.join(minmax, Seq("h"))
+      .filter(col("__mn") =!= col("__mx"))
       .select(col("id"), explode(sequence(col("i"), col("i") + lit(n - 1))).as("pos"))
       .distinct()
     removeCovered(t, covered)

@@ -99,9 +99,18 @@ object Packing {
     val rate = ratesPermille.foldLeft(lit(0): org.apache.spark.sql.Column) {
       case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
     }
-    val bucket = conv(substring(
-        md5(concat(lit(s"$seed|"), col(idCol).cast("string"))), 1, 8), 16, 10)
-      .cast("long") % 1000
-    df.filter(bucket < rate)
+    df.filter(stableDraw(col(idCol), seed) % 1000 < rate)
   }
+
+  /** The stable per-row draw behind [[mixSources]], `p_shard_shuffle`,
+    * and `p_eval_split`: first 8 md5 hex digits of "seed|id" as a long —
+    * reproducible across engines, runs, retries, and input layout (the
+    * reason it exists; `rand()` is none of those). ONE definition so the
+    * "same draw" contract between mixing, sharding, and split assignment
+    * is structural, not copy-pasted.
+    */
+  def stableDraw(id: org.apache.spark.sql.Column, seed: Long = 42L)
+      : org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit(s"$seed|"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
 }

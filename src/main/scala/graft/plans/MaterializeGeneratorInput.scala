@@ -30,11 +30,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * `unrequiredChildIndex`, so the Generate's output schema is unchanged
   * and downstream pruning is unaffected.
   *
-  * Install via `GraftSqlExtensions` (`injectOptimizerRule`, session build
-  * time) or `GraftSqlExtensions.installOptimizations(spark)` (live
-  * session). Runs after the main optimizer batches, so `CollapseProject`
-  * cannot fold the tiers back into the lambda. Idempotent: hoisted tiers
-  * are attributes, which never match again.
+  * Install via `GraftSqlExtensions` (session build time) or
+  * `GraftSqlExtensions.installOptimizations(spark)` (live session). BOTH
+  * paths place the rule AFTER the operator-optimization fixed-point batch
+  * — extensions use the pre-CBO seam, `extraOptimizations` run in the
+  * "User Provided Optimizers" batch — because inside that batch
+  * `CollapseProject` inlines single-use aliases back into lambda bodies
+  * and would silently undo the hoist (`injectOptimizerRule` lands there;
+  * do not use it for this rule). Idempotent: hoisted tiers are
+  * attributes, which never match again.
   */
 object MaterializeGeneratorInput extends Rule[LogicalPlan] {
 

@@ -150,9 +150,7 @@ object CorpusQueries {
     // engine-portable, and per-source proportions hold automatically
     // because the draw is independent of source.
     "p_eval_split" -> ((s, dir) => {
-      val draw = conv(substring(
-          md5(concat(lit("42|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 1000
+      val draw = Packing.stableDraw(col("doc_id")) % 1000
       docs(s, dir).select(col("doc_id"), col("source"),
           when(draw < 980, "train").when(draw < 990, "val")
             .otherwise("test").as("split"))
@@ -200,12 +198,13 @@ object CorpusQueries {
     "x_sql_surface" -> ((s, dir) => {
       graft.sql.GraftSqlExtensions.install(s)
       docs(s, dir).createOrReplaceTempView("graft_docs_sqlx")
+      val combiningAcute = "\u0301"
       s.sql(
-        """SELECT doc_id,
-          |  CAST(round(graft_array_jaccard(graft_word_shingles(text, 2),
-          |    graft_word_shingles(substring(text, 1, 120), 2)), 6) AS DOUBLE) AS jac2,
-          |  md5(graft_nfc(concat(text, ' Cafe\u0301'))) AS norm_md5
-          |FROM graft_docs_sqlx ORDER BY doc_id""".stripMargin)
+        s"""SELECT doc_id,
+           |  CAST(round(graft_array_jaccard(graft_word_shingles(text, 2),
+           |    graft_word_shingles(substring(text, 1, 120), 2)), 6) AS DOUBLE) AS jac2,
+           |  md5(graft_nfc(concat(text, ' Cafe$combiningAcute'))) AS norm_md5
+           |FROM graft_docs_sqlx ORDER BY doc_id""".stripMargin)
     }),
 
     // RefinedWeb/C4 line-wise quality signals. Documents are single-line
@@ -279,9 +278,7 @@ object CorpusQueries {
     // executor-sized — same lever as SemDeDup's cell count).
     "p_shard_shuffle" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val draw = conv(substring(
-          md5(concat(lit("42|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long")
+      val draw = Packing.stableDraw(col("doc_id"))
       val w = Window.partitionBy(col("shard")).orderBy(col("draw"), col("doc_id"))
       docs(s, dir).select(col("doc_id"), draw.as("draw"))
         .withColumn("shard", (col("draw") % 16).cast("int"))
@@ -645,10 +642,12 @@ object CorpusQueries {
          |  FROM documents),
          |sh AS (
          |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, greatest(len(ta) - 2, 0) + 2),
-         |      i -> array_to_string(ta[i:i+1], ' '))) AS sa,
-         |    list_distinct(list_transform(range(1, greatest(len(tb) - 2, 0) + 2),
-         |      i -> array_to_string(tb[i:i+1], ' '))) AS sb
+         |    CASE WHEN len(ta) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_distinct(list_transform(range(1, greatest(len(ta) - 2, 0) + 2),
+         |           i -> array_to_string(ta[i:i+1], ' '))) END AS sa,
+         |    CASE WHEN len(tb) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_distinct(list_transform(range(1, greatest(len(tb) - 2, 0) + 2),
+         |           i -> array_to_string(tb[i:i+1], ' '))) END AS sb
          |  FROM t),
          |j AS (
          |  SELECT doc_id, len(list_intersect(sa, sb)) AS inter,

@@ -2,7 +2,6 @@ package graft.sql
 
 import graft.exprs.{HashExprs, TextExprs}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.UnresolvedException
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.types.IntegerType
@@ -21,43 +20,56 @@ import org.apache.spark.sql.types.IntegerType
   *    `spark.sql.extensions=graft.sql.GraftSqlExtensions`);
   *  - `GraftSqlExtensions.install(spark)` on a live session.
   *
-  * Deliberately NO custom optimizer rule or SparkStrategy rides along:
-  * every graft operator lowers to Catalyst expressions + standard logical
-  * operators, so the built-in optimizer already sees through them
-  * (SURVEY.md §7.3 — custom plan nodes are a last resort and nothing here
-  * needs one).
+  * One optimizer rule rides along — [[graft.plans.MaterializeGeneratorInput]]
+  * (hoists lambda-invariant heavy subtrees out of generators; 17× on the
+  * measured naive-explode shape, PLANS.md round 8) — injected at the
+  * PRE-CBO seam, which runs AFTER the operator-optimization batch:
+  * `injectOptimizerRule` would place it INSIDE that fixed-point batch,
+  * where `CollapseProject` inlines single-use aliases back into lambda
+  * bodies and silently undoes the hoist. NO custom SparkStrategy or plan
+  * node rides along: every graft operator lowers to Catalyst expressions
+  * + standard logical operators (SURVEY.md §7.3 — custom plan nodes are a
+  * last resort and nothing here needs one).
   */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftSqlExtensions.functions.foreach(ext.injectFunction)
-    ext.injectOptimizerRule(_ => graft.plans.MaterializeGeneratorInput)
+    ext.injectPreCBORule(_ => graft.plans.MaterializeGeneratorInput)
   }
 }
 
 object GraftSqlExtensions {
 
+  // user-input problems surface as analysis errors (a plain invalid-input
+  // message), NOT UnresolvedException — Spark frames the latter as an
+  // internal error, which misreads bad arguments as engine bugs
+  private def badArg(msg: String): Nothing =
+    org.apache.spark.sql.classic.GraftBridge.analysisError(msg)
+
   private def intArg(fn: String, pos: Int, e: Expression): Int = e match {
     case Literal(v, IntegerType) => v.asInstanceOf[Int]
-    case other => throw new UnresolvedException(
-      s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+    case other =>
+      badArg(s"$fn: argument ${pos + 1} must be an integer literal, got $other")
   }
 
   private def longArg(fn: String, pos: Int, e: Expression): Long = e match {
     case Literal(v, t) if t == IntegerType => v.asInstanceOf[Int].toLong
     case Literal(v, org.apache.spark.sql.types.LongType) => v.asInstanceOf[Long]
-    case other => throw new UnresolvedException(
-      s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+    case other =>
+      badArg(s"$fn: argument ${pos + 1} must be an integer literal, got $other")
   }
 
   private def arity(fn: String, args: Seq[Expression], n: Int*): Unit =
-    if (!n.contains(args.length)) throw new UnresolvedException(
+    if (!n.contains(args.length)) badArg(
       s"$fn expects ${n.mkString(" or ")} arguments, got ${args.length}")
 
-  private def desc(name: String, usage: String, builder: Seq[Expression] => Expression)
+  private def desc(name: String, usage: String, builder: Seq[Expression] => Expression,
+                   className: String = "graft.exprs.HashExprs",
+                   group: String = "hash_funcs")
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),
-      new ExpressionInfo("graft.exprs.HashExprs", "", name, usage, "", "", "",
-        "hash_funcs", "4.0.0", "", "built-in"),
+      new ExpressionInfo(className, "", name, usage, "", "", "",
+        group, "4.0.0", "", "built-in"),
       builder)
 
   /** The full SQL function table — one entry per native expression. */
@@ -107,7 +119,7 @@ object GraftSqlExtensions {
       "graft_nfc(text) - Unicode NFC canonical composition", { args =>
         arity("graft_nfc", args, 1)
         TextExprs.NfcNormalize(args.head)
-      }),
+      }, className = "graft.exprs.TextExprs", group = "string_funcs"),
     desc("graft_nearest_centroid",
       "graft_nearest_centroid(vec, array(array(..), ..)) - index of nearest centroid (squared L2, ties low)", { args =>
         arity("graft_nearest_centroid", args, 2)
@@ -118,10 +130,10 @@ object GraftSqlExtensions {
                 val row = ad.getArray(i)
                 (0 until row.numElements()).map(row.getDouble).toSeq
               }.toSeq
-            case other => throw new UnresolvedException(
+            case other => badArg(
               s"graft_nearest_centroid: argument 2 evaluated to $other, expected array<array<double>>")
           }
-          case other => throw new UnresolvedException(
+          case other => badArg(
             s"graft_nearest_centroid: argument 2 must be a foldable array<array<double>> literal, got $other")
         }
         HashExprs.NearestCentroid(args.head, cents)
@@ -137,8 +149,9 @@ object GraftSqlExtensions {
     }
 
   /** Post-hoc optimizer-rule registration for a live session (the
-    * build-time path is `injectOptimizerRule` in [[GraftSqlExtensions]]).
-    * Idempotent.
+    * build-time path is the pre-CBO injection in [[GraftSqlExtensions]];
+    * `extraOptimizations` run in the "User Provided Optimizers" batch —
+    * both are safely after `CollapseProject`). Idempotent.
     */
   def installOptimizations(spark: SparkSession): Unit = {
     val rule = graft.plans.MaterializeGeneratorInput

@@ -27,6 +27,15 @@ object GraftBridge {
     spark.asInstanceOf[SparkSession].sessionState.functionRegistry
       .registerFunction(name, info, builder)
 
+  /** Raise a user-facing analysis error (invalid function arguments etc.).
+    * The single-message AnalysisException constructor is private[sql] in
+    * Spark 4 — same re-export rationale as the rest of this shim.
+    */
+  def analysisError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3105",
+      messageParameters = Map("reason" -> msg))
+
   /** Apply a SparkSessionExtensions configurator to a fresh registry and
     * return the registered function names — lets a test exercise the
     * `injectFunction` → session-state wiring without building a second

@@ -69,9 +69,7 @@ class CurationPipelineSpec extends SparkSpec {
     // 6. write the curated corpus as deterministic training shards
     // (p_shard_shuffle assignment), partitioned parquet on disk, and read
     // it back: the artifact a dataloader actually consumes
-    val draw = conv(substring(
-        md5(concat(lit("42|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-      .cast("long")
+    val draw = Packing.stableDraw(col("doc_id"))
     val outDir = java.nio.file.Files
       .createTempDirectory("graft-curated-shards").toString
     kept4.withColumn("shard", (draw % 4).cast("int"))
@@ -82,9 +80,8 @@ class CurationPipelineSpec extends SparkSpec {
     assert(back.select("shard").distinct().count() == 4)
     // shard assignment is content-deterministic: re-deriving it from the
     // read-back rows reproduces the on-disk partition exactly
-    val mismatch = back.withColumn("expect", (conv(substring(
-        md5(concat(lit("42|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 4).cast("int"))
+    val mismatch = back.withColumn("expect",
+      (Packing.stableDraw(col("doc_id")) % 4).cast("int"))
       .filter(col("shard") =!= col("expect")).count()
     assert(mismatch == 0)
     CacheScope.releaseAll()

@@ -77,7 +77,7 @@ class OptimizerRuleSpec extends SparkSpec
     assert(gens.nonEmpty)
     // no extra projection was inserted for a plain attribute input
     assert(df.queryExecution.optimizedPlan.toString
-      .split("\n").count(_.contains("__graft_gen_input")) == 0)
+      .split("\n").count(_.contains("__graft_gen_hoist")) == 0)
   }
 
   test("hoisting wins by a wide margin on the measured 16x shape") {
