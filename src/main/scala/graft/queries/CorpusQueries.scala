@@ -49,6 +49,18 @@ object CorpusQueries {
         .select(col("id").as("doc_id"), col("n_toks"), col("avg_nll"))
         .orderBy("doc_id")),
 
+    // fastText-shaped NB quality classifier: fit "looks like the English
+    // reference slice" on the labeled corpus, score every document with
+    // prior + sum of per-token log-likelihood ratios.
+    "t_nb_classify" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = CorpusStats.fitNaiveBayes(d, "text", col("lang") === "en")
+      CorpusStats.scoreNaiveBayes(m, d, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_toks"), col("nb_score"),
+          col("nb_pos"))
+        .orderBy("doc_id")
+    }),
+
     // Winnowing document signatures (MOSS): sorted distinct window-min
     // k-gram hashes per doc, surfaced as count + digest.
     "t_winnow_fps" -> ((s, dir) =>
@@ -324,6 +336,31 @@ object CorpusQueries {
          |SELECT d.doc_id, coalesce(a.n_toks, 0) AS n_toks, a.avg_nll
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "t_nb_classify" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, (lang = 'en') AS y, $duckToks AS toks FROM documents),
+         |tok AS (SELECT doc_id, y, unnest(toks) AS tok FROM toks),
+         |counts AS (SELECT tok,
+         |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS cpos,
+         |    sum(CASE WHEN y THEN 0 ELSE 1 END) AS cneg
+         |  FROM tok GROUP BY tok),
+         |stats AS (SELECT CAST(sum(cpos) AS DOUBLE) AS npos,
+         |    CAST(sum(cneg) AS DOUBLE) AS nneg, count(*) AS v FROM counts),
+         |prior AS (SELECT ln((sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 0.5)
+         |      / (sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) + 0.5)) AS p
+         |  FROM documents),
+         |llr AS (SELECT tok,
+         |    ln((cpos + 0.5) / (npos + 0.5 * v))
+         |      - ln((cneg + 0.5) / (nneg + 0.5 * v)) AS llr
+         |  FROM counts CROSS JOIN stats),
+         |agg AS (SELECT t.doc_id, count(*) AS n_toks, sum(l.llr) AS s
+         |  FROM tok t JOIN llr l USING (tok) GROUP BY t.doc_id)
+         |SELECT d.doc_id, coalesce(a.n_toks, 0) AS n_toks,
+         |  round(p.p + coalesce(a.s, 0), 6) AS nb_score,
+         |  (p.p + coalesce(a.s, 0)) > 0 AS nb_pos
+         |FROM documents d LEFT JOIN agg a USING (doc_id) CROSS JOIN prior p
+         |ORDER BY d.doc_id""".stripMargin,
 
     "t_winnow_fps" ->
       """WITH n AS (

@@ -421,6 +421,33 @@ object RelationalQueries {
         .groupBy(col("segment"))
         .agg(count(lit(1)).as("n"), round(sum(dec("value")), 2).cast("double").as("v"))
         .orderBy(col("segment").asc_nulls_first)
+    }),
+
+    // Pivot: one row per user, one column per event type. The value list is
+    // passed explicitly — without it Spark runs a separate collect-distinct
+    // job over the whole fact table before it can even plan, which at 100 TB
+    // is a full extra scan. With the list the plan is a single grouped
+    // aggregation (map-side partials, one shuffle on user_id).
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum(dec("value")), 2).cast("double"))
+        .orderBy("user_id")),
+
+    // Unpivot (wide → long): melt per-flag aggregate metrics into
+    // (metric, amount) rows. Spark's unpivot is a zero-shuffle Expand node
+    // over the already-aggregated frame — the cheap direction at any scale.
+    "q_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(dec("l_quantity")), 2).cast("double").as("qty"),
+          round(sum(dec("l_extendedprice")), 2).cast("double").as("price"),
+          round(sum(dec("l_discount")), 2).cast("double").as("disc"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")), "metric", "amount")
+        .orderBy("l_returnflag", "metric")
     })
   )
 
@@ -629,6 +656,31 @@ object RelationalQueries {
         |SELECT u.segment, count(*) AS n,
         |  CAST(ROUND(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
         |FROM events e LEFT JOIN users u USING (user_id)
-        |GROUP BY u.segment ORDER BY u.segment NULLS FIRST""".stripMargin
+        |GROUP BY u.segment ORDER BY u.segment NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(ROUND(sum(CASE WHEN event_type = 'click'
+        |    THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS click,
+        |  CAST(ROUND(sum(CASE WHEN event_type = 'error'
+        |    THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS error,
+        |  CAST(ROUND(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS purchase,
+        |  CAST(ROUND(sum(CASE WHEN event_type = 'signup'
+        |    THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS signup,
+        |  CAST(ROUND(sum(CASE WHEN event_type = 'view'
+        |    THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty,
+        |    CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS price,
+        |    CAST(ROUND(sum(CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, amount FROM (
+        |  SELECT l_returnflag, 'qty' AS metric, qty AS amount FROM w
+        |  UNION ALL SELECT l_returnflag, 'price', price FROM w
+        |  UNION ALL SELECT l_returnflag, 'disc', disc FROM w)
+        |ORDER BY l_returnflag, metric""".stripMargin
   )
 }

@@ -105,6 +105,77 @@ object CorpusStats {
         col("avg_nll"))
   }
 
+  /** A fitted binary multinomial Naive Bayes text classifier — the
+    * fastText-linear-classifier shape every major curation pipeline uses
+    * as its quality gate (CCNet/LLaMA keep "looks like Wikipedia" pages;
+    * GPT-3's WebText filter is the same construction): per-token
+    * log-likelihood ratios between a target and a background class, a
+    * document's score being the prior log-odds plus the sum of its
+    * tokens' ratios. `llr` is the slim (token, llr) relation — the whole
+    * model; `unseenLlr` is the add-k floor ratio for tokens absent at fit
+    * time, and `priorLogOdds` covers the empty document. Fit once on a
+    * labeled reference corpus, score anything — [[scoreNaiveBayes]] is a
+    * stream-legal static join. The llr relation is cached
+    * (caller-released via [[graft.CacheScope.releaseAll]]): a classifier
+    * is by definition reused across scoring calls.
+    */
+  final case class NaiveBayesModel(llr: DataFrame, priorLogOdds: Double,
+                                   unseenLlr: Double)
+
+  /** Fit the add-k NB model. `label` is the positive-class predicate.
+    *
+    * Scale: ONE vocabulary-keyed aggregate over the exploded token stream
+    * (map-side combined — the shuffle carries (token, cpos, cneg), bounded
+    * by vocabulary, not corpus size) plus two one-row scalar jobs. The
+    * per-class token totals and vocab size come off the counts relation
+    * itself, so the corpus is tokenized exactly once.
+    */
+  def fitNaiveBayes(df: DataFrame, textCol: String, label: Column,
+                    addK: Double = 0.5): NaiveBayesModel = {
+    val tok = df.select(label.cast("boolean").as("y"),
+      explode(TextAnalysis.asciiTokens(col(textCol))).as("tok"))
+    val counts = graft.CacheScope.cache(
+      tok.groupBy(col("tok")).agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("cpos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("cneg")))
+    val r = counts.agg(sum(col("cpos")), sum(col("cneg")), count(lit(1))).head()
+    val nPos = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val nNeg = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val v = r.getLong(2)
+    val d = df.agg(sum(when(label.cast("boolean"), 1L).otherwise(0L)),
+      count(lit(1))).head()
+    val dPos = if (d.isNullAt(0)) 0L else d.getLong(0)
+    val dNeg = d.getLong(1) - dPos
+    val denomPos = nPos + addK * v
+    val denomNeg = nNeg + addK * v
+    val llr = counts.select(col("tok"),
+      (log((col("cpos").cast("double") + lit(addK)) / lit(denomPos)) -
+        log((col("cneg").cast("double") + lit(addK)) / lit(denomNeg))).as("llr"))
+    NaiveBayesModel(llr,
+      priorLogOdds = math.log((dPos + addK) / (dNeg + addK)),
+      unseenLlr = math.log(denomNeg / denomPos))
+  }
+
+  /** Score documents under a fitted NB model: (id, n_toks, nb_score,
+    * nb_pos). Stream-legal — a static model join plus a per-document
+    * aggregate (update mode). Zero-token documents survive via
+    * explode_outer and score exactly the prior; unseen tokens get the
+    * add-k floor ratio.
+    */
+  def scoreNaiveBayes(m: NaiveBayesModel, df: DataFrame, textCol: String,
+                      idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        explode_outer(TextAnalysis.asciiTokens(col(textCol))).as("tok"))
+      .join(m.llr, Seq("tok"), "left")
+      .groupBy(col("id"))
+      .agg(count(col("tok")).as("n_toks"),
+        sum(coalesce(col("llr"),
+          when(col("tok").isNotNull, lit(m.unseenLlr)))).as("s"))
+      .select(col("id"), col("n_toks"),
+        round(lit(m.priorLogOdds) + coalesce(col("s"), lit(0.0)), 6)
+          .as("nb_score"),
+        (lit(m.priorLogOdds) + coalesce(col("s"), lit(0.0)) > 0).as("nb_pos"))
+
   /** Corpus-wide most frequent word n-grams — the exact frequent-items
     * pass behind boilerplate mining (find the navigation bars / cookie
     * banners polluting a crawl) and stop-phrase lists. Returns the `k`
