@@ -61,6 +61,29 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance log-weights (Xie et al. 2023): hashed unigram+bigram
+    // features; target = the English slice, raw = the whole corpus.
+    "t_dsir_weight" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = CorpusStats.fitDsir(d.filter(col("lang") === "en"), d, "text")
+      CorpusStats.scoreDsir(m, d, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_feats"), col("dsir_logw"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR's selection step: Gumbel-top-k over the importance weights.
+    // The md5 Gumbel draw makes the SELECTED SET itself reproducible and
+    // oracle-checkable — not just the weights.
+    "p_dsir_resample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = CorpusStats.fitDsir(d.filter(col("lang") === "en"), d, "text")
+      val scored = CorpusStats.scoreDsir(m, d, "text", "doc_id")
+        .filter(col("dsir_logw").isNotNull)
+      CorpusStats.gumbelTopK(scored, "dsir_logw", "id", k = 100)
+        .select(col("id").as("doc_id"), col("g_key"))
+        .orderBy(col("g_key").desc, col("doc_id"))
+    }),
+
     // Winnowing document signatures (MOSS): sorted distinct window-min
     // k-gram hashes per doc, surfaced as count + digest.
     "t_winnow_fps" -> ((s, dir) =>
@@ -361,6 +384,56 @@ object CorpusQueries {
          |  (p.p + coalesce(a.s, 0)) > 0 AS nb_pos
          |FROM documents d LEFT JOIN agg a USING (doc_id) CROSS JOIN prior p
          |ORDER BY d.doc_id""".stripMargin,
+
+    "t_dsir_weight" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, $duckToks AS toks FROM documents),
+         |fx AS (SELECT doc_id, lang, unnest(list_concat(toks,
+         |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1]) ELSE [] END)) AS f
+         |  FROM toks),
+         |feats AS (SELECT doc_id, lang,
+         |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS b FROM fx),
+         |counts AS (SELECT b,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+         |    count(*) AS cr FROM feats GROUP BY b),
+         |stats AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt,
+         |    CAST(sum(cr) AS DOUBLE) AS nr FROM counts),
+         |lr AS (SELECT b, ln((ct + 0.5) / (nt + 0.5 * 1024))
+         |    - ln((cr + 0.5) / (nr + 0.5 * 1024)) AS lr
+         |  FROM counts CROSS JOIN stats),
+         |agg AS (SELECT f.doc_id, count(*) AS n_feats, sum(l.lr) AS s
+         |  FROM feats f JOIN lr l USING (b) GROUP BY f.doc_id)
+         |SELECT d.doc_id, coalesce(a.n_feats, 0) AS n_feats,
+         |  round(a.s, 6) AS dsir_logw
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "p_dsir_resample" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, $duckToks AS toks FROM documents),
+         |fx AS (SELECT doc_id, lang, unnest(list_concat(toks,
+         |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1]) ELSE [] END)) AS f
+         |  FROM toks),
+         |feats AS (SELECT doc_id, lang,
+         |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS b FROM fx),
+         |counts AS (SELECT b,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+         |    count(*) AS cr FROM feats GROUP BY b),
+         |stats AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt,
+         |    CAST(sum(cr) AS DOUBLE) AS nr FROM counts),
+         |lr AS (SELECT b, ln((ct + 0.5) / (nt + 0.5 * 1024))
+         |    - ln((cr + 0.5) / (nr + 0.5 * 1024)) AS lr
+         |  FROM counts CROSS JOIN stats),
+         |agg AS (SELECT f.doc_id, round(sum(l.lr), 6) AS w
+         |  FROM feats f JOIN lr l USING (b) GROUP BY f.doc_id),
+         |g AS (SELECT doc_id, round(w - ln(-ln(
+         |    (CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))
+         |       AS BIGINT) % 1000000 + 0.5) / 1000000.0)), 6) AS g_key
+         |  FROM agg)
+         |SELECT doc_id, g_key FROM g
+         |ORDER BY g_key DESC, doc_id LIMIT 100""".stripMargin,
 
     "t_winnow_fps" ->
       """WITH n AS (

@@ -176,6 +176,93 @@ object CorpusStats {
           .as("nb_score"),
         (lit(m.priorLogOdds) + coalesce(col("s"), lit(0.0)) > 0).as("nb_pos"))
 
+  /** A fitted DSIR importance model (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): hashed
+    * n-gram (unigram + bigram) bag-of-features unigram models over a
+    * fixed bucket space, fit separately on a TARGET corpus (what training
+    * data should look like) and the RAW corpus being selected from. A
+    * document's importance log-weight is the sum over its features of
+    * ln p̂_target(b) − ln p̂_raw(b); resampling keeps the Gumbel-top-k.
+    * `logRatio` is the ≤`buckets`-row (b, lr) relation; `unseenLr` covers
+    * buckets empty in both fit corpora. The hash is the first 8 md5 hex
+    * digits — portable across engines and layouts, same contract as
+    * [[graft.pack.Packing.stableDraw]].
+    */
+  final case class DsirModel(logRatio: DataFrame, buckets: Int,
+                             unseenLr: Double)
+
+  /** Hashed n-gram feature stream: (rest of `keep` columns, bucket).
+    * Tokens are materialized into their own projection BEFORE the n-gram
+    * lambda (per-element re-evaluation; see PLANS.md round-8 16× note).
+    */
+  private def dsirFeats(df: DataFrame, textCol: String, buckets: Int,
+                        keep: Seq[(Column, String)], outer: Boolean): DataFrame = {
+    val ex = if (outer) explode_outer _ else explode _
+    val keepCols = keep.map { case (c, n) => c.as(n) }
+    val keepRefs = keep.map { case (_, n) => col(n) }
+    df.select(keepCols :+ TextAnalysis.asciiTokens(col(textCol)).as("__toks"): _*)
+      .select(keepRefs :+ ex(concat(col("__toks"),
+        TextAnalysis.positionalNgrams(col("__toks"), 2))).as("__f"): _*)
+      .select(keepRefs :+ (conv(substring(md5(col("__f")), 1, 8), 16, 10)
+        .cast("long") % buckets).as("b"): _*)
+  }
+
+  /** Fit DSIR: two vocabulary-bucket-keyed aggregates (map-side combined —
+    * each shuffle is bounded by `buckets`, never corpus size) + one
+    * one-row scalar job over their full-outer join. The joined counts are
+    * cached (caller-released via [[graft.CacheScope.releaseAll]]); the
+    * log-ratio relation is a projection over them.
+    */
+  def fitDsir(target: DataFrame, raw: DataFrame, textCol: String,
+              buckets: Int = 1024, addK: Double = 0.5): DsirModel = {
+    val ct = dsirFeats(target, textCol, buckets, Nil, outer = false)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val cr = dsirFeats(raw, textCol, buckets, Nil, outer = false)
+      .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val joined = graft.CacheScope.cache(ct.join(cr, Seq("b"), "full"))
+    val r = joined.agg(sum(col("ct")), sum(col("cr"))).head()
+    val nt = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val nr = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val denT = nt + addK * buckets
+    val denR = nr + addK * buckets
+    val lr = joined.select(col("b"),
+      (log((coalesce(col("ct"), lit(0L)).cast("double") + lit(addK)) / lit(denT)) -
+        log((coalesce(col("cr"), lit(0L)).cast("double") + lit(addK)) / lit(denR)))
+        .as("lr"))
+    DsirModel(lr, buckets, unseenLr = math.log(denR / denT))
+  }
+
+  /** Score documents under a fitted DSIR model: (id, n_feats,
+    * dsir_logw). Stream-legal static join; zero-feature documents carry
+    * NULL dsir_logw.
+    */
+  def scoreDsir(m: DsirModel, df: DataFrame, textCol: String,
+                idCol: String): DataFrame =
+    dsirFeats(df, textCol, m.buckets,
+        Seq(col(idCol).cast("long") -> "id"), outer = true)
+      .join(m.logRatio, Seq("b"), "left")
+      .groupBy(col("id"))
+      .agg(count(col("b")).as("n_feats"),
+        sum(coalesce(col("lr"),
+          when(col("b").isNotNull, lit(m.unseenLr)))).as("s"))
+      .select(col("id"), col("n_feats"), round(col("s"), 6).as("dsir_logw"))
+
+  /** DSIR's selection step: Gumbel-top-k = sampling k WITHOUT replacement
+    * with probability ∝ exp(weight). The Gumbel noise comes from the
+    * stable md5 draw, so the selected set is reproducible across engines,
+    * retries, and input layout. The top-k is a TakeOrdered (per-partition
+    * heaps), never a global sort.
+    */
+  def gumbelTopK(df: DataFrame, weightCol: String, idCol: String, k: Int,
+                 seed: Long = 42L): DataFrame = {
+    val u = (graft.pack.Packing.stableDraw(col(idCol), seed) % 1000000L)
+      .cast("double").plus(lit(0.5)).divide(lit(1000000.0))
+    df.withColumn("g_key",
+        round(col(weightCol) - log(-log(u)), 6))
+      .orderBy(col("g_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Corpus-wide most frequent word n-grams — the exact frequent-items
     * pass behind boilerplate mining (find the navigation bars / cookie
     * banners polluting a crawl) and stop-phrase lists. Returns the `k`

@@ -89,6 +89,56 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L, expected), (2L, 1L, expected)))
   }
 
+  test("naive bayes: hand-computed llr, prior, unseen floor, empty doc") {
+    // vocab: good(2,0) nice(1,0) bad(0,2) → V=3, nPos=3, nNeg=2; addK=0.5
+    // denomPos=4.5, denomNeg=3.5; prior=ln(1.5/2.5); unseen=ln(3.5/4.5)
+    val df = Seq((1L, "good good nice", true), (2L, "bad bad", false),
+      (3L, "", false)).toDF("doc_id", "text", "y")
+    val m = CorpusStats.fitNaiveBayes(df, "text", col("y"))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val llrGood = math.log(2.5 / 4.5) - math.log(0.5 / 3.5)
+    val llrNice = math.log(1.5 / 4.5) - math.log(0.5 / 3.5)
+    val llrBad = math.log(0.5 / 4.5) - math.log(2.5 / 3.5)
+    val prior = math.log(1.5 / 2.5)
+    val out = CorpusStats.scoreNaiveBayes(m, df, "text", "doc_id")
+      .orderBy("id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, r6(prior + 2 * llrGood + llrNice), true),
+      (2L, 2L, r6(prior + 2 * llrBad), false),
+      (3L, 0L, r6(prior), false)))
+    // a token absent at fit time scores the add-k floor ratio
+    val unseen = CorpusStats.scoreNaiveBayes(m,
+        Seq((9L, "zzz")).toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Long, Double, Boolean)].head()
+    assert(unseen == ((9L, 1L, r6(prior + math.log(3.5 / 4.5)), false)))
+  }
+
+  test("dsir: target-like docs weigh higher; weights and selection are layout-independent") {
+    val target = Seq((1L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val raw = Seq((1L, "alpha beta alpha beta"),
+      (2L, "gamma delta gamma delta"),
+      (3L, "gamma delta epsilon")).toDF("doc_id", "text")
+    val m = CorpusStats.fitDsir(target, raw, "text")
+    val w = CorpusStats.scoreDsir(m, raw, "text", "doc_id")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    // doc 1: 4 unigrams + 3 bigrams = 7 features, and it IS the target
+    assert(w.head._2 == 7L)
+    assert(w(0)._3 > w(1)._3 && w(0)._3 > w(2)._3)
+    val w7 = CorpusStats.scoreDsir(m, raw.repartition(7), "text", "doc_id")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    assert(w == w7)
+    // Gumbel-top-k: deterministic selection, invariant to partitioning
+    val scored = CorpusStats.scoreDsir(m, raw, "text", "doc_id")
+    val sel = CorpusStats.gumbelTopK(scored, "dsir_logw", "id", k = 2)
+      .select("id").as[Long].collect().toSet
+    val sel7 = CorpusStats.gumbelTopK(
+        CorpusStats.scoreDsir(m, raw.repartition(5), "text", "doc_id"),
+        "dsir_logw", "id", k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(sel == sel7 && sel.size == 2)
+  }
+
   test("bigramNll penalizes scrambled word order that unigramNll cannot see") {
     val fluent = (1 to 30).map(_ => "the cat sat down").mkString(" ")
     val df = Seq((1L, fluent), (2L, fluent), (3L, fluent),

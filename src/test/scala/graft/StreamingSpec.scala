@@ -240,6 +240,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch-fit NB classifier scores a stream identically to the batch scorer") {
+    // same deployment shape as the LM: fit the classifier on the labeled
+    // reference corpus in batch, score an unbounded stream against the
+    // STATIC llr relation — per-doc verdicts must equal batch
+    val docs = Tables.load(spark, sf0, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val m = graft.text.CorpusStats.fitNaiveBayes(docs, "text",
+      col("lang") === "en")
+    val expect = graft.text.CorpusStats
+      .scoreNaiveBayes(m, docs, "text", "doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val d = java.nio.file.Files.createTempDirectory("graft-streamnb")
+    docs.select("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(d.toString)
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    val scored = graft.text.CorpusStats.scoreNaiveBayes(m,
+      StreamingOps.fileSource(spark, schema, d.toString), "text", "doc_id")
+    val q = scored.writeStream.format("memory").queryName("stream_nb")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id, n_toks, nb_score, nb_pos FROM stream_nb")
+        .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+      assert(got == expect)
+    } finally q.stop()
+  }
+
   test("streaming curation filter yields exactly the batch verdicts on a replayed corpus") {
     // the composed curation filter (lang → length → repetition → quality)
     // is a stateless scan-stage projection, so it must run UNCHANGED over
