@@ -243,6 +243,37 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // PQ encode: 64-dim → 8 sub-codes against a 4-entry codebook (the
+    // first 4 vectors, IVF-style deterministic seeds), packed into one
+    // 16-bit word so the compare is a portable BIGINT, not a list.
+    "s_pq_codes" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = e.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      Similarity.pqEncode(e, "vec_id", "embedding", cb, m = 8)
+        .select(col("id").as("vec_id"),
+          (0 until 8).map(mi =>
+            shiftleft(col("codes").getItem(mi).cast("long"), 2 * mi))
+            .reduce(_ + _).as("pq_word"))
+        .orderBy("vec_id")
+    }),
+
+    // PQ asymmetric-distance top-5: exact queries against coded corpus
+    // vectors — deterministic table lookups, fully oracle-checkable.
+    "s_knn_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = e.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      Similarity.pqKnn(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 3), "vec_id", "embedding",
+          cb, m = 8, k = 5)
+        .select(col("qid"), col("id"), round(col("adc"), 6).as("adc"),
+          col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // Int8 embedding quantization — verified via exact integer sum of the
     // quantized vector (list hashing across engines is brittle; the sum
     // pins every element's rounding).
@@ -456,6 +487,59 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
         |  FROM scored)
         |SELECT qid, id, cos, rank FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // same sub-distance arithmetic as s_knn_ivf's d2 (proven bit-parity),
+    // argmin per (vector, subspace), codes packed little-endian 2 bits each
+    "s_pq_codes" ->
+      """WITH cb AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < 4),
+        |sub AS (SELECT unnest(range(0, 8)) AS m),
+        |d AS (
+        |  SELECT e.vec_id, s.m, cb.c,
+        |    list_sum(list_transform(range(1, 9),
+        |      j -> (CAST(e.embedding[s.m * 8 + j] AS DOUBLE) - CAST(cb.cv[s.m * 8 + j] AS DOUBLE)) *
+        |           (CAST(e.embedding[s.m * 8 + j] AS DOUBLE) - CAST(cb.cv[s.m * 8 + j] AS DOUBLE)))) AS d2
+        |  FROM embeddings e CROSS JOIN cb CROSS JOIN sub s),
+        |code AS (
+        |  SELECT vec_id, m, c FROM (
+        |    SELECT vec_id, m, c,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+        |    FROM d) WHERE rn = 1)
+        |SELECT vec_id, CAST(sum(c << (2 * m)) AS BIGINT) AS pq_word
+        |FROM code GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // ADC: per-query subspace distance table joined to the codes; the
+    // per-candidate sum folds in fixed subspace order (list ORDER BY m)
+    // to mirror the engine's fixed-order reduce
+    "s_knn_pq" ->
+      """WITH cb AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < 4),
+        |sub AS (SELECT unnest(range(0, 8)) AS m),
+        |d AS (
+        |  SELECT e.vec_id, s.m, cb.c,
+        |    list_sum(list_transform(range(1, 9),
+        |      j -> (CAST(e.embedding[s.m * 8 + j] AS DOUBLE) - CAST(cb.cv[s.m * 8 + j] AS DOUBLE)) *
+        |           (CAST(e.embedding[s.m * 8 + j] AS DOUBLE) - CAST(cb.cv[s.m * 8 + j] AS DOUBLE)))) AS d2
+        |  FROM embeddings e CROSS JOIN cb CROSS JOIN sub s),
+        |code AS (
+        |  SELECT vec_id, m, c FROM (
+        |    SELECT vec_id, m, c,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+        |    FROM d) WHERE rn = 1),
+        |qt AS (
+        |  SELECT q.vec_id AS qid, s.m, cb.c,
+        |    list_sum(list_transform(range(1, 9),
+        |      j -> (CAST(q.embedding[s.m * 8 + j] AS DOUBLE) - CAST(cb.cv[s.m * 8 + j] AS DOUBLE)) *
+        |           (CAST(q.embedding[s.m * 8 + j] AS DOUBLE) - CAST(cb.cv[s.m * 8 + j] AS DOUBLE)))) AS t
+        |  FROM embeddings q CROSS JOIN cb CROSS JOIN sub s
+        |  WHERE q.vec_id < 3),
+        |scored AS (
+        |  SELECT qt.qid, code.vec_id AS id,
+        |    list_sum(list(qt.t ORDER BY qt.m)) AS raw_adc
+        |  FROM code JOIN qt ON qt.m = code.m AND qt.c = code.c
+        |  GROUP BY qt.qid, code.vec_id),
+        |ranked AS (
+        |  SELECT qid, id, round(raw_adc, 6) AS adc,
+        |    row_number() OVER (PARTITION BY qid ORDER BY raw_adc, id) AS rank
+        |  FROM scored)
+        |SELECT qid, id, adc, rank FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
     // int8 quantization: scale = 127/max|x| on exact float64 (float32→64
     // cast is exact), per-element ROUND pinned by the integer sum

@@ -400,4 +400,72 @@ object Similarity {
       .select(col("label"), col("n"), round(col("m2"), 6).as("mean_sqnorm"),
         round(col("m2") - col("mu2"), 6).as("inertia"))
   }
+
+  /** Product quantization encode (Jégou, Douze, Schmid — TPAMI 2011,
+    * "Product Quantization for Nearest Neighbor Search"): split each
+    * `dim`-vector into `m` subvectors and replace each with the index of
+    * its nearest sub-centroid, compressing a vector to `m` small codes —
+    * with IVF, the standard storage layout for billion-scale ANN
+    * (IVF-PQ). `codebook` is K full-dim seed vectors; subspace `mi`'s
+    * sub-codebook is their [mi·sub, (mi+1)·sub) slices.
+    *
+    * Returns (id, codes array<int>). Scale: per-subspace assignment is
+    * the [[graft.exprs.HashExprs.nearest_centroid]] native expression on
+    * a sliced vector — m scan-stage expressions per row, no shuffle, no
+    * UDF; the codebook is a driver-side bounded model (K·dim doubles).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebook: Seq[Seq[Double]], m: Int): DataFrame = {
+    val dim = codebook.head.length
+    val sub = dim / m
+    require(m * sub == dim, s"m=$m must divide dim=$dim")
+    val v = asDouble(col(vecCol))
+    val codes = (0 until m).map { mi =>
+      graft.exprs.HashExprs.nearest_centroid(
+        slice(v, mi * sub + 1, sub),
+        codebook.map(_.slice(mi * sub, (mi + 1) * sub)))
+    }
+    df.select(col(idCol).as("id"),
+      array(codes.map(_.cast("int")): _*).as("codes"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: queries stay exact; each corpus
+    * vector is its `m` codes. Per query, a distance table T[mi][c] =
+    * ‖q_mi − cb[c]_mi‖² is computed once (m·K doubles), and a candidate's
+    * approximate distance is the sum of m table lookups — no corpus-side
+    * float math at all.
+    *
+    * 100 TB shape: the corpus side carries only (id, m codes ≈ m bytes);
+    * queries ride with their tables in a broadcast; only (qid, id, adc)
+    * reaches the per-query top-k. Deterministic given the codebook (table
+    * lookups, lowest-id ties) — fully oracle-checkable, like IVF and
+    * unlike LSH.
+    */
+  def pqKnn(corpus: DataFrame, idCol: String, vecCol: String,
+            queries: DataFrame, qidCol: String, qvecCol: String,
+            codebook: Seq[Seq[Double]], m: Int, k: Int): DataFrame = {
+    val dim = codebook.head.length
+    val sub = dim / m
+    val codes = pqEncode(corpus, idCol, vecCol, codebook, m)
+    val table = array((0 until m).map { mi =>
+      array(codebook.indices.map { c =>
+        val cl = typedLit(codebook(c).slice(mi * sub, (mi + 1) * sub))
+        val dv = zip_with(slice(col("q"), mi * sub + 1, sub), cl, (a, b) => a - b)
+        dot(dv, dv)
+      }: _*)
+    }: _*)
+    val qt = queries
+      .select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("q"))
+      .withColumn("t", table).drop("q")
+    // subspace lookups summed in fixed mi order (the oracle mirrors it)
+    val adc = (0 until m).map(mi =>
+      element_at(element_at(col("t"), mi + 1),
+        col("codes").getItem(mi) + lit(1))).reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(qt))
+      .select(col("qid"), col("id"), adc.as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("adc"), col("rank"))
+  }
 }

@@ -193,6 +193,34 @@ class LlmOpsSpec extends SparkSpec {
       "unprobed cell leaked into candidates")
   }
 
+  test("pq: seed vectors encode to their own index; ADC self-distance is 0") {
+    // dim 4, m=2 subspaces of 2; codebook = the 2 seed vectors
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 1.0)), (1L, Seq(0.0, 1.0, 1.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.9, 0.1)), (3L, Seq(0.1, 0.9, 0.2, 0.8)))
+      .toDF("id", "v")
+    val cb = Seq(Seq(1.0, 0.0, 0.0, 1.0), Seq(0.0, 1.0, 1.0, 0.0))
+    val codes = Similarity.pqEncode(vecs, "id", "v", cb, m = 2)
+      .orderBy("id").as[(Long, Seq[Int])].collect().toSeq
+    // seeds quantize to themselves in every subspace
+    assert(codes(0)._2 == Seq(0, 0) && codes(1)._2 == Seq(1, 1))
+    // 2: sub0 (0.9,0.1) → cb0's (1,0); sub1 (0.9,0.1) → cb1's (1,0)
+    assert(codes(2)._2 == Seq(0, 1) && codes(3)._2 == Seq(1, 0))
+    val knn = Similarity.pqKnn(vecs, "id", "v",
+        vecs.filter(col("id") < 2), "id", "v", cb, m = 2, k = 2)
+      .orderBy("qid", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // each seed query's rank-1 is itself at ADC exactly 0
+    assert(knn.filter(_._4 == 1).map(t => (t._1, t._2, t._3)) ==
+      Seq((0L, 0L, 0.0), (1L, 1L, 0.0)))
+    // layout-independent: same ranking after repartition
+    val knn7 = Similarity.pqKnn(vecs.repartition(7), "id", "v",
+        vecs.filter(col("id") < 2), "id", "v", cb, m = 2, k = 2)
+      .orderBy("qid", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(knn == knn7)
+  }
+
   test("kmeans fit recovers well-separated clusters; assignment is pure") {
     // 3 tight clusters around (0,0), (10,0), (0,10)
     val pts = (0 until 30).map { i =>
