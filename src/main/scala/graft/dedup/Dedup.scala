@@ -383,6 +383,67 @@ object Dedup {
       .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
+  /** Bloom-filter decontamination — the broadcast-a-FILTER variant of
+    * [[decontaminate]] for when even the distinct eval-set digest relation
+    * is too large to ship: the benchmark's word n-grams compress into an
+    * `mBits`-bit Bloom filter stored as (word_idx, bits) rows — at most
+    * mBits/32 of them, ~mBits/8 bytes total regardless of eval-set size —
+    * and each document shingle probes its `k` md5-derived bit positions.
+    * A document is flagged iff some shingle finds ALL k bits set. Error
+    * is one-sided: every true overlap is flagged (hits are a superset of
+    * [[decontaminate]]'s); false positives ~(1−e^{−kn/m})^k, sized by
+    * `mBits`. All positions derive from md5, so the filter — and
+    * therefore the flag set — is deterministic and oracle-checkable.
+    *
+    * Returns (id, n_grams, n_hits, flagged), n_grams = distinct shingles.
+    *
+    * 100 TB shape: the build shuffles (word_idx, mask) pairs with
+    * map-side bit_or combine — bounded by the filter size, not the eval
+    * set; the probe is a broadcast join on word index, and document text
+    * never leaves the scan stage (only (id, 16-byte digest, word, mask)
+    * rows move).
+    */
+  def bloomDecontaminate(docs: DataFrame, textCol: String, idCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         n: Int = 8, mBits: Int = 1 << 20,
+                         k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 4, "md5 yields four independent 32-bit segments")
+    def positions(hx: Column): Seq[Column] =
+      (0 until k).map(i =>
+        conv(substring(hx, i * 8 + 1, 8), 16, 10).cast("long") % mBits)
+    val bloom = bench
+      .select(explode(TextAnalysis.wordShingles(col(benchTextCol), n)).as("sh"))
+      .select(explode(array(positions(md5(col("sh"))): _*)).as("pos"))
+      .select((col("pos") / 32).cast("long").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
+    val docSh = docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
+      .select(col("id"), md5(col("sh")).as("hx")).distinct()
+    val probed = docSh
+      .select(col("id"), col("hx"),
+        explode(array(positions(col("hx")): _*)).as("pos"))
+      .withColumn("w", (col("pos") / 32).cast("long"))
+      .withColumn("m",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+      .join(broadcast(bloom), Seq("w"), "left")
+      .select(col("id"), col("hx"),
+        when(col("bits").isNotNull &&
+          (col("bits").bitwiseAND(col("m")) =!= 0L), 1).otherwise(0)
+          .as("present"))
+    val perGram = probed.groupBy(col("id"), col("hx"))
+      .agg((sum(col("present")) === k).as("hit"))
+    val agg = perGram.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+    docs.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("flagged"))
+  }
+
   /** Cross-document duplicate-span coverage: for each document, the
     * fraction of word `n`-gram START positions whose n-gram also occurs in
     * at least one OTHER document — the per-document signal behind exact

@@ -142,6 +142,18 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Bloom-filter decontamination: eval 8-grams compressed to a 2^20-bit
+    // filter (broadcast ~128 KiB however large the eval set); flags are a
+    // superset of d_decontaminate's with one-sided error.
+    "d_bloom_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.bloomDecontaminate(d, "text", "doc_id",
+          d.filter(col("doc_id") < 5), "text", n = 8)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_hits"),
+          col("flagged"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash-LSH near-dup pairs — xxhash64-based: rows-only.
     "d_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id",
@@ -685,6 +697,49 @@ object LlmQueries {
         |  GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(h.n, CAST(0 AS BIGINT)) AS n_hits
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // identical bloom: same md5 bit positions, 32-bit words, bit_or build,
+    // all-k-bits probe — the filter is deterministic so flags hash-match
+    "d_bloom_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(t) - 8, 0) + 2),
+        |      i -> array_to_string(t[i:i+7], ' ')))) AS s
+        |  FROM toks WHERE len(t) > 0),
+        |hx AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh),
+        |ks AS (SELECT unnest([0, 1, 2]) AS i),
+        |bpos AS (
+        |  SELECT CAST(('0x' || substr(b.h, k.i * 8 + 1, 8)) AS BIGINT) % 1048576 AS pos
+        |  FROM (SELECT DISTINCT h FROM hx WHERE doc_id < 5) b CROSS JOIN ks k),
+        |bloom AS (
+        |  SELECT pos // 32 AS w,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+        |  FROM bpos GROUP BY 1),
+        |probe AS (
+        |  SELECT p.doc_id, p.h,
+        |    CAST(('0x' || substr(p.h, k.i * 8 + 1, 8)) AS BIGINT) % 1048576 AS pos
+        |  FROM hx p CROSS JOIN ks k),
+        |pj AS (
+        |  SELECT p.doc_id, p.h,
+        |    CASE WHEN b.bits IS NOT NULL AND
+        |      (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT))) <> 0
+        |    THEN 1 ELSE 0 END AS present
+        |  FROM probe p LEFT JOIN bloom b ON (p.pos // 32) = b.w),
+        |g AS (SELECT doc_id, h,
+        |    CASE WHEN sum(present) = 3 THEN 1 ELSE 0 END AS hit
+        |  FROM pj GROUP BY doc_id, h),
+        |agg AS (SELECT doc_id, count(*) AS n_grams,
+        |    CAST(sum(hit) AS BIGINT) AS n_hits FROM g GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+        |  coalesce(a.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+        |  coalesce(a.n_hits, 0) > 0 AS flagged
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "d_embed_neardup" ->
       """WITH e AS (

@@ -132,6 +132,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(10L) >= 1 && out(12L) == 1L && out(11L) == 0L, out)
   }
 
+  test("bloom decontamination: superset of exact hits, one-sided error only") {
+    val d = Tables.load(spark, sf0, "documents")
+    val bench = d.filter(col("doc_id") < 5)
+    val exact = Dedup.decontaminate(d, "text", "doc_id", bench, "text", n = 8)
+      .filter(col("n_hits") > 0).select("id").as[Long].collect().toSet
+    val flagged = Dedup
+      .bloomDecontaminate(d, "text", "doc_id", bench, "text", n = 8)
+      .filter(col("flagged")).select("id").as[Long].collect().toSet
+    // never misses a true overlap (the Bloom guarantee)
+    assert(exact.subsetOf(flagged), s"missed: ${exact -- flagged}")
+    // at 2^20 bits / 3 hashes the corpus FP count should be ~zero
+    assert((flagged -- exact).size <= 2,
+      s"bloom false positives: ${(flagged -- exact).size}")
+  }
+
   test("CacheScope: library-op caches are caller-releasable") {
     CacheScope.releaseAll(blocking = true)
     val df = Seq((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w v u"))
