@@ -65,7 +65,7 @@ object CorpusQueries {
     // features; target = the English slice, raw = the whole corpus.
     "t_dsir_weight" -> ((s, dir) => {
       val d = docs(s, dir)
-      val m = CorpusStats.fitDsir(d.filter(col("lang") === "en"), d, "text")
+      val m = CorpusStats.fitDsirLabeled(d, "text", col("lang") === "en")
       CorpusStats.scoreDsir(m, d, "text", "doc_id")
         .select(col("id").as("doc_id"), col("n_feats"), col("dsir_logw"))
         .orderBy("doc_id")
@@ -76,7 +76,7 @@ object CorpusQueries {
     // oracle-checkable — not just the weights.
     "p_dsir_resample" -> ((s, dir) => {
       val d = docs(s, dir)
-      val m = CorpusStats.fitDsir(d.filter(col("lang") === "en"), d, "text")
+      val m = CorpusStats.fitDsirLabeled(d, "text", col("lang") === "en")
       val scored = CorpusStats.scoreDsir(m, d, "text", "doc_id")
         .filter(col("dsir_logw").isNotNull)
       CorpusStats.gumbelTopK(scored, "dsir_logw", "id", k = 100)

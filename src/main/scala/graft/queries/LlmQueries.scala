@@ -255,6 +255,17 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Exact MIPS top-5 (inner product, not cosine — the dual-encoder
+    // retrieval order).
+    "s_knn_mips" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceMips(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("id"), round(col("ip"), 6).as("ip"),
+          col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // PQ encode: 64-dim → 8 sub-codes against a 4-entry codebook (the
     // first 4 vectors, IVF-style deterministic seeds), packed into one
     // 16-bit word so the compare is a portable BIGINT, not a list.
@@ -499,6 +510,19 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
         |  FROM scored)
         |SELECT qid, id, cos, rank FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // same list_sum dot arithmetic as s_knn_ivf's cosine (proven parity)
+    "s_knn_mips" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS ip
+        |  FROM embeddings e CROSS JOIN embeddings q WHERE q.vec_id < 3),
+        |ranked AS (
+        |  SELECT qid, id, round(ip, 6) AS ip_r,
+        |    row_number() OVER (PARTITION BY qid ORDER BY ip DESC, id) AS rank
+        |  FROM scored)
+        |SELECT qid, id, ip_r AS ip, rank FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
     // same sub-distance arithmetic as s_knn_ivf's d2 (proven bit-parity),
     // argmin per (vector, subspace), codes packed little-endian 2 bits each

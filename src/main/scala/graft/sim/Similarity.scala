@@ -56,6 +56,29 @@ object Similarity {
       .select("qid", "id", "cosine", "rank")
   }
 
+  /** Exact top-k by INNER PRODUCT (MIPS) — the retrieval scoring used by
+    * dot-product-trained dual encoders (DPR-style), where cosine's norm
+    * division would reorder results. Same plan shape as
+    * [[bruteForceKnn]]: broadcast queries, narrow scan, (qid, id, score)
+    * top-k shuffle. For sub-linear MIPS, compose with the norm-
+    * augmentation reduction (Bachrach et al., RecSys 2014: append
+    * sqrt(M²−‖x‖²) to corpus vectors, 0 to queries) and feed the
+    * augmented column to [[lshKnn]]/[[ivfKnn]].
+    */
+  def bruteForceMips(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     k: Int): DataFrame = {
+    val scored = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(
+        queries.select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("q"))))
+      .select(col("qid"), col("id"), dot(col("v"), col("q")).as("ip"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("ip").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "ip", "rank")
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of `nBits` fixed pseudo-random
     * hyperplanes, as a single-pass native expression
     * ([[graft.exprs.HashExprs.HyperplaneLsh]] — the column formulation is an

@@ -232,6 +232,34 @@ object CorpusStats {
     DsirModel(lr, buckets, unseenLr = math.log(denR / denT))
   }
 
+  /** One-pass DSIR fit for the common deployment where the target corpus
+    * IS a labeled slice of the raw corpus (DSIR selects from a crawl
+    * using e.g. its Wikipedia-like slice as target): both per-bucket
+    * counts come from a single conditional aggregate over one feature
+    * pass — half the tokenize/hash work of [[fitDsir]], which stays for
+    * genuinely disjoint target/raw frames. Identical model by
+    * construction (target ⊆ raw ⇒ the full-outer join degenerates to
+    * this aggregate).
+    */
+  def fitDsirLabeled(df: DataFrame, textCol: String, target: Column,
+                     buckets: Int = 1024, addK: Double = 0.5): DsirModel = {
+    val counts = graft.CacheScope.cache(
+      dsirFeats(df, textCol, buckets,
+          Seq(target.cast("boolean") -> "y"), outer = false)
+        .groupBy(col("b")).agg(
+          sum(when(col("y"), 1L).otherwise(0L)).as("ct"),
+          count(lit(1)).as("cr")))
+    val r = counts.agg(sum(col("ct")), sum(col("cr"))).head()
+    val nt = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val nr = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val denT = nt + addK * buckets
+    val denR = nr + addK * buckets
+    val lr = counts.select(col("b"),
+      (log((col("ct").cast("double") + lit(addK)) / lit(denT)) -
+        log((col("cr").cast("double") + lit(addK)) / lit(denR))).as("lr"))
+    DsirModel(lr, buckets, unseenLr = math.log(denR / denT))
+  }
+
   /** Score documents under a fitted DSIR model: (id, n_feats,
     * dsir_logw). Stream-legal static join; zero-feature documents carry
     * NULL dsir_logw.

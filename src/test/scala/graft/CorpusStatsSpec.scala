@@ -128,6 +128,13 @@ class CorpusStatsSpec extends SparkSpec {
     val w7 = CorpusStats.scoreDsir(m, raw.repartition(7), "text", "doc_id")
       .orderBy("id").as[(Long, Long, Double)].collect().toSeq
     assert(w == w7)
+    // one-pass labeled fit ≡ two-frame fit when target ⊆ raw
+    val raw2 = raw.withColumn("y", col("doc_id") === 1L)
+    val mL = CorpusStats.fitDsirLabeled(raw2, "text", col("y"))
+    val wL = CorpusStats.scoreDsir(mL, raw, "text", "doc_id")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    assert(wL == w)
+    assert(mL.unseenLr == m.unseenLr)
     // Gumbel-top-k: deterministic selection, invariant to partitioning
     val scored = CorpusStats.scoreDsir(m, raw, "text", "doc_id")
     val sel = CorpusStats.gumbelTopK(scored, "dsir_logw", "id", k = 2)

@@ -208,6 +208,18 @@ class LlmOpsSpec extends SparkSpec {
       "unprobed cell leaked into candidates")
   }
 
+  test("mips: inner-product order, not cosine order") {
+    // cosine ranks 0 and 1 equal-first (same direction); MIPS must put
+    // the long vector first — ip: 1→10, 0→1, 2→0.95
+    val vecs = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(10.0, 0.0)),
+      (2L, Seq(0.95, 0.05))).toDF("id", "v")
+    val out = Similarity.bruteForceMips(vecs, "id", "v",
+        vecs.filter(col("id") === 0L), "id", "v", k = 3)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out.map(_._2) == Seq(1L, 0L, 2L), out)
+    assert(out.map(_._3) == Seq(10.0, 1.0, 0.95))
+  }
+
   test("pq: seed vectors encode to their own index; ADC self-distance is 0") {
     // dim 4, m=2 subspaces of 2; codebook = the 2 seed vectors
     val vecs = Seq(
