@@ -255,6 +255,15 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Contrastive triplet mining: hardest positive + hardest negative
+    // per anchor (FaceNet-style batch mining over the labeled corpus).
+    "s_hard_triplets" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardTriplets(e, "vec_id", "embedding", "label",
+          e.filter(col("vec_id") < 3))
+        .orderBy("qid")
+    }),
+
     // Exact MIPS top-5 (inner product, not cosine — the dual-encoder
     // retrieval order).
     "s_knn_mips" -> ((s, dir) => {
@@ -511,6 +520,31 @@ object LlmQueries {
         |  FROM scored)
         |SELECT qid, id, cos, rank FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    // same cosine arithmetic as s_knn_ivf; struct-min/max tie rules
+    // mirrored by the row_number orderings
+    "s_hard_triplets" ->
+      """WITH sc AS (
+        |  SELECT q.vec_id AS qid, q.label AS qlbl, e.vec_id AS id, e.label AS lbl,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings e CROSS JOIN embeddings q
+        |  WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id),
+        |hp AS (SELECT qid, id AS pos_id, round(cos, 6) AS pos_cos FROM (
+        |  SELECT qid, id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos, id) AS rn
+        |  FROM sc WHERE lbl = qlbl) WHERE rn = 1),
+        |hn AS (SELECT qid, id AS neg_id, round(cos, 6) AS neg_cos FROM (
+        |  SELECT qid, id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id DESC) AS rn
+        |  FROM sc WHERE lbl <> qlbl) WHERE rn = 1),
+        |anchored AS (SELECT DISTINCT qid FROM sc)
+        |SELECT a.qid, h.pos_id, h.pos_cos, n.neg_id, n.neg_cos
+        |FROM anchored a LEFT JOIN hp h USING (qid) LEFT JOIN hn n USING (qid)
+        |ORDER BY a.qid""".stripMargin,
     // same list_sum dot arithmetic as s_knn_ivf's cosine (proven parity)
     "s_knn_mips" ->
       """WITH scored AS (

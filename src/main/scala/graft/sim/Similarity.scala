@@ -79,6 +79,44 @@ object Similarity {
       .select("qid", "id", "ip", "rank")
   }
 
+  /** Triplet mining for contrastive training data: per anchor, the
+    * hardest positive (LOWEST-cosine vector sharing the anchor's label)
+    * and hardest negative (HIGHEST-cosine vector with a different
+    * label) — the batch-mining step behind triplet/InfoNCE embedding
+    * training (Schroff et al., CVPR 2015 "FaceNet" semi-hard mining).
+    * Anchors exclude themselves; ties break to the smallest id on the
+    * positive side and largest on the negative (struct min/max order,
+    * mirrored exactly by the oracle).
+    *
+    * Scale: anchors are the broadcast side; one narrow corpus scan, one
+    * (qid, label, cosine, id)-scalar shuffle for the per-anchor min/max
+    * — the same shape as [[bruteForceKnn]]. For a full-corpus mining
+    * pass (every vector an anchor), compose with [[ivfAssign]] and mine
+    * within cells instead of broadcasting.
+    */
+  def hardTriplets(corpus: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String, anchors: DataFrame): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+        col(labelCol).as("lbl"))
+      .withColumn("vn", norm(col("v")))
+    val a = anchors.select(col(idCol).as("qid"),
+        asDouble(col(vecCol)).as("q"), col(labelCol).as("qlbl"))
+      .withColumn("qn", norm(col("q")))
+    val scored = c.crossJoin(broadcast(a))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("qlbl"), col("id"), col("lbl"),
+        (dot(col("v"), col("q")) / (col("vn") * col("qn"))).as("cos"))
+    scored.groupBy(col("qid"))
+      .agg(
+        min(when(col("lbl") === col("qlbl"),
+          struct(col("cos"), col("id")))).as("hp"),
+        max(when(col("lbl") =!= col("qlbl"),
+          struct(col("cos"), col("id")))).as("hn"))
+      .select(col("qid"),
+        col("hp.id").as("pos_id"), round(col("hp.cos"), 6).as("pos_cos"),
+        col("hn.id").as("neg_id"), round(col("hn.cos"), 6).as("neg_cos"))
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of `nBits` fixed pseudo-random
     * hyperplanes, as a single-pass native expression
     * ([[graft.exprs.HashExprs.HyperplaneLsh]] — the column formulation is an

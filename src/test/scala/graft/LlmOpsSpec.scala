@@ -208,6 +208,19 @@ class LlmOpsSpec extends SparkSpec {
       "unprobed cell leaked into candidates")
   }
 
+  test("hard triplets: lowest-cos positive, highest-cos negative, self excluded") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0), "A"), (1L, Seq(0.9, 0.1), "A"),
+      (2L, Seq(0.5, 0.5), "A"), (3L, Seq(0.95, 0.05), "B"),
+      (4L, Seq(0.0, 1.0), "B")).toDF("id", "v", "lbl")
+    val out = Similarity
+      .hardTriplets(vecs, "id", "v", "lbl", vecs.filter(col("id") === 0L))
+      .as[(Long, Long, Double, Long, Double)].head()
+    // positives {1: cos≈.994, 2: cos≈.707} → hardest = 2 (lowest cos);
+    // negatives {3: cos≈.999, 4: cos=0} → hardest = 3 (highest cos)
+    assert(out._1 == 0L && out._2 == 2L && out._4 == 3L, out)
+  }
+
   test("mips: inner-product order, not cosine order") {
     // cosine ranks 0 and 1 equal-first (same direction); MIPS must put
     // the long vector first — ip: 1→10, 0→1, 2→0.95

@@ -176,6 +176,21 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(hashEx.length == 1, s"expected exactly one hash shuffle:\n$p")
   }
 
+  test("bloom decontamination probes via a broadcast join — the filter ships, not the eval set") {
+    val p = plan("d_bloom_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"bloom probe not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"bloom probe degenerated:\n$p")
+  }
+
+  test("pq/mips/triplets: the query/anchor side broadcasts; corpus never shuffles vectors") {
+    for (q <- Seq("s_knn_pq", "s_knn_mips", "s_hard_triplets")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$q: query side not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: non-broadcast cartesian:\n$p")
+    }
+  }
+
   test("kafkaProduceBySchemaField compiles to a single scan of the input") {
     import spark.implicits._
     val sA = """{"type":"record","name":"A","fields":[{"name":"id","type":"long"}]}"""
