@@ -267,6 +267,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch-fit DSIR model weighs a stream identically to the batch scorer") {
+    // importance weights for incoming crawl documents, scored against the
+    // model fit on yesterday's corpus — static bucket join, update-mode agg
+    val docs = Tables.load(spark, sf0, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val m = graft.text.CorpusStats.fitDsirLabeled(docs, "text",
+      col("lang") === "en")
+    val expect = graft.text.CorpusStats.scoreDsir(m, docs, "text", "doc_id")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val d = java.nio.file.Files.createTempDirectory("graft-streamdsir")
+    docs.select("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(d.toString)
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    val scored = graft.text.CorpusStats.scoreDsir(m,
+      StreamingOps.fileSource(spark, schema, d.toString), "text", "doc_id")
+    val q = scored.writeStream.format("memory").queryName("stream_dsir")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id, n_feats, dsir_logw FROM stream_dsir")
+        .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+      assert(got == expect)
+    } finally q.stop()
+  }
+
   test("streaming curation filter yields exactly the batch verdicts on a replayed corpus") {
     // the composed curation filter (lang → length → repetition → quality)
     // is a stateless scan-stage projection, so it must run UNCHANGED over
