@@ -76,7 +76,8 @@ object Bench {
       "q_custom_topk_agg", "d_dedup_exact", "d_minhash_pairs",
       "d_ngram_jaccard", "d_embed_neardup", "s_knn_brute", "s_knn_lsh",
       "m_avro_roundtrip", "m_grok", "t_quality_score", "mm_media_stats",
-      "d_remove_dup_spans", "t_lm_score", "t_bm25_topk", "p_pack_sequences")
+      "d_remove_dup_spans", "t_lm_score", "t_bm25_topk", "p_pack_sequences",
+      "t_nb_classify", "t_dsir_weight", "s_knn_pq", "d_bloom_decontaminate")
     println(json(results.filter(r => headline(r._1)), "%.3f", withCold = false))
     spark.stop()
   }

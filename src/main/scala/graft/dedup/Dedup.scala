@@ -189,6 +189,64 @@ object Dedup {
       .filter(col("jaccard") >= tEff))
   }
 
+  /** Asymmetric near-dup: pairs whose SMALLER shingle set is mostly
+    * contained in the other — containment |A∩B| / min(|A|,|B|) catches
+    * quotes, excerpts, and page-plus-boilerplate supersets that Jaccard
+    * structurally misses (a 50-shingle quote inside a 5000-shingle page
+    * has J ≈ 0.01 but containment 1.0). The standard companion metric in
+    * overlap dedup (PPJoin's containment variant; Broder's resemblance
+    * vs containment distinction, SEQUENCES 1997).
+    *
+    * Exact within `blockCols` blocks. Returns (id_a, id_b, containment),
+    * id_a < id_b, containment ≥ threshold.
+    *
+    * Prefix filter, containment form: only the smaller side can be
+    * pruned — it needs ≥ ⌈t·|A|⌉ matches, so one of its first
+    * |A|−⌊t·|A|⌋+1 frequency-ordered shingles must be shared; the larger
+    * side keeps its full posting list (its size says nothing about the
+    * overlap requirement). Candidates = prefix(small) ⋈ postings(large),
+    * still never corpus², and the shuffle carries (id, sz, token) rows
+    * only — shingle arrays join back once per distinct verified pair.
+    */
+  def containmentPairsExact(df: DataFrame, textCol: String, idCol: String,
+                            blockCols: Seq[String] = Nil, shingleSize: Int = 3,
+                            threshold: Double = 0.8): DataFrame = {
+    val tEff = threshold - 1e-6
+    val blocks = blockCols.map(col)
+    // Cached (caller-released via [[graft.CacheScope.releaseAll]]), same
+    // rationale as jaccardPairsExact; cached separately because the two
+    // ops prune with different prefix semantics.
+    val base = graft.CacheScope.cache(
+      df.select((col(idCol).as("id") +: blocks :+
+        TextAnalysis.wordShingles(col(textCol), shingleSize).as("sh")): _*)
+      .filter(size(col("sh")) > 0))
+    val toks = graft.CacheScope.cache(
+      base.select((col("id") +: blocks :+ size(col("sh")).as("sz") :+
+        explode(col("sh")).as("tok")): _*))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("id")).orderBy(col("cnt"), col("tok"))
+    val prefix = toks.join(freq, "tok")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <=
+        col("sz") - floor(lit(tEff) * col("sz")).cast("int") + 1)
+    val a = prefix.alias("a"); val b = toks.alias("b")
+    val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.tok") === col("b.tok") &&
+        col("a.id") =!= col("b.id") && col("a.sz") <= col("b.sz"))(_ && _)
+    val cand = a.join(b, cond)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= tEff)
+  }
+
   /** Per-document fraction of sentences duplicated elsewhere in the corpus —
     * the C4/Lee-et-al. sentence-level dedup signal (public technique:
     * Raffel et al. 2020 §2.2 three-sentence-span dedup, Lee et al. 2021

@@ -98,6 +98,10 @@ object CorpusQueries {
     "t_top_ngrams" -> ((s, dir) =>
       CorpusStats.topNgrams(docs(s, dir), "text", n = 3, k = 25)),
 
+    // BPE merge-step primitive: top adjacent char pairs within tokens.
+    "t_bpe_pairs" -> ((s, dir) =>
+      CorpusStats.bpePairCounts(docs(s, dir), "text", k = 25)),
+
     // Interpolated bigram-LM score (one rung toward CCNet's KenLM).
     "t_lm_bigram" -> ((s, dir) =>
       CorpusStats.bigramNll(docs(s, dir), "text", "doc_id")
@@ -434,6 +438,16 @@ object CorpusQueries {
          |  FROM agg)
          |SELECT doc_id, g_key FROM g
          |ORDER BY g_key DESC, doc_id LIMIT 100""".stripMargin,
+
+    "t_bpe_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT $duckToks AS toks FROM documents),
+         |t AS (SELECT unnest(toks) AS tok FROM toks),
+         |p AS (SELECT unnest(CASE WHEN length(tok) >= 2 THEN
+         |    list_transform(range(1, length(tok)), i -> substr(tok, i, 2))
+         |  ELSE [] END) AS pair FROM t)
+         |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+         |ORDER BY cnt DESC, pair LIMIT 25""".stripMargin,
 
     "t_winnow_fps" ->
       """WITH n AS (

@@ -109,6 +109,19 @@ object LlmQueries {
         .filter(col("jac") >= 0.2)
         .orderBy("id_a", "id_b")),
 
+    // Asymmetric containment pairs: |A∩B|/min — quotes/excerpts Jaccard
+    // misses; exact within (source, lang) blocks.
+    "d_ngram_containment" -> ((s, dir) =>
+      Dedup.containmentPairsExact(
+          docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
+            col("text")),
+          "text", "doc_id", Seq("source", "lang"),
+          shingleSize = 3, threshold = 0.6)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("cont"))
+        .filter(col("cont") >= 0.6)
+        .orderBy("id_a", "id_b")),
+
     // C4-style sentence-level dedup signal: per-doc fraction of sentences
     // whose normalized hash appears in more than one document.
     "d_dup_sentence_frac" -> ((s, dir) =>
@@ -664,6 +677,28 @@ object LlmQueries {
         |  FROM sh a JOIN sh b
         |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+    // same shingle sets as d_ngram_jaccard; containment divides by the
+    // smaller set (min is symmetric, so a.doc_id < b.doc_id covers both
+    // orientations)
+    "d_ngram_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, lang,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' ')) - 1, 2)),
+        |      i -> array_to_string(
+        |        (list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '), x -> x <> ''))[i:i+2],
+        |        ' '))) AS sh
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '),
+        |            x -> x <> '')) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(least(len(a.sh), len(b.sh)) AS DOUBLE), 6) AS cont
+        |  FROM sh a JOIN sh b
+        |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, cont FROM pairs WHERE cont >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
     // identical sentence split/normalize/filter on both engines; fraction
     // is a double division of exact counts, rounded after

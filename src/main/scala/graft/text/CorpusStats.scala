@@ -275,6 +275,30 @@ object CorpusStats {
           when(col("b").isNotNull, lit(m.unseenLr)))).as("s"))
       .select(col("id"), col("n_feats"), round(col("s"), 6).as("dsir_logw"))
 
+  /** First BPE merge-step primitive (Sennrich et al., ACL 2016 — byte-pair
+    * encoding for subword tokenization): corpus-wide counts of adjacent
+    * character pairs within word tokens, the statistic a distributed BPE
+    * trainer computes per merge round. Returns the top `k` (pair, cnt)
+    * rows, count-descending with deterministic ties. A full trainer is
+    * this op iterated: apply the winning merge, recount — a driver loop
+    * over ROUNDS (vocab-size many), never over rows.
+    *
+    * Scale: the pair explode is scan-stage; the count shuffle is bounded
+    * by DISTINCT pairs (≤ |alphabet|², ~1.3k for lowercase alnum), not
+    * corpus characters, and the top-k is a TakeOrdered.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(TextAnalysis.asciiTokens(col(textCol)).as("__toks"))
+      .select(explode(col("__toks")).as("tok"))
+      // guard: sequence(1, 0) counts DOWN in Spark — single-char tokens
+      // must map to an empty pair list, not [1, 0]
+      .select(explode(when(length(col("tok")) >= 2,
+          expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+
   /** DSIR's selection step: Gumbel-top-k = sampling k WITHOUT replacement
     * with probability ∝ exp(weight). The Gumbel noise comes from the
     * stable md5 draw, so the selected set is reproducible across engines,

@@ -114,6 +114,15 @@ class CorpusStatsSpec extends SparkSpec {
     assert(unseen == ((9L, 1L, r6(prior + math.log(3.5 / 4.5)), false)))
   }
 
+  test("bpe pair counts: multiplicity-weighted, single-char tokens skipped") {
+    // "aba ab x aba" → pairs: ab,ba (×2 from aba×2) + ab (×1) → ab:3 ba:2;
+    // "x" contributes none
+    val df = Seq((1L, "aba ab x"), (2L, "aba")).toDF("doc_id", "text")
+    val out = CorpusStats.bpePairCounts(df, "text", k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("ab", 3L), ("ba", 2L)), out)
+  }
+
   test("dsir: target-like docs weigh higher; weights and selection are layout-independent") {
     val target = Seq((1L, "alpha beta alpha beta")).toDF("doc_id", "text")
     val raw = Seq((1L, "alpha beta alpha beta"),

@@ -57,6 +57,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(fast == brute, s"prefix filter diverged: ${fast.diff(brute)} extra, ${brute.diff(fast)} missing")
   }
 
+  test("containment pairs catch a quote inside a much longer page that jaccard misses") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val page = (1 to 200).map(i => s"w$i").mkString(" ") + " " + quote
+    val other = (300 to 400).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, "s", "en", quote), (2L, "s", "en", page),
+      (3L, "s", "en", other)).toDF("doc_id", "source", "lang", "text")
+    val cont = Dedup.containmentPairsExact(df, "text", "doc_id",
+        Seq("source", "lang"), shingleSize = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cont.map(t => (t._1, t._2)) == Seq((1L, 2L)), cont)
+    assert(cont.head._3 >= 0.99, s"quote not fully contained: $cont")
+    // jaccard at the same pair: 10 shared of ~200 shingles → far below 0.5
+    val jac = Dedup.jaccardPairsExact(df, "text", "doc_id",
+        Seq("source", "lang"), shingleSize = 3, threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty, s"jaccard unexpectedly flagged: ${jac.toSeq}")
+  }
+
   test("cosinePairsBlocked: small blocks exact; oversized blocks LSH-guarded") {
     val e = Tables.load(spark, sf0, "embeddings")
     // Tier 1: cap above every block size → identical to all-pairs
