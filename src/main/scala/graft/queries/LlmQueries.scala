@@ -268,6 +268,21 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // URL canonicalization over synthesized crawl URLs (same synthesize-
+    // then-verify pattern as t_redact_pii): case, default port, utm_*
+    // params, fragment, query order all normalized away.
+    "t_url_normalize" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          concat(
+            lit("HTTPS://WWW.Example"), (col("doc_id") % 20).cast("string"),
+            lit(".COM:443/Path/"), col("doc_id").cast("string"),
+            lit("?utm_source=feed&b=2&a=1&utm_campaign=c"),
+            when(col("doc_id") % 3 === 0, lit("#frag")).otherwise(lit("")))
+            .as("url"))
+        .select(col("doc_id"),
+          TextAnalysis.normalizeUrl(col("url")).as("url_norm"))
+        .orderBy("doc_id")),
+
     // Contrastive triplet mining: hardest positive + hardest negative
     // per anchor (FaceNet-style batch mining over the labeled corpus).
     "s_hard_triplets" -> ((s, dir) => {
@@ -275,6 +290,17 @@ object LlmQueries {
       Similarity.hardTriplets(e, "vec_id", "embedding", "label",
           e.filter(col("vec_id") < 3))
         .orderBy("qid")
+    }),
+
+    // LASER-style bitext mining: label 0 = query batch, label 1 =
+    // candidate pool; best match per query by hubness-normalized margin.
+    "s_bitext_margin" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bitextMarginMine(
+          e.filter(col("label") === 0 && col("vec_id") < 100),
+          e.filter(col("label") === 1),
+          "vec_id", "embedding", k = 4)
+        .orderBy("xid")
     }),
 
     // Exact MIPS top-5 (inner product, not cosine — the dual-encoder
@@ -533,6 +559,62 @@ object LlmQueries {
         |  FROM scored)
         |SELECT qid, id, cos, rank FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    // same cosine arithmetic; margins ranked after 6-decimal rounding on
+    // both engines so near-tie selection is order-stable
+    "s_bitext_margin" ->
+      """WITH x AS (SELECT vec_id AS xid, embedding AS xv FROM embeddings
+        |  WHERE label = 0 AND vec_id < 100),
+        |y AS (SELECT vec_id AS yid, embedding AS yv FROM embeddings WHERE label = 1),
+        |sc AS (
+        |  SELECT x.xid, y.yid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(x.xv[i] AS DOUBLE) * CAST(y.yv[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(x.xv[i] AS DOUBLE) * CAST(x.xv[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(y.yv[i] AS DOUBLE) * CAST(y.yv[i] AS DOUBLE))))) AS cos
+        |  FROM x CROSS JOIN y),
+        |ax AS (SELECT xid, avg(cos) AS axv FROM (
+        |  SELECT xid, cos, row_number() OVER (PARTITION BY xid ORDER BY cos DESC, yid) AS r
+        |  FROM sc) WHERE r <= 4 GROUP BY xid),
+        |ay AS (SELECT yid, avg(cos) AS ayv FROM (
+        |  SELECT yid, cos, row_number() OVER (PARTITION BY yid ORDER BY cos DESC, xid) AS r
+        |  FROM sc) WHERE r <= 4 GROUP BY yid),
+        |m AS (SELECT s.xid, s.yid,
+        |    round(s.cos / ((a.axv + b.ayv) / 2), 6) AS margin
+        |  FROM sc s JOIN ax a USING (xid) JOIN ay b USING (yid)),
+        |best AS (SELECT xid, yid, margin,
+        |    row_number() OVER (PARTITION BY xid ORDER BY margin DESC, yid) AS rm
+        |  FROM m)
+        |SELECT xid, yid, margin FROM best WHERE rm = 1 ORDER BY xid""".stripMargin,
+    // identical regexp/array normalization steps both sides (no URL
+    // parser on either engine — parity by construction)
+    "t_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.Example' || CAST(doc_id % 20 AS VARCHAR) ||
+        |    '.COM:443/Path/' || CAST(doc_id AS VARCHAR) ||
+        |    '?utm_source=feed&b=2&a=1&utm_campaign=c' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS base FROM u),
+        |s2 AS (SELECT doc_id,
+        |    regexp_extract(base, '\?(.*)$', 1) AS query,
+        |    regexp_replace(base, '\?.*$', '', 'g') AS path FROM s1),
+        |s3 AS (SELECT doc_id, query, path,
+        |    regexp_extract(path, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1) AS head
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, query,
+        |    regexp_replace(regexp_replace(lower(head),
+        |      '^(https://[^/:]+):443$', '\1'), '^(http://[^/:]+):80$', '\1') AS headn,
+        |    substr(path, length(head) + 1) AS rest FROM s3),
+        |s5 AS (SELECT doc_id, headn, rest,
+        |    list_sort(list_filter(string_split(query, '&'),
+        |      p -> NOT starts_with(p, 'utm_') AND p <> '')) AS params FROM s4)
+        |SELECT doc_id, headn || rest ||
+        |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+        |       ELSE '' END AS url_norm
+        |FROM s5 ORDER BY doc_id""".stripMargin,
     // same cosine arithmetic as s_knn_ivf; struct-min/max tie rules
     // mirrored by the row_number orderings
     "s_hard_triplets" ->

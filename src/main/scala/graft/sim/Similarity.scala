@@ -117,6 +117,48 @@ object Similarity {
         col("hn.id").as("neg_id"), round(col("hn.cos"), 6).as("neg_cos"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the LASER
+    * pipeline that mined WikiMatrix/CCMatrix translation pairs): for each
+    * X-side vector, the best Y-side match by RATIO MARGIN —
+    * cos(x,y) / ((avgTopK(x→Y) + avgTopK(y→X)) / 2) — which normalizes
+    * away hubness: a candidate that is "everyone's neighbour" has a high
+    * denominator and stops winning, the failure mode of raw cosine
+    * mining. Returns (xid, yid, margin), one row per X vector.
+    *
+    * Ranking uses the 6-decimal-ROUNDED margin (ties then by id) so the
+    * selection is stable across engines and summation orders — the same
+    * rule as [[graft.text.CorpusStats.gumbelTopK]]. Scale: X is the
+    * bounded query batch (broadcast); at full-corpus scale the candidate
+    * sets come from [[lshKnn]]/[[ivfKnn]] instead of the dense cross —
+    * the margin arithmetic is unchanged.
+    */
+  def bitextMarginMine(x: DataFrame, y: DataFrame, idCol: String,
+                       vecCol: String, k: Int = 4): DataFrame = {
+    val xs = x.select(col(idCol).as("xid"), asDouble(col(vecCol)).as("xv"))
+      .withColumn("xn", norm(col("xv")))
+    val ys = y.select(col(idCol).as("yid"), asDouble(col(vecCol)).as("yv"))
+      .withColumn("yn", norm(col("yv")))
+    // (xid, yid, cos) feeds both top-k windows and the final join —
+    // cached (caller-released via [[graft.CacheScope.releaseAll]])
+    val scored = graft.CacheScope.cache(
+      ys.crossJoin(broadcast(xs))
+        .select(col("xid"), col("yid"),
+          (dot(col("xv"), col("yv")) / (col("xn") * col("yn"))).as("cos")))
+    val wx = Window.partitionBy(col("xid")).orderBy(col("cos").desc, col("yid"))
+    val wy = Window.partitionBy(col("yid")).orderBy(col("cos").desc, col("xid"))
+    val ax = scored.withColumn("r", row_number().over(wx))
+      .filter(col("r") <= k).groupBy(col("xid")).agg(avg(col("cos")).as("axv"))
+    val ay = scored.withColumn("r", row_number().over(wy))
+      .filter(col("r") <= k).groupBy(col("yid")).agg(avg(col("cos")).as("ayv"))
+    val m = scored.join(ax, Seq("xid")).join(ay, Seq("yid"))
+      .withColumn("margin",
+        round(col("cos") / ((col("axv") + col("ayv")) / 2), 6))
+    val wm = Window.partitionBy(col("xid"))
+      .orderBy(col("margin").desc, col("yid"))
+    m.withColumn("rm", row_number().over(wm)).filter(col("rm") === 1)
+      .select(col("xid"), col("yid"), col("margin"))
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of `nBits` fixed pseudo-random
     * hyperplanes, as a single-pass native expression
     * ([[graft.exprs.HashExprs.HyperplaneLsh]] — the column formulation is an

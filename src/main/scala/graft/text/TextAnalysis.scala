@@ -238,6 +238,32 @@ object TextAnalysis {
     regexp_replace(ip, "\\+?\\d[\\d -]{7,}\\d", "<PHONE>")
   }
 
+  /** URL canonicalization — the FIRST dedup key of any web-crawl pipeline
+    * (two crawls of the same page differ in case, default ports, tracking
+    * params, fragments and query order long before their text differs).
+    * Applies the standard normalizations: drop the fragment, lowercase
+    * scheme+authority only (paths are case-sensitive), strip default
+    * ports (:443 https / :80 http), drop `utm_*` tracking params, sort
+    * the remaining query params. Every step is a portable
+    * regexp/array transformation — no URL parser — so a SQL oracle can
+    * apply bit-identical semantics. Pure scan-stage codegen, no shuffle.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val base = regexp_replace(url, "#.*", "") // fragment
+    val query = regexp_extract(base, "\\?(.*)$", 1)
+    val path = regexp_replace(base, "\\?.*$", "")
+    val head = regexp_extract(path, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    val rest = path.substr(length(head) + lit(1), lit(1 << 24))
+    val headNorm = regexp_replace(
+      regexp_replace(lower(head), "^(https://[^/:]+):443$", "$1"),
+      "^(http://[^/:]+):80$", "$1")
+    val params = array_sort(filter(split(query, "&"),
+      p => !p.startsWith("utm_") && p =!= ""))
+    concat(headNorm, rest,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
   def dupNgramFraction(toks: Column, n: Int): Column = {
     val total = greatest(size(toks) - n, lit(0)) + 1
     val grams = transform(sequence(lit(1), total),

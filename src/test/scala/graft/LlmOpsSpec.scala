@@ -226,6 +226,20 @@ class LlmOpsSpec extends SparkSpec {
       "unprobed cell leaked into candidates")
   }
 
+  test("url normalize: case/port/utm/fragment/param-order all collapse") {
+    val urls = Seq(
+      ("HTTPS://WWW.Ex.COM:443/Path/1?utm_source=x&b=2&a=1#frag",
+       "https://www.ex.com/Path/1?a=1&b=2"),
+      ("http://A.com:80/", "http://a.com/"),
+      ("http://a.com:8080/x?z=1", "http://a.com:8080/x?z=1"), // non-default port kept
+      ("https://a.com/p?utm_a=1&utm_b=2", "https://a.com/p")) // all params tracking
+      .toDF("url", "expect")
+    val out = urls.select(graft.text.TextAnalysis.normalizeUrl(col("url"))
+        .as("got"), col("expect"))
+      .as[(String, String)].collect()
+    out.foreach { case (got, expect) => assert(got == expect, s"$got != $expect") }
+  }
+
   test("hard triplets: lowest-cos positive, highest-cos negative, self excluded") {
     val vecs = Seq(
       (0L, Seq(1.0, 0.0), "A"), (1L, Seq(0.9, 0.1), "A"),
@@ -237,6 +251,22 @@ class LlmOpsSpec extends SparkSpec {
     // positives {1: cos≈.994, 2: cos≈.707} → hardest = 2 (lowest cos);
     // negatives {3: cos≈.999, 4: cos=0} → hardest = 3 (highest cos)
     assert(out._1 == 0L && out._2 == 2L && out._4 == 3L, out)
+  }
+
+  test("bitext margin mining: one best match per anchor, layout-independent") {
+    val xs = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)))
+      .toDF("id", "v")
+    val ys = Seq((10L, Seq(0.9, 0.1, 0.0)), (11L, Seq(0.1, 0.9, 0.0)),
+      (12L, Seq(0.0, 0.0, 1.0)), (13L, Seq(0.5, 0.5, 0.1))).toDF("id", "v")
+    val out = Similarity.bitextMarginMine(xs, ys, "id", "v", k = 2)
+      .orderBy("xid").as[(Long, Long, Double)].collect().toSeq
+    // hand margin for x0: y10 margin ≈ 1.42 beats the "hub-ish" y13 ≈ 0.91
+    assert(out.map(_._1) == Seq(0L, 1L), out)
+    assert(out(0)._2 == 10L && out(1)._2 == 11L, out)
+    val out7 = Similarity.bitextMarginMine(xs.repartition(3),
+        ys.repartition(5), "id", "v", k = 2)
+      .orderBy("xid").as[(Long, Long, Double)].collect().toSeq
+    assert(out == out7)
   }
 
   test("mips: inner-product order, not cosine order") {
