@@ -84,6 +84,20 @@ object CorpusQueries {
         .orderBy(col("g_key").desc, col("doc_id"))
     }),
 
+    // Exact-quota stratified sampling: N docs per source, selected by the
+    // stable md5 draw — balanced eval-set construction, reproducible
+    // across engines/retries/layout (p_eval_split is the proportional
+    // variant; this is the fixed-quota one).
+    "p_stratified_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(Packing.stableDraw(col("doc_id"), 7L), col("doc_id"))
+      docs(s, dir).select(col("doc_id"), col("source"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .orderBy("source", "rnk")
+    }),
+
     // Winnowing document signatures (MOSS): sorted distinct window-min
     // k-gram hashes per doc, surfaced as count + digest.
     "t_winnow_fps" -> ((s, dir) =>
@@ -438,6 +452,15 @@ object CorpusQueries {
          |  FROM agg)
          |SELECT doc_id, g_key FROM g
          |ORDER BY g_key DESC, doc_id LIMIT 100""".stripMargin,
+
+    "p_stratified_sample" ->
+      """SELECT doc_id, source, rnk FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+        |        doc_id) AS BIGINT) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
 
     "t_bpe_pairs" ->
       s"""WITH toks AS (

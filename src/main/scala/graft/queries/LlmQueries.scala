@@ -145,6 +145,32 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Near-dup clusters with KEEP-BEST canonical: real pipelines keep the
+    // highest-quality member of each duplicate cluster, not the smallest
+    // id — the integrated dedup→quality composition.
+    "d_cluster_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairsExact(
+          d.select(col("doc_id"), col("source"), col("lang"), col("text")),
+          "text", "doc_id", Seq("source", "lang"),
+          shingleSize = 3, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac"))
+        .filter(col("jac") >= 0.2)
+      val labels = Dedup.dedupClusters(pairs)
+      val q = d.select(col("doc_id").as("id"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("q"))
+      val lq = labels.join(q, Seq("id"))
+      // max(struct(q, -id)) = highest quality, ties to the smallest id
+      val best = lq.groupBy(col("label"))
+        .agg(max(struct(col("q"), (-col("id")).as("nid"))).as("b"))
+        .select(col("label"), (-col("b.nid")).as("keep_id"),
+          col("b.q").as("keep_q"))
+      lq.join(best, Seq("label"))
+        .select(col("id").as("doc_id"), col("label").as("cluster"),
+          col("keep_id"), col("keep_q"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: docs sharing any 8-gram with the "eval
     // set" (docs 0-4 stand in) get a positive distinct-hit count.
     "d_decontaminate" -> ((s, dir) => {
@@ -851,6 +877,55 @@ object LlmQueries {
         |SELECT n.id AS doc_id, least(n.id, min(r.dst)) AS canonical
         |FROM nodes n LEFT JOIN reach r ON r.src = n.id
         |GROUP BY n.id ORDER BY n.id""".stripMargin,
+    // same closure as d_dedup_clusters + the t_quality_score expression;
+    // keep-best = row_number over (q DESC, id) per cluster
+    "d_cluster_keep_best" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, source, lang,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' ')) - 1, 2)),
+        |      i -> array_to_string(
+        |        (list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '), x -> x <> ''))[i:i+2],
+        |        ' '))) AS sh
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '),
+        |            x -> x <> '')) > 0),
+        |pf AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jac
+        |    FROM sh a JOIN sh b
+        |      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  WHERE jac >= 0.2),
+        |sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pf
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM pf),
+        |reach AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |lab AS (
+        |  SELECT n.id, least(n.id, min(r.dst)) AS label
+        |  FROM nodes n LEFT JOIN reach r ON r.src = n.id GROUP BY n.id),
+        |q AS (SELECT doc_id AS id, CAST(round(
+        |  (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+        |  (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+        |     AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.3 THEN 1.0 ELSE 0.0 END) * 0.3 +
+        |  (CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |     x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |       'that','for','on','with','as','was','at','by','be','this'], x)))
+        |     AS DOUBLE) / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) > 0.01
+        |   THEN 1.0 ELSE 0.0 END) * 0.3, 4) AS DOUBLE) AS q FROM documents),
+        |lq AS (SELECT l.id, l.label, q.q FROM lab l JOIN q USING (id)),
+        |best AS (SELECT label, id AS keep_id, q AS keep_q FROM (
+        |  SELECT label, id, q,
+        |    row_number() OVER (PARTITION BY label ORDER BY q DESC, id) AS rn
+        |  FROM lq) WHERE rn = 1)
+        |SELECT lq.id AS doc_id, lq.label AS cluster, b.keep_id, b.keep_q
+        |FROM lq JOIN best b USING (label) ORDER BY doc_id""".stripMargin,
     // identical tokenization + 8-gram construction both sides; membership
     // compares raw shingle strings (Spark joins md5 digests of the same
     // strings — equal membership), distinct-hit counts are exact ints
