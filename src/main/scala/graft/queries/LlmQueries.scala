@@ -193,6 +193,31 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // N-gram novelty vs a reference corpus (memorization audit): the
+    // fraction of a doc's distinct 3-grams ABSENT from the reference —
+    // reference docs score ~0, genuinely new text scores near 1.
+    "t_ngram_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ref = d.filter(col("doc_id") < 250)
+        .select(explode(TextAnalysis.wordShingles(col("text"), 3)).as("sh"))
+        .select(md5(col("sh")).as("h")).distinct()
+      val grams = d.select(col("doc_id"),
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("h")).distinct()
+      val agg = grams
+        .join(broadcast(ref.withColumn("hit", lit(1))), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("doc_id"), col("n_grams"),
+          round(lit(1.0) - col("n_hit").cast("double") /
+            col("n_grams").cast("double"), 6).as("novelty"))
+      d.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          col("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash-LSH near-dup pairs — xxhash64-based: rows-only.
     "d_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id",
@@ -947,6 +972,28 @@ object LlmQueries {
         |  GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(h.n, CAST(0 AS BIGINT)) AS n_hits
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // same shingle construction as d_decontaminate at n=3; novelty is a
+    // double division of exact distinct counts, rounded after
+    "t_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(t) - 3, 0) + 2),
+        |      i -> array_to_string(t[i:i+2], ' ')))) AS s
+        |  FROM toks WHERE len(t) > 0),
+        |ref AS (SELECT DISTINCT s FROM sh WHERE doc_id < 250),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN s IN (SELECT s FROM ref) THEN 1 ELSE 0 END) AS n_hit
+        |  FROM (SELECT DISTINCT doc_id, s FROM sh) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+        |  round(1.0 - CAST(a.n_hit AS DOUBLE) / CAST(a.n_grams AS DOUBLE), 6) AS novelty
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     // identical bloom: same md5 bit positions, 32-bit words, bit_or build,
     // all-k-bits probe — the filter is deterministic so flags hash-match
