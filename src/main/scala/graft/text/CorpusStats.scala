@@ -283,19 +283,21 @@ object CorpusStats {
     * this op iterated: apply the winning merge, recount — a driver loop
     * over ROUNDS (vocab-size many), never over rows.
     *
-    * Scale: the pair explode is scan-stage; the count shuffle is bounded
-    * by DISTINCT pairs (≤ |alphabet|², ~1.3k for lowercase alnum), not
-    * corpus characters, and the top-k is a TakeOrdered.
+    * Scale: word occurrences collapse to word-TYPE counts first (the
+    * standard BPE trainer representation), so the pair explode runs over
+    * the vocabulary weighted by frequency, not over corpus characters —
+    * measured 0.93 → 0.34 s at sf0.1. Both shuffles are bounded (vocab,
+    * then ≤ |alphabet|² pairs); the top-k is a TakeOrdered.
     */
   def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.select(TextAnalysis.asciiTokens(col(textCol)).as("__toks"))
-      .select(explode(col("__toks")).as("tok"))
+    df.select(explode(TextAnalysis.asciiTokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
       // guard: sequence(1, 0) counts DOWN in Spark — single-char tokens
       // must map to an empty pair list, not [1, 0]
-      .select(explode(when(length(col("tok")) >= 2,
+      .select(col("wc"), explode(when(length(col("tok")) >= 2,
           expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
         .otherwise(array().cast("array<string>"))).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
 
