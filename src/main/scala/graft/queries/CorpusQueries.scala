@@ -84,6 +84,29 @@ object CorpusQueries {
         .orderBy(col("g_key").desc, col("doc_id"))
     }),
 
+    // Data-recipe epoch allocation (the Pile / LLaMA table): temperature
+    // weights over per-source TOKEN volumes, a fixed token budget, and
+    // the resulting epochs per source with an over-sampling cap — the
+    // arithmetic behind every published pretraining mixture.
+    "p_epoch_alloc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2000000.0
+      val cap = 4.0
+      docs(s, dir).select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+        .withColumn("p", pow(col("n_tokens").cast("double"), 0.5))
+        .withColumn("z", sum(col("p")).over(Window.orderBy(col("source"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("w", col("p") / col("z"))
+        .withColumn("er", lit(budget) * col("w") / col("n_tokens").cast("double"))
+        .select(col("source"), col("n_tokens"),
+          round(col("w"), 6).as("weight"),
+          round(least(col("er"), lit(cap)), 6).as("epochs"),
+          (col("er") > cap).as("capped"))
+        .orderBy("source")
+    }),
+
     // Exact-quota stratified sampling: N docs per source, selected by the
     // stable md5 draw — balanced eval-set construction, reproducible
     // across engines/retries/layout (p_eval_split is the proportional
@@ -452,6 +475,23 @@ object CorpusQueries {
          |  FROM agg)
          |SELECT doc_id, g_key FROM g
          |ORDER BY g_key DESC, doc_id LIMIT 100""".stripMargin,
+
+    "p_epoch_alloc" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_tokens,
+        |    pow(CAST(n_tokens AS DOUBLE), 0.5) AS p FROM tok),
+        |z AS (SELECT source, n_tokens,
+        |    p / sum(p) OVER (ORDER BY source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS w
+        |  FROM w)
+        |SELECT source, n_tokens, round(w, 6) AS weight,
+        |  round(least(2000000.0 * w / CAST(n_tokens AS DOUBLE), 4.0), 6) AS epochs,
+        |  (2000000.0 * w / CAST(n_tokens AS DOUBLE)) > 4.0 AS capped
+        |FROM z ORDER BY source""".stripMargin,
 
     "p_stratified_sample" ->
       """SELECT doc_id, source, rnk FROM (

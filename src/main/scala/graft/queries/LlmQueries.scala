@@ -319,6 +319,20 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Special-token poisoning audit + scrub over synthesized injections
+    // (same synthesize-then-verify pattern as t_redact_pii).
+    "t_token_scrub" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" <|endoftext|>"),
+            when(col("doc_id") % 4 === 0, lit(" <s>pad</s>")).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit(" [INST]x[/INST]"))
+              .otherwise(lit(""))).as("poisoned"))
+        .select(col("doc_id"),
+          TextAnalysis.specialTokenCount(col("poisoned")).cast("long")
+            .as("n_special"),
+          md5(TextAnalysis.scrubSpecialTokens(col("poisoned"))).as("scrub_md5"))
+        .orderBy("doc_id")),
+
     // URL canonicalization over synthesized crawl URLs (same synthesize-
     // then-verify pattern as t_redact_pii): case, default port, utm_*
     // params, fragment, query order all normalized away.
@@ -638,6 +652,22 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY xid ORDER BY margin DESC, yid) AS rm
         |  FROM m)
         |SELECT xid, yid, margin FROM best WHERE rm = 1 ORDER BY xid""".stripMargin,
+    // same alternation both sides; counts via regexp_extract_all length
+    "t_token_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(poisoned,
+        |    '<\|[a-zA-Z0-9_]+\|>|</?s>|\[INST\]|\[/INST\]|<pad>|<unk>|<mask>'))
+        |    AS BIGINT) AS n_special,
+        |  md5(regexp_replace(poisoned,
+        |    '<\|[a-zA-Z0-9_]+\|>|</?s>|\[INST\]|\[/INST\]|<pad>|<unk>|<mask>',
+        |    '', 'g')) AS scrub_md5
+        |FROM (
+        |  SELECT doc_id, text || ' <|endoftext|>' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' <s>pad</s>' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' [INST]x[/INST]' ELSE '' END
+        |    AS poisoned
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // identical regexp/array normalization steps both sides (no URL
     // parser on either engine — parity by construction)
     "t_url_normalize" ->

@@ -238,6 +238,23 @@ object TextAnalysis {
     regexp_replace(ip, "\\+?\\d[\\d -]{7,}\\d", "<PHONE>")
   }
 
+  /** Special-token scrub — training-data poisoning defense: user/web text
+    * must not contain the control tokens the tokenizer maps to reserved
+    * ids (`<|endoftext|>`-style markers, `<s>`/`</s>`, chat-template
+    * brackets, `<pad>`/`<unk>`/`<mask>`) — a document that embeds them
+    * literally can truncate context or inject turns at training time.
+    * [[specialTokenCount]] is the audit signal; [[scrubSpecialTokens]]
+    * removes them. One RE2-safe alternation, scan-stage codegen.
+    */
+  private val specialTokenRe =
+    "<\\|[a-zA-Z0-9_]+\\|>|</?s>|\\[INST\\]|\\[/INST\\]|<pad>|<unk>|<mask>"
+
+  def specialTokenCount(text: Column): Column =
+    regexp_count(text, lit(specialTokenRe))
+
+  def scrubSpecialTokens(text: Column): Column =
+    regexp_replace(text, specialTokenRe, "")
+
   /** URL canonicalization — the FIRST dedup key of any web-crawl pipeline
     * (two crawls of the same page differ in case, default ports, tracking
     * params, fragments and query order long before their text differs).
