@@ -260,24 +260,47 @@ object Dedup {
     */
   def dupSentenceFraction(df: DataFrame, textCol: String, idCol: String,
                           minChars: Int = 20): DataFrame = {
-    val sents = df.select(col(idCol).as("id"),
-        explode(filter(
-          transform(split(col(textCol), "[.!?]\\s+|[.!?]$"), s => trim(s)),
-          s => length(s) >= minChars)).as("sent"))
-      .select(col("id"), md5(lower(col("sent"))).as("h"))
-    // "sentence in >= 2 distinct docs" ⟺ min(id) != max(id) per h — the
-    // map-side-combinable rewrite of the former countDistinct aggregate
-    // (see crossDocSpanDupFraction for the full rationale: streams on hot
-    // digests, no Expand, no filtered-aggregate branch; PLANS.md round 8)
-    val minmax = sents.groupBy(col("h"))
-      .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
-    sents.join(minmax, Seq("h"))
+    // (id, digest) feeds BOTH the min/max aggregate and the join probe —
+    // cached (caller-released via [[graft.CacheScope.releaseAll]]), or
+    // the sentence split/explode/md5 subtree and the input scan run twice
+    // (measured 0.22 → 0.49 s at sf0.1 when this cache was dropped)
+    val sents = graft.CacheScope.cache(
+      df.select(col(idCol).as("id"),
+          explode(filter(
+            transform(split(col(textCol), "[.!?]\\s+|[.!?]$"), s => trim(s)),
+            s => length(s) >= minChars)).as("sent"))
+        .select(col("id"), md5(lower(col("sent"))).as("h")))
+    withCrossDocFlag(sents, "h", "__xdup")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_sent"),
-        sum(when(col("__mn") =!= col("__mx"), 1L).otherwise(0L)).as("n_dup"))
+        sum(when(col("__xdup"), 1L).otherwise(0L)).as("n_dup"))
       .select(col("id"),
         (col("n_dup").cast("double") / col("n_sent").cast("double"))
           .as("dup_sent_frac"))
+  }
+
+  /** Mark each (id, key) row with whether its key occurs in ≥ 2 DISTINCT
+    * documents — the shared cross-doc duplication test behind
+    * [[dupSentenceFraction]], [[crossDocSpanDupFraction]] and
+    * [[removeDuplicateSpans]]; ONE definition so the hot-digest shape is
+    * structural, not copy-pasted. "key in ≥ 2 docs" ⟺ min(id) ≠ max(id)
+    * per key: the min/max aggregate is MAP-SIDE COMBINABLE (unlike a
+    * countDistinct, whose Expand + two-phase plan also carried an
+    * intermittent AQE empty-result hazard — PLANS.md round 8); the join
+    * back is against a one-row-per-key relation, so a corpus-wide hot
+    * boilerplate digest STREAMS through the join instead of being
+    * buffered whole by one window task; and the verdict is a COLUMN the
+    * caller filters or aggregates AFTER the join — no filtered-aggregate
+    * branch for adaptive planning to mis-judge. `rel` must carry an `id`
+    * column; appends boolean `dupCol`.
+    */
+  private def withCrossDocFlag(rel: DataFrame, keyCol: String,
+                               dupCol: String): DataFrame = {
+    val minmax = rel.groupBy(col(keyCol))
+      .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
+    rel.join(minmax, Seq(keyCol))
+      .withColumn(dupCol, col("__mn") =!= col("__mx"))
+      .drop("__mn", "__mx")
   }
 
   /** Large-star round of Kiveris et al., "Connected Components in
@@ -528,18 +551,10 @@ object Dedup {
     val grams = t.select(col("id"),
         explode(TextAnalysis.positionalNgrams(col("toks"), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("h"))
-    // "h occurs in >= 2 distinct docs" ⟺ min(id) != max(id) per h. The
-    // min/max aggregate is MAP-SIDE COMBINABLE (unlike the former
-    // countDistinct, whose Expand + two-phase plan also carried an
-    // intermittent AQE empty-result hazard — PLANS.md round 8), the join
-    // back is against a one-row-per-h relation so a corpus-wide hot
-    // boilerplate digest STREAMS through the join instead of being
-    // buffered whole by one window task, and the cross-doc filter sits
-    // AFTER the join — no filtered-aggregate branch to mis-plan as empty.
-    val minmax = grams.groupBy(col("h"))
-      .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
-    val perDoc = grams.join(minmax, Seq("h"))
-      .filter(col("__mn") =!= col("__mx"))
+    // cross-doc test via [[withCrossDocFlag]] (hot-digest / AQE rationale
+    // lives there)
+    val perDoc = withCrossDocFlag(grams, "h", "__xdup")
+      .filter(col("__xdup"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
     t.select(col("id"),
         greatest(size(col("toks")) - lit(n - 1), lit(0)).cast("long").as("n_pos"))
@@ -576,15 +591,10 @@ object Dedup {
     val grams = t.select(col("id"),
         posexplode(TextAnalysis.positionalNgrams(col("toks"), n)).as(Seq("p0", "g")))
       .select(col("id"), (col("p0") + 1).as("i"), xxhash64(col("g")).as("h"))
-    // positions covered by ANY cross-doc-duplicated n-gram start: i..i+n-1.
-    // "h in >= 2 distinct docs" ⟺ min(id) != max(id) per h — map-side-
-    // combinable aggregate + streaming join back, filter AFTER the join
-    // (see crossDocSpanDupFraction for the hot-digest / AQE rationale;
-    // PLANS.md round 8).
-    val minmax = grams.groupBy(col("h"))
-      .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
-    val covered = grams.join(minmax, Seq("h"))
-      .filter(col("__mn") =!= col("__mx"))
+    // positions covered by ANY cross-doc-duplicated n-gram start: i..i+n-1;
+    // cross-doc test via [[withCrossDocFlag]]
+    val covered = withCrossDocFlag(grams, "h", "__xdup")
+      .filter(col("__xdup"))
       .select(col("id"), explode(sequence(col("i"), col("i") + lit(n - 1))).as("pos"))
       .distinct()
     removeCovered(t, covered)

@@ -32,9 +32,13 @@ object GraftBridge {
     * Spark 4 — same re-export rationale as the rest of this shim.
     */
   def analysisError(msg: String): Nothing =
+    // _LEGACY_ERROR_TEMP_3105's template is literally "<message>" — any
+    // other parameter key makes ErrorClassesJsonReader throw
+    // INTERNAL_ERROR instead, burying the user-facing message in a
+    // parameter dump
     throw new org.apache.spark.sql.AnalysisException(
       errorClass = "_LEGACY_ERROR_TEMP_3105",
-      messageParameters = Map("reason" -> msg))
+      messageParameters = Map("message" -> msg))
 
   /** Apply a SparkSessionExtensions configurator to a fresh registry and
     * return the registered function names — lets a test exercise the

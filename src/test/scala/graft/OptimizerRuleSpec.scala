@@ -54,6 +54,52 @@ class OptimizerRuleSpec extends SparkSpec
     assert(optimized.toString.contains("__graft_gen_hoist_1"), optimized.toString)
   }
 
+  test("extensions path (injectPreCBORule) hoists too — the production placement") {
+    // the cluster-wide path is spark.sql.extensions → injectPreCBORule, a
+    // DIFFERENT seam from extraOptimizations: a placement regression (back
+    // inside the operator-optimization batch, where CollapseProject
+    // re-inlines the tiers) would silently restore the 16× slowdown while
+    // every extraOptimizations test stays green. Build a real session WITH
+    // the extensions (fresh session over the shared context; the default
+    // session must be cleared or getOrCreate ignores withExtensions).
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val extSpark = SparkSession.builder()
+        .withExtensions(new GraftSqlExtensions)
+        .getOrCreate()
+      assert(extSpark ne spark,
+        "builder returned the shared session — extensions were ignored")
+      val df = Tables.load(extSpark, sf0, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.positionalNgrams(
+            TextAnalysis.asciiTokens(col("text")), 3)).as("g"))
+      val optimized = df.queryExecution.optimizedPlan
+      assert(optimized.toString.contains("__graft_gen_hoist_0"),
+        s"extensions path did not hoist:\n$optimized")
+      val gens = optimized.collect { case g: Generate => g }
+      assert(gens.nonEmpty)
+      gens.foreach { g =>
+        val residualHeavy = g.generator.exists {
+          case _: org.apache.spark.sql.catalyst.expressions.HigherOrderFunction |
+              _: org.apache.spark.sql.catalyst.expressions.RegExpReplace |
+              _: org.apache.spark.sql.catalyst.expressions.StringSplit => true
+          case _ => false
+        }
+        assert(!residualHeavy,
+          s"extensions path left heavy work inside the generator:\n$optimized")
+      }
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("rewrite preserves results and output schema exactly") {
     installed
     val withRule = naiveExplode.orderBy("doc_id", "g").limit(50).collect().toSeq

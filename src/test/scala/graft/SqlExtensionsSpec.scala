@@ -108,7 +108,11 @@ class SqlExtensionsSpec extends SparkSpec {
 
   test("non-literal shape parameter is rejected at analysis, not at runtime") {
     installed
-    val err = intercept[Exception] {
+    // must surface as an AnalysisException (user-facing invalid argument),
+    // NOT SparkException [INTERNAL_ERROR] — the exception CLASS is the
+    // assertion; a substring check alone also matches the internal error's
+    // parameter dump and masks a broken error path
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_minhash(graft_word_shingles('a b c', 2), doc_id) " +
         "FROM (SELECT 1 AS doc_id)").collect()
     }
