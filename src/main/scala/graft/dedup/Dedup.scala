@@ -142,30 +142,8 @@ object Dedup {
                         blockCols: Seq[String] = Nil, shingleSize: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
     val tEff = threshold - 1e-6
-    val blocks = blockCols.map(col)
-    // Both slim relations feed multiple consumers (base: verify-join sides;
-    // toks: frequency agg + prefix join) — cached instead of re-shingling
-    // the corpus per consumer. Lazily returned plan ⇒ cache lifetime is the
-    // caller's, via [[graft.CacheScope.releaseAll]] (see minhashLshPairs);
-    // at 100 TB this is the relation you'd checkpoint.
-    val base = graft.CacheScope.cache(
-      df.select((col(idCol).as("id") +: blocks :+
-        TextAnalysis.wordShingles(col(textCol), shingleSize).as("sh")): _*)
-      .filter(size(col("sh")) > 0))
-    val toks = graft.CacheScope.cache(
-      base.select((col("id") +: blocks :+ size(col("sh")).as("sz") :+
-        explode(col("sh")).as("tok")): _*))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    // Per-doc frequency-ascending order; keep only the pigeonhole prefix.
-    // floor (not ceil) of t·sz under-counts the required overlap, so the
-    // prefix is never too short — exactness is preserved at the boundary.
-    val w = Window.partitionBy(col("id")).orderBy(col("cnt"), col("tok"))
-    // Cached (caller-released): the a/b self-join would otherwise run the
-    // per-doc frequency-sort window (a shuffle + sort) twice.
-    val prefix = graft.CacheScope.cache(toks.join(freq, "tok")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <=
-        col("sz") - floor(lit(tEff) * col("sz")).cast("int") + 1))
+    val (base, _, prefix) =
+      shinglePrefixRelations(df, textCol, idCol, blockCols, shingleSize, tEff)
     val a = prefix.alias("a"); val b = prefix.alias("b")
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
@@ -212,23 +190,10 @@ object Dedup {
                             blockCols: Seq[String] = Nil, shingleSize: Int = 3,
                             threshold: Double = 0.8): DataFrame = {
     val tEff = threshold - 1e-6
-    val blocks = blockCols.map(col)
-    // Cached (caller-released via [[graft.CacheScope.releaseAll]]), same
-    // rationale as jaccardPairsExact; cached separately because the two
-    // ops prune with different prefix semantics.
-    val base = graft.CacheScope.cache(
-      df.select((col(idCol).as("id") +: blocks :+
-        TextAnalysis.wordShingles(col(textCol), shingleSize).as("sh")): _*)
-      .filter(size(col("sh")) > 0))
-    val toks = graft.CacheScope.cache(
-      base.select((col("id") +: blocks :+ size(col("sh")).as("sz") :+
-        explode(col("sh")).as("tok")): _*))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("id")).orderBy(col("cnt"), col("tok"))
-    val prefix = toks.join(freq, "tok")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <=
-        col("sz") - floor(lit(tEff) * col("sz")).cast("int") + 1)
+    val (base, toks, prefix) =
+      shinglePrefixRelations(df, textCol, idCol, blockCols, shingleSize, tEff)
+    // containment prunes ONLY the smaller side (the prefix); the larger
+    // side keeps its full posting list
     val a = prefix.alias("a"); val b = toks.alias("b")
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.tok") === col("b.tok") &&
@@ -245,6 +210,39 @@ object Dedup {
           least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
           .as("containment"))
       .filter(col("containment") >= tEff)
+  }
+
+  /** Shared prefix-filter scaffolding for the exact pair ops
+    * ([[jaccardPairsExact]], [[containmentPairsExact]]): the base shingle
+    * relation, the exploded (id, blocks, sz, tok) stream, and the per-doc
+    * frequency-ascending pigeonhole prefix for effective threshold `tEff`
+    * — floor (not ceil) of t·sz under-counts the required overlap, so the
+    * prefix is never too short and exactness is preserved at the
+    * boundary. ONE definition so the prefix-length subtlety and the cache
+    * policy can't drift between the two metrics.
+    *
+    * All three relations feed multiple consumers or a self-join and are
+    * cached (caller-released via [[graft.CacheScope.releaseAll]]; at
+    * 100 TB these are the relations you'd checkpoint between stages).
+    */
+  private def shinglePrefixRelations(df: DataFrame, textCol: String,
+      idCol: String, blockCols: Seq[String], shingleSize: Int,
+      tEff: Double): (DataFrame, DataFrame, DataFrame) = {
+    val blocks = blockCols.map(col)
+    val base = graft.CacheScope.cache(
+      df.select((col(idCol).as("id") +: blocks :+
+        TextAnalysis.wordShingles(col(textCol), shingleSize).as("sh")): _*)
+      .filter(size(col("sh")) > 0))
+    val toks = graft.CacheScope.cache(
+      base.select((col("id") +: blocks :+ size(col("sh")).as("sz") :+
+        explode(col("sh")).as("tok")): _*))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("id")).orderBy(col("cnt"), col("tok"))
+    val prefix = graft.CacheScope.cache(toks.join(freq, "tok")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <=
+        col("sz") - floor(lit(tEff) * col("sz")).cast("int") + 1))
+    (base, toks, prefix)
   }
 
   /** Per-document fraction of sentences duplicated elsewhere in the corpus —

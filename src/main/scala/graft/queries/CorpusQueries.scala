@@ -99,10 +99,14 @@ object CorpusQueries {
         .withColumn("z", sum(col("p")).over(Window.orderBy(col("source"))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .withColumn("w", col("p") / col("z"))
-        .withColumn("er", lit(budget) * col("w") / col("n_tokens").cast("double"))
+        // threshold on the ROUNDED ratio so the cap verdict is stable
+        // across engines (w comes from an order-dependent double sum)
+        // and consistent with the displayed epochs value
+        .withColumn("er",
+          round(lit(budget) * col("w") / col("n_tokens").cast("double"), 6))
         .select(col("source"), col("n_tokens"),
           round(col("w"), 6).as("weight"),
-          round(least(col("er"), lit(cap)), 6).as("epochs"),
+          least(col("er"), lit(cap)).as("epochs"),
           (col("er") > cap).as("capped"))
         .orderBy("source")
     }),
@@ -422,7 +426,7 @@ object CorpusQueries {
          |  FROM tok t JOIN llr l USING (tok) GROUP BY t.doc_id)
          |SELECT d.doc_id, coalesce(a.n_toks, 0) AS n_toks,
          |  round(p.p + coalesce(a.s, 0), 6) AS nb_score,
-         |  (p.p + coalesce(a.s, 0)) > 0 AS nb_pos
+         |  round(p.p + coalesce(a.s, 0), 6) > 0 AS nb_pos
          |FROM documents d LEFT JOIN agg a USING (doc_id) CROSS JOIN prior p
          |ORDER BY d.doc_id""".stripMargin,
 
@@ -489,8 +493,8 @@ object CorpusQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS w
         |  FROM w)
         |SELECT source, n_tokens, round(w, 6) AS weight,
-        |  round(least(2000000.0 * w / CAST(n_tokens AS DOUBLE), 4.0), 6) AS epochs,
-        |  (2000000.0 * w / CAST(n_tokens AS DOUBLE)) > 4.0 AS capped
+        |  least(round(2000000.0 * w / CAST(n_tokens AS DOUBLE), 6), 4.0) AS epochs,
+        |  round(2000000.0 * w / CAST(n_tokens AS DOUBLE), 6) > 4.0 AS capped
         |FROM z ORDER BY source""".stripMargin,
 
     "p_stratified_sample" ->

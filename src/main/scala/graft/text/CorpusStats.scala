@@ -173,8 +173,11 @@ object CorpusStats {
           when(col("tok").isNotNull, lit(m.unseenLlr)))).as("s"))
       .select(col("id"), col("n_toks"),
         round(lit(m.priorLogOdds) + coalesce(col("s"), lit(0.0)), 6)
-          .as("nb_score"),
-        (lit(m.priorLogOdds) + coalesce(col("s"), lit(0.0)) > 0).as("nb_pos"))
+          .as("nb_score"))
+      // verdict derives from the ROUNDED score: thresholding the raw sum
+      // would let cross-engine summation-order noise flip the boolean at
+      // the 0 boundary (the rounding exists to absorb exactly that)
+      .withColumn("nb_pos", col("nb_score") > 0)
 
   /** A fitted DSIR importance model (Xie et al., NeurIPS 2023 — "Data
     * Selection for Language Models via Importance Resampling"): hashed
