@@ -143,6 +143,31 @@ object CorpusQueries {
     "t_bpe_pairs" -> ((s, dir) =>
       CorpusStats.bpePairCounts(docs(s, dir), "text", k = 25)),
 
+    // Corpus Zipf slope: OLS fit of ln(freq) on ln(rank) over the top-1k
+    // vocabulary — the dataset-card vocabulary-health number (natural
+    // text ≈ −1; boilerplate/templated corpora drift far from it).
+    // Vocab-bounded aggregate + a 1000-row TakeOrdered; the single-task
+    // window runs on 1000 rows, never the corpus.
+    "t_zipf_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = docs(s, dir)
+        .select(explode(TextAnalysis.asciiTokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(1000)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+        .select(log(col("rnk").cast("double")).as("x"),
+          log(col("cnt").cast("double")).as("y"))
+      top.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(
+          round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n")), 6)
+            .as("zipf_slope"),
+          col("n").as("n_types"))
+    }),
+
     // Interpolated bigram-LM score (one rung toward CCNet's KenLM).
     "t_lm_bigram" -> ((s, dir) =>
       CorpusStats.bigramNll(docs(s, dir), "text", "doc_id")
@@ -496,6 +521,20 @@ object CorpusQueries {
         |  least(round(2000000.0 * w / CAST(n_tokens AS DOUBLE), 6), 4.0) AS epochs,
         |  round(2000000.0 * w / CAST(n_tokens AS DOUBLE), 6) > 4.0 AS capped
         |FROM z ORDER BY source""".stripMargin,
+
+    "t_zipf_slope" ->
+      s"""WITH tok AS (SELECT unnest($duckToks) AS tok FROM documents),
+         |counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+         |top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+         |  FROM counts ORDER BY cnt DESC, tok LIMIT 1000),
+         |s AS (SELECT count(*) AS n,
+         |    sum(ln(CAST(rnk AS DOUBLE))) AS sx,
+         |    sum(ln(CAST(cnt AS DOUBLE))) AS sy,
+         |    sum(ln(CAST(rnk AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))) AS sxy,
+         |    sum(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE))) AS sxx
+         |  FROM top)
+         |SELECT round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS zipf_slope,
+         |  CAST(n AS BIGINT) AS n_types FROM s""".stripMargin,
 
     "p_stratified_sample" ->
       """SELECT doc_id, source, rnk FROM (
