@@ -143,6 +143,26 @@ object CorpusQueries {
     "t_bpe_pairs" -> ((s, dir) =>
       CorpusStats.bpePairCounts(docs(s, dir), "text", k = 25)),
 
+    // Per-doc token Shannon entropy — the lexical-diversity quality
+    // signal (repetitive/templated docs score low; H = ln n − Σc·ln c/n
+    // needs only per-(doc,token) counts, no probability materialization).
+    "t_token_entropy" -> ((s, dir) => {
+      val c = docs(s, dir).select(col("doc_id"),
+          explode(TextAnalysis.asciiTokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val ent = c.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"))
+        .select(col("doc_id"), col("n"),
+          round(log(col("n").cast("double")) -
+            col("slc") / col("n").cast("double"), 6).as("entropy"))
+      docs(s, dir).select(col("doc_id"))
+        .join(ent, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_toks"),
+          col("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus Zipf slope: OLS fit of ln(freq) on ln(rank) over the top-1k
     // vocabulary — the dataset-card vocabulary-health number (natural
     // text ≈ −1; boilerplate/templated corpora drift far from it).
@@ -521,6 +541,18 @@ object CorpusQueries {
         |  least(round(2000000.0 * w / CAST(n_tokens AS DOUBLE), 6), 4.0) AS epochs,
         |  round(2000000.0 * w / CAST(n_tokens AS DOUBLE), 6) > 4.0 AS capped
         |FROM z ORDER BY source""".stripMargin,
+
+    "t_token_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+         |c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+         |e AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    round(ln(CAST(sum(c) AS DOUBLE)) -
+         |      sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) /
+         |        CAST(sum(c) AS DOUBLE), 6) AS entropy
+         |  FROM c GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(e.n, CAST(0 AS BIGINT)) AS n_toks, e.entropy
+         |FROM documents d LEFT JOIN e USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "t_zipf_slope" ->
       s"""WITH tok AS (SELECT unnest($duckToks) AS tok FROM documents),
