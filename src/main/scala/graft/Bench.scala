@@ -22,6 +22,21 @@ object Bench {
     // absorb JVM+session startup in its timing.
     try {
       Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+      // Also warm the shared physical-operator + expression JIT paths by
+      // running the real dedup pair-gen + clustering pipeline on a
+      // 256-doc slice (then releasing its caches): a synthetic
+      // join/window/agg warmup does NOT warm these — measured ~2s of
+      // shared-path warmup still landed in the cold column of whichever
+      // pair-gen query ran first in the session. The slice keeps the
+      // warmup ~1s; caches are released so the measured runs stay cold.
+      import org.apache.spark.sql.functions.col
+      val docsW = Tables.load(spark, sfDir, "documents")
+        .limit(256).select(col("doc_id"), col("source"), col("lang"),
+          col("text"))
+      graft.dedup.Dedup.dedupClusters(
+        graft.dedup.Dedup.jaccardPairsExact(
+          docsW, "text", "doc_id", Seq("source", "lang"), 3, 0.2)).count()
+      CacheScope.releaseAll()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
@@ -33,6 +48,15 @@ object Bench {
     // single-iteration timings of rounds 1-4 swung 2-4x on sub-second
     // queries from JIT/GC/run-order noise, hiding real regressions). The
     // cold first-run time is kept as a separate column in the file output.
+    // Release operator-internal caches BETWEEN queries, not at session end:
+    // 142 queries x `iters` iterations otherwise accumulate every
+    // CacheScope persist for the whole run, so under memory pressure the
+    // store evicts and the "median" silently measures recompute-after-
+    // eviction (round-8's official total read 2x the idle-machine rerun of
+    // the same commit). Releasing per query makes the median honestly
+    // warm-per-query and the total reproducible under load. liveCount and
+    // heap telemetry per query make any future drift visible in stderr.
+    val rt = Runtime.getRuntime
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.startsWith(prefix)).map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
@@ -44,8 +68,11 @@ object Bench {
       }
       val cold = times.head._1
       val median = times.map(_._1).sorted.apply(times.size / 2)
+      val liveBefore = CacheScope.liveCount
+      CacheScope.releaseAll()
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
       System.err.println(
-        f"[bench] $name%-24s median=$median%8.2fs cold=$cold%8.2fs rows=${times.head._2}")
+        f"[bench] $name%-24s median=$median%8.2fs cold=$cold%8.2fs rows=${times.head._2} cached=$liveBefore heapMB=$heapMb")
       (name, median, cold)
     }
     val total = results.map(_._2).sum

@@ -22,6 +22,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release operator-internal caches per query so a 142-query dump
+      // can't accumulate persists into eviction thrash (same contract as
+      // Bench): correctness is re-materialization-safe by construction.
+      CacheScope.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

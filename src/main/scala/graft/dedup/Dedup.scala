@@ -150,17 +150,28 @@ object Dedup {
         // length filter: J >= t forces t·|B| <= |A| and t·|A| <= |B|
         col("a.sz").cast("double") >= lit(tEff) * col("b.sz").cast("double") &&
         col("b.sz").cast("double") >= lit(tEff) * col("a.sz").cast("double"))(_ && _)
-    val cand = a.join(b, cond)
+    // Candidate dedup ("pairs sharing several prefix shingles verify
+    // once") is an id_a-keyed collect_set rather than a pairwise
+    // distinct(): the partial aggregate still dedupes map-side like
+    // distinct would, but the aggregate leaves the relation hash-
+    // partitioned on id_a — exactly the first verification join's key —
+    // so the candidate relation crosses the wire once instead of twice
+    // ((id_a,id_b) exchange for distinct, then a second exchange on id_a
+    // for the join). Per-key set size is bounded by the doc's prefix
+    // length x max posting-list df, the same bound the candidate join
+    // itself already has — no new skew hazard.
+    val candByA = a.join(b, cond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct() // pairs sharing several prefix shingles verify once
+      .groupBy(col("id_a")).agg(collect_set(col("id_b")).as("__bs"))
     // The verified pair list itself is cached (caller-released): it is the
     // op's PRODUCT and every downstream consumer re-reads it — the cluster
     // builder, threshold re-filters, and repeated invocations on the same
     // corpus all share one candidate join + verification instead of
     // re-running them. Pairs are three slim columns; at 100 TB this is the
     // relation you would persist to parquet between pipeline stages.
-    graft.CacheScope.cache(cand
+    graft.CacheScope.cache(candByA
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .select(col("id_a"), col("sh_a"), explode(col("__bs")).as("id_b"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
@@ -198,12 +209,17 @@ object Dedup {
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.tok") === col("b.tok") &&
         col("a.id") =!= col("b.id") && col("a.sz") <= col("b.sz"))(_ && _)
-    val cand = a.join(b, cond)
+    // Same id_a-keyed candidate dedup as jaccardPairsExact: the
+    // collect_set aggregate replaces a pairwise distinct() so the
+    // candidate relation leaves its one exchange already partitioned on
+    // the first verification join's key.
+    val candByA = a.join(b, cond)
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
-      .distinct()
-    cand
+      .groupBy(col("id_a")).agg(collect_set(col("id_b")).as("__bs"))
+    candByA
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .select(col("id_a"), col("sh_a"), explode(col("__bs")).as("id_b"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -233,9 +249,14 @@ object Dedup {
       df.select((col(idCol).as("id") +: blocks :+
         TextAnalysis.wordShingles(col(textCol), shingleSize).as("sh")): _*)
       .filter(size(col("sh")) > 0))
-    val toks = graft.CacheScope.cache(
-      base.select((col("id") +: blocks :+ size(col("sh")).as("sz") :+
-        explode(col("sh")).as("tok")): _*))
+    // toks is deliberately NOT cached: it is the one corpus-sized
+    // relation here (every shingle OCCURRENCE), and each of its consumers
+    // (freq aggregate, prefix join, containment posting join) re-derives
+    // it from cached `base` with a scan-stage explode — cheaper than
+    // writing the exploded corpus to storage, and at 100 TB materializing
+    // it would dwarf the documents themselves.
+    val toks = base.select((col("id") +: blocks :+ size(col("sh")).as("sz") :+
+        explode(col("sh")).as("tok")): _*)
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("id")).orderBy(col("cnt"), col("tok"))
     val prefix = graft.CacheScope.cache(toks.join(freq, "tok")
@@ -384,6 +405,14 @@ object Dedup {
       expr("bit_xor(xxhash64(u, v))").as("s")).head()
     var prevCnt = r0.getLong(0)
     var prevSum = if (r0.isNullAt(1)) 0L else r0.getLong(1)
+    // Flatten the materialized input to a LogicalRDD before the rounds
+    // reference it: `e`'s logical plan is the caller's ENTIRE pair-
+    // generation tree, and one star round references e ~8x — execution
+    // would hit the cache, but the analyzer/optimizer re-processes eight
+    // copies of the deep pair-gen plan per round (measured ~2s of pure
+    // driver time per round on a 4-edge graph). The RDD scan still reads
+    // the cached blocks; the cache itself stays registered for release.
+    e = spark.createDataFrame(e.rdd, e.schema)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {

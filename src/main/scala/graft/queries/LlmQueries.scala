@@ -21,6 +21,23 @@ object LlmQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** THE near-dup pair graph of the corpus — one definition shared by
+    * every consumer (`d_ngram_jaccard`, `d_dedup_clusters`,
+    * `d_cluster_keep_best`) so their reuse of the expensive verified-pair
+    * relation is structural: `jaccardPairsExact` caches its product, and
+    * because all three call sites build the IDENTICAL downstream plan
+    * through this helper, CacheManager reuse can no longer be broken by
+    * alias or parameter drift between hand-copied variants.
+    */
+  private def jacPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsExact(
+        docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
+          col("text")),
+        "text", "doc_id", Seq("source", "lang"),
+        shingleSize = 3, threshold = 0.2)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac"))
+      .filter(col("jac") >= 0.2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------------- text analysis ----------------
@@ -99,15 +116,7 @@ object LlmQueries {
     // set as the all-pairs join, but candidates come from a fine-grained
     // (block, shingle) equi-join, so a hot block can't go quadratic.
     "d_ngram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairsExact(
-          docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
-            col("text")),
-          "text", "doc_id", Seq("source", "lang"),
-          shingleSize = 3, threshold = 0.2)
-        .select(col("id_a"), col("id_b"),
-          round(col("jaccard"), 6).as("jac"))
-        .filter(col("jac") >= 0.2)
-        .orderBy("id_a", "id_b")),
+      jacPairs(s, dir).orderBy("id_a", "id_b")),
 
     // Asymmetric containment pairs: |A∩B|/min — quotes/excerpts Jaccard
     // misses; exact within (source, lang) blocks.
@@ -132,34 +141,23 @@ object LlmQueries {
 
     // Near-dup clusters: connected components over the exact-Jaccard pair
     // graph; the label IS the canonical (keep) doc per cluster.
-    "d_dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.jaccardPairsExact(
-          docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
-            col("text")),
-          "text", "doc_id", Seq("source", "lang"),
-          shingleSize = 3, threshold = 0.2)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac"))
-        .filter(col("jac") >= 0.2)
-      Dedup.dedupClusters(pairs)
+    "d_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(jacPairs(s, dir))
         .select(col("id").as("doc_id"), col("label").as("canonical"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Near-dup clusters with KEEP-BEST canonical: real pipelines keep the
     // highest-quality member of each duplicate cluster, not the smallest
     // id — the integrated dedup→quality composition.
     "d_cluster_keep_best" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.jaccardPairsExact(
-          d.select(col("doc_id"), col("source"), col("lang"), col("text")),
-          "text", "doc_id", Seq("source", "lang"),
-          shingleSize = 3, threshold = 0.2)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac"))
-        .filter(col("jac") >= 0.2)
-      val labels = Dedup.dedupClusters(pairs)
+      val labels = Dedup.dedupClusters(jacPairs(s, dir))
       val q = d.select(col("doc_id").as("id"),
         round(TextAnalysis.qualityScore(col("text")), 4).as("q"))
-      val lq = labels.join(q, Seq("id"))
+      // lq feeds BOTH the best-per-cluster aggregate and the final join:
+      // without a cache the clustering output and the quality scan
+      // re-evaluate once per consumer (measured ~2x the cold path).
+      val lq = graft.CacheScope.cache(labels.join(q, Seq("id")))
       // max(struct(q, -id)) = highest quality, ties to the smallest id
       val best = lq.groupBy(col("label"))
         .agg(max(struct(col("q"), (-col("id")).as("nid"))).as("b"))
