@@ -575,9 +575,13 @@ object Dedup {
                               n: Int = 5): DataFrame = {
     val t = df.select(col(idCol).as("id"),
       TextAnalysis.asciiTokens(col(textCol)).as("toks"))
-    val grams = t.select(col("id"),
+    // Cached (caller-released): withCrossDocFlag consumes grams TWICE
+    // (min/max aggregate + join probe) — uncached, the scan + tokenize +
+    // explode + hash subtree runs once per consumer (measured 2x on the
+    // same shape in dupSentenceFraction). Slim (id, 8-byte digest) rows.
+    val grams = graft.CacheScope.cache(t.select(col("id"),
         explode(TextAnalysis.positionalNgrams(col("toks"), n)).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("h"))
+      .select(col("id"), xxhash64(col("g")).as("h")))
     // cross-doc test via [[withCrossDocFlag]] (hot-digest / AQE rationale
     // lives there)
     val perDoc = withCrossDocFlag(grams, "h", "__xdup")

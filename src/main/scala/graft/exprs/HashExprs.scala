@@ -3,7 +3,7 @@ package graft.exprs
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -210,23 +210,36 @@ object HashExprs {
     * plan matching — and therefore cache reuse — working across calls.
     */
   case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
     require(centroids.nonEmpty, "NearestCentroid needs at least one centroid")
+    require(centroids.map(_.length).distinct.size == 1,
+      "NearestCentroid centroids must share one dimension")
+    // array<float> (the raw embeddings column) arrives via an implicit
+    // cast instead of being misread element-by-element at runtime.
+    // (Covariant return: AbstractDataType is private[sql] in Spark 4, but
+    // DataType is a public subtype, so the override never names it.)
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
     override def dataType: DataType = IntegerType
     @transient private lazy val cs: Array[Array[Double]] =
       centroids.map(_.toArray).toArray
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val dim = arr.numElements()
+      // A dimension mismatch is ALWAYS a caller bug (stale codebook, a
+      // malformed embedding row): truncating the distance loop would
+      // return a plausible but wrong cell index and degrade ivfAssign /
+      // semanticDedup / pqEncode silently.
+      if (dim != cs(0).length)
+        throw new IllegalArgumentException(
+          s"NearestCentroid: input vector has $dim dims, centroids have ${cs(0).length}")
       var best = 0
       var bestD = Double.PositiveInfinity
       var i = 0
       while (i < cs.length) {
         val c = cs(i)
-        val n = math.min(dim, c.length)
         var d = 0.0
         var j = 0
-        while (j < n) {
+        while (j < dim) {
           val diff = arr.getDouble(j) - c(j)
           d += diff * diff
           j += 1

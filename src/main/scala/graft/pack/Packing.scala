@@ -106,8 +106,15 @@ object Packing {
     * and `p_eval_split`: first 8 md5 hex digits of "seed|id" as a long —
     * reproducible across engines, runs, retries, and input layout (the
     * reason it exists; `rand()` is none of those). ONE definition so the
-    * "same draw" contract between mixing, sharding, and split assignment
-    * is structural, not copy-pasted.
+    * draw contract between mixing, sharding, and split assignment is
+    * structural, not copy-pasted.
+    *
+    * Seed discipline: INDEPENDENT decisions must use DISTINCT seeds.
+    * Composing a sampling filter (`draw(seed) % 1000 < rate`) with a
+    * split assignment thresholded on the SAME seed's draw is degenerate —
+    * every surviving row sits below the rate cutoff, so the split's
+    * val/test tail is empty. Convention in this repo: 42 = mixing/
+    * sharding, 7 = stratified sampling, 13 = eval-split assignment.
     */
   def stableDraw(id: org.apache.spark.sql.Column, seed: Long = 42L)
       : org.apache.spark.sql.Column =

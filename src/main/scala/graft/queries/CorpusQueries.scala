@@ -270,12 +270,16 @@ object CorpusQueries {
           col("clean_md5"))
         .orderBy("doc_id")),
 
-    // Stratified train/val/test assignment: the same stable md5 draw as
-    // mixSources, thresholded 98/1/1 — reproducible under retries,
-    // engine-portable, and per-source proportions hold automatically
-    // because the draw is independent of source.
+    // Stratified train/val/test assignment: a stable md5 draw thresholded
+    // 98/1/1 — reproducible under retries, engine-portable, and
+    // per-source proportions hold automatically because the draw is
+    // independent of source. Seed 13 is deliberately DISTINCT from
+    // mixSources/p_shard_shuffle's default 42 and p_stratified_sample's
+    // 7: composing a sampling draw with a split draw under a SHARED seed
+    // is degenerate (every doc surviving `draw % 1000 < rate` sampling
+    // would land in train, leaving val/test empty).
     "p_eval_split" -> ((s, dir) => {
-      val draw = Packing.stableDraw(col("doc_id")) % 1000
+      val draw = Packing.stableDraw(col("doc_id"), 13L) % 1000
       docs(s, dir).select(col("doc_id"), col("source"),
           when(draw < 980, "train").when(draw < 990, "val")
             .otherwise("test").as("split"))
@@ -828,8 +832,8 @@ object CorpusQueries {
 
     "p_eval_split" ->
       """SELECT doc_id, source,
-        |  CASE WHEN CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 980 THEN 'train'
-        |       WHEN CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 990 THEN 'val'
+        |  CASE WHEN CAST(('0x' || substr(md5('13|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 980 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5('13|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 990 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -123,15 +123,45 @@ object GraftSqlExtensions {
     desc("graft_nearest_centroid",
       "graft_nearest_centroid(vec, array(array(..), ..)) - index of nearest centroid (squared L2, ties low)", { args =>
         arity("graft_nearest_centroid", args, 2)
+        // Validate the literal's TYPE before reading elements: a user
+        // writing array(array(1, 0), ...) folds to int/float ArrayData,
+        // and an unchecked getDouble would surface as an internal
+        // ClassCastException instead of this function's badArg path.
+        // Any numeric element type is accepted and widened to double.
+        import org.apache.spark.sql.types.{ArrayType => AT, _}
         val cents = args(1) match {
-          case e if e.foldable => e.eval() match {
-            case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
-              (0 until ad.numElements()).map { i =>
-                val row = ad.getArray(i)
-                (0 until row.numElements()).map(row.getDouble).toSeq
-              }.toSeq
+          case e if e.foldable => e.dataType match {
+            case AT(AT(et: NumericType, _), _) =>
+              def toD(row: org.apache.spark.sql.catalyst.util.ArrayData,
+                      j: Int): Double = et match {
+                case DoubleType => row.getDouble(j)
+                case FloatType => row.getFloat(j).toDouble
+                case LongType => row.getLong(j).toDouble
+                case IntegerType => row.getInt(j).toDouble
+                case ShortType => row.getShort(j).toDouble
+                case ByteType => row.getByte(j).toDouble
+                case d: DecimalType =>
+                  row.getDecimal(j, d.precision, d.scale).toDouble
+                case other => badArg(
+                  s"graft_nearest_centroid: centroid element type ${other.sql} is not numeric")
+              }
+              e.eval() match {
+                case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+                  (0 until ad.numElements()).map { i =>
+                    if (ad.isNullAt(i)) badArg(
+                      s"graft_nearest_centroid: centroid $i is NULL")
+                    val row = ad.getArray(i)
+                    (0 until row.numElements()).map { j =>
+                      if (row.isNullAt(j)) badArg(
+                        s"graft_nearest_centroid: centroid $i element $j is NULL")
+                      toD(row, j)
+                    }.toSeq
+                  }.toSeq
+                case other => badArg(
+                  s"graft_nearest_centroid: argument 2 evaluated to $other, expected array<array<double>>")
+              }
             case other => badArg(
-              s"graft_nearest_centroid: argument 2 evaluated to $other, expected array<array<double>>")
+              s"graft_nearest_centroid: argument 2 must have type array<array<double>> (any numeric element), got ${other.sql}")
           }
           case other => badArg(
             s"graft_nearest_centroid: argument 2 must be a foldable array<array<double>> literal, got $other")

@@ -66,6 +66,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(ids1.size - 200) < 60) // md5 draw ≈ uniform
   }
 
+  test("sampling and split draws are seed-independent: a mixed corpus still splits") {
+    // mixSources at 500 permille keeps only rows with draw(42) % 1000 <
+    // 500; a split thresholded on the SAME seed's draw would then put
+    // every surviving row in the lowest band (empty val/test). The
+    // eval-split draw uses seed 13, so the composition stays proportional.
+    val df = (1L to 2000L).map(i => (i, "s")).toDF("doc_id", "source")
+    val mixed = Packing.mixSources(df, "doc_id", "source", Map("s" -> 500))
+    val splitDraw = Packing.stableDraw(col("doc_id"), 13L) % 1000
+    val bands = mixed.select(
+        when(splitDraw < 900, "train").otherwise("heldout").as("split"))
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val n = bands.values.sum
+    assert(bands.getOrElse("heldout", 0L) > 0L,
+      "held-out band empty: split draw is correlated with the sampling draw")
+    assert(math.abs(bands("heldout").toDouble / n - 0.1) < 0.05)
+    // degeneracy cross-check: the SHARED-seed composition really is empty
+    val sharedDraw = Packing.stableDraw(col("doc_id"), 42L) % 1000
+    assert(mixed.filter(sharedDraw >= 500).count() == 0L)
+  }
+
   // ---------------- unigram LM scoring ----------------
 
   test("unigramNll: rare-vocabulary docs score higher than frequent ones") {

@@ -39,6 +39,57 @@ class SqlExtensionsSpec extends SparkSpec {
     assert(out.getInt(2) == 0, "equidistant must tie to the lower index")
   }
 
+  test("graft_nearest_centroid widens int/float centroid literals") {
+    installed
+    // array(array(1, 0), ...) folds to int elements; an unchecked
+    // getDouble on that ArrayData used to surface as INTERNAL_ERROR
+    val out = spark.sql(
+      """SELECT graft_nearest_centroid(array(0.9D, 0.1D),
+        |         array(array(1, 0), array(0, 1))) AS a,
+        |       graft_nearest_centroid(array(0.1D, 2.0D),
+        |         array(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |               array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)))) AS b
+        |""".stripMargin).head()
+    assert(out.getInt(0) == 0)
+    assert(out.getInt(1) == 1)
+  }
+
+  test("graft_nearest_centroid rejects non-numeric centroid literals as analysis errors") {
+    installed
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_nearest_centroid(array(1.0D), " +
+        "array(array('x')))").collect()
+    }
+    assert(err.getMessage.contains("array<array<double>>"), err.getMessage)
+  }
+
+  test("graft_nearest_centroid casts an array<float> vector instead of misreading it") {
+    installed
+    // the embeddings table's raw column is array<float>; ImplicitCast on
+    // NearestCentroid must insert the cast rather than misread bytes
+    val out = spark.sql(
+      """SELECT graft_nearest_centroid(
+        |         array(CAST(0.1 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |         array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS a
+        |""".stripMargin).head()
+    assert(out.getInt(0) == 1)
+  }
+
+  test("NearestCentroid fails loudly on a dimension mismatch") {
+    val df = spark.range(1).select(
+      org.apache.spark.sql.classic.GraftBridge.column(
+        graft.exprs.HashExprs.NearestCentroid(
+          org.apache.spark.sql.classic.GraftBridge.expression(
+            array(lit(1.0), lit(2.0), lit(3.0))),
+          Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))).as("c"))
+    val err = intercept[Exception] { df.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(err).exists(_.getMessage != null) &&
+      chain(err).exists(t => t.getMessage != null &&
+        t.getMessage.contains("3 dims")), err.getMessage)
+  }
+
   test("SQL results match the Column API on real corpus text") {
     installed
     val docs = spark.read.parquet(s"$sf0/documents.parquet")
