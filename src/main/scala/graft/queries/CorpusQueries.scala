@@ -336,6 +336,37 @@ object CorpusQueries {
            |FROM graft_docs_sqlx ORDER BY doc_id""".stripMargin)
     }),
 
+    // The streaming tier end-to-end: replay the documents table as a
+    // bona-fide file STREAM (micro-batched by Structured Streaming, NOT a
+    // batch read) through a stateful streaming aggregation, and gate the
+    // FINAL table against a DuckDB oracle. groupBy(digest) -> min(doc_id)
+    // is the same canonical-keep rule as Dedup.exact, and unlike
+    // dropDuplicates ("first seen" — arrival-order-dependent) its
+    // completion result is deterministic however the replay micro-batches,
+    // which is what makes a streaming query hash-oracle-able at all.
+    "x_stream_dedup" -> ((s, dir) => {
+      // File streams read directories; the testdata tables are single
+      // files, so stage the corpus into a temp dir split 4 ways and
+      // replay one file per trigger — the aggregation state must then
+      // genuinely carry across four micro-batches.
+      val src = docs(s, dir).select(col("doc_id"), col("text"))
+      val stage = java.nio.file.Files.createTempDirectory("graft-streamdedup")
+      src.repartition(4).write.mode("overwrite").parquet(stage.toString)
+      val stream = s.readStream.schema(src.schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(stage.toString)
+      val agg = stream.select(md5(col("text")).as("digest"), col("doc_id"))
+        .groupBy(col("digest")).agg(min(col("doc_id")).as("keep_id"))
+      val name = "x_stream_dedup_sink"
+      s.streams.active.filter(q => Option(q.name).contains(name))
+        .foreach(_.stop())
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).select(col("digest"), col("keep_id")).orderBy("keep_id")
+    }),
+
     // RefinedWeb/C4 line-wise quality signals. Documents are single-line
     // word streams, so line structure is synthesized deterministically
     // (6-token lines; terminal '.' when (doc_id+i)%3=0, '- ' bullet when
@@ -926,6 +957,11 @@ object CorpusQueries {
          |  md5(nfc_normalize(d.text || ' Cafe' || chr(769))) AS norm_md5
          |FROM j JOIN documents d ON d.doc_id = j.doc_id
          |ORDER BY j.doc_id""".stripMargin,
+
+    // the streaming replay's completion table = the batch group-min
+    "x_stream_dedup" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     // same 6-token line synthesis, then the line-wise signals
     "t_line_quality" ->
