@@ -132,39 +132,84 @@ object HttpSenders {
       timeout: Duration = Duration.ofSeconds(10))
       : (String, Seq[Map[String, Any]]) => Unit = {
     val root = baseUrl.stripSuffix("/")
-    (collection, docs) => {
-      val arr = mapper.createArrayNode()
-      docs.foreach { doc =>
-        val node = arr.addObject()
-        doc.foreach {
-          case (_, null) => () // Solr omits null fields
-          case (k, v: String) => node.put(k, v)
-          case (k, v: Long) => node.put(k, v)
-          case (k, v: Int) => node.put(k, v)
-          case (k, v: Double) => node.put(k, v)
-          case (k, v: Float) => node.put(k, v)
-          case (k, v: Boolean) => node.put(k, v)
-          case (k, v: Array[Byte]) =>
-            node.put(k, java.util.Base64.getEncoder.encodeToString(v))
-          case (k, v) => node.put(k, String.valueOf(v))
-        }
-      }
-      val url = s"$root/" +
-        java.net.URLEncoder.encode(collection, StandardCharsets.UTF_8) +
-        s"/update?commitWithin=$commitWithinMs"
-      try {
-        val resp = post(url, "application/json", "application/json",
-          mapper.writeValueAsBytes(arr), timeout)
-        if (resp.statusCode() / 100 != 2)
-          throw new RetriableSinkException(
-            s"Solr update returned ${resp.statusCode()}: ${resp.body()}", null)
-      } catch {
-        case e: java.io.IOException =>
-          throw new RetriableSinkException(s"Solr unreachable at $url", e)
-        case e: InterruptedException =>
-          Thread.currentThread().interrupt()
-          throw new RetriableSinkException(s"interrupted posting to $url", e)
+    (collection, docs) => postSolrUpdate(root, collection, docs,
+      commitWithinMs, timeout)
+  }
+
+  /** One Solr JSON-update POST: `{root}/{collection}/update?commitWithin=`
+    * with the docs as a JSON array — shared by the single-node and the
+    * SolrCloud-shaped senders so the wire format cannot drift.
+    */
+  private def postSolrUpdate(root: String, collection: String,
+      docs: Seq[Map[String, Any]], commitWithinMs: Int,
+      timeout: Duration): Unit = {
+    val arr = mapper.createArrayNode()
+    docs.foreach { doc =>
+      val node = arr.addObject()
+      doc.foreach {
+        case (_, null) => () // Solr omits null fields
+        case (k, v: String) => node.put(k, v)
+        case (k, v: Long) => node.put(k, v)
+        case (k, v: Int) => node.put(k, v)
+        case (k, v: Double) => node.put(k, v)
+        case (k, v: Float) => node.put(k, v)
+        case (k, v: Boolean) => node.put(k, v)
+        case (k, v: Array[Byte]) =>
+          node.put(k, java.util.Base64.getEncoder.encodeToString(v))
+        case (k, v) => node.put(k, String.valueOf(v))
       }
     }
+    val url = s"$root/" +
+      java.net.URLEncoder.encode(collection, StandardCharsets.UTF_8) +
+      s"/update?commitWithin=$commitWithinMs"
+    try {
+      val resp = post(url, "application/json", "application/json",
+        mapper.writeValueAsBytes(arr), timeout)
+      if (resp.statusCode() / 100 != 2)
+        throw new RetriableSinkException(
+          s"Solr update returned ${resp.statusCode()}: ${resp.body()}", null)
+    } catch {
+      case e: java.io.IOException =>
+        throw new RetriableSinkException(s"Solr unreachable at $url", e)
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        throw new RetriableSinkException(s"interrupted posting to $url", e)
+    }
   }
+
+  /** SolrCloud-shaped batched update sender — the deployment seam behind
+    * `loadSolr { solrLocator : { zkHost, collection } }`
+    * (config/cloudsolr.conf:1-7,74-78).
+    *
+    * What SolrJ's CloudSolrClient does with that locator: (a) read the
+    * cluster state from zkHost to learn each collection's shard leaders,
+    * (b) hash-route every document by its unique key onto a shard's hash
+    * range (the CompositeId router), (c) send ONE batched update per
+    * leader, carrying commitWithin. Here (a) is a pluggable
+    * `clusterState: collection => ordered leader base URLs` (a zk-backed
+    * implementation in production; a stub in tests — no zk/SolrJ exists in
+    * this container), while (b) and (c) are real: documents are grouped by
+    * a stable murmur3 hash of the `idField` over equal hash slices and
+    * each group is POSTed to its leader with the shared wire format.
+    * Leader-routed batching is what makes bulk indexing scale — a random
+    * node would re-forward every doc a second hop.
+    */
+  def cloudSolrSender(clusterState: String => Seq[String],
+      idField: String = "id", commitWithinMs: Int = 1000,
+      timeout: Duration = Duration.ofSeconds(10))
+      : (String, Seq[Map[String, Any]]) => Unit =
+    (collection, docs) => {
+      val leaders = clusterState(collection).map(_.stripSuffix("/"))
+      if (leaders.isEmpty)
+        throw new RetriableSinkException(
+          s"no shard leaders known for collection '$collection'", null)
+      docs.groupBy { d =>
+        val key = String.valueOf(d.getOrElse(idField, ""))
+        math.floorMod(
+          scala.util.hashing.MurmurHash3.stringHash(key, 0), leaders.size)
+      }.foreach { case (shard, shardDocs) =>
+        postSolrUpdate(leaders(shard), collection, shardDocs,
+          commitWithinMs, timeout)
+      }
+    }
 }

@@ -51,6 +51,18 @@ object Sinks {
   def sanitizeToSchema(df: DataFrame, allowedFields: Seq[String]): DataFrame =
     df.select(df.columns.filter(allowedFields.contains(_)).map(col).toSeq: _*)
 
+  /** The `SOLR_LOCATOR` shape of the reference configs
+    * (config/cloudsolr.conf:1-7): ZooKeeper ensemble + collection name,
+    * plus the two batching knobs the loadSolr chain owns. `zkHost` is
+    * carried for the cluster-state reader a production deployment wires
+    * into [[graft.io.HttpSenders.cloudSolrSender]]; in-container tests
+    * stub the state function instead.
+    */
+  final case class SolrLocator(collection: String,
+                               zkHost: Option[String] = None,
+                               batchSize: Int = 1000,
+                               commitWithinMs: Int = 1000)
+
   /** Per-JVM pluggable Solr environment for the `loadSolr` /
     * `sanitizeUnknownSolrFields` commands: the transport that receives
     * document batches and the known collection schemas. The default sender
@@ -107,6 +119,15 @@ object Sinks {
     passThrough(df, batchSize)(rows => SolrEnv.sender(collection,
       rows.map(r => fields.map(f => f -> r.getAs[Any](f)).toMap)))
   }
+
+  /** [[loadSolr]] driven by a [[SolrLocator]] — the verbatim
+    * `loadSolr { solrLocator : ${SOLR_LOCATOR} }` config shape
+    * (config/cloudsolr.conf:74-78). Batch size comes from the locator;
+    * the transport (single-node or SolrCloud-routed) is whatever
+    * [[SolrEnv.sender]] was installed at executor startup.
+    */
+  def loadSolr(df: DataFrame, locator: SolrLocator): DataFrame =
+    loadSolr(df, locator.collection, locator.batchSize)
 
   /** `kafkaProducer` (KafkaDataProducerCommandBuilder.java:84-522): derive
     * (topic, key, value) columns, batch the triples into the producer

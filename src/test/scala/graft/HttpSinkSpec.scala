@@ -146,4 +146,73 @@ class HttpSinkSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("cloud solr: docs route to their key-hash shard leader, one batched POST each") {
+    // two "leaders" = two stub servers; the cluster-state function is the
+    // test's stand-in for the zkHost read of config/cloudsolr.conf:1-7
+    withStub(Seq((200, "{}"))) { (urlA, hitsA) =>
+      withStub(Seq((200, "{}"))) { (urlB, hitsB) =>
+        val send = HttpSenders.cloudSolrSender(
+          Map("coll" -> Seq(urlA, urlB)), commitWithinMs = 7000)
+        val docs = (1 to 20).map(i => Map[String, Any]("id" -> s"doc-$i"))
+        send("coll", docs)
+        // one batched POST per leader that received docs — never per doc
+        assert(hitsA.size + hitsB.size <= 2 && hitsA.size + hitsB.size >= 1)
+        def docsOf(hits: java.util.List[Hit]): Seq[String] =
+          hits.asScala.toSeq.flatMap(h => mapper.readTree(h.body)
+            .elements().asScala.map(_.get("id").asText()).toSeq)
+        val (da, db) = (docsOf(hitsA), docsOf(hitsB))
+        assert((da ++ db).sorted == docs.map(_("id").toString).sorted,
+          "every doc lands on exactly one shard")
+        // routing is the stable key hash, not arrival order: recompute
+        def shardOf(id: String) = math.floorMod(
+          scala.util.hashing.MurmurHash3.stringHash(id, 0), 2)
+        assert(da.forall(shardOf(_) == 0) && db.forall(shardOf(_) == 1))
+        (hitsA.asScala ++ hitsB.asScala).foreach { h =>
+          assert(h.path.endsWith("/coll/update?commitWithin=7000"))
+        }
+      }
+    }
+  }
+
+  test("cloud solr: per-collection routing via cluster state; unknown collection is retriable") {
+    withStub(Seq((200, "{}"))) { (urlA, hitsA) =>
+      withStub(Seq((200, "{}"))) { (urlB, hitsB) =>
+        val state = Map("alpha" -> Seq(urlA), "beta" -> Seq(urlB))
+        val send = HttpSenders.cloudSolrSender(state.getOrElse(_, Nil))
+        send("alpha", Seq(Map("id" -> "a1")))
+        send("beta", Seq(Map("id" -> "b1"), Map("id" -> "b2")))
+        assert(hitsA.size == 1 && hitsA.get(0).path == "/alpha/update?commitWithin=1000")
+        assert(hitsB.size == 1 && hitsB.get(0).path == "/beta/update?commitWithin=1000")
+        assert(mapper.readTree(hitsB.get(0).body).size() == 2)
+        // a collection absent from cluster state replays, not drops
+        intercept[HttpSenders.RetriableSinkException] {
+          send("gamma", Seq(Map("id" -> "g1")))
+        }
+      }
+    }
+  }
+
+  test("solr locator drives loadSolr batch boundaries") {
+    // SolrEnv-level check (no HTTP): locator batchSize must bound every
+    // sender invocation — the batch/commitWithin contract of
+    // config/cloudsolr.conf:74-78's loadSolr
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val batches = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Int]())
+    graft.io.Sinks.SolrEnv.sender = (coll, docs) => {
+      assert(coll == "coll"); batches.add(docs.size)
+    }
+    try {
+      val df = (1 to 25).map(i => (s"d$i", i)).toDF("id", "v").repartition(1)
+      val loc = graft.io.Sinks.SolrLocator("coll", batchSize = 10)
+      graft.io.Sinks.loadSolr(df, loc).count()
+      assert(batches.asScala.sum == 25)
+      assert(batches.asScala.forall(_ <= 10), s"batches: ${batches.asScala}")
+      assert(batches.asScala.count(_ == 10) == 2,
+        "full batches must flush at the locator's batchSize")
+    } finally graft.io.Sinks.SolrEnv.reset()
+  }
 }
