@@ -29,26 +29,45 @@ object Packing {
     * back; (4) within-range cumsums run as a window PARTITIONED BY range,
     * parallel across ranges. No stage sees more than a range of rows in
     * one task.
+    *
+    * Step (3) has two implementations behind `distributedPrefix`:
+    *  - false (default, right for most corpora): the bounded range list
+    *    collects to the driver, prefix-sums in a loop, and broadcast-joins
+    *    back. Simple, but the collect is a single-threaded driver pass —
+    *    ~2.4M rows at 10^10 docs with the default rangeSize.
+    *  - true: the range-level prefix is a second Spark window ordered by
+    *    range — the two-level scan never leaves the cluster. The global
+    *    window funnels the RANGE relation (corpus/rangeSize slim rows,
+    *    never documents) through one task, the same bounded-dimension
+    *    shape as every per-source model aggregate here; the join back is
+    *    planner-chosen (broadcast while small, shuffle when not).
     */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
-                    capacity: Long, rangeSize: Long = 4096): DataFrame = {
+                    capacity: Long, rangeSize: Long = 4096,
+                    distributedPrefix: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val tc = df.select(col(idCol).cast("long").as("id"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_toks"))
       .withColumn("rng", expr(s"id div $rangeSize"))
-    // Bounded driver fetch: one (range, sum) row per id range.
-    val rangeSums = tc.groupBy(col("rng")).agg(sum(col("n_toks")).as("rs"))
-      .orderBy(col("rng")).collect()
-    var acc = 0L
-    val prefixRows = rangeSums.map { r =>
-      val p = acc; acc += r.getLong(1); Row(r.getLong(0), p)
+    val rangeAgg = tc.groupBy(col("rng")).agg(sum(col("n_toks")).as("rs"))
+    val prefixDf = if (distributedPrefix) {
+      rangeAgg.select(col("rng"),
+        coalesce(sum(col("rs")).over(Window.orderBy(col("rng"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("prefix"))
+    } else {
+      // Bounded driver fetch: one (range, sum) row per id range.
+      val rangeSums = rangeAgg.orderBy(col("rng")).collect()
+      var acc = 0L
+      val prefixRows = rangeSums.map { r =>
+        val p = acc; acc += r.getLong(1); Row(r.getLong(0), p)
+      }
+      broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(prefixRows.toSeq, 1),
+        StructType(Seq(StructField("rng", LongType, nullable = false),
+          StructField("prefix", LongType, nullable = false)))))
     }
-    val prefixDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(prefixRows.toSeq, 1),
-      StructType(Seq(StructField("rng", LongType, nullable = false),
-        StructField("prefix", LongType, nullable = false))))
     val w = Window.partitionBy(col("rng")).orderBy(col("id"))
-    tc.join(broadcast(prefixDf), Seq("rng"))
+    tc.join(prefixDf, Seq("rng"))
       .withColumn("cum_end", col("prefix") + sum(col("n_toks")).over(w))
       .withColumn("bin", expr(s"(cum_end - n_toks) div $capacity"))
       // where in its window the doc STARTS — the dataloader needs this to

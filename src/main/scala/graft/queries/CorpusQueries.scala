@@ -37,6 +37,15 @@ object CorpusQueries {
       Packing.packSequences(docs(s, dir), "text", "doc_id", capacity = 2048)
         .orderBy("id")),
 
+    // Same packing, driver-free: the range-level prefix sum runs as a
+    // second Spark window instead of a driver collect — the 100 TB path.
+    // Gated against the SAME oracle as p_pack_sequences, which IS the
+    // two-path parity proof at both verify scales.
+    "p_pack_dist" -> ((s, dir) =>
+      Packing.packSequences(docs(s, dir), "text", "doc_id", capacity = 2048,
+          distributedPrefix = true)
+        .orderBy("id")),
+
     // Deterministic per-source downsampling via a portable md5 draw.
     "p_mix_sources" -> ((s, dir) =>
       Packing.mixSources(docs(s, dir), "doc_id", "source", mixRates)
@@ -455,6 +464,18 @@ object CorpusQueries {
 
   val oracle: Map[String, String] = Map(
     "p_pack_sequences" ->
+      """SELECT id, n_toks, (cum_end - n_toks) // 2048 AS bin,
+        |  (cum_end - n_toks) % 2048 AS bin_off FROM (
+        |  SELECT doc_id AS id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+')))
+        |         OVER (ORDER BY doc_id) AS BIGINT) AS cum_end
+        |  FROM documents)
+        |ORDER BY id""".stripMargin,
+
+    // identical math to p_pack_sequences — the distributed-prefix path
+    // must be indistinguishable by result
+    "p_pack_dist" ->
       """SELECT id, n_toks, (cum_end - n_toks) // 2048 AS bin,
         |  (cum_end - n_toks) % 2048 AS bin_off FROM (
         |  SELECT doc_id AS id,

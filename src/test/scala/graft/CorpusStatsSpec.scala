@@ -32,6 +32,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("packSequences distributed prefix matches the driver-collect path exactly") {
+    val df = Tables.load(spark, sf0, "documents")
+    val driver = Packing.packSequences(df, "text", "doc_id", capacity = 2048)
+      .orderBy("id").collect().toSeq
+    val dist = Packing.packSequences(df.repartition(5), "text", "doc_id",
+        capacity = 2048, rangeSize = 17, distributedPrefix = true)
+      .orderBy("id").collect().toSeq
+    assert(driver == dist)
+    // and no collect happens on the distributed path's plan: the prefix
+    // subtree must be a Window, not a LogicalRDD from parallelize
+    val plan = Packing.packSequences(df, "text", "doc_id", capacity = 2048,
+      distributedPrefix = true).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LogicalRDD"), plan)
+  }
+
   test("packSequences bins are contiguous and capacity-consistent") {
     // every bin's token span must start strictly inside the bin (first
     // token offset < (bin+1)*capacity) — i.e. assignment matches the tape.
