@@ -134,4 +134,33 @@ object AvroExprs {
 
   def to_avro_binary(data: Column, schemaJson: String): Column =
     GraftBridge.column(AvroEncode(GraftBridge.expression(data), schemaJson))
+
+  /** Confluent schema-registry wire framing: 1 magic byte 0x00 + 4-byte
+    * big-endian schema id + the Avro binary payload — what the
+    * reference's KafkaAvroSerializer default produces on every publish
+    * (KafkaDataProducerCommandBuilder.java:253-254). Pure built-ins
+    * (hex/lpad/unhex/concat), so framing stays in whole-stage codegen.
+    * Null payloads stay null (a tombstone is not framed).
+    */
+  def confluent_frame(payload: Column, schemaId: Column): Column = {
+    import org.apache.spark.sql.functions._
+    when(payload.isNull, lit(null).cast("binary")).otherwise(
+      concat(lit(Array[Byte](0)),
+        unhex(lpad(hex(schemaId.cast("int")), 8, "0")), payload))
+  }
+
+  /** Inverse of [[confluent_frame]]: (schema_id, payload) from a framed
+    * value. Rejects nothing at plan time — a malformed frame (wrong magic
+    * or too short) yields a null struct so bad records are filterable,
+    * matching the engine's parser null-contract.
+    */
+  def confluent_unframe(framed: Column): Column = {
+    import org.apache.spark.sql.functions._
+    when(framed.isNull || length(framed) < 5 ||
+        substring(framed, 1, 1) =!= lit(Array[Byte](0)),
+      lit(null).cast("struct<schema_id:int,payload:binary>")).otherwise(
+      struct(
+        conv(hex(substring(framed, 2, 4)), 16, 10).cast("int").as("schema_id"),
+        substring(framed, 6, Int.MaxValue).as("payload")))
+  }
 }

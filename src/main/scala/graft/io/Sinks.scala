@@ -162,12 +162,22 @@ object Sinks {
                                 key: org.apache.spark.sql.Column,
                                 valueField: String, schemaField: String,
                                 batchSize: Int = 1000,
-                                maxSchemas: Int = 16): DataFrame = {
+                                maxSchemas: Int = 16,
+                                registryIds: Map[String, Int] = Map.empty): DataFrame = {
     val schemas = df.select(col(schemaField)).filter(col(schemaField).isNotNull)
       .distinct().limit(maxSchemas + 1).collect().map(_.getString(0)).toSeq
     require(schemas.size <= maxSchemas,
       s"valueSchemaField '$schemaField' carries more than $maxSchemas " +
         "distinct schemas; per-record dispatch requires a bounded schema set")
+    // Registry wire format (the reference's KafkaAvroSerializer default,
+    // KafkaDataProducerCommandBuilder.java:253-254): when the caller
+    // supplies schema->registry-id assignments, every encoded value is
+    // framed magic 0x00 + 4-byte BE id + payload. The id map is the
+    // client-side registry cache; requiring full coverage up front beats
+    // discovering a missing id per-record on an executor.
+    require(registryIds.isEmpty || schemas.forall(registryIds.contains),
+      s"registryIds must cover every schema in '$schemaField': missing " +
+        schemas.filterNot(registryIds.contains).mkString(", "))
     val isJsonString =
       df.schema(valueField).dataType == org.apache.spark.sql.types.StringType
     // Single-pass dispatch (the conformByField pattern): the per-schema
@@ -183,8 +193,11 @@ object Sinks {
           from_json(col(valueField),
             graft.functions.Conform.parseAvro(sj).dataType)
         else col(valueField)
-      when(col(schemaField) === sj,
-        graft.exprs.AvroExprs.to_avro_binary(typed, sj)).otherwise(acc)
+      val enc = graft.exprs.AvroExprs.to_avro_binary(typed, sj)
+      val wire = registryIds.get(sj)
+        .map(id => graft.exprs.AvroExprs.confluent_frame(enc, lit(id)))
+        .getOrElse(enc)
+      when(col(schemaField) === sj, wire).otherwise(acc)
     }
     val staged = df.withColumn("_kp_topic", topic)
       .withColumn("_kp_key", key).withColumn("_kp_value", valueCol)

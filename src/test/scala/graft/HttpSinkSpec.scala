@@ -193,6 +193,47 @@ class HttpSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("registry wire format: framed avro values carry magic 0x00 + BE schema id") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import org.apache.spark.sql.functions._
+    val schema =
+      """{"type":"record","name":"r","fields":[{"name":"v","type":"long"}]}"""
+    val framed = spark.range(1).select(
+      graft.exprs.AvroExprs.confluent_frame(
+        graft.exprs.AvroExprs.to_avro_binary(struct(lit(259L).as("v")), schema),
+        lit(66052)).as("w")).head().getAs[Array[Byte]]("w")
+    // frame: magic 0, id 66052 = 0x00010204 big-endian, then the payload
+    assert(framed(0) == 0x00.toByte)
+    assert(framed.slice(1, 5).toSeq ==
+      Seq(0x00.toByte, 0x01.toByte, 0x02.toByte, 0x04.toByte))
+    val payload = framed.drop(5)
+    assert(payload.toSeq ==
+      Seq(0x86.toByte, 0x04.toByte), "zigzag varint 259 = 0x86 0x04")
+    // unframe inverts exactly; a wrong magic nulls out as a bad record
+    val back = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(framed, framed.updated(0, 1.toByte))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("good",
+            org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.types.StructField("bad",
+            org.apache.spark.sql.types.BinaryType))))
+      .select(graft.exprs.AvroExprs.confluent_unframe(col("good")).as("g"),
+        graft.exprs.AvroExprs.confluent_unframe(col("bad")).as("b"))
+      .head()
+    val g = back.getStruct(0)
+    assert(g.getInt(0) == 66052)
+    assert(g.getAs[Array[Byte]](1).toSeq == payload.toSeq)
+    assert(back.isNullAt(1), "wrong magic must yield a filterable null")
+    // and the framed bytes survive the REST-proxy wire verbatim
+    withStub(Seq((200, "{}"))) { (url, hits) =>
+      HttpSenders.restProxyKafkaSender(url)(Seq(("t", null, framed)))
+      val v = mapper.readTree(hits.get(0).body).get("records").get(0)
+        .get("value").asText()
+      assert(java.util.Base64.getDecoder.decode(v).toSeq == framed.toSeq)
+    }
+  }
+
   test("solr locator drives loadSolr batch boundaries") {
     // SolrEnv-level check (no HTTP): locator batchSize must bound every
     // sender invocation — the batch/commitWithin contract of
