@@ -149,7 +149,20 @@ object Dedup {
       .foldLeft(col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
         // length filter: J >= t forces t·|B| <= |A| and t·|A| <= |B|
         col("a.sz").cast("double") >= lit(tEff) * col("b.sz").cast("double") &&
-        col("b.sz").cast("double") >= lit(tEff) * col("a.sz").cast("double"))(_ && _)
+        col("b.sz").cast("double") >= lit(tEff) * col("a.sz").cast("double") &&
+        // POSITIONAL filter (PPJoin, Xiao et al. WWW 2008 §3.2): J >= t
+        // forces overlap >= t/(1+t)·(|A|+|B|); a shared token at sorted
+        // ranks (i, j) caps the overlap at 1 + min(|A|-i, |B|-j), since
+        // every other shared token sorts after it for the FIRST shared
+        // token. Using tEff keeps the bound conservative (a true pair's
+        // first shared-token row always survives), so candidates shrink
+        // but the result set cannot — at low thresholds, where the
+        // pigeonhole prefix barely prunes, this is the filter doing the
+        // real work before the candidate shuffle.
+        (lit(1) + least(col("a.sz") - col("a.__rn"),
+            col("b.sz") - col("b.__rn"))).cast("double") >=
+          lit(tEff / (1 + tEff)) *
+            (col("a.sz") + col("b.sz")).cast("double"))(_ && _)
     // Candidate dedup ("pairs sharing several prefix shingles verify
     // once") is an id_a-keyed collect_set rather than a pairwise
     // distinct(): the partial aggregate still dedupes map-side like
@@ -201,14 +214,23 @@ object Dedup {
                             blockCols: Seq[String] = Nil, shingleSize: Int = 3,
                             threshold: Double = 0.8): DataFrame = {
     val tEff = threshold - 1e-6
-    val (base, toks, prefix) =
-      shinglePrefixRelations(df, textCol, idCol, blockCols, shingleSize, tEff)
+    val (base, ranked, prefix) =
+      shinglePrefixRelations(df, textCol, idCol, blockCols, shingleSize, tEff,
+        cacheRanked = true)
     // containment prunes ONLY the smaller side (the prefix); the larger
-    // side keeps its full posting list
-    val a = prefix.alias("a"); val b = toks.alias("b")
+    // side keeps its full posting list — ranked, so the positional filter
+    // below can bound the remaining overlap on BOTH sides
+    val a = prefix.alias("a"); val b = ranked.alias("b")
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.tok") === col("b.tok") &&
-        col("a.id") =!= col("b.id") && col("a.sz") <= col("b.sz"))(_ && _)
+        col("a.id") =!= col("b.id") && col("a.sz") <= col("b.sz") &&
+        // positional filter, containment form: overlap must reach
+        // tEff·|A| (A the smaller side); a shared token at ranks (i, j)
+        // caps it at 1 + min(|A|-i, |B|-j) — exact for the same
+        // first-shared-token reason as the jaccard form
+        (lit(1) + least(col("a.sz") - col("a.__rn"),
+            col("b.sz") - col("b.__rn"))).cast("double") >=
+          lit(tEff) * col("a.sz").cast("double"))(_ && _)
     // Same id_a-keyed candidate dedup as jaccardPairsExact: the
     // collect_set aggregate replaces a pairwise distinct() so the
     // candidate relation leaves its one exchange already partitioned on
@@ -243,7 +265,7 @@ object Dedup {
     */
   private def shinglePrefixRelations(df: DataFrame, textCol: String,
       idCol: String, blockCols: Seq[String], shingleSize: Int,
-      tEff: Double): (DataFrame, DataFrame, DataFrame) = {
+      tEff: Double, cacheRanked: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     val blocks = blockCols.map(col)
     val base = graft.CacheScope.cache(
       df.select((col(idCol).as("id") +: blocks :+
@@ -251,19 +273,25 @@ object Dedup {
       .filter(size(col("sh")) > 0))
     // toks is deliberately NOT cached: it is the one corpus-sized
     // relation here (every shingle OCCURRENCE), and each of its consumers
-    // (freq aggregate, prefix join, containment posting join) re-derives
-    // it from cached `base` with a scan-stage explode — cheaper than
-    // writing the exploded corpus to storage, and at 100 TB materializing
-    // it would dwarf the documents themselves.
+    // re-derives it from cached `base` with a scan-stage explode —
+    // cheaper than writing the exploded corpus to storage, and at 100 TB
+    // materializing it would dwarf the documents themselves.
     val toks = base.select((col("id") +: blocks :+ size(col("sh")).as("sz") :+
         explode(col("sh")).as("tok")): _*)
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("id")).orderBy(col("cnt"), col("tok"))
-    val prefix = graft.CacheScope.cache(toks.join(freq, "tok")
+    // Every token occurrence with its per-doc rank under the one global
+    // frequency-ascending (cnt, tok) order — the order both the prefix
+    // pigeonhole AND the PPJoin positional filter are defined against.
+    // Cached only when the caller consumes it beyond the prefix filter
+    // (the containment posting side); the jaccard path reads it once.
+    val ranked0 = toks.join(freq, "tok")
       .withColumn("__rn", row_number().over(w))
+    val ranked = if (cacheRanked) graft.CacheScope.cache(ranked0) else ranked0
+    val prefix = graft.CacheScope.cache(ranked
       .filter(col("__rn") <=
         col("sz") - floor(lit(tEff) * col("sz")).cast("int") + 1))
-    (base, toks, prefix)
+    (base, ranked, prefix)
   }
 
   /** Per-document fraction of sentences duplicated elsewhere in the corpus —
