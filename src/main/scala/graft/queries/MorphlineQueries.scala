@@ -362,6 +362,30 @@ object MorphlineQueries {
         .orderBy("id")
     }),
 
+    // Registry wire-format roundtrip: frame the Avro-encoded record with
+    // the Confluent 5-byte header, unframe, decode — schema_id, payload
+    // text, and the constant 5-byte overhead all oracle-checked.
+    "m_confluent_wire" -> ((s, dir) => {
+      val schema =
+        """{"type":"record","name":"d","fields":[
+          |{"name":"doc_id","type":"long"},{"name":"text","type":"string"}]}"""
+          .stripMargin
+      val d = Tables.load(s, dir, "documents")
+      val framed = graft.exprs.AvroExprs.confluent_frame(
+        graft.exprs.AvroExprs.to_avro_binary(
+          struct(col("doc_id"), col("text")), schema),
+        (col("doc_id") % 1000 + 1).cast("int"))
+      d.select(col("doc_id"), framed.as("w"))
+        .select(col("doc_id"), col("w"),
+          graft.exprs.AvroExprs.confluent_unframe(col("w")).as("u"))
+        .select(col("doc_id"),
+          col("u.schema_id").as("schema_id"),
+          md5(graft.exprs.AvroExprs.from_avro_binary(col("u.payload"), schema)
+            .getField("text")).as("text_md5"),
+          (length(col("w")) - length(col("u.payload"))).as("overhead"))
+        .orderBy("doc_id")
+    }),
+
     // extractJsonTree/extractAvroTree: recursive flatten of a nested struct.
     "m_extract_tree" -> ((s, dir) => {
       val nested = events(s, dir).select(col("event_id"),
@@ -560,6 +584,12 @@ object MorphlineQueries {
     "m_avro_roundtrip" ->
       """SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
         |FROM customer ORDER BY id""".stripMargin,
+    // the wire roundtrip must reproduce the source text and the declared
+    // schema id; the registry frame is 5 bytes by definition
+    "m_confluent_wire" ->
+      """SELECT doc_id, CAST(doc_id % 1000 + 1 AS INTEGER) AS schema_id,
+        |  md5(text) AS text_md5, 5 AS overhead
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "m_extract_tree" ->
       """SELECT event_id, event_type AS tree_type, user_id AS tree_user_id,
         |  value AS tree_user_v

@@ -120,6 +120,38 @@ object GraftSqlExtensions {
         arity("graft_nfc", args, 1)
         TextExprs.NfcNormalize(args.head)
       }, className = "graft.exprs.TextExprs", group = "string_funcs"),
+    desc("graft_confluent_frame",
+      "graft_confluent_frame(payload, schemaId) - registry wire format: 0x00 + BE id + payload", { args =>
+        arity("graft_confluent_frame", args, 2)
+        // Built from catalyst nodes directly: a Column-composition
+        // bridged back into the registry arrives as an unevaluable
+        // ColumnNodeExpression (never analyzed inside a builder).
+        import org.apache.spark.sql.catalyst.expressions._
+        import org.apache.spark.sql.types.{BinaryType, IntegerType}
+        val payload = args.head
+        val beId = Unhex(StringLPad(Hex(Cast(args(1), IntegerType)),
+          Literal(8), Literal("0")))
+        If(IsNull(payload), Literal(null, BinaryType),
+          Concat(Seq(Literal(Array[Byte](0), BinaryType), beId, payload)))
+      }, className = "graft.exprs.AvroExprs"),
+    desc("graft_confluent_unframe",
+      "graft_confluent_unframe(framed) - (schema_id, payload) from registry wire format; null on bad frame", { args =>
+        arity("graft_confluent_unframe", args, 1)
+        import org.apache.spark.sql.catalyst.expressions._
+        import org.apache.spark.sql.types._
+        val framed = args.head
+        val sid = Cast(Conv(Hex(Substring(framed, Literal(2), Literal(4))),
+          Literal(16), Literal(10)), IntegerType)
+        val pay = Substring(framed, Literal(6), Literal(Int.MaxValue))
+        val out = CreateNamedStruct(Seq(Literal("schema_id"), sid,
+          Literal("payload"), pay))
+        val bad = Or(Or(IsNull(framed), LessThan(Length(framed), Literal(5))),
+          Not(EqualTo(Substring(framed, Literal(1), Literal(1)),
+            Literal(Array[Byte](0), BinaryType))))
+        If(bad, Literal(null, StructType(Seq(
+            StructField("schema_id", IntegerType),
+            StructField("payload", BinaryType)))), out)
+      }, className = "graft.exprs.AvroExprs"),
     desc("graft_nearest_centroid",
       "graft_nearest_centroid(vec, array(array(..), ..)) - index of nearest centroid (squared L2, ties low)", { args =>
         arity("graft_nearest_centroid", args, 2)

@@ -21,7 +21,7 @@ class SqlExtensionsSpec extends SparkSpec {
     val names = GraftBridge.injectedFunctionNames(new GraftSqlExtensions()(_))
     val expected = GraftSqlExtensions.functions.map(_._1.funcName).toSet
     assert(expected.subsetOf(names.toSet), s"missing: ${expected -- names.toSet}")
-    assert(expected.size == 10)
+    assert(expected.size == 12)
   }
 
   test("graft_nearest_centroid assigns cells from a nested array literal") {
@@ -88,6 +88,19 @@ class SqlExtensionsSpec extends SparkSpec {
     assert(chain(err).exists(_.getMessage != null) &&
       chain(err).exists(t => t.getMessage != null &&
         t.getMessage.contains("3 dims")), err.getMessage)
+  }
+
+  test("graft_confluent_frame/unframe roundtrip via SQL") {
+    installed
+    val out = spark.sql(
+      """SELECT graft_confluent_unframe(
+        |         graft_confluent_frame(CAST('payload' AS BINARY), 42)) AS u,
+        |       graft_confluent_unframe(CAST('nosuchframe' AS BINARY)) AS bad
+        |""".stripMargin).head()
+    val u = out.getStruct(0)
+    assert(u.getInt(0) == 42)
+    assert(new String(u.getAs[Array[Byte]](1), "UTF-8") == "payload")
+    assert(out.isNullAt(1), "malformed frame must be a filterable null")
   }
 
   test("SQL results match the Column API on real corpus text") {
