@@ -519,6 +519,44 @@ object Dedup {
       .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
+  /** The eval-side contamination report — [[decontaminate]] transposed:
+    * for every EVAL document, how many of its distinct word `n`-grams
+    * also occur anywhere in the training corpus, and the overlap
+    * fraction. This is the number a benchmark card publishes ("x% of
+    * GSM8K 8-grams appear in the training set" — the train-test overlap
+    * appendix of Brown et al. 2020); [[decontaminate]] answers "which
+    * training docs do I drop", this answers "how burned is each eval
+    * item".
+    *
+    * 100 TB shape: the corpus side reduces to distinct 16-byte digests
+    * STREAMED through a broadcast-hash semi join keyed by the (small)
+    * eval set's digests — the corpus is never collected, shuffled on
+    * text, or grouped; only the matched digests (bounded by the eval
+    * set's size) reach the per-eval-doc count.
+    */
+  def evalOverlapReport(corpus: DataFrame, textCol: String,
+                        bench: DataFrame, benchTextCol: String,
+                        benchIdCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = bench.select(col(benchIdCol).as("id"),
+        explode(TextAnalysis.wordShingles(col(benchTextCol), n)).as("sh"))
+      .select(col("id"), md5(col("sh")).as("h")).distinct()
+    val evalDigests = evalGrams.select(col("h")).distinct()
+    // corpus grams matched by ANY eval digest: a broadcast semi join the
+    // corpus side streams through; output ≤ |eval digests|
+    val hitDigests = corpus
+      .select(explode(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
+      .select(md5(col("sh")).as("h"))
+      .join(broadcast(evalDigests), Seq("h"), "left_semi").distinct()
+    evalGrams
+      .join(hitDigests.withColumn("__hit", lit(1)), Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("__hit"), lit(0)))
+        .as("n_overlap"))
+      .select(col("id"), col("n_grams"), col("n_overlap"),
+        round(col("n_overlap").cast("double") /
+          col("n_grams").cast("double"), 6).as("overlap_frac"))
+  }
+
   /** Bloom-filter decontamination — the broadcast-a-FILTER variant of
     * [[decontaminate]] for when even the distinct eval-set digest relation
     * is too large to ship: the benchmark's word n-grams compress into an

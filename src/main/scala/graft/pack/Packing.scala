@@ -76,6 +76,40 @@ object Packing {
       .select(col("id"), col("n_toks"), col("bin"), col("bin_off"))
   }
 
+  /** Length-quantile bucket assignment — the dynamic-batching /
+    * curriculum dimension every dataloader wants: group documents of
+    * similar token length so a batch pads to its bucket's max, not the
+    * corpus max. Returns (id, n_toks, bucket) with `buckets` roughly
+    * equal-population buckets, every same-length document in the SAME
+    * bucket (the boundary is drawn between length values, never through
+    * one), assignment by the length histogram's cumulative midpoint.
+    *
+    * Why not `ntile` over the corpus: a global per-row window funnels
+    * 100 TB of rows through ONE task. The scale shape here is two-level
+    * like [[packSequences]]: the corpus reduces to a LENGTH HISTOGRAM
+    * (map-side combined; bounded by distinct lengths, ~10^4 rows however
+    * large the corpus), the cumulative runs over that dimension-sized
+    * relation, and docs join the (length -> bucket) map back by length.
+    */
+  def lengthBuckets(df: DataFrame, textCol: String, idCol: String,
+                    buckets: Int = 8): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val tc = df.select(col(idCol).cast("long").as("id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_toks"))
+    val hist = tc.groupBy(col("n_toks")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("n_toks"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = Window.orderBy(col("n_toks"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lengthToBucket = hist.select(col("n_toks"),
+      least(floor((coalesce(sum(col("c")).over(w), lit(0L)) +
+          col("c") / lit(2)).cast("double") * lit(buckets) /
+          sum(col("c")).over(total).cast("double")),
+        lit(buckets - 1)).cast("int").as("bucket"))
+    tc.join(lengthToBucket, Seq("n_toks"))
+      .select(col("id"), col("n_toks"), col("bucket"))
+  }
+
   /** Temperature-scaled mixture weights per source — the domain-
     * reweighting formula multilingual/multi-source corpora use (the
     * mBERT/XLM-R exponential-smoothing recipe; The Pile's per-set epoch

@@ -46,6 +46,13 @@ object CorpusQueries {
           distributedPrefix = true)
         .orderBy("id")),
 
+    // Length-quantile bucketing for dynamic batching: histogram-based
+    // two-level assignment (never a corpus-wide ntile window).
+    "p_length_buckets" -> ((s, dir) =>
+      Packing.lengthBuckets(docs(s, dir), "text", "doc_id", buckets = 8)
+        .select(col("id").as("doc_id"), col("n_toks"), col("bucket"))
+        .orderBy("doc_id")),
+
     // Deterministic per-source downsampling via a portable md5 draw.
     "p_mix_sources" -> ((s, dir) =>
       Packing.mixSources(docs(s, dir), "doc_id", "source", mixRates)
@@ -484,6 +491,23 @@ object CorpusQueries {
         |         OVER (ORDER BY doc_id) AS BIGINT) AS cum_end
         |  FROM documents)
         |ORDER BY id""".stripMargin,
+
+    // same histogram-midpoint arithmetic, same op order (mid*8 then /total)
+    "p_length_buckets" ->
+      """WITH tc AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |hist AS (SELECT n_toks, count(*) AS c FROM tc GROUP BY n_toks),
+        |map AS (
+        |  SELECT n_toks, CAST(least(floor(
+        |      CAST(coalesce(sum(c) OVER (ORDER BY n_toks
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        + CAST(c AS DOUBLE) / 2.0 AS DOUBLE) * 8
+        |      / CAST(sum(c) OVER () AS DOUBLE)), 7) AS INTEGER) AS bucket
+        |  FROM hist)
+        |SELECT tc.doc_id, tc.n_toks, m.bucket
+        |FROM tc JOIN map m USING (n_toks) ORDER BY tc.doc_id""".stripMargin,
 
     "p_mix_sources" ->
       """SELECT doc_id, source FROM documents

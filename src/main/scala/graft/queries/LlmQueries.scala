@@ -191,6 +191,18 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Eval-side contamination report (decontaminate transposed): per
+    // eval doc (0-4), the fraction of its distinct 8-grams found anywhere
+    // in the rest of the corpus — the benchmark-card overlap number.
+    "d_eval_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.evalOverlapReport(d.filter(col("doc_id") >= 5), "text",
+          d.filter(col("doc_id") < 5), "text", "doc_id", n = 8)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_overlap"),
+          col("overlap_frac"))
+        .orderBy("doc_id")
+    }),
+
     // N-gram novelty vs a reference corpus (memorization audit): the
     // fraction of a doc's distinct 3-grams ABSENT from the reference —
     // reference docs score ~0, genuinely new text scores near 1.
@@ -1001,6 +1013,27 @@ object LlmQueries {
         |SELECT d.doc_id, coalesce(h.n, CAST(0 AS BIGINT)) AS n_hits
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // same 8-gram construction as d_decontaminate, transposed to the
+    // eval side; overlap_frac divides exact distinct counts
+    "d_eval_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(t) - 8, 0) + 2),
+        |      i -> array_to_string(t[i:i+7], ' ')))) AS s
+        |  FROM toks WHERE len(t) > 0),
+        |corpus AS (SELECT DISTINCT s FROM sh WHERE doc_id >= 5),
+        |ev AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id < 5)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN s IN (SELECT s FROM corpus) THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        |  CAST(round(CAST(sum(CASE WHEN s IN (SELECT s FROM corpus) THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS overlap_frac
+        |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // same shingle construction as d_decontaminate at n=3; novelty is a
     // double division of exact distinct counts, rounded after
     "t_ngram_novelty" ->

@@ -81,6 +81,36 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(ids1.size - 200) < 60) // md5 draw ≈ uniform
   }
 
+  test("lengthBuckets: monotone in length, same-length together, roughly equal population") {
+    val df = Tables.load(spark, sf0, "documents")
+    val out = Packing.lengthBuckets(df, "text", "doc_id", buckets = 8)
+      .select("n_toks", "bucket").as[(Long, Int)].collect().toSeq
+    // same length -> same bucket, and bucket is monotone in length
+    val byLen = out.distinct.sortBy(_._1)
+    assert(byLen.map(_._1).distinct.size == byLen.size,
+      "a length value must map to exactly one bucket")
+    assert(byLen.map(_._2) == byLen.map(_._2).sorted)
+    // populations within 3x of each other (histogram-midpoint assignment
+    // can't split a length value across buckets, so exact eighths are
+    // impossible; gross skew would mean the cumulative math is wrong)
+    val pops = out.groupBy(_._2).map(_._2.size)
+    assert(pops.size == 8 && pops.max <= 3 * pops.min, pops.toString)
+  }
+
+  test("evalOverlapReport: contained eval scores 1.0, disjoint eval scores 0.0") {
+    val corpus = Tables.load(spark, sf0, "documents").select("doc_id", "text")
+    val contained = graft.dedup.Dedup.evalOverlapReport(
+      corpus.filter(col("doc_id") >= 5), "text",
+      corpus.filter(col("doc_id") >= 5 && col("doc_id") < 8), "text", "doc_id")
+    assert(contained.select("overlap_frac").as[Double].collect()
+      .forall(_ == 1.0), "an eval doc drawn from the corpus is 100% burned")
+    val disjoint = graft.dedup.Dedup.evalOverlapReport(
+      corpus, "text",
+      Seq((1L, "zq xv qx vz zx qv xq vq zv qz wq")).toDF("doc_id", "text"),
+      "text", "doc_id")
+    assert(disjoint.select("overlap_frac").as[Double].collect().toSeq == Seq(0.0))
+  }
+
   test("sampling and split draws are seed-independent: a mixed corpus still splits") {
     // mixSources at 500 permille keeps only rows with draw(42) % 1000 <
     // 500; a split thresholded on the SAME seed's draw would then put
