@@ -110,6 +110,41 @@ object Packing {
       .select(col("id"), col("n_toks"), col("bucket"))
   }
 
+  /** Budget-capped quality selection: keep the highest-scoring documents
+    * whose token counts fit a total training budget — the "take the best
+    * N tokens" curation cut every fixed-compute pretraining run makes
+    * after scoring. A document is kept iff it fits ENTIRELY within the
+    * remaining budget at its position in (score desc, id asc) order, so
+    * the kept set is a deterministic prefix of the quality ranking.
+    * Returns (id, n_toks, score, cum_end) for kept documents only.
+    *
+    * Scale shape: the cumulative-tokens-by-rank sum reuses the two-level
+    * scan of [[packSequences]], with SCORE QUANTILES as the ranges: the
+    * corpus reduces to a per-rounded-score token histogram
+    * (dimension-sized — scores arrive rounded to a few decimals), the
+    * range prefix runs over that histogram in descending score order, and
+    * within-range cumsums window per rounded score. A corpus where many
+    * docs share one rounded score puts them in one window partition — the
+    * caller controls that granularity through the score's rounding, the
+    * same knob as packSequences' rangeSize.
+    */
+  def selectWithinBudget(df: DataFrame, textCol: String, idCol: String,
+                         scoreCol: String, budgetTokens: Long): DataFrame = {
+    val tc = df.select(col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("score"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_toks"))
+    val rangeAgg = tc.groupBy(col("score")).agg(sum(col("n_toks")).as("rs"))
+    // prefix of all STRICTLY BETTER scores (descending order)
+    val prefix = rangeAgg.select(col("score"),
+      coalesce(sum(col("rs")).over(Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("prefix"))
+    val w = Window.partitionBy(col("score")).orderBy(col("id"))
+    tc.join(prefix, Seq("score"))
+      .withColumn("cum_end", col("prefix") + sum(col("n_toks")).over(w))
+      .filter(col("cum_end") <= budgetTokens)
+      .select(col("id"), col("n_toks"), col("score"), col("cum_end"))
+  }
+
   /** Temperature-scaled mixture weights per source — the domain-
     * reweighting formula multilingual/multi-source corpora use (the
     * mBERT/XLM-R exponential-smoothing recipe; The Pile's per-set epoch

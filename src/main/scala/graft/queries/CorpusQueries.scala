@@ -53,6 +53,19 @@ object CorpusQueries {
         .select(col("id").as("doc_id"), col("n_toks"), col("bucket"))
         .orderBy("doc_id")),
 
+    // Budget-capped quality selection: keep the best-scoring docs that
+    // fit a 15k-token training budget — a deterministic prefix of the
+    // (quality desc, id) ranking via the two-level cumsum.
+    "p_budget_select" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"), col("text"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("q"))
+      Packing.selectWithinBudget(scored, "text", "doc_id", "q",
+          budgetTokens = 15000L)
+        .select(col("id").as("doc_id"), col("n_toks"), col("score"),
+          col("cum_end"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic per-source downsampling via a portable md5 draw.
     "p_mix_sources" -> ((s, dir) =>
       Packing.mixSources(docs(s, dir), "doc_id", "source", mixRates)
@@ -508,6 +521,29 @@ object CorpusQueries {
         |  FROM hist)
         |SELECT tc.doc_id, tc.n_toks, m.bucket
         |FROM tc JOIN map m USING (n_toks) ORDER BY tc.doc_id""".stripMargin,
+
+    // the t_quality_score expression ranked desc, cumulative tokens over
+    // (score DESC, doc_id), kept while the doc fits the 15k budget
+    "p_budget_select" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(round(
+        |      (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+        |      (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+        |         AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.3 THEN 1.0 ELSE 0.0 END) * 0.3 +
+        |      (CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |         x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |           'that','for','on','with','as','was','at','by','be','this'], x)))
+        |         AS DOUBLE) / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) > 0.01
+        |       THEN 1.0 ELSE 0.0 END) * 0.3, 4) AS DOUBLE) AS score,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_toks, score,
+        |    CAST(sum(n_toks) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS cum_end
+        |  FROM q)
+        |SELECT doc_id, n_toks, score, cum_end
+        |FROM c WHERE cum_end <= 15000 ORDER BY doc_id""".stripMargin,
 
     "p_mix_sources" ->
       """SELECT doc_id, source FROM documents

@@ -111,6 +111,34 @@ class CorpusStatsSpec extends SparkSpec {
     assert(disjoint.select("overlap_frac").as[Double].collect().toSeq == Seq(0.0))
   }
 
+  test("selectWithinBudget keeps a deterministic quality-ranking prefix that fits") {
+    val df = Tables.load(spark, sf0, "documents")
+    val scored = df.select(col("doc_id"), col("text"),
+      round(graft.text.TextAnalysis.qualityScore(col("text")), 4).as("q"))
+    val kept = Packing.selectWithinBudget(scored, "text", "doc_id", "q", 15000L)
+      .select("id", "n_toks", "score", "cum_end")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(kept.nonEmpty && kept.map(_._2).sum <= 15000L)
+    assert(kept.map(_._4).max <= 15000L)
+    // prefix property: every kept doc ranks (score desc, id asc) before
+    // every dropped doc OR the dropped doc wouldn't fit at its position
+    val keptIds = kept.map(_._1).toSet
+    val all = scored.select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("nt"),
+        col("q")).as[(Long, Long, Double)].collect()
+      .sortBy { case (id, _, q) => (-q, id) }
+    var cum = 0L
+    all.foreach { case (id, nt, _) =>
+      cum += nt
+      assert(keptIds.contains(id) == (cum <= 15000L),
+        s"doc $id: cum=$cum kept=${keptIds.contains(id)}")
+    }
+    // invariant to input layout
+    val kept2 = Packing.selectWithinBudget(scored.repartition(7), "text",
+      "doc_id", "q", 15000L).select("id").as[Long].collect().toSet
+    assert(kept2 == keptIds)
+  }
+
   test("sampling and split draws are seed-independent: a mixed corpus still splits") {
     // mixSources at 500 permille keeps only rows with draw(42) % 1000 <
     // 500; a split thresholded on the SAME seed's draw would then put
