@@ -106,7 +106,11 @@ object Packing {
           col("c") / lit(2)).cast("double") * lit(buckets) /
           sum(col("c")).over(total).cast("double")),
         lit(buckets - 1)).cast("int").as("bucket"))
-    tc.join(lengthToBucket, Seq("n_toks"))
+    // EXPLICIT broadcast: the map is bounded by distinct lengths, but its
+    // size ESTIMATE inherits the corpus aggregate's scan size (group
+    // count unknown pre-materialization) — the same lapse measured on the
+    // DSIR model join (10x exponent 1.15 as an SMJ).
+    tc.join(broadcast(lengthToBucket), Seq("n_toks"))
       .select(col("id"), col("n_toks"), col("bucket"))
   }
 
@@ -139,7 +143,9 @@ object Packing {
       coalesce(sum(col("rs")).over(Window.orderBy(col("score").desc)
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("prefix"))
     val w = Window.partitionBy(col("score")).orderBy(col("id"))
-    tc.join(prefix, Seq("score"))
+    // broadcast for the same estimate-lapse reason as lengthBuckets: the
+    // prefix relation is bounded by distinct rounded scores
+    tc.join(broadcast(prefix), Seq("score"))
       .withColumn("cum_end", col("prefix") + sum(col("n_toks")).over(w))
       .filter(col("cum_end") <= budgetTokens)
       .select(col("id"), col("n_toks"), col("score"), col("cum_end"))
