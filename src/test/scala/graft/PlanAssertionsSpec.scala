@@ -191,6 +191,22 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("dimension-sized map joins stay broadcast despite inherited scan estimates") {
+    // the size-estimate lapse (PLANS.md round-9): a bounded aggregate
+    // carries its child scan's estimate, so these joins MUST carry an
+    // explicit broadcast hint — assert the plan so a refactor can't lose it
+    for (q <- Seq("p_length_buckets", "p_budget_select", "t_dsir_weight")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: map join not broadcast:\n$p")
+    }
+  }
+
+  test("eval overlap: the corpus streams through a broadcast semi join") {
+    val p = plan("d_eval_overlap")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"corpus side must probe a broadcast eval set:\n$p")
+  }
+
   test("kafkaProduceBySchemaField compiles to a single scan of the input") {
     import spark.implicits._
     val sA = """{"type":"record","name":"A","fields":[{"name":"id","type":"long"}]}"""
