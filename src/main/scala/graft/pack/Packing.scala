@@ -134,9 +134,13 @@ object Packing {
     */
   def selectWithinBudget(df: DataFrame, textCol: String, idCol: String,
                          scoreCol: String, budgetTokens: Long): DataFrame = {
-    val tc = df.select(col(idCol).cast("long").as("id"),
+    // cached (caller-released): tc feeds the score histogram AND the join
+    // probe — uncached, the caller's (often regex-heavy) score expression
+    // evaluates once per consumer. Three slim columns.
+    val tc = graft.CacheScope.cache(
+      df.select(col(idCol).cast("long").as("id"),
         col(scoreCol).cast("double").as("score"),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_toks"))
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_toks")))
     val rangeAgg = tc.groupBy(col("score")).agg(sum(col("n_toks")).as("rs"))
     // prefix of all STRICTLY BETTER scores (descending order)
     val prefix = rangeAgg.select(col("score"),
