@@ -475,4 +475,68 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(out.head._4 - 2 * math.log(3)) < 1e-6)
     assert(out.forall(_._4 > 0.0), "zero-idf 'shared' must never appear")
   }
+
+  test("chunkDocs windows step by the stride; last chunk short; empty doc kept") {
+    // 10 tokens, maxToks=4, stride=3 → starts 0,3,6,9 with lens 4,4,4,1.
+    val text = (0 until 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
+    val out = Packing.chunkDocs(df, "text", "doc_id", maxToks = 4, stride = 3)
+      .orderBy("id", "chunk_id")
+      .select("id", "start_pos", "chunk_len").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq((1L, 0L, 4L), (1L, 3L, 4L), (1L, 6L, 4L), (1L, 9L, 1L),
+      (2L, 0L, 0L)))
+  }
+
+  test("pmiCollocations matches the hand-computed PMI on a tiny corpus") {
+    // doc1 pairs: (a,b)x3, (b,a)x2; doc2: (c,d)x1 → nBig=6.
+    // unigram positions: a:3 b:3 c:1 d:1 → nUni=8.
+    // PMI(a,b) = ln((3/6) / ((3/8)·(3/8))) = ln(32/9)
+    val df = Seq((1L, "a b a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    val out = CorpusStats.pmiCollocations(df, "text", "doc_id",
+        minCount = 2, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) ==
+      Seq(("a", "b", 3L), ("b", "a", 2L)))
+    assert(math.abs(out.head._4 - math.log(32.0 / 9.0)) < 1e-5)
+  }
+
+  test("sourceDivergence: a source distributed like the corpus has KL ~ 0") {
+    // when every source shares one token distribution the corpus blend
+    // equals each source → KL = 0 for all of them
+    val same = Seq(("s1", "x x y z"), ("s2", "x x y z")).toDF("source", "text")
+    val zero = CorpusStats.sourceDivergence(same, "text", "source", topV = 8)
+      .select("source", "kl").as[(String, Double)].collect().toMap
+    assert(math.abs(zero("s1")) < 1e-4 && math.abs(zero("s2")) < 1e-4)
+    // a skewed source shifts the blend: hand-computed KL(s1 ‖ corpus)
+    // with corpus x:4 y:2 z:8 and p_s1 = (.5,.25,.25) is
+    // 0.75·ln(1.75) − 0.25·ln(16/7) = 0.213042
+    val skew = Seq(("s1", "x x y z"), ("s2", "x x y z"),
+      ("s3", "z z z z z z")).toDF("source", "text")
+    val out = CorpusStats.sourceDivergence(skew, "text", "source", topV = 8)
+      .select("source", "kl").as[(String, Double)].collect().toMap
+    assert(out("s1") == out("s2"))
+    assert(math.abs(out("s1") - 0.213042) < 1e-5)
+    assert(out("s3") > 0.1)
+  }
+
+  test("readability expressions reproduce the Flesch formulas") {
+    // "The cat sat." → 3 words, 1 sentence, 3 syllables:
+    // FRE = 206.835 − 1.015·3 − 84.6·1 = 119.19; FK = 0.39·3 + 11.8 − 15.59
+    val df = Seq((1L, "The cat sat.")).toDF("doc_id", "text")
+    val out = df.select(
+        graft.text.TextAnalysis.asciiTokens(col("text")).as("toks"),
+        graft.text.TextAnalysis.sentenceCount(col("text")).as("ns"))
+      .select(size(col("toks")).as("nw"), col("ns"),
+        graft.text.TextAnalysis.syllableCount(col("toks")).as("sy"))
+      .select(col("nw"), col("ns"), col("sy"),
+        graft.text.TextAnalysis.fleschReadingEase(
+          col("nw"), col("ns"), col("sy")).as("fre"),
+        graft.text.TextAnalysis.fkGradeLevel(
+          col("nw"), col("ns"), col("sy")).as("fk"))
+      .as[(Int, Int, Int, Double, Double)].head()
+    assert(out._1 == 3 && out._2 == 1 && out._3 == 3)
+    assert(math.abs(out._4 - 119.19) < 1e-6)
+    assert(math.abs(out._5 - (0.39 * 3 + 11.8 - 15.59)) < 1e-6)
+  }
 }

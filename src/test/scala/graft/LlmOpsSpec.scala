@@ -482,4 +482,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1L) == "image/jpeg")
     assert(out(2L) == "application/octet-stream")
   }
+
+  test("urlDedup collapses tracking-param/case/fragment recrawls, keeps longest") {
+    val df = Seq(
+      (1L, "https://Example.com:443/a?utm_source=x&q=1#top", 100L),
+      (2L, "https://example.com/a?q=1", 250L), // same canonical, longer
+      (3L, "https://example.com/a?q=1&utm_campaign=y", 250L), // tie → id 2 wins
+      (4L, "http://example.com/b", 50L)) // distinct page
+      .toDF("doc_id", "url", "len")
+    val kept = Dedup.urlDedup(df, "url", "len", "doc_id")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L))
+  }
+
+  test("domainQualityFilter drops low-mean and too-thin hosts wholesale") {
+    val df = Seq(
+      (1L, "good.com", 0.9), (2L, "good.com", 0.8), (3L, "good.com", 0.7),
+      (4L, "bad.com", 0.2), (5L, "bad.com", 0.3), (6L, "bad.com", 0.4),
+      (7L, "thin.com", 0.99)) // above the floor but only 1 capture
+      .toDF("doc_id", "domain", "q")
+    val kept = Dedup.domainQualityFilter(df, "domain", "q", "doc_id",
+        minMeanQuality = 0.5, minDocs = 2L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L))
+  }
 }
