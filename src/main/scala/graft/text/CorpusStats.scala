@@ -510,26 +510,26 @@ object CorpusStats {
     * The standard collocation-mining step behind tokenizer vocab audits
     * and boilerplate phrase discovery.
     *
-    * Scale: the adjacent-pair derivation is a per-document window lag —
-    * partitioned by doc, never a global sort. Both count aggregates are
-    * map-side combined and vocabulary-bounded (pairs by observed bigrams,
-    * far under vocab² by Zipf); the two corpus totals are one-row
-    * aggregates read as driver scalars; the top-k is a TakeOrdered
-    * (per-partition heaps), not a global sort.
+    * Scale: adjacent pairs are INTRA-document, so they are derived
+    * array-locally in the scan stage (`zip_with` of the token array with
+    * its own 1-shift — no window, no per-doc sort, no exchange of token
+    * positions). Both count aggregates are map-side combined and
+    * vocabulary-bounded (pairs by observed bigrams, far under vocab² by
+    * Zipf); the two corpus totals are one-row aggregates read as driver
+    * scalars; the top-k is a TakeOrdered (per-partition heaps), not a
+    * global sort.
     */
   def pmiCollocations(df: DataFrame, textCol: String, idCol: String,
                       minCount: Int = 5, k: Int = 50): DataFrame = {
-    val t = toks(df, textCol, idCol)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("pos"))
-    // (id, pos, tok) cached: feeds the pair aggregate AND the unigram
+    // (id, toks) cached: feeds the pair aggregate AND the unigram
     // aggregate (caller-released via [[graft.CacheScope.releaseAll]])
-    val pos = graft.CacheScope.cache(
-      t.select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok"))))
-    val pairs = pos
-      .withColumn("prev", lag(col("tok"), 1).over(w))
-      .filter(col("prev").isNotNull)
-      .select(col("prev"), col("tok"))
+    val base = graft.CacheScope.cache(toks(df, textCol, idCol))
+    val pairs = base.select(explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("prev"), b.as("tok")))).as("pr"))
+      .select(col("pr.prev").as("prev"), col("pr.tok").as("tok"))
+    val pos = base.select(explode(col("toks")).as("tok"))
     val big = pairs.groupBy(col("prev"), col("tok"))
       .agg(count(lit(1)).as("cb"))
     val uni = pos.groupBy(col("tok")).agg(count(lit(1)).as("cu"))

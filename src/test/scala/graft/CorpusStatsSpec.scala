@@ -490,15 +490,17 @@ class CorpusStatsSpec extends SparkSpec {
 
   test("pmiCollocations matches the hand-computed PMI on a tiny corpus") {
     // doc1 pairs: (a,b)x3, (b,a)x2; doc2: (c,d)x1 → nBig=6.
-    // unigram positions: a:3 b:3 c:1 d:1 → nUni=8.
-    // PMI(a,b) = ln((3/6) / ((3/8)·(3/8))) = ln(32/9)
-    val df = Seq((1L, "a b a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    // unigram positions: a:3 b:3 c:1 d:1 solo:1 → nUni=9.
+    // PMI(a,b) = ln((3/6) / ((3/9)·(3/9))) = ln(4.5)
+    // the empty and single-token docs exercise the zero-length pair slice
+    val df = Seq((1L, "a b a b a b"), (2L, "c d"), (3L, ""), (4L, "solo"))
+      .toDF("doc_id", "text")
     val out = CorpusStats.pmiCollocations(df, "text", "doc_id",
         minCount = 2, k = 10)
       .as[(String, String, Long, Double)].collect().toSeq
     assert(out.map(r => (r._1, r._2, r._3)) ==
       Seq(("a", "b", 3L), ("b", "a", 2L)))
-    assert(math.abs(out.head._4 - math.log(32.0 / 9.0)) < 1e-5)
+    assert(math.abs(out.head._4 - math.log(4.5)) < 1e-5)
   }
 
   test("sourceDivergence: a source distributed like the corpus has KL ~ 0") {
