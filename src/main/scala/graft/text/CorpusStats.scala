@@ -483,8 +483,13 @@ object CorpusStats {
   def tfIdfTopK(df: DataFrame, textCol: String, idCol: String,
                 k: Int): DataFrame = {
     val t = toks(df, textCol, idCol)
-    val tf = t.select(col("id"), explode(col("toks")).as("term"))
-      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    // (id, term, tf) cached: the df aggregate reduces THIS relation and
+    // the scoring join consumes it again — without the cache the explode +
+    // aggregate subtree evaluates twice per call (caller-released via
+    // [[graft.CacheScope.releaseAll]])
+    val tf = graft.CacheScope.cache(
+      t.select(col("id"), explode(col("toks")).as("term"))
+        .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
