@@ -456,6 +456,21 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Two-stage PQ serving: ADC shortlist (R=20) then exact-cosine rerank
+    // to top-5 — exact math touches queries x 20 vectors, never the corpus.
+    "s_knn_pq_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = e.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      Similarity.pqKnnRerank(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 3), "vec_id", "embedding",
+          cb, m = 8, k = 5, shortlist = 20)
+        .select(col("qid"), col("id"), round(col("cosine"), 6).as("cos"),
+          col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // Int8 embedding quantization — verified via exact integer sum of the
     // quantized vector (list hashing across engines is brittle; the sum
     // pins every element's rounding).
@@ -880,6 +895,57 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY qid ORDER BY raw_adc, id) AS rank
         |  FROM scored)
         |SELECT qid, id, adc, rank FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // same PQ CTE chain as s_knn_pq up to the ADC ranking, shortlist
+    // R=20, then the s_knn_brute exact-cosine arithmetic on shortlisted
+    // (qid, id) pairs only; rank on raw cosine, ties to lowest id
+    "s_knn_pq_rerank" ->
+      """WITH cb AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < 4),
+        |sub AS (SELECT unnest(range(0, 8)) AS m),
+        |d AS (
+        |  SELECT e.vec_id, s.m, cb.c,
+        |    list_sum(list_transform(range(1, 9),
+        |      j -> (CAST(e.embedding[s.m * 8 + j] AS DOUBLE) - CAST(cb.cv[s.m * 8 + j] AS DOUBLE)) *
+        |           (CAST(e.embedding[s.m * 8 + j] AS DOUBLE) - CAST(cb.cv[s.m * 8 + j] AS DOUBLE)))) AS d2
+        |  FROM embeddings e CROSS JOIN cb CROSS JOIN sub s),
+        |code AS (
+        |  SELECT vec_id, m, c FROM (
+        |    SELECT vec_id, m, c,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+        |    FROM d) WHERE rn = 1),
+        |qt AS (
+        |  SELECT q.vec_id AS qid, s.m, cb.c,
+        |    list_sum(list_transform(range(1, 9),
+        |      j -> (CAST(q.embedding[s.m * 8 + j] AS DOUBLE) - CAST(cb.cv[s.m * 8 + j] AS DOUBLE)) *
+        |           (CAST(q.embedding[s.m * 8 + j] AS DOUBLE) - CAST(cb.cv[s.m * 8 + j] AS DOUBLE)))) AS t
+        |  FROM embeddings q CROSS JOIN cb CROSS JOIN sub s
+        |  WHERE q.vec_id < 3),
+        |scored AS (
+        |  SELECT qt.qid, code.vec_id AS id,
+        |    list_sum(list(qt.t ORDER BY qt.m)) AS raw_adc
+        |  FROM code JOIN qt ON qt.m = code.m AND qt.c = code.c
+        |  GROUP BY qt.qid, code.vec_id),
+        |short AS (
+        |  SELECT qid, id FROM (
+        |    SELECT qid, id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY raw_adc, id) AS rank
+        |    FROM scored) WHERE rank <= 20),
+        |ex AS (
+        |  SELECT sh.qid, sh.id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))) AS cosine
+        |  FROM short sh
+        |  JOIN embeddings e ON e.vec_id = sh.id
+        |  JOIN embeddings q ON q.vec_id = sh.qid),
+        |rer AS (
+        |  SELECT qid, id, CAST(round(cosine, 6) AS DOUBLE) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
+        |  FROM ex)
+        |SELECT qid, id, cos, rank FROM rer WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
     // int8 quantization: scale = 127/max|x| on exact float64 (float32→64
     // cast is exact), per-element ROUND pinned by the integer sum

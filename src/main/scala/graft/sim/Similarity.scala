@@ -571,4 +571,42 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("adc"), col("rank"))
   }
+
+  /** Two-stage PQ retrieval: ADC shortlist then EXACT cosine re-rank of
+    * only the shortlisted candidates — the production IVF-PQ serving
+    * pattern (Jégou TPAMI 2011 §VII: ADC orders approximately; re-ranking
+    * the top-R with exact distances recovers near-exact quality at
+    * R ≈ 2–10·k while corpus-wide math stays table lookups).
+    *
+    * Scale: stage 1 is [[pqKnn]] — the corpus side carries only (id,
+    * m byte-sized codes). The shortlist is queries×R (qid, id) pairs —
+    * tiny — and is BROADCAST into a probe of the corpus scan, so full
+    * vectors are fetched (and exact float math runs) for queries×R rows
+    * only; the corpus never shuffles and never computes exact distances
+    * outside its shortlist membership. Ties on exact cosine break to the
+    * lowest id, so the result is fully oracle-checkable like [[pqKnn]].
+    */
+  def pqKnnRerank(corpus: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, qidCol: String, qvecCol: String,
+                  codebook: Seq[Seq[Double]], m: Int, k: Int,
+                  shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val short = pqKnn(corpus, idCol, vecCol, queries, qidCol, qvecCol,
+        codebook, m, shortlist)
+      .select(col("qid"), col("id"))
+    val cand = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .join(broadcast(short), Seq("id"))
+    val scored = cand.join(broadcast(
+        queries.select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("q"))),
+        Seq("qid"))
+      .select(col("qid"), col("id"),
+        (dot(col("v"), col("q")) / (norm(col("v")) * norm(col("q"))))
+          .as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
 }

@@ -483,6 +483,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2L) == "application/octet-stream")
   }
 
+  test("pqKnnRerank with a full-corpus shortlist equals brute-force kNN") {
+    // when R covers the whole corpus the ADC stage prunes nothing, so the
+    // exact rerank must reproduce bruteForceKnn bit-for-bit — the
+    // recall-vs-R contract's fixed point
+    val e = Tables.load(spark, sf0, "embeddings")
+    val n = e.count().toInt
+    val q = e.filter(col("vec_id") < 3)
+    val cb = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val rerank = Similarity.pqKnnRerank(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", cb, m = 8, k = 5, shortlist = n)
+      .orderBy("qid", "rank")
+      .select("qid", "id", "cosine", "rank").collect().toSeq
+    val brute = Similarity.bruteForceKnn(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5)
+      .orderBy("qid", "rank")
+      .select("qid", "id", "cosine", "rank").collect().toSeq
+    assert(rerank == brute)
+  }
+
   test("urlDedup collapses tracking-param/case/fragment recrawls, keeps longest") {
     val df = Seq(
       (1L, "https://Example.com:443/a?utm_source=x&q=1#top", 100L),
