@@ -296,6 +296,30 @@ object CorpusQueries {
           col("chunk_len"), col("chunk_md5"))
         .orderBy("doc_id", "chunk_id")),
 
+    // Corpus datasheet: ONE per-source summary row — docs, tokens, mean
+    // length, mean quality, language count, exact-dup fraction — the
+    // dataset-card numbers, computed in a single source-keyed aggregate
+    // (token/quality expressions evaluate in the scan stage; the digest
+    // distinct is source-local; every mean divides two exact aggregates —
+    // long or decimal sums — AFTER the group, so no FP-order drift).
+    "x_corpus_report" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"), col("lang"), col("n_chars"),
+          md5(col("text")).as("digest"),
+          size(TextAnalysis.asciiTokens(col("text"))).cast("long").as("n_toks"),
+          TextAnalysis.qualityScore(col("text")).cast("decimal(18,6)").as("q"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          round(sum(col("n_chars")).cast("double") /
+            count(lit(1)).cast("double"), 2).as("mean_chars"),
+          round(sum(col("q")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_quality"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(lit(1.0) - countDistinct(col("digest")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("dup_frac"))
+        .orderBy("source")),
+
     // Lee-et-al-style cross-document duplicate-span coverage.
     "d_dup_span_frac" -> ((s, dir) =>
       Dedup.crossDocSpanDupFraction(docs(s, dir), "text", "doc_id", n = 5)
@@ -945,6 +969,27 @@ object CorpusQueries {
         |  count(*) AS n,
         |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // every mean divides two EXACT aggregates (long/decimal sums) after
+    // the group — identical arithmetic to the Spark aggregate; quality
+    // SQL shared with t_quality_score via LlmQueries.duckQuality
+    "x_corpus_report" ->
+      s"""WITH d AS (
+         |  SELECT source, lang, n_chars, md5(text) AS digest,
+         |    CAST(len($duckToks) AS BIGINT) AS n_toks,
+         |    CAST(${LlmQueries.duckQuality} AS DECIMAL(18,6)) AS q
+         |  FROM documents)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  sum(n_toks) AS n_tokens,
+         |  CAST(round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS DOUBLE)
+         |    AS mean_chars,
+         |  CAST(round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS DOUBLE)
+         |    AS mean_quality,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(round(1.0 - CAST(count(DISTINCT digest) AS DOUBLE) / count(*), 6)
+         |    AS DOUBLE) AS dup_frac
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     "d_dup_span_frac" ->
       s"""WITH toks AS (

@@ -575,7 +575,7 @@ object LlmQueries {
     * and d_domain_filter so the quality arithmetic cannot drift between
     * oracles.
     */
-  private val duckQuality: String =
+  private[queries] val duckQuality: String =
     """CAST(round(
       |  (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4 +
       |  (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
