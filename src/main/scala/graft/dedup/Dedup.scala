@@ -839,4 +839,95 @@ object Dedup {
       .select(col("id"), col("domain"), col("domain_docs"),
         col("domain_mean_q"))
   }
+
+  /** MOSS cross-document matching (Schleimer SIGMOD 2003 §5): candidate
+    * plagiarism/boilerplate pairs = documents sharing at least `minShared`
+    * winnowing fingerprints ([[TextAnalysis.winnowGramHashes]] +
+    * [[TextAnalysis.winnowSelect]] — any shared substring of length
+    * ≥ w+k−1 guarantees a shared fingerprint). Fingerprints appearing in
+    * more than `maxDf` documents are dropped BEFORE pairing, exactly as
+    * MOSS ignores ubiquitous fingerprints (template/boilerplate hashes
+    * would otherwise dominate every ranking and blow up the join).
+    * Returns (id_a, id_b, shared) with id_a &lt; id_b.
+    *
+    * Scale: the pair join is posting-list-shaped — keyed on the 8-byte
+    * fingerprint, with each posting list hard-capped at `maxDf` by the
+    * pre-filter, so one fingerprint contributes ≤ maxDf²/2 pairs and the
+    * hot-key blow-up of a naive signature join cannot happen. Document
+    * text never shuffles: fingerprinting is scan-stage, and only (fp, id)
+    * longs reach the exchange. The shared-count aggregate is map-side
+    * combined on (id_a, id_b).
+    */
+  def winnowPairs(df: DataFrame, textCol: String, idCol: String,
+                  k: Int = 5, w: Int = 4, minShared: Int = 2,
+                  maxDf: Int = 64): DataFrame = {
+    // native one-pass fingerprinting: the column formulation
+    // (winnowGramHashes → winnowSelect) re-evaluates its lambda subtrees
+    // per element once the optimizer collapses the staging projections —
+    // O(m²) regex work per doc (a 40-minute single task at sf0.01)
+    val fps = df
+      .select(col(idCol).cast("long").as("id"),
+        explode(TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("fp"))
+    // (fp, df) is fingerprint-vocabulary-bounded; the semi join back
+    // prunes hot fingerprints before any pairing
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") >= 2 && col("dfreq") <= maxDf)
+      .select(col("fp"))
+    // cached: the pruned posting relation feeds BOTH sides of the self
+    // join (caller-released via [[graft.CacheScope.releaseAll]])
+    val posts = graft.CacheScope.cache(fps.join(rare, Seq("fp")))
+    val a = posts.alias("a"); val b = posts.alias("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** The dedup-funnel datasheet: how many documents survive each stage of
+    * the standard curation sequence — exact content dedup → normalized
+    * word-set fingerprint dedup → benchmark decontamination — as
+    * (stage, docs_in, docs_out, removed, removed_frac) rows, the "data
+    * was deduplicated; here is the funnel" table a dataset card publishes.
+    *
+    * Stages are SEQUENTIAL (each filters the previous stage's survivors),
+    * but the whole funnel is computed in one pass of per-doc survival
+    * flags: the stage-2 window ranks by (stage-1-survivor DESC, id), so
+    * rank 1 is precisely the lowest-id stage-1 survivor of each
+    * fingerprint class — no intermediate materialization, no re-scan per
+    * stage.
+    *
+    * Scale: two digest-keyed windows (16-byte keys, text never shuffles —
+    * the [[exact]]/[[byFingerprint]] shape), one broadcast semi join for
+    * contamination ([[decontaminate]]'s eval-digest broadcast), then a
+    * single global count aggregate — map-side combined, output is 3 rows.
+    */
+  def dedupFunnel(docs: DataFrame, textCol: String, idCol: String,
+                  bench: DataFrame, benchTextCol: String,
+                  n: Int = 8): DataFrame = {
+    val w1 = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    val w2 = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col("__s1").desc, col(idCol))
+    val hits = decontaminate(docs, textCol, idCol, bench, benchTextCol, n)
+      .select(col("id").as(idCol), col("n_hits"))
+    val flags = docs
+      .withColumn("__s1", row_number().over(w1) === 1)
+      .withColumn("__s2", col("__s1") && row_number().over(w2) === 1)
+      .join(hits, Seq(idCol), "left")
+      .withColumn("__s3", col("__s2") && coalesce(col("n_hits"), lit(0L)) === 0)
+    val a = flags.agg(
+      count(lit(1)).as("n_raw"),
+      sum(col("__s1").cast("long")).as("n1"),
+      sum(col("__s2").cast("long")).as("n2"),
+      sum(col("__s3").cast("long")).as("n3"))
+    a.select(expr(
+        """stack(3,
+          |  '1_exact', n_raw, n1,
+          |  '2_fingerprint', n1, n2,
+          |  '3_decontaminate', n2, n3) AS (stage, docs_in, docs_out)"""
+          .stripMargin))
+      .withColumn("removed", col("docs_in") - col("docs_out"))
+      .withColumn("removed_frac", round(col("removed").cast("double") /
+        col("docs_in").cast("double"), 6))
+  }
 }

@@ -189,11 +189,36 @@ object CorpusQueries {
     // k-gram hashes per doc, surfaced as count + digest.
     "t_winnow_fps" -> ((s, dir) =>
       docs(s, dir)
-        .withColumn("wh", TextAnalysis.winnowGramHashes(col("text"), k = 5))
-        .select(col("doc_id"), TextAnalysis.winnowSelect(col("wh"), w = 4).as("fps"))
+        .select(col("doc_id"),
+          TextAnalysis.winnowFingerprints(col("text"), k = 5, w = 4).as("fps"))
         .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
           md5(concat_ws(",", transform(col("fps"), _.cast("string")))).as("fp_md5"))
         .orderBy("doc_id")),
+
+    // MOSS cross-document matching: pairs sharing >= 3 winnowing
+    // fingerprints, ubiquitous fingerprints (df > 64) dropped pre-join.
+    "d_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(docs(s, dir), "text", "doc_id",
+          k = 5, w = 4, minShared = 3, maxDf = 64)
+        .orderBy("id_a", "id_b")),
+
+    // Dedup-funnel datasheet: survivors of exact → fingerprint →
+    // decontamination, applied sequentially; bench = docs with id < 5.
+    "x_dedup_funnel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupFunnel(d, "text", "doc_id",
+          d.filter(col("doc_id") < 5), "text", n = 8)
+        .orderBy("stage")
+    }),
+
+    // Exact self-kNN graph with mutual-edge flag — every vector's top-5
+    // cosine neighbours via the block-pair equi-join (no cartesian).
+    "s_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+          k = 5, blocks = 8)
+        .select(col("id"), col("nbr"), round(col("cosine"), 6).as("cos"),
+          col("rank"), col("mutual"))
+        .orderBy("id", "rank")),
 
     // Corpus-wide frequent trigrams (boilerplate mining, exact tier).
     "t_top_ngrams" -> ((s, dir) =>
@@ -830,6 +855,103 @@ object CorpusQueries {
         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
         |  md5(array_to_string(fps, ',')) AS fp_md5
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // same winnow CTE as t_winnow_fps; df-pruned posting self join
+    "d_winnow_pairs" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS s
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, CASE WHEN length(s) - 4 >= 1 THEN
+        |    list_transform(range(1, length(s) - 4 + 1), i ->
+        |      ((((CAST(ascii(s[i:i]) AS BIGINT) * 31 + ascii(s[i+1:i+1])) * 31
+        |        + ascii(s[i+2:i+2])) * 31 + ascii(s[i+3:i+3])) * 31
+        |        + ascii(s[i+4:i+4])))
+        |    ELSE [] END AS wh FROM n),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(wh) >= 4 THEN
+        |      list_sort(list_distinct(list_transform(range(1, len(wh) - 3 + 1),
+        |        j -> list_min(wh[j:j+3]))))
+        |    WHEN len(wh) >= 1 THEN [list_min(wh)]
+        |    ELSE [] END AS fps FROM h),
+        |posts AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |rare AS (SELECT fp FROM posts GROUP BY fp
+        |  HAVING count(*) >= 2 AND count(*) <= 64),
+        |pp AS (SELECT p.doc_id, p.fp FROM posts p JOIN rare USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |FROM pp a JOIN pp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // same survival-flag formulation: stage-2 rank orders stage-1
+    // survivors first, so rank 1 = lowest-id stage-1 survivor per
+    // fingerprint; contamination CTEs identical to d_decontaminate
+    "x_dedup_funnel" ->
+      """WITH f1 AS (
+        |  SELECT doc_id, text,
+        |    (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1) AS s1
+        |  FROM documents),
+        |f2 AS (
+        |  SELECT doc_id, s1,
+        |    (s1 AND row_number() OVER (
+        |      PARTITION BY md5(array_to_string(list_sort(list_distinct(list_filter(
+        |        string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |        x -> x <> ''))), ' '))
+        |      ORDER BY (NOT s1), doc_id) = 1) AS s2
+        |  FROM f1),
+        |toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(t) - 8, 0) + 2),
+        |      i -> array_to_string(t[i:i+7], ' ')))) AS s
+        |  FROM toks WHERE len(t) > 0),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n FROM (
+        |    SELECT DISTINCT doc_id, s FROM sh WHERE s IN (SELECT s FROM bench))
+        |  GROUP BY doc_id),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_raw,
+        |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN s2 AND coalesce(h.n, 0) = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n3
+        |  FROM f2 LEFT JOIN hits h USING (doc_id))
+        |SELECT stage, docs_in, docs_out, docs_in - docs_out AS removed,
+        |  CAST(round(CAST(docs_in - docs_out AS DOUBLE) /
+        |    CAST(docs_in AS DOUBLE), 6) AS DOUBLE) AS removed_frac
+        |FROM (
+        |  SELECT '1_exact' AS stage, n_raw AS docs_in, n1 AS docs_out FROM agg
+        |  UNION ALL SELECT '2_fingerprint', n1, n2 FROM agg
+        |  UNION ALL SELECT '3_decontaminate', n2, n3 FROM agg)
+        |ORDER BY stage""".stripMargin,
+
+    // full self cross join at oracle scale; rank on the UNROUNDED cosine
+    // (same float-op order as the Spark side), round for output only
+    "s_knn_graph" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nbr,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT id, nbr, cosine,
+        |    row_number() OVER (PARTITION BY id ORDER BY cosine DESC, nbr) AS rank
+        |  FROM scored),
+        |topk AS (SELECT id, nbr, cosine, rank FROM ranked WHERE rank <= 5)
+        |SELECT t.id, t.nbr, round(t.cosine, 6) AS cos, t.rank,
+        |  CAST(CASE WHEN m.id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS mutual
+        |FROM topk t LEFT JOIN topk m ON m.id = t.nbr AND m.nbr = t.id
+        |ORDER BY t.id, t.rank""".stripMargin,
 
     "t_top_ngrams" ->
       s"""WITH toks AS (

@@ -609,4 +609,61 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "id", "cosine", "rank")
   }
+
+  /** Exact self-kNN graph: every vector's top-k cosine neighbours plus a
+    * mutual flag — the input graph for SemDeDup-style pruning, graph-based
+    * quality propagation, and mutual-kNN clustering, where EVERY row is a
+    * query so the broadcast-the-queries shape of [[bruteForceKnn]] no
+    * longer applies.
+    *
+    * Plan: the block-pair equi-join formulation of the distributed exact
+    * kNN join — each side replicates ×`blocks` onto synthetic (bi, bj)
+    * keys, so every pair meets exactly once (src bucket i meets dst bucket
+    * j in block (i,j)) through a plain shuffled equi-join: NO cartesian
+    * node, no corpus broadcast. A per-block top-k window runs WITHOUT an
+    * extra exchange (hash on (bi,bj) already satisfies the window's
+    * clustering), so the final per-id merge shuffles at most blocks×k
+    * scalar candidate rows per vector, never the O(n) raw scores.
+    *
+    * Scale: exact all-pairs is inherently n²·d compute — the block join
+    * spreads it evenly (no skew: bucket = pmod(xxhash64(id))) at shuffle
+    * cost n×blocks vector rows, the standard exact-baseline trade. At
+    * corpus scale, cap compute by routing through [[ivfAssign]] cells and
+    * running this per cell (SemDeDup does exactly that), or swap tier 1
+    * for [[lshKnn]] candidates; the merge/top-k shape is unchanged.
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               blocks: Int = 8): DataFrame = {
+    val slim = graft.CacheScope.cache(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .withColumn("vn", norm(col("v"))))
+    val bkt = pmod(xxhash64(col("id")), lit(blocks))
+    val js = explode(sequence(lit(0), lit(blocks - 1)))
+    val src = slim.select(col("id").as("sid"), col("v").as("sv"),
+      col("vn").as("svn"), bkt.as("bi"), js.as("bj"))
+    val dst = slim.select(col("id").as("did"), col("v").as("dv"),
+      col("vn").as("dvn"), js.as("bi"), bkt.as("bj"))
+    val scored = src.join(dst, Seq("bi", "bj"))
+      .filter(col("sid") =!= col("did"))
+      .select(col("bi"), col("bj"), col("sid"), col("did"),
+        (dot(col("sv"), col("dv")) / (col("svn") * col("dvn"))).as("cosine"))
+    // partial top-k inside each block pair (sort-only: the join's
+    // (bi,bj) partitioning already clusters the window's keys)
+    val wLocal = Window.partitionBy(col("bi"), col("bj"), col("sid"))
+      .orderBy(col("cosine").desc, col("did"))
+    val partial = scored.withColumn("__r", row_number().over(wLocal))
+      .filter(col("__r") <= k).select("sid", "did", "cosine")
+    val w = Window.partitionBy(col("sid"))
+      .orderBy(col("cosine").desc, col("did"))
+    val edges = graft.CacheScope.cache(
+      partial.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k))
+    // mutual = the reverse edge is also in the graph (both directions
+    // survive their own top-k) — the mutual-kNN pruning signal
+    val rev = edges.select(col("did").as("sid"), col("sid").as("did"),
+      lit(1).as("__m"))
+    edges.join(rev, Seq("sid", "did"), "left")
+      .select(col("sid").as("id"), col("did").as("nbr"), col("cosine"),
+        col("rank"), col("__m").isNotNull.cast("int").as("mutual"))
+  }
 }

@@ -115,6 +115,15 @@ object GraftSqlExtensions {
         arity("graft_gunzip", args, 1)
         HashExprs.Gunzip(args.head)
       }),
+    desc("graft_winnow_fps",
+      "graft_winnow_fps(text, k, w) - sorted distinct winnowing fingerprints (window-min base-31 k-gram hashes)", { args =>
+        arity("graft_winnow_fps", args, 3)
+        val k = intArg("graft_winnow_fps", 1, args(1))
+        val w = intArg("graft_winnow_fps", 2, args(2))
+        if (k < 1 || k > 9) badArg("graft_winnow_fps: k must be in [1, 9] (base-31 hash exactness)")
+        if (w < 1) badArg("graft_winnow_fps: w must be >= 1")
+        HashExprs.WinnowFps(args.head, k, w)
+      }),
     desc("graft_nfc",
       "graft_nfc(text) - Unicode NFC canonical composition", { args =>
         arity("graft_nfc", args, 1)

@@ -238,6 +238,17 @@ object TextAnalysis {
         .otherwise(array().cast("array<long>")))
   }
 
+  /** Winnowing fingerprints in one native pass — semantically identical to
+    * `winnowSelect(winnowGramHashes(text, k), w)` but O(m·k) per row via
+    * [[graft.exprs.HashExprs.WinnowFps]]. The column pair above is kept as
+    * the readable spec of the algorithm; USE THIS in operators: the column
+    * formulation's lambda subtrees re-evaluate per element (no codegen, no
+    * CSE in higher-order functions), which goes O(m²) per document the
+    * moment an optimizer rule collapses the staging projections.
+    */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    graft.exprs.HashExprs.winnow_fps(text, k, w)
+
   /** POSITIONAL word n-grams over a materialized token array: one entry
     * per start position 1..len−n+1, WITH multiplicity (unlike
     * [[wordShingles]], which is a distinct set) — the building block for

@@ -342,6 +342,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(3L).size == 1) // 2 grams < w -> single global min
   }
 
+  test("native winnowFingerprints equals the column formulation on real docs") {
+    import graft.text.TextAnalysis
+    val df = Tables.load(spark, sf0, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq((9001L, "ab"), (9002L, ""), (9003L, "abcdef"),
+        (9004L, "MiXeD-CaSe 123 text!")).toDF("doc_id", "text"))
+    val nat = df.select(col("doc_id"),
+        TextAnalysis.winnowFingerprints(col("text"), 5, 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val cols = df.withColumn("wh", TextAnalysis.winnowGramHashes(col("text"), 5))
+      .select(col("doc_id"), TextAnalysis.winnowSelect(col("wh"), 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(nat == cols)
+  }
+
   // ---------------- duplicate-span removal ----------------
 
   test("removeDuplicateSpans cuts shared spans, keeps unique prose") {

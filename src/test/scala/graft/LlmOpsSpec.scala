@@ -504,6 +504,80 @@ class LlmOpsSpec extends SparkSpec {
     assert(rerank == brute)
   }
 
+  test("winnowPairs finds the copied-passage pair, skips unrelated docs") {
+    val passage = "the winnowing algorithm selects minimum hashes per window"
+    val df = Seq(
+      (1L, s"intro text then $passage and a unique tail one"),
+      (2L, s"different opening here $passage with another ending"),
+      (3L, "entirely unrelated content about spark catalyst plans"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(df, "text", "doc_id",
+        k = 5, w = 4, minShared = 3, maxDf = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("winnowPairs drops ubiquitous fingerprints before pairing") {
+    // every doc shares the same boilerplate; maxDf=2 prunes those
+    // fingerprints, so no pair reaches minShared
+    val boiler = "standard footer legal disclaimer text appears everywhere"
+    val df = (1L to 4L).map(i => (i, s"doc $i body $boiler"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(df, "text", "doc_id",
+      k = 5, w = 4, minShared = 3, maxDf = 2)
+    assert(pairs.count() == 0)
+  }
+
+  test("knnGraph matches self-excluded brute force and flags mutual edges") {
+    val e = Tables.load(spark, sf0, "embeddings")
+    val graph = Similarity.knnGraph(e, "vec_id", "embedding", k = 3, blocks = 4)
+      .select("id", "nbr", "rank").as[(Long, Long, Int)].collect().toSet
+    // oracle: brute force with every vector as a query, self removed,
+    // ranks recomputed over the survivors
+    val brute = Similarity.bruteForceKnn(e, "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 4)
+      .filter(col("qid") =!= col("id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    val expected = brute.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 3)
+      .select(col("qid"), col("id"), col("r")).as[(Long, Long, Int)]
+      .collect().toSet
+    assert(graph == expected)
+  }
+
+  test("knnGraph mutual flag = reverse edge present in the graph") {
+    val e = Tables.load(spark, sf0, "embeddings")
+    val rows = Similarity.knnGraph(e, "vec_id", "embedding", k = 3, blocks = 2)
+      .select("id", "nbr", "mutual").as[(Long, Long, Int)].collect()
+    val edgeSet = rows.map(r => (r._1, r._2)).toSet
+    rows.foreach { case (id, nbr, m) =>
+      assert((m == 1) == edgeSet.contains((nbr, id)),
+        s"mutual flag wrong for ($id,$nbr)")
+    }
+    assert(rows.exists(_._3 == 1), "expected at least one mutual edge")
+  }
+
+  test("dedupFunnel reports sequential stage survival") {
+    val base = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                                  // survives everything
+      (2L, base),                                  // exact dupe of 1
+      (3L, (10 to 1 by -1).map(i => s"w$i").mkString(", ") + "!"), // same word set
+      (4L, "intro " + (20 to 28).map(i => s"e$i").mkString(" ")),  // contaminated
+      (5L, (30 to 40).map(i => s"c$i").mkString(" ")))             // clean
+      .toDF("doc_id", "text")
+    val bench = Seq((1 to 12).map(i => s"e${i + 18}").mkString(" "))
+      .toDF("text")
+    val out = Dedup.dedupFunnel(docs, "text", "doc_id", bench, "text", n = 8)
+      .select("stage", "docs_in", "docs_out")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("1_exact", 5L, 4L),
+      ("2_fingerprint", 4L, 3L),
+      ("3_decontaminate", 3L, 2L)))
+  }
+
   test("urlDedup collapses tracking-param/case/fragment recrawls, keeps longest") {
     val df = Seq(
       (1L, "https://Example.com:443/a?utm_source=x&q=1#top", 100L),
