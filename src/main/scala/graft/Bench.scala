@@ -67,15 +67,33 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, n)
       }
       val cold = times.head._1
-      val median = times.map(_._1).sorted.apply(times.size / 2)
+      // A failed iteration (rows == -1) must not masquerade as a timing:
+      // time-to-exception is typically tiny, so recording it would make a
+      // broken query look like the fastest one in the file. Failed queries
+      // report -1 and are excluded from the total.
+      val failed = times.exists(_._2 < 0)
+      val median =
+        if (failed) -1.0 else times.map(_._1).sorted.apply(times.size / 2)
       val liveBefore = CacheScope.liveCount
       CacheScope.releaseAll()
+      // Defensive sweep outside the timing window: drop anything the
+      // CacheManager still holds (a persist that bypassed CacheScope) and
+      // nudge GC so ContextCleaner reclaims localCheckpoint RDD blocks —
+      // in the r9 full run heap crept to ~3.6 GB over 118 queries and the
+      // resulting eviction made one query's "warm median" measure
+      // recompute-after-eviction (t_pmi_colloc: 0.67s solo vs 30.9s in
+      // the full run).
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
       System.err.println(
         f"[bench] $name%-24s median=$median%8.2fs cold=$cold%8.2fs rows=${times.head._2} cached=$liveBefore heapMB=$heapMb")
-      (name, median, cold)
+      (name, median, if (failed) -1.0 else cold)
     }
-    val total = results.map(_._2).sum
+    val failedNames = results.collect { case (n, m, _) if m < 0 => n }
+    if (failedNames.nonEmpty)
+      System.err.println(s"[bench] FAILED queries: ${failedNames.mkString(", ")}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     def fmt(prec: String, v: Double): String =
       String.format(java.util.Locale.ROOT, prec, Double.box(v))
     def json(rs: Seq[(String, Double, Double)], prec: String,
@@ -86,7 +104,10 @@ object Bench {
         rs.map { case (k, _, c) => "\"" + k + "\":" + fmt(prec, c) }
           .mkString(",\"cold\":{", ",", "}")
       else ""
-      s"""{"metric":"total","value":${fmt(prec, total)},"unit":"sec","iters":$iters,"queries":$qs$cold,"sf":"$sfDir"}"""
+      val failedJson =
+        if (failedNames.isEmpty) ""
+        else failedNames.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
+      s"""{"metric":"total","value":${fmt(prec, total)},"unit":"sec","iters":$iters,"queries":$qs$cold$failedJson,"sf":"$sfDir"}"""
     }
     // Full per-query timings go to a file: the driver's stdout capture keeps
     // only a ~2k-char tail, which truncated the 90-query JSON line from the

@@ -36,15 +36,22 @@ object Tables {
     cache.computeIfAbsent(spark,
         _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
       .computeIfAbsent((dir, name), { _ =>
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's µs
-      // TimestampType rejects — read it as a nanos long and convert
-      // (integer `div`, no double round-trip).
+      // events.ts may be parquet TIMESTAMP(NANOS), which Spark's µs
+      // TimestampType rejects — with nanosAsLong it reads as a nanos
+      // BIGINT; convert (integer `div`, no double round-trip). Newer
+      // testdata stores µs TIMESTAMP_NTZ directly, which needs no
+      // conversion, so gate on the resolved read type rather than
+      // assuming the physical layout.
       if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(path(dir, name))
-          .withColumn("ts",
-            org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts div 1000")))
+        val raw = spark.read.parquet(path(dir, name))
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts",
+              org.apache.spark.sql.functions.timestamp_micros(
+                org.apache.spark.sql.functions.expr("ts div 1000")))
+          case _ => raw
+        }
       } else spark.read.parquet(path(dir, name))
     })
 

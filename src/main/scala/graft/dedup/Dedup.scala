@@ -803,7 +803,9 @@ object Dedup {
                idCol: String): DataFrame = {
     val w = Window.partitionBy(col("url_norm"))
       .orderBy(col("keep_len").desc, col("id"))
-    df.select(col(idCol).cast("long").as("id"),
+    // id keeps its native type — only ordering is needed, and casting a
+    // non-numeric id to long would NULL it out.
+    df.select(col(idCol).as("id"),
         graft.text.TextAnalysis.normalizeUrl(col(urlCol)).as("url_norm"),
         col(lenCol).cast("long").as("keep_len"))
       .withColumn("__rn", row_number().over(w))
@@ -828,7 +830,7 @@ object Dedup {
   def domainQualityFilter(df: DataFrame, domainCol: String, qualityCol: String,
                           idCol: String, minMeanQuality: Double,
                           minDocs: Long = 2L): DataFrame = {
-    val scored = df.select(col(idCol).cast("long").as("id"),
+    val scored = df.select(col(idCol).as("id"),
       col(domainCol).as("domain"), col(qualityCol).cast("double").as("q"))
     val dom = scored.groupBy(col("domain"))
       .agg(count(lit(1)).as("domain_docs"),
@@ -865,8 +867,12 @@ object Dedup {
     // (winnowGramHashes → winnowSelect) re-evaluates its lambda subtrees
     // per element once the optimizer collapses the staging projections —
     // O(m²) regex work per doc (a 40-minute single task at sf0.01)
+    // id keeps its NATIVE type: the self-join needs only equality +
+    // ordering, and a cast("long") would turn non-numeric ids into NULL —
+    // NULL fails `a.id < b.id`, silently dropping those documents from
+    // pairing.
     val fps = df
-      .select(col(idCol).cast("long").as("id"),
+      .select(col(idCol).as("id"),
         explode(TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("fp"))
     // (fp, df) is fingerprint-vocabulary-bounded; the semi join back
     // prunes hot fingerprints before any pairing

@@ -325,24 +325,34 @@ object CorpusQueries {
     // length, mean quality, language count, exact-dup fraction — the
     // dataset-card numbers, computed in a single source-keyed aggregate
     // (token/quality expressions evaluate in the scan stage; the digest
-    // distinct is source-local; every mean divides two exact aggregates —
-    // long or decimal sums — AFTER the group, so no FP-order drift).
+    // distinct is source-local). Every mean is INTEGER-exact: scaled
+    // integer division of two exact sums, then one small-int / 10^k
+    // double division — `round(double, k)` at a half-way boundary is
+    // engine-dependent (BigDecimal HALF_UP vs libm scaling), which broke
+    // the r9 hash oracle; truncating integer arithmetic is bit-identical
+    // everywhere.
     "x_corpus_report" -> ((s, dir) =>
       docs(s, dir)
         .select(col("source"), col("lang"), col("n_chars"),
           md5(col("text")).as("digest"),
           size(TextAnalysis.asciiTokens(col("text"))).cast("long").as("n_toks"),
-          TextAnalysis.qualityScore(col("text")).cast("decimal(18,6)").as("q"))
+          (TextAnalysis.qualityScore(col("text")).cast("decimal(18,6)") *
+            lit(1000000)).cast("long").as("q_micros"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("n_tokens"),
-          round(sum(col("n_chars")).cast("double") /
-            count(lit(1)).cast("double"), 2).as("mean_chars"),
-          round(sum(col("q")).cast("double") /
-            count(lit(1)).cast("double"), 6).as("mean_quality"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("q_micros")).as("sum_qm"),
           countDistinct(col("lang")).as("n_langs"),
-          round(lit(1.0) - countDistinct(col("digest")).cast("double") /
-            count(lit(1)).cast("double"), 6).as("dup_frac"))
+          countDistinct(col("digest")).as("n_digests"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (expr("(sum_chars * 100) div n_docs").cast("double") /
+            lit(100.0)).as("mean_chars"),
+          (expr("sum_qm div n_docs").cast("double") /
+            lit(1000000.0)).as("mean_quality"),
+          col("n_langs"),
+          (expr("((n_docs - n_digests) * 1000000) div n_docs").cast("double") /
+            lit(1000000.0)).as("dup_frac"))
         .orderBy("source")),
 
     // Lee-et-al-style cross-document duplicate-span coverage.
@@ -942,7 +952,11 @@ object CorpusQueries {
         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
         |     sqrt(list_sum(list_transform(range(1, 65),
         |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cosine
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) > 0
+        |    AND list_sum(list_transform(range(1, 65),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) > 0),
         |ranked AS (
         |  SELECT id, nbr, cosine,
         |    row_number() OVER (PARTITION BY id ORDER BY cosine DESC, nbr) AS rank
@@ -1092,26 +1106,30 @@ object CorpusQueries {
         |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
-    // every mean divides two EXACT aggregates (long/decimal sums) after
-    // the group — identical arithmetic to the Spark aggregate; quality
-    // SQL shared with t_quality_score via LlmQueries.duckQuality
+    // every mean is integer-exact (scaled BIGINT division of exact sums,
+    // then small-int / 10^k — bit-identical IEEE in both engines; double
+    // `round()` at half-way boundaries is engine-dependent and broke the
+    // r9 hash); quality SQL shared with t_quality_score via duckQuality
     "x_corpus_report" ->
       s"""WITH d AS (
          |  SELECT source, lang, n_chars, md5(text) AS digest,
          |    CAST(len($duckToks) AS BIGINT) AS n_toks,
-         |    CAST(${LlmQueries.duckQuality} AS DECIMAL(18,6)) AS q
-         |  FROM documents)
-         |SELECT source,
-         |  count(*) AS n_docs,
-         |  sum(n_toks) AS n_tokens,
-         |  CAST(round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS DOUBLE)
-         |    AS mean_chars,
-         |  CAST(round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS DOUBLE)
-         |    AS mean_quality,
-         |  count(DISTINCT lang) AS n_langs,
-         |  CAST(round(1.0 - CAST(count(DISTINCT digest) AS DOUBLE) / count(*), 6)
-         |    AS DOUBLE) AS dup_frac
-         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+         |    CAST(CAST(${LlmQueries.duckQuality} AS DECIMAL(18,6)) * 1000000
+         |      AS BIGINT) AS q_micros
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, count(*) AS n_docs, sum(n_toks) AS n_tokens,
+         |    sum(n_chars) AS sum_chars, sum(q_micros) AS sum_qm,
+         |    count(DISTINCT lang) AS n_langs,
+         |    count(DISTINCT digest) AS n_digests
+         |  FROM d GROUP BY source)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST((sum_chars * 100) // n_docs AS DOUBLE) / 100.0 AS mean_chars,
+         |  CAST(sum_qm // n_docs AS DOUBLE) / 1000000.0 AS mean_quality,
+         |  n_langs,
+         |  CAST(((n_docs - n_digests) * 1000000) // n_docs AS DOUBLE)
+         |    / 1000000.0 AS dup_frac
+         |FROM g ORDER BY source""".stripMargin,
 
     "d_dup_span_frac" ->
       s"""WITH toks AS (

@@ -634,9 +634,15 @@ object Similarity {
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
                blocks: Int = 8): DataFrame = {
+    // zero-norm vectors are EXCLUDED: their cosine is 0/0 = NaN, and
+    // Spark sorts NaN above every double DESC, so a degenerate vector
+    // would rank as everyone's top neighbour (while SQL engines yield
+    // NULL, sorted last) — excluding them keeps the graph well-defined
+    // and engine-independent.
     val slim = graft.CacheScope.cache(
       corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-        .withColumn("vn", norm(col("v"))))
+        .withColumn("vn", norm(col("v")))
+        .filter(col("vn") > 0))
     val bkt = pmod(xxhash64(col("id")), lit(blocks))
     val js = explode(sequence(lit(0), lit(blocks - 1)))
     val src = slim.select(col("id").as("sid"), col("v").as("sv"),

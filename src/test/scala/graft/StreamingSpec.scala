@@ -22,14 +22,22 @@ class StreamingSpec extends SparkSpec {
     d.toString
   }
 
+  // Schema-adaptive: older testdata stores ts as parquet TIMESTAMP(NANOS)
+  // (read as a nanos BIGINT under nanosAsLong, needing conversion), newer
+  // testdata as µs TIMESTAMP (no conversion) — mirror Tables.load's gate.
   private def eventsStream = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = new StructType()
-      .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
-      .add("event_type", StringType).add("value", DoubleType)
-      .add("props", StringType)
-    StreamingOps.fileSource(spark, schema, streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = spark.read.parquet(streamDir).schema
+    val raw = StreamingOps.fileSource(spark, schema, streamDir)
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // watermarks require TIMESTAMP; session tz is UTC so the cast
+        // is value-preserving and deterministic
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   test("batch pipeline runs unchanged on a stream (memory sink)") {
@@ -89,12 +97,15 @@ class StreamingSpec extends SparkSpec {
     val d = java.nio.file.Files.createTempDirectory("graft-dedup")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0/events.parquet"), d.resolve("a.parquet"))
-    val schema = new StructType()
-      .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
-      .add("event_type", StringType).add("value", DoubleType)
-      .add("props", StringType)
-    val stream = StreamingOps.fileSource(spark, schema, d.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = spark.read.parquet(d.toString).schema
+    val raw = StreamingOps.fileSource(spark, schema, d.toString)
+    val stream = schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
     val deduped = StreamingOps.streamingDedup(stream, "ts", "10 minutes",
       Seq("event_id"))
     val q = deduped.writeStream.format("memory").queryName("dedup_stream")
