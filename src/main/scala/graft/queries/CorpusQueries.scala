@@ -52,10 +52,23 @@ object CorpusQueries {
                               name: String): DataFrame = {
     s.streams.active.filter(q => Option(q.name).contains(name))
       .foreach(_.stop())
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    // The stateful operator allocates one state store per shuffle
+    // partition and commits each of them every micro-batch — at 32
+    // partitions × 4 replay triggers that is 128 state commits for a
+    // few-thousand-row state, pure fixed overhead (~40% of the replay
+    // gate's wall time). Complete-mode output is partition-count
+    // independent, so pin the STREAM's state partitioning to 8; the conf
+    // is restored right after start() (streaming captures conf at start;
+    // later batch queries see the original value). On a real cluster
+    // state partitions are sized to state volume, not corpus volume.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     s.table(name)
   }

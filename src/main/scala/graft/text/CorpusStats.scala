@@ -269,6 +269,10 @@ object CorpusStats {
     */
   def scoreDsir(m: DsirModel, df: DataFrame, textCol: String,
                 idCol: String): DataFrame =
+    // NOTE: deliberately NOT pre-partitioned by id (the tfIdfTopK trick):
+    // the per-id count/sum partially aggregates map-side, so the exchange
+    // carries ≤ partitions × docs tiny partial rows — cheaper than
+    // shuffling full document text, measured both ways at sf0.1.
     dsirFeats(df, textCol, m.buckets,
         Seq(col(idCol).cast("long") -> "id"), outer = true)
       // EXPLICIT broadcast: the model is `buckets` rows by construction,
@@ -482,7 +486,13 @@ object CorpusStats {
     */
   def tfIdfTopK(df: DataFrame, textCol: String, idCol: String,
                 k: Int): DataFrame = {
-    val t = toks(df, textCol, idCol)
+    // ONE shuffle of doc rows up front: HashPartitioning(id) satisfies
+    // both the (id, term) aggregate's and the per-id top-k window's
+    // clustering, so the exploded token relation (~100× the doc rows)
+    // never crosses an exchange — tokens are derived and reduced where
+    // their document lands. Without this, the plan shuffles the exploded
+    // tokens for the aggregate and the tf rows again for the window.
+    val t = toks(df, textCol, idCol).repartition(col("id"))
     // (id, term, tf) cached: the df aggregate reduces THIS relation and
     // the scoring join consumes it again — without the cache the explode +
     // aggregate subtree evaluates twice per call (caller-released via
