@@ -122,6 +122,23 @@ object CorpusQueries {
         .select(col("id").as("doc_id"), col("n_toks"), col("avg_nll"))
         .orderBy("doc_id")),
 
+    // Multi-round distributed BPE training: 5 merge rounds over the
+    // word-type counts; the learned merge table is the output (the
+    // tokenizer-training artifact). Vocabulary-bounded rounds after one
+    // corpus-sized word count.
+    "t_bpe_train" -> ((s, dir) =>
+      CorpusStats.bpeTrain(docs(s, dir), "text", steps = 5)
+        .orderBy("step")),
+
+    // CCNet head/middle/tail perplexity bucketing per source: LM-score
+    // every doc, split each source into thirds by value thresholds over
+    // the rounded-score histogram (no corpus-wide ntile).
+    "t_ppl_buckets" -> ((s, dir) =>
+      CorpusStats.perplexityBuckets(docs(s, dir), "text", "doc_id", "source")
+        .select(col("id").as("doc_id"), col("grp").as("source"),
+          col("avg_nll"), col("ppl_bucket"))
+        .orderBy("doc_id")),
+
     // fastText-shaped NB quality classifier: fit "looks like the English
     // reference slice" on the labeled corpus, score every document with
     // prior + sum of per-token log-likelihood ratios.
@@ -636,6 +653,31 @@ object CorpusQueries {
   private val duckToks =
     """list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x != '')"""
 
+  // Unrolled BPE merge rounds mirroring CorpusStats.bpeTrain: each round
+  // is (top pair by weighted count, ties (a, b)) + 6 literal-replace
+  // passes of " a b " -> " ab " on the padded sequence — replace() scans
+  // left-to-right non-overlapping in both engines, so the pass semantics
+  // (and therefore the learned table) are identical by construction.
+  private def duckBpeRounds(steps: Int): String = {
+    val rounds = (1 to steps).map { i =>
+      s"""p$i AS (SELECT a, b, a || b AS merged, cnt FROM (
+         |    SELECT syms[x] AS a, syms[x + 1] AS b, sum(wc) AS cnt
+         |    FROM (SELECT string_split(seq, ' ') AS syms, wc FROM r${i - 1})
+         |    CROSS JOIN unnest(range(1, len(syms))) AS t(x)
+         |    GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |r$i AS (SELECT trim(replace(replace(replace(replace(replace(replace(
+         |    ' ' || seq || ' ', p, q), p, q), p, q), p, q), p, q), p, q)) AS seq, wc
+         |  FROM r${i - 1} CROSS JOIN
+         |    (SELECT ' ' || a || ' ' || b || ' ' AS p, ' ' || merged || ' ' AS q
+         |     FROM p$i))""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to steps).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, a, b, merged, cnt FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"$rounds\n$union"
+  }
+
   val oracle: Map[String, String] = Map(
     "p_pack_sequences" ->
       """SELECT id, n_toks, (cum_end - n_toks) // 2048 AS bin,
@@ -718,6 +760,48 @@ object CorpusQueries {
          |  GROUP BY t.doc_id)
          |SELECT d.doc_id, coalesce(a.n_toks, 0) AS n_toks, a.avg_nll
          |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // word-type counts once, then 5 unrolled merge rounds (see
+    // duckBpeRounds for the cross-engine replace-pass argument)
+    "t_bpe_train" ->
+      s"""WITH toks AS (SELECT $duckToks AS toks FROM documents),
+         |w AS (SELECT unnest(toks) AS tok FROM toks),
+         |r0 AS (SELECT trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS seq,
+         |  count(*) AS wc FROM w GROUP BY 1),
+         |${duckBpeRounds(5)}
+         |ORDER BY step""".stripMargin,
+
+    // identical histogram-threshold construction to perplexityBuckets:
+    // value cutoffs at ceil(n/3)/ceil(2n/3) over the rounded-score
+    // histogram, ties share a bucket
+    "t_ppl_buckets" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, $duckToks AS toks FROM documents),
+         |tok AS (SELECT doc_id, source, unnest(toks) AS tok FROM toks),
+         |counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+         |stats AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, count(*) AS v FROM counts),
+         |scored AS (
+         |  SELECT t.doc_id, t.source AS grp,
+         |    round(avg(-ln((c.cnt + 0.5) / (s.n + 0.5 * s.v))), 6) AS avg_nll
+         |  FROM tok t JOIN counts c USING (tok) CROSS JOIN stats s
+         |  GROUP BY 1, 2),
+         |hist AS (SELECT grp, avg_nll, count(*) AS c FROM scored GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT grp, avg_nll,
+         |    sum(c) OVER (PARTITION BY grp ORDER BY avg_nll
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(c) OVER (PARTITION BY grp) AS n
+         |  FROM hist),
+         |th AS (SELECT grp,
+         |    min(CASE WHEN cum * 3 >= n THEN avg_nll END) AS t1,
+         |    min(CASE WHEN cum * 3 >= 2 * n THEN avg_nll END) AS t2
+         |  FROM cum GROUP BY grp)
+         |SELECT s.doc_id, s.grp AS source, s.avg_nll,
+         |  CASE WHEN s.avg_nll <= t.t1 THEN 'head'
+         |       WHEN s.avg_nll <= t.t2 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM scored s JOIN th t USING (grp)
          |ORDER BY doc_id""".stripMargin,
 
     "t_nb_classify" ->

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level text scoring: statistics that need a pass over the WHOLE
@@ -313,6 +314,122 @@ object CorpusStats {
       .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
+
+  /** Multi-round distributed BPE trainer (Sennrich et al., ACL 2016):
+    * `steps` merge rounds over the corpus, returning the learned merge
+    * table (step, a, b, merged, cnt) — the artifact a tokenizer-training
+    * pipeline publishes. Each round picks the most frequent adjacent
+    * symbol pair (ties → lexicographic (a, b), so the table is
+    * deterministic) and rewrites every word's symbol sequence with the
+    * merge applied greedily left-to-right.
+    *
+    * Scale: ONE corpus-sized job total — word occurrences collapse to
+    * word-TYPE counts up front (map-side combined, vocabulary-bounded),
+    * and all rounds iterate on that slim (seq, wc) relation; the driver
+    * loop runs `steps` times (a constant), never over rows, and collects
+    * exactly one row per round. This is the standard trainer
+    * decomposition at any corpus size.
+    *
+    * Merge application is `passes` nested literal replaces of
+    * " a b " → " ab " on the space-joined, space-padded sequence. One
+    * replace pass takes every occurrence EXCEPT ones whose leading space
+    * was consumed by the previous match (boundary-sharing chains — runs
+    * of the same symbol, "a b a b" trains); each extra pass halves the
+    * longest unresolved chain, so `passes` = 6 is exact greedy for
+    * chains up to 2^6 and, critically, the pass semantics are identical
+    * in any engine whose replace() scans left-to-right non-overlapping —
+    * which is what makes the trainer hash-oracle-able.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, steps: Int,
+               passes: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    var vocab = graft.CacheScope.cache(
+      df.select(explode(TextAnalysis.asciiTokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
+        .select(trim(regexp_replace(col("tok"), "(.)", "$1 ")).as("seq"),
+          col("wc")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val top = vocab
+        .select(col("wc"), split(col("seq"), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] AS a, syms[i] AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, a, b, a + b, cnt))
+        val pat = s" $a $b "
+        val rep = s" $a$b "
+        var c: Column = concat(lit(" "), col("seq"), lit(" "))
+        for (_ <- 1 to passes) c = replace(c, lit(pat), lit(rep))
+        // re-cache per round: rounds compound, and each is consumed by
+        // the next round's pair count AND its own rewrite — the relation
+        // stays vocabulary-sized (caller-released via CacheScope)
+        vocab = graft.CacheScope.cache(
+          vocab.select(trim(c).as("seq"), col("wc")))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "a", "b", "merged", "cnt")
+      .select(col("step").cast("long").as("step"), col("a"), col("b"),
+        col("merged"), col("cnt"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 §4.3):
+    * score every document under the corpus unigram LM and split EACH
+    * group (CCNet: language; here any `groupCol`) into head / middle /
+    * tail thirds by score — the standard "keep the head, maybe sample
+    * the middle, drop the tail" curation gate. Buckets are assigned by
+    * VALUE thresholds (the lowest rounded score whose cumulative count
+    * reaches ⌈n/3⌉ resp. ⌈2n/3⌉), so documents with equal rounded scores
+    * always land in the same bucket — deterministic under any layout and
+    * reproducible in plain SQL.
+    *
+    * Scale: per-doc scores round to 6 dp and aggregate to a
+    * (group, score, count) histogram — the cumulative window runs over
+    * that SCORE-RESOLUTION-bounded relation, never over documents (the
+    * lengthBuckets pattern: no corpus-wide ntile); thresholds (3 rows
+    * per group) broadcast back onto the scored relation.
+    */
+  def perplexityBuckets(df: DataFrame, textCol: String, idCol: String,
+                        groupCol: String, addK: Double = 0.5): DataFrame = {
+    val tok = graft.CacheScope.cache(
+      df.select(col(idCol).cast("long").as("id"), col(groupCol).as("grp"),
+          explode(TextAnalysis.asciiTokens(col(textCol))).as("tok")))
+    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val r = counts.agg(sum(col("cnt")), count(lit(1))).head()
+    val n = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val v = r.getLong(1)
+    val denom = n + addK * v
+    val scored = graft.CacheScope.cache(tok.join(counts, Seq("tok"))
+      .select(col("id"), col("grp"),
+        (-log((col("cnt").cast("double") + lit(addK)) / lit(denom))).as("nll"))
+      .groupBy(col("id"), col("grp"))
+      .agg(round(avg(col("nll")), 6).as("avg_nll")))
+    val w = Window.partitionBy(col("grp")).orderBy(col("avg_nll"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = scored.groupBy(col("grp"), col("avg_nll"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+    val th = hist.groupBy(col("grp")).agg(
+      min(when(col("cum") * 3 >= col("n"), col("avg_nll"))).as("t1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("avg_nll"))).as("t2"))
+    scored.join(broadcast(th), Seq("grp"))
+      .select(col("id"), col("grp"), col("avg_nll"),
+        when(col("avg_nll") <= col("t1"), lit("head"))
+          .when(col("avg_nll") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
 
   /** DSIR's selection step: Gumbel-top-k = sampling k WITHOUT replacement
     * with probability ∝ exp(weight). The Gumbel noise comes from the

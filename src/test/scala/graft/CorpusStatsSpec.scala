@@ -217,6 +217,48 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out == Seq(("ab", 3L), ("ba", 2L)), out)
   }
 
+  test("bpeTrain learns hand-checkable merges, greedy within runs, ties lexicographic") {
+    // corpus: "abab" ×3, "aab" ×2, "cd" ×1.
+    // round 1 pair counts: (a,b): 3·2 + 2 = 8, (b,a): 3, (a,a): 2, (c,d): 1
+    //   → merge (a,b) → "ab ab"×3, "a ab"×2, "c d"
+    // round 2: (ab,ab): 3, (a,ab): 2, (c,d): 1 → merge (ab,ab)
+    // round 3: (a,ab): 2, (c,d): 1 → merge (a,ab)
+    // round 4: (c,d): 1 → merge (c,d); round 5: nothing left → stops early
+    val df = Seq((1L, "abab abab abab aab aab cd")).toDF("doc_id", "text")
+    val out = CorpusStats.bpeTrain(df, "text", steps = 5)
+      .orderBy("step").as[(Long, String, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", "b", "ab", 8L),
+      (2L, "ab", "ab", "abab", 3L),
+      (3L, "a", "ab", "aab", 2L),
+      (4L, "c", "d", "cd", 1L)), out)
+  }
+
+  test("bpeTrain merge application is greedy left-to-right in same-symbol runs") {
+    // "aaa": pairs (a,a)=2 → merge at positions 0-1 only → "aa a";
+    // round 2 then merges (aa,a)=1 (tie with nothing) → check the chain
+    val df = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val out = CorpusStats.bpeTrain(df, "text", steps = 2)
+      .orderBy("step").as[(Long, String, String, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a", "a", "aa", 2L), (2L, "aa", "a", "aaa", 1L)), out)
+  }
+
+  test("perplexityBuckets: thirds per group by value threshold, ties share a bucket") {
+    // group g: six docs with strictly increasing rarity → 2 head, 2 middle,
+    // 2 tail; the common-word doc scores lowest nll (head).
+    val docs = Seq(
+      (1L, "g", "the the the the"), (2L, "g", "the the the cat"),
+      (3L, "g", "the the cat cat"), (4L, "g", "the cat cat rare1"),
+      (5L, "g", "cat rare1 rare2 rare3"), (6L, "g", "rare4 rare5 rare6 rare7"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusStats.perplexityBuckets(docs, "text", "doc_id", "source")
+      .orderBy("id").as[(Long, String, Double, String)].collect().toSeq
+    assert(out.map(_._4) == Seq("head", "head", "middle", "middle", "tail", "tail"), out)
+    // scores must be non-decreasing with rarity for this construction
+    val nll = out.map(_._3)
+    assert(nll == nll.sorted, nll)
+  }
+
   test("dsir: target-like docs weigh higher; weights and selection are layout-independent") {
     val target = Seq((1L, "alpha beta alpha beta")).toDF("doc_id", "text")
     val raw = Seq((1L, "alpha beta alpha beta"),
