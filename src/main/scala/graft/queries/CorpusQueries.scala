@@ -130,6 +130,19 @@ object CorpusQueries {
       CorpusStats.bpeTrain(docs(s, dir), "text", steps = 5)
         .orderBy("step")),
 
+    // Encode the corpus under the merges t_bpe_train learns: per-doc
+    // word and subword counts — token counting under the corpus's OWN
+    // tokenizer. The merge table is a driver-held constant (the learned
+    // artifact); encoding is scan-stage codegen.
+    "t_bpe_encode" -> ((s, dir) => {
+      val m = CorpusStats.bpeTrain(docs(s, dir), "text", steps = 5)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      CorpusStats.bpeEncode(docs(s, dir), "text", "doc_id", m)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet head/middle/tail perplexity bucketing per source: LM-score
     // every doc, split each source into thirds by value thresholds over
     // the rounded-score histogram (no corpus-wide ntile).
@@ -658,6 +671,8 @@ object CorpusQueries {
   // passes of " a b " -> " ab " on the padded sequence — replace() scans
   // left-to-right non-overlapping in both engines, so the pass semantics
   // (and therefore the learned table) are identical by construction.
+  // The word `tok` is carried through every round so the final r<steps>
+  // relation doubles as the encoded vocabulary (t_bpe_encode joins it).
   private def duckBpeRounds(steps: Int): String = {
     val rounds = (1 to steps).map { i =>
       s"""p$i AS (SELECT a, b, a || b AS merged, cnt FROM (
@@ -666,17 +681,20 @@ object CorpusQueries {
          |    CROSS JOIN unnest(range(1, len(syms))) AS t(x)
          |    GROUP BY 1, 2)
          |  ORDER BY cnt DESC, a, b LIMIT 1),
-         |r$i AS (SELECT trim(replace(replace(replace(replace(replace(replace(
+         |r$i AS (SELECT tok, trim(replace(replace(replace(replace(replace(replace(
          |    ' ' || seq || ' ', p, q), p, q), p, q), p, q), p, q), p, q)) AS seq, wc
          |  FROM r${i - 1} CROSS JOIN
          |    (SELECT ' ' || a || ' ' || b || ' ' AS p, ' ' || merged || ' ' AS q
          |     FROM p$i))""".stripMargin
     }.mkString(",\n")
-    val union = (1 to steps).map(i =>
+    rounds
+  }
+
+  // Final select for t_bpe_train: the learned merge table, one row per round.
+  private def duckBpeMergeTable(steps: Int): String =
+    (1 to steps).map(i =>
       s"SELECT CAST($i AS BIGINT) AS step, a, b, merged, cnt FROM p$i")
       .mkString("\nUNION ALL ")
-    s"$rounds\n$union"
-  }
 
   val oracle: Map[String, String] = Map(
     "p_pack_sequences" ->
@@ -767,10 +785,26 @@ object CorpusQueries {
     "t_bpe_train" ->
       s"""WITH toks AS (SELECT $duckToks AS toks FROM documents),
          |w AS (SELECT unnest(toks) AS tok FROM toks),
-         |r0 AS (SELECT trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS seq,
-         |  count(*) AS wc FROM w GROUP BY 1),
+         |r0 AS (SELECT tok, trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS seq,
+         |  count(*) AS wc FROM w GROUP BY tok),
          |${duckBpeRounds(5)}
+         |${duckBpeMergeTable(5)}
          |ORDER BY step""".stripMargin,
+
+    // same unrolled rounds; the tok-carrying final relation IS the
+    // encoded vocabulary, joined back onto word occurrences per doc
+    "t_bpe_encode" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |wd AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+         |w AS (SELECT tok FROM wd),
+         |r0 AS (SELECT tok, trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS seq,
+         |  count(*) AS wc FROM w GROUP BY tok),
+         |${duckBpeRounds(5)},
+         |enc AS (SELECT tok, len(string_split(seq, ' ')) AS ns FROM r5)
+         |SELECT d.doc_id, count(*) AS n_words,
+         |  CAST(sum(e.ns) AS BIGINT) AS n_subwords
+         |FROM wd d JOIN enc e USING (tok)
+         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
 
     // identical histogram-threshold construction to perplexityBuckets:
     // value cutoffs at ceil(n/3)/ceil(2n/3) over the rounded-score

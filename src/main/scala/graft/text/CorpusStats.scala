@@ -384,6 +384,31 @@ object CorpusStats {
         col("merged"), col("cnt"))
   }
 
+  /** Encode documents under a learned BPE merge table ([[bpeTrain]]'s
+    * output, applied in merge order): per-document word and subword
+    * counts — "how many tokens is this corpus under MY tokenizer", the
+    * number every budget/packing/billing decision downstream consumes.
+    *
+    * Scale: the merge chain is a pure scan-stage string expression
+    * (merges are a driver-held constant of `steps` pairs — the learned
+    * artifact, not data), so encoding runs inside whole-stage codegen on
+    * the exploded word stream and the only exchange is the per-doc
+    * count/sum partial aggregate. Same bounded replace-pass semantics as
+    * training (see [[bpeTrain]]) — engine-identical, hash-oracle-able.
+    */
+  def bpeEncode(df: DataFrame, textCol: String, idCol: String,
+                merges: Seq[(String, String)], passes: Int = 6): DataFrame = {
+    var c: Column = concat(lit(" "),
+      trim(regexp_replace(col("tok"), "(.)", "$1 ")), lit(" "))
+    for ((a, b) <- merges; _ <- 1 to passes)
+      c = replace(c, lit(s" $a $b "), lit(s" $a$b "))
+    df.select(col(idCol).cast("long").as("id"),
+        explode(TextAnalysis.asciiTokens(col(textCol))).as("tok"))
+      .select(col("id"), size(split(trim(c), " ")).cast("long").as("ns"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_subwords"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 §4.3):
     * score every document under the corpus unigram LM and split EACH
     * group (CCNet: language; here any `groupCol`) into head / middle /

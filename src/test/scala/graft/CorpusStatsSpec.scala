@@ -243,6 +243,16 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out == Seq((1L, "a", "a", "aa", 2L), (2L, "aa", "a", "aaa", 1L)), out)
   }
 
+  test("bpeEncode counts subwords under the learned merges") {
+    // merges (a,b)->(ab), (ab,ab)->(abab): "abab"->1, "aab"->"a ab"->2,
+    // "cd"->"c d"->2, "ababab"->"abab ab"->2
+    val df = Seq((1L, "abab aab"), (2L, "cd ababab")).toDF("doc_id", "text")
+    val out = CorpusStats.bpeEncode(df, "text", "doc_id",
+        Seq(("a", "b"), ("ab", "ab")))
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 3L), (2L, 2L, 4L)), out)
+  }
+
   test("perplexityBuckets: thirds per group by value threshold, ties share a bucket") {
     // group g: six docs with strictly increasing rarity → 2 head, 2 middle,
     // 2 tail; the common-word doc scores lowest nll (head).
