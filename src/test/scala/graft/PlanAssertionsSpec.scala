@@ -207,6 +207,41 @@ class PlanAssertionsSpec extends SparkSpec {
       s"corpus side must probe a broadcast eval set:\n$p")
   }
 
+  test("tfIdfTopK: doc-keyed plan — exploded tokens never re-shuffle unbounded") {
+    // The round-10 plan: repartition(id) up front, so the (id, term)
+    // aggregate runs exchange-free on the exploded token stream. The
+    // window's ENSURE_REQUIREMENTS exchange survives only because an
+    // AQE-wrapped cached plan hides its output partitioning at plan
+    // time — but it must be fed by a PARTIAL WindowGroupLimit, so it
+    // carries at most k rows per (partition, id), never the token stream.
+    val p = plan("t_tfidf_topk")
+    val exchangeIds = "Exchange hashpartitioning[^\\n]*plan_id=(\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchangeIds.size <= 3,
+      s"unexpected exchange count ${exchangeIds.size}:\n$p")
+    assert(p.contains("row_number(), 3, Partial"),
+      s"window exchange must be capped by a map-side group limit:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dfreq join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"a join fell back to SMJ:\n$p")
+  }
+
+  test("bpeEncode: scan-stage merge chain — only the per-doc partial-agg exchange") {
+    val enc = graft.text.CorpusStats.bpeEncode(
+      Tables.load(spark, sf0, "documents"), "text", "doc_id",
+      Seq(("t", "h"), ("th", "e")))
+    val p = enc.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly the aggregate exchange:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"encoding must not join:\n$p")
+  }
+
+  test("perplexityBuckets: thresholds broadcast back onto the scored relation") {
+    val p = plan("t_ppl_buckets")
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold join must broadcast (corpus-side shuffle otherwise):\n$p")
+  }
+
   test("kafkaProduceBySchemaField compiles to a single scan of the input") {
     import spark.implicits._
     val sA = """{"type":"record","name":"A","fields":[{"name":"id","type":"long"}]}"""
