@@ -58,6 +58,10 @@ class ApproxBoundsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.01"
   private def li = Tables.load(spark, sf, "lineitem")
 
+  test("entry() runs against sf0.001 and returns rows (the driver smoke check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("s_knn_lsh recall against the s_knn_brute ground truth") {
     def pairs(name: String) = graft.queries.LlmQueries.queries(name)(spark, sf)
       .select("qid", "id").collect()
