@@ -198,6 +198,104 @@ object Multimodal {
     }(enc)
   }
 
+  /** Patterned deterministic PNG synthesis (fixture generation, like
+    * [[synthesizePng]] but with per-pixel content): channel values are a
+    * fixed integer formula of (class, x, y) plus a per-image brightness
+    * `jitter` — mid-range (32..222) so jitter never clips. Images of the
+    * same class differ only by a constant brightness shift, which the
+    * average-hash provably ignores (integer division by 1000 and the mean
+    * both shift by exactly `jitter`), so the class structure is
+    * recoverable from the decoded pixels alone.
+    */
+  def synthesizePatternPng(df: DataFrame, widthCol: String, heightCol: String,
+                           classCol: String, jitterCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("media", mediaSchema, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val w = r.getAs[Number](widthCol).intValue()
+        val h = r.getAs[Number](heightCol).intValue()
+        val cls = r.getAs[Number](classCol).longValue()
+        val jit = r.getAs[Number](jitterCol).intValue()
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rr = (32 + (cls * 7 + x * 13L + y * 31L) % 160 + jit).toInt
+            val gg = (32 + (cls * 11 + x * 17L + y * 23L) % 160 + jit).toInt
+            val bb = (32 + (cls * 13 + x * 19L + y * 29L) % 160 + jit).toInt
+            img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Row.fromSeq(r.toSeq :+ Row(out.toByteArray, "image/png", "binary"))
+      }
+    }(enc)
+  }
+
+  /** Average-hash perceptual signature over a REAL decode: sample an 8×8
+    * luminance grid from the decoded image, threshold against the integer
+    * mean, and emit the 64 bits as a '0'/'1' string (bit k = y-major; a
+    * string rather than a packed long keeps the signature engine-portable
+    * and hash-comparable with no sign-bit gymnastics). NULL when no
+    * installed codec recognizes the payload.
+    *
+    * This is the LAION-style image-dedup first pass: brightness/contrast
+    * shifts and re-encodes preserve the hash, so exact grouping on it
+    * collapses perceptual duplicate classes — at corpus scale the groupBy
+    * shuffles 64-byte signatures, never pixels. All sampling/threshold
+    * arithmetic is integer, so an oracle can recompute the signature from
+    * a known pixel formula without any image codec.
+    */
+  def imageAvgHashBits(df: DataFrame,
+                       bodyCol: String = "media.body"): DataFrame = {
+    val withBytes = df.withColumn("__bytes", col(bodyCol))
+    val schema = StructType(withBytes.schema.fields.filterNot(_.name == "__bytes") :+
+      StructField("phash_bits", StringType, nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    withBytes.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("__bytes")
+        val base = Row.fromSeq(
+          r.toSeq.zip(r.schema.fields).collect {
+            case (v, f) if f.name != "__bytes" => v
+          })
+        val bits = if (bytes == null) null else readGuarded(bytes) match {
+          case None => null
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val lum = new Array[Long](64)
+            var k = 0
+            var j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 8) {
+                val px = img.getRGB((i * w) / 8, (j * h) / 8)
+                val rr = (px >> 16) & 0xFF; val gg = (px >> 8) & 0xFF
+                val bb = px & 0xFF
+                lum(k) = (299L * rr + 587L * gg + 114L * bb) / 1000L
+                k += 1; i += 1
+              }
+              j += 1
+            }
+            val mean = lum.sum / 64
+            val sb = new java.lang.StringBuilder(64)
+            lum.foreach(l => sb.append(if (l > mean) '1' else '0'))
+            sb.toString
+        }
+        Row.fromSeq(base.toSeq :+ bits)
+      }
+    }(enc)
+  }
+
   /** Cheap columnar media stats that need no decode: pure expressions over
     * the binary column (length, hash, magic-byte sniff). These run in
     * whole-stage codegen — use them to pre-filter before the expensive

@@ -539,6 +539,28 @@ object LlmQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_frames"))
         .orderBy("doc_id")
+    }),
+
+    // LAION-style perceptual image dedup over a REAL decode: 32 pattern
+    // classes of synthesized PNGs (per-image brightness jitter — which
+    // the integer average-hash provably cancels), decoded back through
+    // javax.imageio and grouped by the 8×8 luminance signature. The
+    // oracle recomputes the signature from the pixel formula with pure
+    // integer SQL — a hash that didn't read the actual decoded pixels
+    // cannot match it. At scale the groupBy shuffles 64-byte signatures,
+    // never pixels.
+    "mm_phash_dedup" -> ((s, dir) => {
+      val staged = docs(s, dir).select(col("doc_id"))
+        .withColumn("cls", col("doc_id") % 32)
+        .withColumn("jit", (col("doc_id") % 16).cast("int"))
+        .withColumn("w0", (lit(8) + (col("cls") * 5) % 56).cast("int"))
+        .withColumn("h0", (lit(8) + (col("cls") * 7) % 40).cast("int"))
+      val media = Multimodal.synthesizePatternPng(staged, "w0", "h0", "cls", "jit")
+      Multimodal.imageAvgHashBits(media)
+        .groupBy(col("phash_bits"))
+        .agg(count(lit(1)).as("n_imgs"), min(col("doc_id")).as("keep_id"))
+        .select(col("phash_bits"), col("n_imgs"), col("keep_id"))
+        .orderBy("keep_id")
     })
   )
 
@@ -1318,6 +1340,33 @@ object LlmQueries {
         |  CAST(1 + octet_length(encode(text)) % 64 AS INT) AS w,
         |  CAST(1 + doc_id % 48 AS INT) AS h,
         |  CAST(3 AS INT) AS channels
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the Spark side writes patterned PNGs, truly decodes them, and
+    // average-hashes the decoded pixels; the oracle recomputes the same
+    // 8x8 integer luminance signature from the pixel formula — the
+    // brightness jitter cancels through the integer divisions exactly as
+    // it does in the decoded path
+    "mm_phash_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 32 AS cls, doc_id % 16 AS jit,
+        |    8 + ((doc_id % 32) * 5) % 56 AS w, 8 + ((doc_id % 32) * 7) % 40 AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, j * 8 + i AS k,
+        |    (299 * (32 + (cls * 7 + ((i * w) // 8) * 13 + ((j * h) // 8) * 31) % 160 + jit)
+        |     + 587 * (32 + (cls * 11 + ((i * w) // 8) * 17 + ((j * h) // 8) * 23) % 160 + jit)
+        |     + 114 * (32 + (cls * 13 + ((i * w) // 8) * 19 + ((j * h) // 8) * 29) % 160 + jit)
+        |    ) // 1000 AS lum
+        |  FROM d CROSS JOIN unnest(range(0, 8)) AS a(j)
+        |         CROSS JOIN unnest(range(0, 8)) AS b(i)),
+        |m AS (SELECT doc_id, sum(lum) // 64 AS mean FROM g GROUP BY doc_id),
+        |bits AS (
+        |  SELECT g.doc_id,
+        |    string_agg(CASE WHEN g.lum > m.mean THEN '1' ELSE '0' END, ''
+        |      ORDER BY g.k) AS phash_bits
+        |  FROM g JOIN m USING (doc_id) GROUP BY g.doc_id)
+        |SELECT phash_bits, count(*) AS n_imgs, min(doc_id) AS keep_id
+        |FROM bits GROUP BY phash_bits ORDER BY keep_id""".stripMargin
   )
 }

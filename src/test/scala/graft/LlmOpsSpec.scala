@@ -445,6 +445,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.values.forall(_._4.forall(v => v >= 0f && v <= 1f)))
   }
 
+  test("imageAvgHashBits: brightness jitter cancels, classes separate, non-images null") {
+    // rows 1 and 2: same pattern class, different jitter → SAME signature;
+    // row 3: different class/dims → different signature
+    val staged = Seq((1L, 0L, 0, 24, 16), (2L, 0L, 9, 24, 16),
+        (3L, 5L, 3, 33, 29))
+      .toDF("id", "cls", "jit", "w0", "h0")
+    val media = Multimodal.synthesizePatternPng(staged, "w0", "h0", "cls", "jit")
+    val out = Multimodal.imageAvgHashBits(media)
+      .select(col("id"), col("phash_bits")).as[(Long, String)]
+      .collect().toMap
+    assert(out(1L) != null && out(1L).length == 64 &&
+      out(1L).forall(c => c == '0' || c == '1'), out(1L))
+    assert(out(1L) == out(2L), "brightness jitter must not change the hash")
+    assert(out(1L) != out(3L), "distinct pattern classes must separate")
+    // an undecodable payload yields a null signature, not a crash
+    val notImage = Multimodal.asMedia(
+      Seq((9L, "just text")).toDF("id", "text"), "text", "text/plain")
+    val nulls = Multimodal.imageAvgHashBits(notImage)
+      .select(col("phash_bits")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("multimodal decode: decompression bomb rejected from the header") {
     // a syntactically valid PNG whose IHDR DECLARES 60000×60000 (3.6 Gpx)
     // with almost no pixel data: the header pre-check must route it to the
