@@ -370,11 +370,17 @@ object CorpusStats {
         val rep = s" $a$b "
         var c: Column = concat(lit(" "), col("seq"), lit(" "))
         for (_ <- 1 to passes) c = replace(c, lit(pat), lit(rep))
-        // re-cache per round: rounds compound, and each is consumed by
-        // the next round's pair count AND its own rewrite — the relation
-        // stays vocabulary-sized (caller-released via CacheScope)
-        vocab = graft.CacheScope.cache(
+        // re-cache per round (the relation stays vocabulary-sized;
+        // caller-released via CacheScope), then TRUNCATE the logical
+        // lineage: without the LogicalRDD wrap, round k's plan nests all
+        // k×passes previous replaces and the analyzer re-processes the
+        // compounding tree every round — fine at steps=5, quadratic
+        // driver time at a real vocabulary's thousands of merges (the
+        // dedupClusters round-7 lesson). The RDD scan still reads the
+        // cached blocks.
+        val next = graft.CacheScope.cache(
           vocab.select(trim(c).as("seq"), col("wc")))
+        vocab = next.sparkSession.createDataFrame(next.rdd, next.schema)
         step += 1
       }
     }
