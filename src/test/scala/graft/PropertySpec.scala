@@ -171,6 +171,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bpeTrain equals single-node greedy BPE on random corpora") {
+    // Reference implementation: textbook greedy BPE over word-type counts —
+    // most frequent adjacent pair (ties lexicographic on (a, b)), applied
+    // left-to-right non-overlapping. Validates the distributed trainer's
+    // replace-pass merge application (the "6 passes = exact greedy for
+    // chains <= 2^6" argument) beyond the hand-built cases — runs of one
+    // symbol, alternating chains, and multi-char merged symbols all arise
+    // from the generator.
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def refBpe(words: Seq[String], steps: Int): Seq[(String, String, Long)] = {
+      var vocab = words.groupBy(identity).map { case (w, ws) =>
+        (w.map(_.toString).toVector, ws.size.toLong) }.toVector
+      val merges = Vector.newBuilder[(String, String, Long)]
+      var s = 0
+      var done = false
+      while (s < steps && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, wc) =>
+          syms.indices.dropRight(1).foreach { i =>
+            counts((syms(i), syms(i + 1))) =
+              counts.getOrElse((syms(i), syms(i + 1)), 0L) + wc
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+          merges += ((a, b, cnt))
+          vocab = vocab.map { case (syms, wc) => (applyMerge(syms, a, b), wc) }
+          s += 1
+        }
+      }
+      merges.result()
+    }
+    // words over a tiny alphabet so runs and chains are common
+    val wordGen = Gen.listOfN(6, Gen.oneOf("a", "b", "c")).map(_.mkString)
+    forAllSampled(Gen.listOfN(12, wordGen), n = 4) { words =>
+      if (words.nonEmpty) {
+        val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+        val got = graft.text.CorpusStats.bpeTrain(df, "text", steps = 4)
+          .orderBy("step").as[(Long, String, String, String, Long)]
+          .collect().map(r => (r._2, r._3, r._5)).toSeq
+        val want = refBpe(words, steps = 4)
+        assert(got == want, s"words=$words\n got=$got\nwant=$want")
+      }
+    }
+  }
+
   test("mixSources is monotone in rate: a higher rate keeps a superset") {
     // bucket(id) < rate means raising the rate can only ADD rows — the
     // property that makes mixture-rate tuning reproducible run-over-run
