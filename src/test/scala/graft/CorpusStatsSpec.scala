@@ -269,6 +269,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(nll == nll.sorted, nll)
   }
 
+  test("round-10 ops are layout-independent: repartitioned input, identical output") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val shuffled = docs.repartition(7, col("source"))
+    def bpe(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.bpeTrain(d, "text", steps = 3)
+        .orderBy("step").collect().toSeq
+    assert(bpe(docs) == bpe(shuffled))
+    def ppl(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.perplexityBuckets(d, "text", "doc_id", "source")
+        .orderBy("id").collect().toSeq
+    assert(ppl(docs) == ppl(shuffled))
+    val merges = Seq(("t", "h"), ("th", "e"))
+    def enc(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.bpeEncode(d, "text", "doc_id", merges)
+        .orderBy("id").collect().toSeq
+    assert(enc(docs) == enc(shuffled))
+  }
+
   test("dsir: target-like docs weigh higher; weights and selection are layout-independent") {
     val target = Seq((1L, "alpha beta alpha beta")).toDF("doc_id", "text")
     val raw = Seq((1L, "alpha beta alpha beta"),
