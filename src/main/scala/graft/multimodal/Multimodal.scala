@@ -296,6 +296,61 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic image resize: decode (header-guarded), NEAREST-NEIGHBOR
+    * sample to `targetW`×`targetH` — out(x, y) = in((x·w)/tw, (y·h)/th),
+    * pure integer index math, so the resized pixels are bit-reproducible
+    * across JVMs and recomputable by an oracle (Graphics2D interpolation
+    * is neither) — and re-encode as PNG into a `resized` media column.
+    * Undecodable payloads yield a null body (schema-stable, no crash).
+    *
+    * This is the standard pre-embedding normalization step of an image
+    * training pipeline; at scale it runs decode-after-filter inside
+    * `mapPartitions` (codec registry touched once per partition), and the
+    * output column is bounded at tw×th×3 bytes + PNG framing per row
+    * regardless of source resolution.
+    */
+  def imageResizeNearest(df: DataFrame, bodyCol: String,
+                         targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val withBytes = df.withColumn("__bytes", col(bodyCol))
+    val schema = StructType(withBytes.schema.fields.filterNot(_.name == "__bytes") :+
+      StructField("resized", mediaSchema, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    withBytes.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("__bytes")
+        val base = Row.fromSeq(
+          r.toSeq.zip(r.schema.fields).collect {
+            case (v, f) if f.name != "__bytes" => v
+          })
+        val body: Array[Byte] =
+          if (bytes == null) null
+          else readGuarded(bytes) match {
+            case None => null
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              val out = new java.awt.image.BufferedImage(targetW, targetH,
+                java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+              var y = 0
+              while (y < targetH) {
+                var x = 0
+                while (x < targetW) {
+                  out.setRGB(x, y,
+                    img.getRGB((x * w) / targetW, (y * h) / targetH))
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              bos.toByteArray
+          }
+        Row.fromSeq(base.toSeq :+ Row(body, "image/png", "binary"))
+      }
+    }(enc)
+  }
+
   /** Cheap columnar media stats that need no decode: pure expressions over
     * the binary column (length, hash, magic-byte sniff). These run in
     * whole-stage codegen — use them to pre-filter before the expensive

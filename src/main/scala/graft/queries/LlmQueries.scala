@@ -561,6 +561,24 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_imgs"), min(col("doc_id")).as("keep_id"))
         .select(col("phash_bits"), col("n_imgs"), col("keep_id"))
         .orderBy("keep_id")
+    }),
+
+    // Resize in the pipeline: patterned PNGs → deterministic
+    // nearest-neighbor 16×12 resize (REAL decode + re-encode) → decode
+    // AGAIN and signature the resized pixels. The oracle composes the two
+    // integer nearest-neighbor mappings — proof the emitted bytes are a
+    // genuine resized image of the decoded source, not metadata surgery.
+    "mm_resize_hash" -> ((s, dir) => {
+      val staged = docs(s, dir).select(col("doc_id"))
+        .withColumn("cls", col("doc_id") % 32)
+        .withColumn("jit", (col("doc_id") % 16).cast("int"))
+        .withColumn("w0", (lit(8) + (col("cls") * 5) % 56).cast("int"))
+        .withColumn("h0", (lit(8) + (col("cls") * 7) % 40).cast("int"))
+      val media = Multimodal.synthesizePatternPng(staged, "w0", "h0", "cls", "jit")
+      val resized = Multimodal.imageResizeNearest(media, "media.body", 16, 12)
+      Multimodal.imageAvgHashBits(resized, "resized.body")
+        .select(col("doc_id"), col("phash_bits"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1367,6 +1385,33 @@ object LlmQueries {
         |      ORDER BY g.k) AS phash_bits
         |  FROM g JOIN m USING (doc_id) GROUP BY g.doc_id)
         |SELECT phash_bits, count(*) AS n_imgs, min(doc_id) AS keep_id
-        |FROM bits GROUP BY phash_bits ORDER BY keep_id""".stripMargin
+        |FROM bits GROUP BY phash_bits ORDER BY keep_id""".stripMargin,
+
+    // the two nearest-neighbor mappings composed in integer SQL:
+    // avg-hash samples of the 16x12 resize land on source pixel
+    // ((2i*w)//16, (((3j)//2)*h)//12); the signature then recomputes
+    // from the pattern formula exactly as mm_phash_dedup does
+    "mm_resize_hash" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 32 AS cls, doc_id % 16 AS jit,
+        |    8 + ((doc_id % 32) * 5) % 56 AS w, 8 + ((doc_id % 32) * 7) % 40 AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, j * 8 + i AS k,
+        |    (299 * (32 + (cls * 7 + (((2 * i) * w) // 16) * 13
+        |       + ((((3 * j) // 2) * h) // 12) * 31) % 160 + jit)
+        |     + 587 * (32 + (cls * 11 + (((2 * i) * w) // 16) * 17
+        |       + ((((3 * j) // 2) * h) // 12) * 23) % 160 + jit)
+        |     + 114 * (32 + (cls * 13 + (((2 * i) * w) // 16) * 19
+        |       + ((((3 * j) // 2) * h) // 12) * 29) % 160 + jit)
+        |    ) // 1000 AS lum
+        |  FROM d CROSS JOIN unnest(range(0, 8)) AS a(j)
+        |         CROSS JOIN unnest(range(0, 8)) AS b(i)),
+        |m AS (SELECT doc_id, sum(lum) // 64 AS mean FROM g GROUP BY doc_id)
+        |SELECT g.doc_id,
+        |  string_agg(CASE WHEN g.lum > m.mean THEN '1' ELSE '0' END, ''
+        |    ORDER BY g.k) AS phash_bits
+        |FROM g JOIN m USING (doc_id) GROUP BY g.doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

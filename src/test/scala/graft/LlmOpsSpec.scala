@@ -467,6 +467,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("imageResizeNearest emits a real PNG of the target dims; non-images null out") {
+    val staged = Seq((1L, 3L, 2, 24, 16)).toDF("id", "cls", "jit", "w0", "h0")
+    val media = Multimodal.synthesizePatternPng(staged, "w0", "h0", "cls", "jit")
+    val resized = Multimodal.imageResizeNearest(media, "media.body", 10, 6)
+    val row = Multimodal.decodeFeatures(spark, resized, "resized.body")
+      .select(col("features.width"), col("features.height"),
+        col("features.channels")).head()
+    assert((row.getInt(0), row.getInt(1), row.getInt(2)) == ((10, 6, 3)), row)
+    // nearest-neighbor determinism: resizing twice gives identical bytes
+    val b1 = resized.select(col("resized.body")).head().getAs[Array[Byte]](0)
+    val b2 = Multimodal.imageResizeNearest(media, "media.body", 10, 6)
+      .select(col("resized.body")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(b1, b2))
+    val notImage = Multimodal.asMedia(
+      Seq((9L, "plain text")).toDF("id", "text"), "text", "text/plain")
+    val n = Multimodal.imageResizeNearest(notImage, "media.body", 4, 4)
+      .select(col("resized.body")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("multimodal decode: decompression bomb rejected from the header") {
     // a syntactically valid PNG whose IHDR DECLARES 60000×60000 (3.6 Gpx)
     // with almost no pixel data: the header pre-check must route it to the
