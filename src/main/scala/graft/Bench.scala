@@ -125,7 +125,9 @@ object Bench {
       "d_ngram_jaccard", "d_embed_neardup", "s_knn_brute", "s_knn_lsh",
       "m_avro_roundtrip", "m_grok", "t_quality_score", "mm_media_stats",
       "d_remove_dup_spans", "t_lm_score", "t_bm25_topk", "p_pack_sequences",
-      "t_nb_classify", "t_dsir_weight", "s_knn_pq", "d_bloom_decontaminate")
+      "t_nb_classify", "t_dsir_weight", "s_knn_pq", "d_bloom_decontaminate",
+      "x_stream_window", "x_stream_dedup", "t_bpe_train", "t_ppl_buckets",
+      "mm_phash_dedup", "t_tfidf_topk")
     println(json(results.filter(r => headline(r._1)), "%.3f", withCold = false))
     spark.stop()
   }
