@@ -44,10 +44,23 @@ object Packing {
     */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
                     capacity: Long, rangeSize: Long = 4096,
-                    distributedPrefix: Boolean = false): DataFrame = {
+                    distributedPrefix: Boolean = false): DataFrame =
+    packByLength(
+      df.select(col(idCol).as("__id"),
+        TextAnalysis.tokenCount(col(textCol)).as("__len")),
+      "__len", "__id", capacity, rangeSize, distributedPrefix)
+
+  /** [[packSequences]] over a PRECOMPUTED length column — the form a real
+    * pipeline uses once lengths come from an actual tokenizer
+    * ([[graft.text.CorpusStats.bpeEncode]]'s `n_subwords`) rather than
+    * whitespace counting. Same two-level prefix sum, same output columns.
+    */
+  def packByLength(df: DataFrame, lenCol: String, idCol: String,
+                   capacity: Long, rangeSize: Long = 4096,
+                   distributedPrefix: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val tc = df.select(col(idCol).cast("long").as("id"),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_toks"))
+        col(lenCol).cast("long").as("n_toks"))
       .withColumn("rng", expr(s"id div $rangeSize"))
     val rangeAgg = tc.groupBy(col("rng")).agg(sum(col("n_toks")).as("rs"))
     val prefixDf = if (distributedPrefix) {

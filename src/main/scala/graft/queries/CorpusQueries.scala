@@ -143,6 +143,20 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Packing by the REAL tokenizer's lengths: train 5 BPE merges, encode
+    // the corpus, pack by n_subwords — the composition a production
+    // dataloader runs (whitespace counts only approximate batch cost).
+    "p_pack_bpe" -> ((s, dir) => {
+      val m = CorpusStats.bpeTrain(docs(s, dir), "text", steps = 5)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = CorpusStats.bpeEncode(docs(s, dir), "text", "doc_id", m)
+      Packing.packByLength(enc, "n_subwords", "id", capacity = 2048)
+        .select(col("id").as("doc_id"), col("n_toks"), col("bin"),
+          col("bin_off"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet head/middle/tail perplexity bucketing per source: LM-score
     // every doc, split each source into thirds by value thresholds over
     // the rounded-score histogram (no corpus-wide ntile).
@@ -805,6 +819,28 @@ object CorpusQueries {
          |  CAST(sum(e.ns) AS BIGINT) AS n_subwords
          |FROM wd d JOIN enc e USING (tok)
          |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
+
+    // the bpe-encode CTEs feeding the pack prefix sum — packing by the
+    // learned tokenizer's lengths end-to-end in SQL
+    "p_pack_bpe" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |wd AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+         |w AS (SELECT tok FROM wd),
+         |r0 AS (SELECT tok, trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS seq,
+         |  count(*) AS wc FROM w GROUP BY tok),
+         |${duckBpeRounds(5)},
+         |enc AS (SELECT tok, len(string_split(seq, ' ')) AS ns FROM r5),
+         |perdoc AS (
+         |  SELECT d.doc_id, CAST(sum(e.ns) AS BIGINT) AS n_toks
+         |  FROM wd d JOIN enc e USING (tok) GROUP BY d.doc_id),
+         |cum AS (
+         |  SELECT doc_id, n_toks,
+         |    CAST(sum(n_toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum_end
+         |  FROM perdoc)
+         |SELECT doc_id, n_toks,
+         |  (cum_end - n_toks) // 2048 AS bin,
+         |  (cum_end - n_toks) % 2048 AS bin_off
+         |FROM cum ORDER BY doc_id""".stripMargin,
 
     // identical histogram-threshold construction to perplexityBuckets:
     // value cutoffs at ceil(n/3)/ceil(2n/3) over the rounded-score
