@@ -382,19 +382,20 @@ object CorpusQueries {
     // length, mean quality, language count, exact-dup fraction — the
     // dataset-card numbers, computed in a single source-keyed aggregate
     // (token/quality expressions evaluate in the scan stage; the digest
-    // distinct is source-local). Every mean is INTEGER-exact: scaled
-    // integer division of two exact sums, then one small-int / 10^k
-    // double division — `round(double, k)` at a half-way boundary is
-    // engine-dependent (BigDecimal HALF_UP vs libm scaling), which broke
-    // the r9 hash oracle; truncating integer arithmetic is bit-identical
-    // everywhere.
+    // distinct is source-local). Every output column is a BIGINT:
+    // means/fractions are INTEGER-SCALED (x100 / micros) truncating
+    // divisions of exact integer sums, and the per-doc quality is
+    // TextAnalysis.qualityMicros — integer predicates, no double
+    // anywhere. r9 broke on `round(double, k)` boundary semantics; r10
+    // still hash-mismatched in the driver on the final double columns
+    // (double canonicalization varies across DuckDB builds) — so no
+    // double ever enters the hash now.
     "x_corpus_report" -> ((s, dir) =>
       docs(s, dir)
         .select(col("source"), col("lang"), col("n_chars"),
           md5(col("text")).as("digest"),
           size(TextAnalysis.asciiTokens(col("text"))).cast("long").as("n_toks"),
-          (TextAnalysis.qualityScore(col("text")).cast("decimal(18,6)") *
-            lit(1000000)).cast("long").as("q_micros"))
+          TextAnalysis.qualityMicros(col("text")).as("q_micros"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("n_tokens"),
@@ -403,13 +404,12 @@ object CorpusQueries {
           countDistinct(col("lang")).as("n_langs"),
           countDistinct(col("digest")).as("n_digests"))
         .select(col("source"), col("n_docs"), col("n_tokens"),
-          (expr("(sum_chars * 100) div n_docs").cast("double") /
-            lit(100.0)).as("mean_chars"),
-          (expr("sum_qm div n_docs").cast("double") /
-            lit(1000000.0)).as("mean_quality"),
+          expr("(sum_chars * 100) div n_docs").cast("long")
+            .as("mean_chars_x100"),
+          expr("sum_qm div n_docs").cast("long").as("mean_quality_micros"),
           col("n_langs"),
-          (expr("((n_docs - n_digests) * 1000000) div n_docs").cast("double") /
-            lit(1000000.0)).as("dup_frac"))
+          expr("((n_docs - n_digests) * 1000000) div n_docs").cast("long")
+            .as("dup_frac_micros"))
         .orderBy("source")),
 
     // Lee-et-al-style cross-document duplicate-span coverage.
@@ -687,6 +687,10 @@ object CorpusQueries {
   // (and therefore the learned table) are identical by construction.
   // The word `tok` is carried through every round so the final r<steps>
   // relation doubles as the encoded vocabulary (t_bpe_encode joins it).
+  // A round with no candidate pair yields an EMPTY p$i; coalesce(min(..))
+  // turns that into a no-op replace (tab never occurs in the alnum+space
+  // seq) so rows pass through unchanged — matching bpeTrain's early-stop
+  // semantics instead of zeroing every downstream relation.
   private def duckBpeRounds(steps: Int): String = {
     val rounds = (1 to steps).map { i =>
       s"""p$i AS (SELECT a, b, a || b AS merged, cnt FROM (
@@ -698,16 +702,30 @@ object CorpusQueries {
          |r$i AS (SELECT tok, trim(replace(replace(replace(replace(replace(replace(
          |    ' ' || seq || ' ', p, q), p, q), p, q), p, q), p, q), p, q)) AS seq, wc
          |  FROM r${i - 1} CROSS JOIN
-         |    (SELECT ' ' || a || ' ' || b || ' ' AS p, ' ' || merged || ' ' AS q
+         |    (SELECT coalesce(min(' ' || a || ' ' || b || ' '), chr(9)) AS p,
+         |            coalesce(min(' ' || merged || ' '), '') AS q
          |     FROM p$i))""".stripMargin
     }.mkString(",\n")
     rounds
   }
 
-  // Final select for t_bpe_train: the learned merge table, one row per round.
+  // Char-split seeding for r0 by POSITION GENERATION (unnest-free:
+  // list_transform over an index range + substr) — a regexp '(.)'
+  // replace here is a cross-version regexp-engine sensitivity surface;
+  // substr over [1..len] cannot vary. Tokens are duckToks output, i.e.
+  // pure ASCII alnum, so character == byte == codepoint.
+  private val duckCharSplit =
+    """array_to_string(list_transform(range(1, len(tok) + 1),
+      |      i -> substr(tok, CAST(i AS INTEGER), 1)), ' ')""".stripMargin
+
+  // Final select for t_bpe_train: the learned merge table, one row per
+  // round. cnt is CAST — DuckDB's sum(BIGINT) return type (HUGEINT vs
+  // DECIMAL(38,0)) varies across builds and hashes differently from the
+  // Spark LongType column; the bare sum() here was the only uncast
+  // aggregate on the board and the likely r10 driver-hash mismatch.
   private def duckBpeMergeTable(steps: Int): String =
     (1 to steps).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS step, a, b, merged, cnt FROM p$i")
+      s"SELECT CAST($i AS BIGINT) AS step, a, b, merged, CAST(cnt AS BIGINT) AS cnt FROM p$i")
       .mkString("\nUNION ALL ")
 
   val oracle: Map[String, String] = Map(
@@ -799,7 +817,7 @@ object CorpusQueries {
     "t_bpe_train" ->
       s"""WITH toks AS (SELECT $duckToks AS toks FROM documents),
          |w AS (SELECT unnest(toks) AS tok FROM toks),
-         |r0 AS (SELECT tok, trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS seq,
+         |r0 AS (SELECT tok, $duckCharSplit AS seq,
          |  count(*) AS wc FROM w GROUP BY tok),
          |${duckBpeRounds(5)}
          |${duckBpeMergeTable(5)}
@@ -811,7 +829,7 @@ object CorpusQueries {
       s"""WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |wd AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
          |w AS (SELECT tok FROM wd),
-         |r0 AS (SELECT tok, trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS seq,
+         |r0 AS (SELECT tok, $duckCharSplit AS seq,
          |  count(*) AS wc FROM w GROUP BY tok),
          |${duckBpeRounds(5)},
          |enc AS (SELECT tok, len(string_split(seq, ' ')) AS ns FROM r5)
@@ -826,7 +844,7 @@ object CorpusQueries {
       s"""WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |wd AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
          |w AS (SELECT tok FROM wd),
-         |r0 AS (SELECT tok, trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS seq,
+         |r0 AS (SELECT tok, $duckCharSplit AS seq,
          |  count(*) AS wc FROM w GROUP BY tok),
          |${duckBpeRounds(5)},
          |enc AS (SELECT tok, len(string_split(seq, ' ')) AS ns FROM r5),
@@ -1273,29 +1291,43 @@ object CorpusQueries {
         |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
-    // every mean is integer-exact (scaled BIGINT division of exact sums,
-    // then small-int / 10^k — bit-identical IEEE in both engines; double
-    // `round()` at half-way boundaries is engine-dependent and broke the
-    // r9 hash); quality SQL shared with t_quality_score via duckQuality
+    // every output column is BIGINT — integer-scaled truncating division
+    // of exact integer sums, per-doc quality via pure-integer
+    // cross-multiplied threshold compares (mirrors qualityMicros; the
+    // punct class is the EXPLICIT ASCII range [!-/:-@[-`{-~] ≡ Java's
+    // \p{Punct}, not the version-sensitive [[:punct:]] POSIX name). No
+    // double — and so no double-canonicalization surface — in the hash.
     "x_corpus_report" ->
       s"""WITH d AS (
          |  SELECT source, lang, n_chars, md5(text) AS digest,
          |    CAST(len($duckToks) AS BIGINT) AS n_toks,
-         |    CAST(CAST(${LlmQueries.duckQuality} AS DECIMAL(18,6)) * 1000000
-         |      AS BIGINT) AS q_micros
+         |    CAST((CASE WHEN length(text) BETWEEN 50 AND 100000
+         |            THEN 400000 ELSE 0 END)
+         |      + (CASE WHEN (length(text) - length(regexp_replace(text,
+         |            '[!-/:-@\\[-`{-~]', '', 'g'))) * 10 < length(text) * 3
+         |            THEN 300000 ELSE 0 END)
+         |      + (CASE WHEN len(list_filter(
+         |              string_split_regex(trim(lower(text)), '\\s+'),
+         |              x -> list_contains(['the','a','an','and','or','of',
+         |                'to','in','is','it','that','for','on','with','as',
+         |                'was','at','by','be','this'], x))) * 100
+         |            > len(string_split_regex(trim(lower(text)), '\\s+'))
+         |            THEN 300000 ELSE 0 END) AS BIGINT) AS q_micros
          |  FROM documents),
          |g AS (
-         |  SELECT source, count(*) AS n_docs, sum(n_toks) AS n_tokens,
-         |    sum(n_chars) AS sum_chars, sum(q_micros) AS sum_qm,
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |    CAST(sum(q_micros) AS BIGINT) AS sum_qm,
          |    count(DISTINCT lang) AS n_langs,
          |    count(DISTINCT digest) AS n_digests
          |  FROM d GROUP BY source)
          |SELECT source, n_docs, n_tokens,
-         |  CAST((sum_chars * 100) // n_docs AS DOUBLE) / 100.0 AS mean_chars,
-         |  CAST(sum_qm // n_docs AS DOUBLE) / 1000000.0 AS mean_quality,
+         |  CAST((sum_chars * 100) // n_docs AS BIGINT) AS mean_chars_x100,
+         |  CAST(sum_qm // n_docs AS BIGINT) AS mean_quality_micros,
          |  n_langs,
-         |  CAST(((n_docs - n_digests) * 1000000) // n_docs AS DOUBLE)
-         |    / 1000000.0 AS dup_frac
+         |  CAST(((n_docs - n_digests) * 1000000) // n_docs AS BIGINT)
+         |    AS dup_frac_micros
          |FROM g ORDER BY source""".stripMargin,
 
     "d_dup_span_frac" ->

@@ -70,6 +70,26 @@ object TextAnalysis {
     round((lenOk * 0.4 + punctOk * 0.3 + swOk * 0.3), 4)
   }
 
+  /** [[qualityScore]] scaled to millionths with PURE INTEGER arithmetic:
+    * the ratio thresholds become cross-multiplied integer compares
+    * (punct/chars < 0.3 ⇔ punct*10 < chars*3; sw/toks > 0.01 ⇔
+    * sw*100 > toks), so no double — and no engine-dependent `round` —
+    * ever enters the value. Bit-identical across any engine pair; used
+    * by the corpus-datasheet oracle (`x_corpus_report`).
+    */
+  def qualityMicros(text: Column): Column = {
+    val nChars = length(text).cast("long")
+    val nPunct = (length(text) -
+      length(regexp_replace(text, raw"\p{Punct}", ""))).cast("long")
+    val toks = split(lower(trim(text)), "\\s+")
+    val sw = typedLit(englishStopwords)
+    val nToks = size(toks).cast("long")
+    val nSw = size(filter(toks, t => array_contains(sw, t))).cast("long")
+    (when(length(text).between(50, 100000), 400000L).otherwise(0L) +
+      when(nPunct * 10 < nChars * 3, 300000L).otherwise(0L) +
+      when(nSw * 100 > nToks, 300000L).otherwise(0L)).cast("long")
+  }
+
   /** N-gram-frequency language ID heuristic: score text against per-language
     * marker-word lists, pick the argmax (ties → first). Pure expressions; a
     * production path would broadcast-join a trigram model — same plan shape.

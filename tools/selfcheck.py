@@ -1,18 +1,29 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [--exact]
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark output), runs the matching
 oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB against the sfDir
 tables, and compares: column names (sorted), row count, and values (rows
-sorted by all columns, compared with exact equality; floats with 1e-9 rel
-tolerance reported separately so we can see near-misses).
+sorted by all columns).
+
+Default mode rounds floats to 9 dp before comparing (near-miss triage).
+--exact performs NO float normalization and additionally md5-hashes the
+canonicalized rows (columns sorted by name, rows sorted, values repr'd)
+on both sides, approximating the driver's hash gate: a PASS here still
+only certifies THIS DuckDB build — the authoritative numbers are the
+driver's CORRECTNESS_r{N}.json, and round-close claims must quote that
+file, never this tool's output.
 """
-import json, math, sys, glob, os
+import hashlib, json, sys, glob, os
 import duckdb
 
-sf_dir, out_dir = sys.argv[1], sys.argv[2]
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+EXACT = "--exact" in sys.argv
+sf_dir, out_dir = args[0], args[1]
+
+print(f"duckdb={duckdb.__version__} mode={'exact' if EXACT else 'approx(round 9dp)'}")
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
@@ -22,7 +33,7 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 def norm(v):
-    if isinstance(v, float):
+    if not EXACT and isinstance(v, float):
         return round(v, 9)
     return v
 
@@ -31,6 +42,12 @@ def rows_of(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm(r[i]) for i in order) for r in rows]
     return sorted(cols), sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+def row_hash(rows):
+    h = hashlib.md5()
+    for r in rows:
+        h.update(("\x1f".join(repr(x) for x in r) + "\x1e").encode())
+    return h.hexdigest()
 
 n_pass = n_fail = n_skip = 0
 fails = []
@@ -67,7 +84,8 @@ for name in sorted(os.listdir(out_dir)):
         print(f"FAIL-COUNT {name}: spark={len(sr)} oracle={len(orr)}")
         n_fail += 1; fails.append(name); continue
     if sr == orr:
-        print(f"PASS {name} ({len(sr)} rows)")
+        suffix = f" hash={row_hash(sr)[:12]}" if EXACT else ""
+        print(f"PASS {name} ({len(sr)} rows){suffix}")
         n_pass += 1
     else:
         # find first diff
@@ -75,7 +93,7 @@ for name in sorted(os.listdir(out_dir)):
         print(f"FAIL-VALUES {name}: first diffs {diffs}")
         n_fail += 1; fails.append(name)
 
-print(f"\n== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
+print(f"\n== {n_pass} pass, {n_fail} fail, {n_skip} rows-only == (duckdb {duckdb.__version__})")
 if fails:
     print("failed:", " ".join(fails))
     sys.exit(1)
