@@ -34,7 +34,12 @@ object LlmQueries {
         docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
           col("text")),
         "text", "doc_id", Seq("source", "lang"),
-        shingleSize = 3, threshold = 0.2)
+        shingleSize = 3, threshold = 0.2,
+        // the verified-pair product lives in the SESSION cache tier:
+        // slim (id, id, jac) rows, shared by all three consumers across
+        // CacheScope.releaseAll boundaries — one pair-gen build per
+        // session instead of one per consuming query
+        sessionProduct = true)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac"))
       .filter(col("jac") >= 0.2)
 
