@@ -211,6 +211,38 @@ object MorphlineQueries {
         .orderBy("doc_id")
     }),
 
+    // The `java { code : … }` extension point, Spark-first (SURVEY §2.F;
+    // Kite stdlib's inline-code command): arbitrary per-record user code
+    // becomes a USER-REGISTERED op — here a Scala UDF — added to the
+    // OpRegistry at runtime and referenced from HOCON exactly like a
+    // built-in command. The UDF is deliberate: this is the escape hatch
+    // for logic Catalyst can't express; every shipped op stays codegen'd.
+    "m_custom_udf" -> ((s, dir) => {
+      val vowelCount = udf((t: String) =>
+        if (t == null) null
+        else java.lang.Long.valueOf(
+          t.toLowerCase.count(c => "aeiou".indexOf(c.toInt) >= 0)))
+      val registry = graft.pipeline.StandardOps.registry
+        .register("userVowelScore") { c =>
+          val f = c.getOrElse("field", "_attachment_body")
+          val out = c.getOrElse("outputField", "score")
+          graft.pipeline.Op(s"userVowelScore:$f")(df =>
+            df.withColumn(out, vowelCount(col(f))))
+        }
+      val conf =
+        """morphlines : [
+          |  { id : custom, commands : [
+          |    { userVowelScore { field : text, outputField : vowels } }
+          |    { setValues { grade : "@{lang}-graded" } }
+          |  ] }
+          |]""".stripMargin
+      val pipe = graft.pipeline.PipelineSpec.fromHocon(conf, "custom",
+        registry, env = _ => None)
+      pipe(documents(s, dir))
+        .select(col("doc_id"), col("vowels"), col("grade"))
+        .orderBy("doc_id")
+    }),
+
     // if/then/else routing: column-level conditional.
     "m_if_then_else" -> ((s, dir) => {
       val pipe = Pipeline("ifelse", Seq(
@@ -493,6 +525,15 @@ object MorphlineQueries {
       """SELECT event_id, event_type || '-avro' AS topic,
         |  event_type || '-value' AS subject
         |FROM events ORDER BY event_id""".stripMargin,
+    // vowel count via pure nested replace (no regexp — engine-identical
+    // greedy scans), mirroring the user UDF's toLowerCase + count
+    "m_custom_udf" ->
+      """SELECT doc_id,
+        |  CAST(length(lower(text)) -
+        |    length(replace(replace(replace(replace(replace(lower(text),
+        |      'a',''),'e',''),'i',''),'o',''),'u','')) AS BIGINT) AS vowels,
+        |  lang || '-graded' AS grade
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "m_convert_timestamp" ->
       """SELECT o_orderkey,
         |  strftime(coalesce(try_strptime(strftime(o_orderdate, '%Y-%m-%d'), '%m/%d/%Y'),

@@ -29,6 +29,25 @@ class RegistryCoverageSpec extends AnyFunSuite {
         s"stale: ${documented -- registered}")
   }
 
+  test("user-registered op: registry extension resolves from HOCON like a built-in") {
+    // the `java { code: … }` stand-in (SURVEY §2.F): users extend the
+    // registry with their own op and reference it from a conf — the same
+    // CommandBuilder-SPI seam the reference exposes, without inline
+    // compilation. Gate query m_custom_udf exercises the full path on
+    // real data; this pins the registry mechanics.
+    val r = StandardOps.registry.register("userShout") { c =>
+      val f = c.getOrElse("field", "_attachment_body")
+      graft.pipeline.Op("userShout")(df =>
+        df.withColumn(f, org.apache.spark.sql.functions.upper(
+          org.apache.spark.sql.functions.col(f))))
+    }
+    assert(r.names.contains("userShout"))
+    // a fresh StandardOps.registry is NOT polluted by user registration
+    assert(!StandardOps.registry.names.contains("userShout"))
+    val op = r.build("userShout", Map("field" -> "x"))
+    assert(op.name == "userShout")
+  }
+
   test("every command builds from a minimal config or fails with a config error") {
     // the registry must never throw on *lookup* of a documented name
     // (unknown-op errors are reserved for genuinely unknown commands)
