@@ -32,11 +32,15 @@ object StreamingOps {
   }
 
   /** File-based streaming source (the FileStreamSourceConnector analogue,
-    * reference README.md:108).
+    * reference README.md:108). `options` passes reader knobs through —
+    * e.g. `maxFilesPerTrigger=1` makes each staged file its own
+    * micro-batch, the test stand-in for the connector's per-poll batches.
     */
   def fileSource(spark: SparkSession, schema: StructType, path: String,
-                 format: String = "parquet"): DataFrame =
-    spark.readStream.schema(schema).format(format).load(path)
+                 format: String = "parquet",
+                 options: Map[String, String] = Map.empty): DataFrame =
+    options.foldLeft(spark.readStream.schema(schema))((r, kv) =>
+      r.option(kv._1, kv._2)).format(format).load(path)
 
   /** Apply a pipeline to a stream — pipelines are plain
     * `DataFrame => DataFrame`, so batch-built pipelines run on streams

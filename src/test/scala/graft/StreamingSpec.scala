@@ -455,6 +455,105 @@ class StreamingSpec extends SparkSpec {
         "a vector and its exact copy both survived")
     } finally q.stop()
   }
+
+  test("broker-free kafka e2e: produce → ingest → transform → produce over wire frames") {
+    // MorphlineSinkTask.java:129-149 parity without a broker (no kafka
+    // jars ship in this container): the produce→ingest→transform→produce
+    // loop runs over the EXACT Kafka wire artifacts — Confluent-framed
+    // Avro values, the Kafka source's envelope schema, per-poll
+    // micro-batches (maxFilesPerTrigger=1), and the Kafka sink's
+    // (key, value, topic) contract — with the file stream standing in
+    // for the consumer group, as the reference's own quickstart does
+    // with FileStreamSourceConnector (README.md:108).
+    import graft.exprs.AvroExprs
+    val avroSchema =
+      """{"type":"record","name":"e","fields":[
+        |{"name":"event_id","type":"long"},{"name":"event_type","type":"string"}]}"""
+        .stripMargin
+    // --- "producer": 3 poll batches of Confluent-framed records on disk
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-kafka-e2e")
+    val mkEnv = (lo: Long, hi: Long) =>
+      (lo until hi).map(i => (i, if (i % 3 == 0) "purchase" else "view"))
+        .toDF("event_id", "event_type")
+        .select(
+          col("event_id").cast("string").cast("binary").as("key"),
+          AvroExprs.confluent_frame(
+            AvroExprs.to_avro_binary(
+              struct(col("event_id"), col("event_type")), avroSchema),
+            lit(7)).as("value"),
+          lit("events-in").as("topic"),
+          (col("event_id") % 4).cast("int").as("partition"),
+          col("event_id").as("offset"),
+          timestamp_micros(col("event_id") * 1000000L).as("timestamp"),
+          lit(0).as("timestampType"))
+    Seq((0L, 20L), (20L, 40L), (40L, 60L)).foreach { case (lo, hi) =>
+      mkEnv(lo, hi).coalesce(1).write.mode("append").parquet(srcDir.toString)
+    }
+    val envSchema = spark.read.parquet(srcDir.toString).schema
+    // --- "consumer": one file per trigger = the connector's poll loop
+    val stream = StreamingOps.fileSource(spark, envSchema, srcDir.toString,
+      options = Map("maxFilesPerTrigger" -> "1"))
+    // --- transform: unframe → decode → route (dynamic topic) → re-encode
+    val pipe = Pipeline("kafka-e2e", Seq(
+      graft.pipeline.Op("unframe")(df =>
+        df.withColumn("u", AvroExprs.confluent_unframe(col("value")))
+          .withColumn("rec",
+            AvroExprs.from_avro_binary(col("u.payload"), avroSchema))),
+      ControlOps.dropWhere(col("u.schema_id") =!= 7),
+      graft.pipeline.Op("route")(df =>
+        df.select(
+          col("key"),
+          AvroExprs.confluent_frame(
+            AvroExprs.to_avro_binary(
+              struct(col("rec.event_id").as("event_id"),
+                col("rec.event_type").as("event_type")), avroSchema),
+            lit(7)).as("value"),
+          concat(col("rec.event_type"), lit("-out")).as("topic")))))
+    val out = StreamingOps.transform(stream, pipe)
+    // the kafka sink contract: (key BINARY, value BINARY, topic STRING)
+    assert(out.schema("key").dataType == BinaryType)
+    assert(out.schema("value").dataType == BinaryType)
+    assert(out.schema("topic").dataType == StringType)
+    // --- "producer" out: per-epoch publish, as kafkaSink would send it
+    StreamingSpec.published.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kafka-ckpt")
+    val q = StreamingOps.foreachBatchSink(out, ckpt.toString) { (batch, epoch) =>
+      batch.collect().foreach(r =>
+        StreamingSpec.published.add((epoch, r.getAs[String]("topic"),
+          r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"))))
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      StreamingSpec.published.iterator()).asScala.toSeq
+    assert(rows.size == 60, s"published ${rows.size}/60")
+    // per-poll epochs: three staged files → three distinct epochs
+    assert(rows.map(_._1).distinct.size >= 3,
+      s"expected >=3 poll epochs, saw ${rows.map(_._1).distinct.sorted}")
+    // dynamic topic routing held per record
+    assert(rows.map(_._2).toSet == Set("purchase-out", "view-out"))
+    // wire fidelity: magic byte 0x00 + BE schema id 7, payload decodes back
+    val sample = rows.find(r => new String(r._3, "UTF-8") == "42").get
+    assert(sample._2 == "purchase-out")
+    val frame = sample._4
+    assert(frame(0) == 0.toByte &&
+      java.nio.ByteBuffer.wrap(frame, 1, 4).getInt == 7)
+    val back = Seq(frame).toDF("value")
+      .select(AvroExprs.from_avro_binary(
+        AvroExprs.confluent_unframe(col("value")).getField("payload"),
+        avroSchema).as("rec"))
+      .select(col("rec.event_id"), col("rec.event_type")).head()
+    assert(back.getLong(0) == 42L && back.getString(1) == "purchase")
+    // restart from the same checkpoint: offsets committed, nothing replays
+    StreamingSpec.published.clear()
+    val q2 = StreamingOps.foreachBatchSink(out, ckpt.toString) { (batch, epoch) =>
+      batch.collect().foreach(r =>
+        StreamingSpec.published.add((epoch, r.getAs[String]("topic"),
+          r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"))))
+    }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(StreamingSpec.published.isEmpty,
+      s"checkpoint restart replayed ${StreamingSpec.published.size()} records")
+  }
 }
 
 /** Static collector for the foreach-sink test (ForeachWriter is serialized
@@ -462,4 +561,6 @@ class StreamingSpec extends SparkSpec {
   */
 object StreamingSpec {
   val sunk = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, Any]]()
+  val published = new java.util.concurrent.ConcurrentLinkedQueue[
+    (Long, String, Array[Byte], Array[Byte])]()
 }
