@@ -219,6 +219,14 @@ object Multimodal {
         val h = r.getAs[Number](heightCol).intValue()
         val cls = r.getAs[Number](classCol).longValue()
         val jit = r.getAs[Number](jitterCol).intValue()
+        // channel formula range is [32, 191] + jit; jit outside [0, 63]
+        // (or a negative class making `%` negative) would push a channel
+        // past 0..255 and (rr << 16) | (gg << 8) | bb silently bleeds
+        // into the adjacent channel, breaking the jitter-cancellation
+        // invariant the phash oracle relies on — fail loudly instead
+        require(jit >= 0 && jit <= 63,
+          s"jitter $jit outside [0, 63]: channel would clip/bleed")
+        require(cls >= 0, s"negative class $cls: channel formula underflows")
         val img = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
         var y = 0

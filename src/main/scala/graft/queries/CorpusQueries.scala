@@ -61,6 +61,11 @@ object CorpusQueries {
     // is restored right after start() (streaming captures conf at start;
     // later batch queries see the original value). On a real cluster
     // state partitions are sized to state volume, not corpus volume.
+    // CONCURRENCY CAVEAT: mutating the shared session conf is only safe
+    // because the bench/verify drivers are single-threaded — a batch
+    // query planned concurrently inside the set/restore window would
+    // silently capture 8 partitions; concurrent driving would need a
+    // cloned session or per-writer options instead.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val q = try {

@@ -441,6 +441,14 @@ object CorpusStats {
     val n = if (r.isNullAt(0)) 0L else r.getLong(0)
     val v = r.getLong(1)
     val denom = n + addK * v
+    // avg-then-round is a known residual FP surface (summation order can
+    // vary with layout, and round(double, 6) is engine-sensitive at exact
+    // half-way points) — accepted deliberately: ln() values essentially
+    // never land on decimal boundaries, the layout-invariance test pins
+    // the behavior, and t_ppl_buckets has been driver-hash-green since it
+    // shipped. Do NOT "fix" this to integer micros without changing the
+    // DuckDB oracle in the same commit — churning a green query/oracle
+    // pair is how portability regressions start.
     val scored = graft.CacheScope.cache(tok.join(counts, Seq("tok"))
       .select(col("id"), col("grp"),
         (-log((col("cnt").cast("double") + lit(addK)) / lit(denom))).as("nll"))
