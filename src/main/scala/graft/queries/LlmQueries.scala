@@ -233,7 +233,8 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
-    // MinHash-LSH near-dup pairs — xxhash64-based: rows-only.
+    // MinHash-LSH near-dup pairs — full hash oracle since round 11:
+    // XXH64 itself is reproduced in the DuckDB SQL (XxhashOracleSql).
     "d_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id",
         shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.2)
@@ -632,6 +633,10 @@ object LlmQueries {
       |   THEN 1.0 ELSE 0.0 END) * 0.3, 4) AS DOUBLE)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // MinHash-LSH pairs, FULL hash oracle: Spark's xxhash64 is
+    // reproduced bit-exactly in DuckDB SQL (see XxhashOracleSql) — the
+    // one hash function that kept this query rows-only for ten rounds.
+    "d_minhash_pairs" -> XxhashOracleSql.minhashPairsSql,
     "t_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_toks,
         |  round(CAST(length(text) AS DOUBLE) /
