@@ -240,7 +240,8 @@ object LlmQueries {
         shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.2)
         .orderBy("id_a", "id_b")),
 
-    // SimHash near-dup pairs — rows-only.
+    // SimHash near-dup pairs — full hash oracle since round 11
+    // (XxhashOracleSql.simhashPairsSql).
     "d_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 8)
         .orderBy("id_a", "id_b")),
@@ -637,6 +638,9 @@ object LlmQueries {
     // reproduced bit-exactly in DuckDB SQL (see XxhashOracleSql) — the
     // one hash function that kept this query rows-only for ten rounds.
     "d_minhash_pairs" -> XxhashOracleSql.minhashPairsSql,
+    // SimHash pairs: same XXH64 generator; ±1 bit votes, 16-bit
+    // pigeonhole blocks, hamming ≤ 8 — all exact in SQL.
+    "d_simhash_pairs" -> XxhashOracleSql.simhashPairsSql,
     "t_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_toks,
         |  round(CAST(length(text) AS DOUBLE) /

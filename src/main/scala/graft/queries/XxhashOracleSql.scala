@@ -283,4 +283,60 @@ private[queries] object XxhashOracleSql {
        |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** The complete `d_simhash_pairs` oracle, mirroring
+    * Dedup.simhashPairs(maxHamming = 8): WordShingles 2-grams (NOTE the
+    * different range bound — count = len(toks) − 1, not len − 2) →
+    * per-DISTINCT-shingle XXH64 → ±1 votes per bit, bit set iff
+    * 2·ones > n (ties vote 0, matching `votes(b) > 0`) → a doc with no
+    * tokens gets signature 0 (Spark computes SimHash for EVERY row, no
+    * size guard — the LEFT JOIN keeps that semantics) → 16-bit
+    * pigeonhole blocks → OR-of-blocks candidate join → hamming ≤ 8 via
+    * per-half bit_count over the xor. All on the unsigned HUGEINT
+    * representation; Spark's arithmetic `shiftright` + 0xFFFF mask
+    * equals the unsigned divide/mod.
+    */
+  def simhashPairsSql: String = {
+    val g = new Gen
+    val toks = "list_filter(string_split(lower(regexp_replace(text, " +
+      "'[^a-zA-Z0-9 ]', ' ', 'g')), ' '), x -> x <> '')"
+    val sh = "list_distinct(list_transform(" +
+      "range(1, greatest(len(toks), 2)), " +
+      "i -> array_to_string(toks[i:i+1], ' ')))"
+    val xxh = g.xxh64("tok")
+    val ones = (0 until 64).map(b =>
+      s"sum((h//${BigInt(1) << b})%2)::BIGINT AS o$b").mkString(", ")
+    val sigterms = (0 until 64).map(b =>
+      s"(CASE WHEN 2*o$b > n THEN ${BigInt(1) << b}::HUGEINT ELSE 0::HUGEINT END)")
+      .mkString(" + ")
+    val blocks = (0 until 4).map(i =>
+      s"(sig//${BigInt(1) << (16 * i)})%65536 AS blk$i").mkString(", ")
+    val ham = "(bit_count(CAST(xor(a.sig//4294967296, b.sig//4294967296) AS BIGINT)) + " +
+      "bit_count(CAST(xor(a.sig%4294967296, b.sig%4294967296) AS BIGINT)))"
+    s"""WITH tk AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |shs AS (
+       |  SELECT doc_id, $sh AS sh FROM tk WHERE len(toks) > 0),
+       |ex AS (
+       |  SELECT doc_id, unnest(sh) AS tok FROM shs),
+       |dh AS (
+       |  SELECT tok, $xxh AS h FROM (SELECT DISTINCT tok FROM ex)),
+       |vt AS (
+       |  SELECT doc_id, count(*) AS n, $ones
+       |  FROM ex JOIN dh USING (tok) GROUP BY doc_id),
+       |sg0 AS (
+       |  SELECT doc_id, ($sigterms) AS sig FROM vt),
+       |sigs AS (
+       |  SELECT d.doc_id, coalesce(s.sig, 0::HUGEINT) AS sig
+       |  FROM documents d LEFT JOIN sg0 s USING (doc_id)),
+       |bk AS (
+       |  SELECT doc_id, sig, $blocks FROM sigs),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST($ham AS INTEGER) AS hamming
+       |  FROM bk a JOIN bk b ON a.doc_id < b.doc_id AND
+       |    (a.blk0 = b.blk0 OR a.blk1 = b.blk1 OR a.blk2 = b.blk2 OR a.blk3 = b.blk3))
+       |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 8
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }

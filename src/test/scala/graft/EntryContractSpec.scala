@@ -28,10 +28,9 @@ class EntryContractSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val justified = Set(
       "m_generate_uuid",     // nondeterministic uuid()
-      // d_minhash_pairs: UPGRADED to a hash oracle in round 11 — XXH64
-      // reproduced in DuckDB SQL (XxhashOracleSql); no longer justified.
-      "d_simhash_pairs",     // xxhash64-over-64-bit-votes: same XXH64
-                             // generator applies, oracle not yet built
+      // d_minhash_pairs + d_simhash_pairs: UPGRADED to hash oracles in
+      // round 11 — XXH64 reproduced in DuckDB SQL (XxhashOracleSql);
+      // no longer justified.
       "s_knn_lsh",           // splitmix hyperplanes are SQL-able, but
                              // nBits derives from Catalyst plan stats —
                              // environment-dependent, not oracle-able
