@@ -100,7 +100,9 @@ object LlmQueries {
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
-    // Rolling hash — hash function not available in DuckDB: rows-only.
+    // Rolling polynomial hash — pure mod-1e9+7 integer arithmetic, so
+    // the oracle replays it exactly in SQL (stale "rows-only" note
+    // removed r11; the oracle has existed since the query shipped).
     "t_rolling_hash" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
@@ -257,8 +259,10 @@ object LlmQueries {
         .filter(col("cos") >= 0.4)
         .orderBy("id_a", "id_b")),
 
-    // Subword (BPE-ish regex) token counts — regex lookarounds not
-    // expressible in the oracle: rows-only.
+    // Subword (BPE-ish regex) token counts — boundaries marked by
+    // capture-group space insertion (no lookarounds), so the identical
+    // RE2-safe patterns run in the SQL oracle (stale "rows-only" note
+    // removed r11; the oracle has existed since the query shipped).
     "t_subword_count" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
