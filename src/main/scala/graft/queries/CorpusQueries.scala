@@ -686,28 +686,32 @@ object CorpusQueries {
     """list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x != '')"""
 
   // Unrolled BPE merge rounds mirroring CorpusStats.bpeTrain: each round
-  // is (top pair by weighted count, ties (a, b)) + 6 literal-replace
-  // passes of " a b " -> " ab " on the padded sequence — replace() scans
-  // left-to-right non-overlapping in both engines, so the pass semantics
-  // (and therefore the learned table) are identical by construction.
-  // The word `tok` is carried through every round so the final r<steps>
-  // relation doubles as the encoded vocabulary (t_bpe_encode joins it).
-  // A round with no candidate pair yields an EMPTY p$i; coalesce(min(..))
-  // turns that into a no-op replace (tab never occurs in the alnum+space
-  // seq) so rows pass through unchanged — matching bpeTrain's early-stop
+  // is (top pair by weighted count, ties (a, b)) + ONE literal-replace
+  // pass of " a  b " -> " ab " on the padded DOUBLE-SPACE-delimited
+  // sequence. replace() scans left-to-right non-overlapping and resumes
+  // after the consumed match in both engines; with doubled delimiters
+  // each match consumes only its own half of each gap, which makes the
+  // single pass EXACTLY textbook-greedy merge application (the
+  // single-space form orphaned the middle of odd same-symbol runs —
+  // round-11 seeded property sweep counterexample). The word `tok` is
+  // carried through every round so the final r<steps> relation doubles
+  // as the encoded vocabulary (t_bpe_encode joins it). A round with no
+  // candidate pair yields an EMPTY p$i; coalesce(min(..)) turns that
+  // into a no-op replace (tab never occurs in the alnum+space seq) so
+  // rows pass through unchanged — matching bpeTrain's early-stop
   // semantics instead of zeroing every downstream relation.
   private def duckBpeRounds(steps: Int): String = {
     val rounds = (1 to steps).map { i =>
       s"""p$i AS (SELECT a, b, a || b AS merged, cnt FROM (
          |    SELECT syms[x] AS a, syms[x + 1] AS b, sum(wc) AS cnt
-         |    FROM (SELECT string_split(seq, ' ') AS syms, wc FROM r${i - 1})
+         |    FROM (SELECT string_split(seq, '  ') AS syms, wc FROM r${i - 1})
          |    CROSS JOIN unnest(range(1, len(syms))) AS t(x)
          |    GROUP BY 1, 2)
          |  ORDER BY cnt DESC, a, b LIMIT 1),
-         |r$i AS (SELECT tok, trim(replace(replace(replace(replace(replace(replace(
-         |    ' ' || seq || ' ', p, q), p, q), p, q), p, q), p, q), p, q)) AS seq, wc
+         |r$i AS (SELECT tok, trim(replace(
+         |    ' ' || seq || ' ', p, q)) AS seq, wc
          |  FROM r${i - 1} CROSS JOIN
-         |    (SELECT coalesce(min(' ' || a || ' ' || b || ' '), chr(9)) AS p,
+         |    (SELECT coalesce(min(' ' || a || '  ' || b || ' '), chr(9)) AS p,
          |            coalesce(min(' ' || merged || ' '), '') AS q
          |     FROM p$i))""".stripMargin
     }.mkString(",\n")
@@ -718,10 +722,11 @@ object CorpusQueries {
   // list_transform over an index range + substr) — a regexp '(.)'
   // replace here is a cross-version regexp-engine sensitivity surface;
   // substr over [1..len] cannot vary. Tokens are duckToks output, i.e.
-  // pure ASCII alnum, so character == byte == codepoint.
+  // pure ASCII alnum, so character == byte == codepoint. Symbols join
+  // with TWO spaces (the greedy-replace delimiter invariant above).
   private val duckCharSplit =
     """array_to_string(list_transform(range(1, len(tok) + 1),
-      |      i -> substr(tok, CAST(i AS INTEGER), 1)), ' ')""".stripMargin
+      |      i -> substr(tok, CAST(i AS INTEGER), 1)), '  ')""".stripMargin
 
   // Final select for t_bpe_train: the learned merge table, one row per
   // round. cnt is CAST — DuckDB's sum(BIGINT) return type (HUGEINT vs
@@ -837,7 +842,7 @@ object CorpusQueries {
          |r0 AS (SELECT tok, $duckCharSplit AS seq,
          |  count(*) AS wc FROM w GROUP BY tok),
          |${duckBpeRounds(5)},
-         |enc AS (SELECT tok, len(string_split(seq, ' ')) AS ns FROM r5)
+         |enc AS (SELECT tok, len(string_split(seq, '  ')) AS ns FROM r5)
          |SELECT d.doc_id, count(*) AS n_words,
          |  CAST(sum(e.ns) AS BIGINT) AS n_subwords
          |FROM wd d JOIN enc e USING (tok)
@@ -852,7 +857,7 @@ object CorpusQueries {
          |r0 AS (SELECT tok, $duckCharSplit AS seq,
          |  count(*) AS wc FROM w GROUP BY tok),
          |${duckBpeRounds(5)},
-         |enc AS (SELECT tok, len(string_split(seq, ' ')) AS ns FROM r5),
+         |enc AS (SELECT tok, len(string_split(seq, '  ')) AS ns FROM r5),
          |perdoc AS (
          |  SELECT d.doc_id, CAST(sum(e.ns) AS BIGINT) AS n_toks
          |  FROM wd d JOIN enc e USING (tok) GROUP BY d.doc_id),

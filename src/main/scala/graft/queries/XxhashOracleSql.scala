@@ -29,7 +29,7 @@ package graft.queries
   * bytes) and against the Spark `d_minhash_pairs` output at sf0.001 and
   * sf0.01 — exact, including the unrounded jaccard doubles.
   */
-private[queries] object XxhashOracleSql {
+private[graft] object XxhashOracleSql {
 
   private val M = BigInt(1) << 64
   private val P1 = BigInt("11400714785074694791") // 0x9E3779B185EBCA87

@@ -340,20 +340,29 @@ object CorpusStats {
     * in any engine whose replace() scans left-to-right non-overlapping —
     * which is what makes the trainer hash-oracle-able.
     */
-  def bpeTrain(df: DataFrame, textCol: String, steps: Int,
-               passes: Int = 6): DataFrame = {
+  def bpeTrain(df: DataFrame, textCol: String, steps: Int): DataFrame = {
     val spark = df.sparkSession
+    // Symbols are joined by TWO spaces. With single-space delimiters a
+    // literal " a b "->" ab " replace is NOT textbook-greedy: adjacent
+    // pairs share their delimiter space, so the scan (which resumes
+    // after the consumed match) orphans the middle symbol of an odd
+    // same-symbol run — " b b b b b " became "bb b bb" where greedy BPE
+    // (subword-nmt's lookaround re.sub) yields "bb bb b". Round-11's
+    // seeded property sweep found the counterexample. With doubled
+    // delimiters each match consumes only its own half of each gap, so
+    // ONE left-to-right non-overlapping replace pass per round is
+    // exactly greedy — in Spark and in the DuckDB oracle alike.
     var vocab = graft.CacheScope.cache(
       df.select(explode(TextAnalysis.asciiTokens(col(textCol))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
-        .select(trim(regexp_replace(col("tok"), "(.)", "$1 ")).as("seq"),
+        .select(trim(regexp_replace(col("tok"), "(.)", "$1  ")).as("seq"),
           col("wc")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= steps && !exhausted) {
       val top = vocab
-        .select(col("wc"), split(col("seq"), " ").as("syms"))
+        .select(col("wc"), split(col("seq"), "  ").as("syms"))
         .filter(size(col("syms")) >= 2)
         .select(col("wc"), explode(expr(
           "transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] AS a, syms[i] AS b))"))
@@ -366,14 +375,16 @@ object CorpusStats {
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step, a, b, a + b, cnt))
-        val pat = s" $a $b "
+        // one pass: with doubled delimiters, left-to-right
+        // non-overlapping literal replace IS greedy merge application
+        val pat = s" $a  $b "
         val rep = s" $a$b "
-        var c: Column = concat(lit(" "), col("seq"), lit(" "))
-        for (_ <- 1 to passes) c = replace(c, lit(pat), lit(rep))
+        val c: Column = replace(
+          concat(lit(" "), col("seq"), lit(" ")), lit(pat), lit(rep))
         // re-cache per round (the relation stays vocabulary-sized;
         // caller-released via CacheScope), then TRUNCATE the logical
         // lineage: without the LogicalRDD wrap, round k's plan nests all
-        // k×passes previous replaces and the analyzer re-processes the
+        // k previous replaces and the analyzer re-processes the
         // compounding tree every round — fine at steps=5, quadratic
         // driver time at a real vocabulary's thousands of merges (the
         // dedupClusters round-7 lesson). The RDD scan still reads the
@@ -403,14 +414,17 @@ object CorpusStats {
     * training (see [[bpeTrain]]) — engine-identical, hash-oracle-able.
     */
   def bpeEncode(df: DataFrame, textCol: String, idCol: String,
-                merges: Seq[(String, String)], passes: Int = 6): DataFrame = {
+                merges: Seq[(String, String)]): DataFrame = {
+    // doubled delimiters + one replace per merge = greedy application in
+    // merge order (see bpeTrain); the whole chain is still a single
+    // scan-stage string expression
     var c: Column = concat(lit(" "),
-      trim(regexp_replace(col("tok"), "(.)", "$1 ")), lit(" "))
-    for ((a, b) <- merges; _ <- 1 to passes)
-      c = replace(c, lit(s" $a $b "), lit(s" $a$b "))
+      trim(regexp_replace(col("tok"), "(.)", "$1  ")), lit(" "))
+    for ((a, b) <- merges)
+      c = replace(c, lit(s" $a  $b "), lit(s" $a$b "))
     df.select(col(idCol).cast("long").as("id"),
         explode(TextAnalysis.asciiTokens(col(textCol))).as("tok"))
-      .select(col("id"), size(split(trim(c), " ")).cast("long").as("ns"))
+      .select(col("id"), size(split(trim(c), "  ")).cast("long").as("ns"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_subwords"))
   }

@@ -243,6 +243,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out == Seq((1L, "a", "a", "aa", 2L), (2L, "aa", "a", "aaa", 1L)), out)
   }
 
+  test("bpeTrain greedy on ODD same-symbol runs >= 5 (r11 seeded-sweep counterexample)") {
+    // "bbbbb" under merge (b,b): textbook greedy (subword-nmt) yields
+    // [bb, bb, b]; the old single-space replace-pass yielded [bb, b, bb]
+    // because each match consumed the shared delimiter space and
+    // orphaned the middle symbol. Round 2 distinguishes them: greedy
+    // pairs are (bb,bb) and (bb,b) → top by (cnt, a, b) is (bb,b);
+    // broken pairs were (bb,b) and (b,bb) → top would be (b,bb).
+    val df = Seq((1L, "bbbbb")).toDF("doc_id", "text")
+    val out = CorpusStats.bpeTrain(df, "text", steps = 2)
+      .orderBy("step").as[(Long, String, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "b", "b", "bb", 4L),
+      (2L, "bb", "b", "bbb", 1L)), out)
+  }
+
   test("bpeEncode counts subwords under the learned merges") {
     // merges (a,b)->(ab), (ab,ab)->(abab): "abab"->1, "aab"->"a ab"->2,
     // "cd"->"c d"->2, "ababab"->"abab ab"->2

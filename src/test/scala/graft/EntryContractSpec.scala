@@ -42,6 +42,20 @@ class EntryContractSpec extends AnyFunSuite {
         s"stale justification: ${justified -- rowsOnly}")
   }
 
+  test("generated XXH64 oracles are deterministic across builds") {
+    // Verify dumps oracle_sql.json verbatim; a generator that varied
+    // between JVM runs (map ordering, counter leakage across builds)
+    // would make the dumped SQL differ from the tested SQL.
+    assert(graft.queries.XxhashOracleSql.minhashPairsSql ==
+      graft.queries.XxhashOracleSql.minhashPairsSql)
+    assert(graft.queries.XxhashOracleSql.simhashPairsSql ==
+      graft.queries.XxhashOracleSql.simhashPairsSql)
+    // and they are large but bounded (a blowup here means the let-chain
+    // started duplicating operand subtrees textually)
+    assert(graft.queries.XxhashOracleSql.minhashPairsSql.length < 60000)
+    assert(graft.queries.XxhashOracleSql.simhashPairsSql.length < 60000)
+  }
+
   test("every oracle is plain single-statement SQL (driver runs them verbatim)") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(!sql.contains(";"), s"$name oracle has a statement separator")

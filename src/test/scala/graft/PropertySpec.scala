@@ -11,11 +11,18 @@ import org.scalacheck.Gen
   */
 class PropertySpec extends SparkSpec {
 
-  /** Minimal property driver: sample the generator `n` times (fixed seed
-    * sequence via Gen.sample retries) and run the assertion body. */
+  /** Minimal property driver: sample the generator `n` times and run the
+    * assertion body. Seeds are FIXED (base seed + iteration) — the
+    * previous `gen.sample` was time-seeded despite claiming otherwise,
+    * which made one-in-many-runs failures unreproducible (round 11 saw
+    * exactly one such flake with no captured counterexample). Override
+    * the base with -Dgraft.prop.seed=N to sweep for edge cases.
+    */
+  private val baseSeed: Long = sys.props.get("graft.prop.seed").map(_.toLong).getOrElse(42L)
   private def forAllSampled[T](gen: Gen[T], n: Int = 8)(body: T => Unit): Unit =
-    (0 until n).foreach { _ =>
-      gen.sample.foreach(body)
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(baseSeed + i * 1000L)).foreach(body)
     }
   import spark.implicits._
 
@@ -84,7 +91,8 @@ class PropertySpec extends SparkSpec {
     forAllSampled(Gen.listOfN(6, nameGen)) { words =>
       if (words.nonEmpty) {
         val base = words.mkString(" ")
-        val shuffled = scala.util.Random.shuffle(words).mkString(" ")
+        val shuffled = new scala.util.Random(baseSeed)
+          .shuffle(words).mkString(" ")
         val duplicated = (words ++ words.take(2)).mkString(" ")
         val df = Seq(base, shuffled, duplicated).toDF("text")
         val fps = df.select(TextAnalysis.fingerprint($"text")).as[String].collect()
