@@ -235,6 +235,72 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupClusters equals single-node union-find on random edge sets") {
+    // same class of test that caught the BPE greedy bug: the distributed
+    // construction (large-star/small-star rounds) checked against an
+    // independent textbook reference, not its own mirror
+    val edgeGen = for {
+      n <- Gen.chooseNum(2L, 40L)
+      m <- Gen.chooseNum(1, 60)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0L, n), Gen.chooseNum(0L, n)))
+    } yield edges.filter(e => e._1 != e._2)
+    forAllSampled(edgeGen, n = 5) { edges =>
+      if (edges.nonEmpty) {
+        val got = graft.dedup.Dedup.dedupClusters(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // union-find with min-rooting: component root = min node id
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(x => x -> find(x)).toMap
+        assert(got == want, s"edges=$edges")
+      }
+    }
+  }
+
+  test("jaccardPairsExact equals brute-force pairs on random small-alphabet corpora") {
+    // prefix + positional filters must be candidate-SUPERSET-preserving;
+    // a small token alphabet forces heavy shingle sharing so the pruning
+    // actually engages
+    val docGen = for {
+      k <- Gen.chooseNum(3, 10)
+      ws <- Gen.listOfN(k, Gen.oneOf("a", "b", "c", "d", "e"))
+    } yield ws.mkString(" ")
+    forAllSampled(Gen.listOfN(8, docGen), n = 4) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.dedup.Dedup
+        .jaccardPairsExact(docs, "text", "doc_id", Nil,
+          shingleSize = 2, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+        .filter(col("j") >= 0.3)
+        .as[(Long, Long, Double)].collect().toSet
+      // brute force over all pairs with the same shingle definition
+      def sh(t: String): Set[String] = {
+        val toks = t.split(" ").toSeq
+        val cnt = math.max(toks.length - 2, 0) + 1
+        (0 until cnt).map(j => toks.slice(j, math.min(j + 2, toks.length))
+          .mkString(" ")).toSet
+      }
+      val shs = texts.zipWithIndex.map { case (t, i) => (i.toLong, sh(t)) }
+      val want = (for {
+        (ia, sa) <- shs; (ib, sb) <- shs if ia < ib
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        jr = BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if jr >= 0.3
+      } yield (ia, ib, jr)).toSet
+      assert(got == want, s"texts=$texts got=$got want=$want")
+    }
+  }
+
   test("mixSources is monotone in rate: a higher rate keeps a superset") {
     // bucket(id) < rate means raising the rate can only ADD rows — the
     // property that makes mixture-rate tuning reproducible run-over-run
