@@ -71,6 +71,20 @@ for name in sorted(os.listdir(out_dir)):
         o_rel = con.execute(oracles[name])
         o_cols = [c[0] for c in o_rel.description]
         o_rows = o_rel.fetchall()
+        # Type-surface check: a HUGEINT/DECIMAL oracle column compares
+        # equal to Spark's BIGINT here (python ints), but the DRIVER's
+        # hash canonicalization can differ per DuckDB build — exactly
+        # the r10 t_bpe_train red (uncast sum). Flag them so the class
+        # of bug is visible locally even though values match.
+        try:
+            desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            for cname, ctype, *_ in desc:
+                if any(t in str(ctype).upper()
+                       for t in ("HUGEINT", "DECIMAL", "INT128", "UHUGEINT")):
+                    print(f"WARN-TYPE {name}.{cname}: oracle returns {ctype} "
+                          f"— CAST it (BIGINT/DOUBLE) per ORACLES.md")
+        except Exception:
+            pass
     except Exception as e:
         print(f"ORACLE-ERROR {name}: {e}")
         n_fail += 1; fails.append(name)
