@@ -301,27 +301,30 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
-    // LSH-bucketed ANN — pseudo-random hyperplanes: rows-only (recall bound
-    // pinned against s_knn_brute in ApproxBoundsSpec). nBits scales with
+    // LSH-bucketed ANN — splitmix64 hyperplanes (full hash oracle since
+    // round 11: HyperplaneOracleSql reproduces the sign matrix, buckets,
+    // probes, and cosine rank bit-exactly in DuckDB). nBits scales with
     // corpus size for ~32-vector bucket occupancy: fixed nBits either
     // over-partitions a small corpus (recall collapses to self-matches) or
     // under-partitions a large one (scan fraction grows); constant occupancy
     // keeps per-query candidate work bounded as the corpus scales to 100 TB.
-    // Sizing reads Catalyst plan stats (sizeInBytes / ~avg row bytes) — a
-    // plan-time lookup, not a count() job; occupancy needs only the order
-    // of magnitude. 4 OR-amplified tables lift recall to the ≥0.8 bound.
+    // Sizing here uses the EXACT row count (a zero-column parquet scan —
+    // footer-driven, one lightweight job) through integer bit-length
+    // arithmetic, because the oracle must derive the SAME nBits and an FP
+    // log could flip the floor at n = 32·2^k. Callers that cannot afford
+    // any job still have Similarity.approxRowCount (plan-stats estimate —
+    // environment-dependent, hence not used by this oracle-checked gate).
+    // 4 OR-amplified tables lift recall to the ≥0.8 ApproxBoundsSpec bound.
     "s_knn_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      // embeddings row ≈ 64 float32 + id, parquet-compressed ~260 B
-      val n = Similarity.approxRowCount(e, avgRowBytes = 260L)
-      // clamp to [4, 20] bits: 2^20 buckets is already ample occupancy
-      // headroom, and a stats mis-estimate can then cost at most scan
-      // fraction, never recall collapse
+      val m = e.count() / 32
       val nBits = math.min(20, math.max(4,
-        (math.log(n / 32.0) / math.log(2)).floor.toInt))
+        if (m >= 1) 63 - java.lang.Long.numberOfLeadingZeros(m) else 0))
       Similarity.lshKnn(e, "vec_id", "embedding",
           e.filter(col("vec_id") < 3), "vec_id", "embedding",
           k = 5, dim = 64, nBits = nBits, tables = 4)
+        .select(col("qid"), col("id"), round(col("cosine"), 6).as("cos"),
+          col("rank"))
         .orderBy("qid", "rank")
     }),
 
@@ -645,6 +648,11 @@ object LlmQueries {
     // SimHash pairs: same XXH64 generator; ±1 bit votes, 16-bit
     // pigeonhole blocks, hamming ≤ 8 — all exact in SQL.
     "d_simhash_pairs" -> XxhashOracleSql.simhashPairsSql,
+    // Hyperplane-LSH ANN, FULL hash oracle: the splitmix64 sign matrix,
+    // buckets, 1-bit-flip probes, and cosine rank reproduced bit-exactly
+    // in SQL (see HyperplaneOracleSql) — the count-derived nBits is the
+    // piece that made this oracle-able (plan-stats sizing was not).
+    "s_knn_lsh" -> HyperplaneOracleSql.knnLshSql,
     "t_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_toks,
         |  round(CAST(length(text) AS DOUBLE) /

@@ -29,11 +29,10 @@ class EntryContractSpec extends AnyFunSuite {
     val justified = Set(
       "m_generate_uuid",     // nondeterministic uuid()
       // d_minhash_pairs + d_simhash_pairs: UPGRADED to hash oracles in
-      // round 11 — XXH64 reproduced in DuckDB SQL (XxhashOracleSql);
-      // no longer justified.
-      "s_knn_lsh",           // splitmix hyperplanes are SQL-able, but
-                             // nBits derives from Catalyst plan stats —
-                             // environment-dependent, not oracle-able
+      // round 11 — XXH64 reproduced in DuckDB SQL (XxhashOracleSql).
+      // s_knn_lsh: UPGRADED in round 11 — splitmix64 hyperplanes in SQL
+      // (HyperplaneOracleSql) once nBits moved from Catalyst plan stats
+      // (environment-dependent) to the exact row count.
       "q_approx_distinct",   // HLL estimate
       "q_approx_percentile", // KLL estimate
       "q_hll_sketch")        // sketch internals engine-specific
@@ -50,6 +49,8 @@ class EntryContractSpec extends AnyFunSuite {
       graft.queries.XxhashOracleSql.minhashPairsSql)
     assert(graft.queries.XxhashOracleSql.simhashPairsSql ==
       graft.queries.XxhashOracleSql.simhashPairsSql)
+    assert(graft.queries.HyperplaneOracleSql.knnLshSql ==
+      graft.queries.HyperplaneOracleSql.knnLshSql)
     // and they are large but bounded (a blowup here means the let-chain
     // started duplicating operand subtrees textually)
     assert(graft.queries.XxhashOracleSql.minhashPairsSql.length < 60000)
