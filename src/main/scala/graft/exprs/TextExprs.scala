@@ -48,4 +48,49 @@ object TextExprs {
 
   def nfc_normalize(text: Column): Column =
     GraftBridge.column(NfcNormalize(GraftBridge.expression(text)))
+
+  /** Greedy longest-match-first segmentation count (the WordPiece/BERT
+    * runtime algorithm, Wu et al. 2016 §4.1): at each position consume
+    * the longest vocabulary piece that prefixes the remainder, else one
+    * character (every corpus character is trivially a piece of its own
+    * word, so the fallback never fails). Returns the piece count.
+    *
+    * The learned multi-char pieces ride as a constructor parameter (the
+    * [[graft.exprs.HashExprs.HyperplaneLsh]] pattern): they are the
+    * trained artifact — a driver-held constant of `steps` strings — not
+    * data, so the whole segmentation runs as one scan-stage expression
+    * with a per-length hash-set lookup, no join against a vocab table.
+    */
+  case class WordpieceCount(child: Expression, pieces: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.IntegerType
+    @transient private lazy val byLen: Map[Int, Set[String]] =
+      pieces.filter(_.length >= 2).groupBy(_.length)
+        .map { case (k, v) => k -> v.toSet }
+    @transient private lazy val maxLen: Int =
+      if (byLen.isEmpty) 1 else byLen.keys.max
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      var pos = 0
+      var n = 0
+      while (pos < s.length) {
+        var step = 1
+        var l = math.min(maxLen, s.length - pos)
+        while (l >= 2 && step == 1) {
+          if (byLen.get(l).exists(_.contains(s.substring(pos, pos + l))))
+            step = l
+          l -= 1
+        }
+        pos += step
+        n += 1
+      }
+      java.lang.Integer.valueOf(n)
+    }
+    override protected def withNewChildInternal(c: Expression): WordpieceCount =
+      copy(child = c)
+  }
+
+  def wordpiece_count(tok: Column, pieces: Seq[String]): Column =
+    GraftBridge.column(WordpieceCount(GraftBridge.expression(tok), pieces))
 }

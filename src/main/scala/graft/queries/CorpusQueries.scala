@@ -148,6 +148,23 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // WordPiece-style likelihood-ranked merge training: same round loop
+    // as t_bpe_train, ranked by cnt(ab)·10^9 div (cnt(a)·cnt(b)) — the
+    // unigram-likelihood gain, integer-exact on both engines.
+    "t_wordpiece_train" -> ((s, dir) =>
+      CorpusStats.wordpieceTrain(docs(s, dir), "text", steps = 5)
+        .orderBy("step")),
+
+    // Greedy longest-match-first segmentation (the BERT runtime) under
+    // the learned WordPiece pieces: per-doc word and piece counts.
+    "t_wordpiece_encode" -> ((s, dir) => {
+      val m = CorpusStats.wordpieceTrain(docs(s, dir), "text", steps = 5)
+        .orderBy("step").collect().map(_.getString(3)).toSeq
+      CorpusStats.wordpieceEncode(docs(s, dir), "text", "doc_id", m)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_pieces"))
+        .orderBy("doc_id")
+    }),
+
     // Packing by the REAL tokenizer's lengths: train 5 BPE merges, encode
     // the corpus, pack by n_subwords — the composition a production
     // dataloader runs (whitespace counts only approximate batch cost).
@@ -599,6 +616,32 @@ object CorpusQueries {
         .orderBy("w_start", "event_type")
     }),
 
+    // Stream-STATIC join — the third streaming surface (after stateful
+    // dedup and windowed agg): each events micro-batch broadcast-joins
+    // the static user→segment dimension before the stateful aggregation,
+    // the enrichment shape of the reference's Solr-bound pipelines (join
+    // a small dim per poll, aggregate downstream). The static side plans
+    // ONCE and re-executes per batch as a broadcast — no stream-side
+    // shuffle for the join; complete mode keeps the finished table equal
+    // to the batch aggregate whatever the replay batching, which is what
+    // makes the gate hash-oracle-able (same argument as x_stream_window).
+    "x_stream_enrich" -> ((s, dir) => {
+      val users = Tables.load(s, dir, "customer")
+        .select((col("c_custkey") % 50).as("user_id"), col("c_mktsegment"))
+        .groupBy(col("user_id")).agg(min(col("c_mktsegment")).as("segment"))
+      val src = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"))
+      val stream = replayAsStream(s, dir, "events_enrich", src)
+      val agg = stream.join(broadcast(users), Seq("user_id"), "left")
+        .groupBy(col("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_value"))
+      runToCompletion(s, agg, "x_stream_enrich_sink")
+        .select(col("segment"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("segment", "event_type")
+    }),
+
     // RefinedWeb/C4 line-wise quality signals. Documents are single-line
     // word streams, so line structure is synthesized deterministically
     // (6-token lines; terminal '.' when (doc_id+i)%3=0, '- ' bullet when
@@ -738,6 +781,40 @@ object CorpusQueries {
       s"SELECT CAST($i AS BIGINT) AS step, a, b, merged, CAST(cnt AS BIGINT) AS cnt FROM p$i")
       .mkString("\nUNION ALL ")
 
+  // WordPiece variant of duckBpeRounds: identical replace-pass merge
+  // application, but each round's argmax ranks by the integer-exact
+  // likelihood score cnt·10^9 // (cnt(a)·cnt(b)) over HUGEINT products
+  // (BIGINT overflow ERRORS in DuckDB; Spark's guarded Long `div` is the
+  // mirror). s$i is the per-round symbol-occurrence count.
+  private def duckWpRounds(steps: Int): String =
+    (1 to steps).map { i =>
+      s"""s$i AS (SELECT sym, CAST(sum(wc) AS HUGEINT) AS sc FROM (
+         |    SELECT unnest(string_split(seq, '  ')) AS sym, wc FROM r${i - 1})
+         |  GROUP BY sym),
+         |p$i AS (SELECT a, b, a || b AS merged, cnt,
+         |    CAST((cnt * 1000000000::HUGEINT) // (sa.sc * sb.sc) AS BIGINT) AS score
+         |  FROM (
+         |    SELECT syms[x] AS a, syms[x + 1] AS b, CAST(sum(wc) AS HUGEINT) AS cnt
+         |    FROM (SELECT string_split(seq, '  ') AS syms, wc FROM r${i - 1})
+         |    CROSS JOIN unnest(range(1, len(syms))) AS t(x)
+         |    GROUP BY 1, 2) pc
+         |  JOIN s$i sa ON pc.a = sa.sym
+         |  JOIN s$i sb ON pc.b = sb.sym
+         |  ORDER BY score DESC, a, b LIMIT 1),
+         |r$i AS (SELECT tok, trim(replace(
+         |    ' ' || seq || ' ', p, q)) AS seq, wc
+         |  FROM r${i - 1} CROSS JOIN
+         |    (SELECT coalesce(min(' ' || a || '  ' || b || ' '), chr(9)) AS p,
+         |            coalesce(min(' ' || merged || ' '), '') AS q
+         |     FROM p$i))""".stripMargin
+    }.mkString(",\n")
+
+  private def duckWpMergeTable(steps: Int): String =
+    (1 to steps).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, a, b, merged, " +
+        s"CAST(cnt AS BIGINT) AS cnt, score AS score_x9 FROM p$i")
+      .mkString("\nUNION ALL ")
+
   val oracle: Map[String, String] = Map(
     "p_pack_sequences" ->
       """SELECT id, n_toks, (cum_end - n_toks) // 2048 AS bin,
@@ -832,6 +909,45 @@ object CorpusQueries {
          |${duckBpeRounds(5)}
          |${duckBpeMergeTable(5)}
          |ORDER BY step""".stripMargin,
+
+    // WordPiece trainer: same word-type seeding and replace-pass merge
+    // rounds, likelihood-ranked (see duckWpRounds)
+    "t_wordpiece_train" ->
+      s"""WITH toks AS (SELECT $duckToks AS toks FROM documents),
+         |w AS (SELECT unnest(toks) AS tok FROM toks),
+         |r0 AS (SELECT tok, $duckCharSplit AS seq,
+         |  count(*) AS wc FROM w GROUP BY tok),
+         |${duckWpRounds(5)}
+         |${duckWpMergeTable(5)}
+         |ORDER BY step""".stripMargin,
+
+    // greedy longest-match-first segmentation per DISTINCT word type via
+    // a recursive CTE (pos advances by the longest learned piece that
+    // prefixes the remainder, else 1 char), joined back onto word
+    // occurrences per doc — the BERT runtime, replayed in SQL
+    "t_wordpiece_encode" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |wd AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+         |r0 AS (SELECT tok, $duckCharSplit AS seq,
+         |  count(*) AS wc FROM (SELECT tok FROM wd) GROUP BY tok),
+         |${duckWpRounds(5)},
+         |mv AS (SELECT merged FROM p1 UNION SELECT merged FROM p2
+         |  UNION SELECT merged FROM p3 UNION SELECT merged FROM p4
+         |  UNION SELECT merged FROM p5),
+         |wdist AS (SELECT DISTINCT tok FROM wd),
+         |seg AS (
+         |  SELECT tok, 0 AS pos, 0 AS n FROM wdist
+         |  UNION ALL
+         |  SELECT tok,
+         |    pos + coalesce((SELECT max(len(m.merged)) FROM mv m
+         |      WHERE substr(tok, pos + 1, len(m.merged)) = m.merged), 1) AS pos,
+         |    n + 1 AS n
+         |  FROM seg WHERE pos < len(tok)),
+         |pieces AS (SELECT tok, n AS np FROM seg WHERE pos = len(tok))
+         |SELECT d.doc_id, count(*) AS n_words,
+         |  CAST(sum(p.np) AS BIGINT) AS n_pieces
+         |FROM wd d JOIN pieces p USING (tok)
+         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
 
     // same unrolled rounds; the tok-carrying final relation IS the
     // encoded vocabulary, joined back onto word occurrences per doc
@@ -1292,6 +1408,17 @@ object CorpusQueries {
          |  CAST(least(128, n - st) AS BIGINT) AS chunk_len,
          |  md5(array_to_string(toks[st + 1 : st + 128], ' ')) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the batch equivalent of the stream-static enrich join — complete
+    // mode makes the finished table equal this whatever the replay order
+    "x_stream_enrich" ->
+      """WITH users AS (
+        |  SELECT c_custkey % 50 AS user_id, min(c_mktsegment) AS segment
+        |  FROM customer GROUP BY 1)
+        |SELECT u.segment, e.event_type, count(*) AS n,
+        |  CAST(ROUND(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events e LEFT JOIN users u USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the batch equivalent of the streamed tumbling window — complete
     // mode makes the finished table equal this whatever the replay order

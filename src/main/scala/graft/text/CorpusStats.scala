@@ -429,6 +429,109 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_subwords"))
   }
 
+  /** WordPiece-style likelihood-ranked merge training (Wu et al. 2016;
+    * the trainer Schuster & Nakajima 2012 describe): the SAME
+    * vocabulary-bounded merge loop as [[bpeTrain]], but each round picks
+    * the pair maximizing cnt(ab) / (cnt(a)·cnt(b)) — the unigram-LM
+    * likelihood gain — instead of raw pair frequency. Frequency merges
+    * glue frequent-but-independent neighbours ("th"+"e" wins on count
+    * alone); the likelihood ratio promotes pairs that co-occur MORE than
+    * their parts predict, which is what makes WordPiece vocabularies
+    * morpheme-shaped.
+    *
+    * The ranking is integer-exact on both engines: score_x9 =
+    * cnt·10^9 div (cnt(a)·cnt(b)) — truncating integer division of exact
+    * counts, ties broken on (a, b); no FP ratio whose last ulp could
+    * reorder the argmax across engines. Long arithmetic bounds the gate
+    * tier to corpora under ~3·10^9 symbol occurrences (√Long.Max,
+    * guarded up front — Spark Longs wrap silently); the
+    * 100 TB tier swaps the two products for DECIMAL(38,0) intermediates
+    * — same truncating semantics, no other change.
+    *
+    * Scale shape: identical to [[bpeTrain]] — one corpus-sized word-type
+    * count, then per-round aggregations over the vocabulary-sized
+    * relation (pair counts + symbol counts are both map-side
+    * combinable), per-round lineage truncation.
+    */
+  def wordpieceTrain(df: DataFrame, textCol: String, steps: Int): DataFrame = {
+    val spark = df.sparkSession
+    val Scale = 1000000000L
+    var vocab = graft.CacheScope.cache(
+      df.select(explode(TextAnalysis.asciiTokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
+        .select(trim(regexp_replace(col("tok"), "(.)", "$1  ")).as("seq"),
+          col("wc")))
+    // Spark Longs WRAP on overflow (non-ANSI) — a wrapped score would
+    // silently corrupt the argmax, so bound the whole run up front:
+    // every pair/symbol count is ≤ the total symbol count, and the
+    // score needs cnt·10^9 and sa·sb to both fit, so total ≤ √Long.Max.
+    val totalSyms = vocab
+      .select(sum(col("wc") * size(split(col("seq"), "  "))).as("t"))
+      .collect()(0).getLong(0)
+    require(totalSyms <= 3037000499L,
+      s"gate-tier Long scoring bound exceeded ($totalSyms symbols) — " +
+        "use the DECIMAL(38,0) tier")
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val syms = vocab.select(col("wc"), split(col("seq"), "  ").as("syms"))
+      val symCnt = syms
+        .select(col("wc"), explode(col("syms")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("wc")).as("sc"))
+      val top = syms
+        .filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] AS a, syms[i] AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("cnt"))
+        .join(symCnt.select(col("sym").as("a"), col("sc").as("sa")), Seq("a"))
+        .join(symCnt.select(col("sym").as("b"), col("sc").as("sb")), Seq("b"))
+        .select(col("a"), col("b"), col("cnt"),
+          expr(s"cnt * $Scale div (sa * sb)").as("score_x9"))
+        .orderBy(col("score_x9").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt, sc) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2), top(0).getLong(3))
+        merges += ((step, a, b, a + b, cnt, sc))
+        val c: Column = replace(
+          concat(lit(" "), col("seq"), lit(" ")),
+          lit(s" $a  $b "), lit(s" $a$b "))
+        val next = graft.CacheScope.cache(
+          vocab.select(trim(c).as("seq"), col("wc")))
+        vocab = next.sparkSession.createDataFrame(next.rdd, next.schema)
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "a", "b", "merged", "cnt", "score_x9")
+      .select(col("step").cast("long").as("step"), col("a"), col("b"),
+        col("merged"), col("cnt"), col("score_x9"))
+  }
+
+  /** Per-document piece counts under a learned WordPiece vocabulary:
+    * greedy longest-match-first segmentation (the BERT runtime), with
+    * the merged pieces from [[wordpieceTrain]] as the multi-char
+    * vocabulary and the single-character fallback that a
+    * corpus-derived vocab guarantees. One scan-stage expression per
+    * word occurrence (see [[graft.exprs.TextExprs.WordpieceCount]]);
+    * the only exchange is the per-doc aggregate — same plan shape as
+    * [[bpeEncode]].
+    */
+  def wordpieceEncode(df: DataFrame, textCol: String, idCol: String,
+                      pieces: Seq[String]): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        explode(TextAnalysis.asciiTokens(col(textCol))).as("tok"))
+      .select(col("id"),
+        graft.exprs.TextExprs.wordpiece_count(col("tok"), pieces)
+          .cast("long").as("np"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+
   /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 §4.3):
     * score every document under the corpus unigram LM and split EACH
     * group (CCNet: language; here any `groupCol`) into head / middle /

@@ -268,6 +268,40 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 3L), (2L, 2L, 4L)), out)
   }
 
+  test("wordpieceTrain ranks by likelihood, not frequency (qu beats the)") {
+    // tokens: "qu"×2, "the"×4. Round-1 pair counts: (t,h)=4, (h,e)=4,
+    // (q,u)=2 — frequency (BPE) would merge (h,e) (tie → lexicographic);
+    // likelihood scores ×10^9: (q,u)=2e9/(2·2)=5e8 beats (t,h)=(h,e)=
+    // 4e9/(4·4)=2.5e8 → WordPiece merges (q,u) FIRST. Then (h,e) on the
+    // lexicographic tie, then (t,he); round 4 finds no pair and stops.
+    val df = Seq((1L, "qu qu the the the the")).toDF("doc_id", "text")
+    val out = CorpusStats.wordpieceTrain(df, "text", steps = 5)
+      .orderBy("step")
+      .as[(Long, String, String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "q", "u", "qu", 2L, 500000000L),
+      (2L, "h", "e", "he", 4L, 250000000L),
+      (3L, "t", "he", "the", 4L, 250000000L)), out)
+  }
+
+  test("WordpieceCount: greedy longest-match-first with single-char fallback") {
+    val pieces = Seq("ab", "abc", "bc")
+    val df = Seq(("abcbc"), ("abd"), ("xyz"), ("ab")).toDF("tok")
+    val out = df.select(
+        graft.exprs.TextExprs.wordpiece_count(col("tok"), pieces).as("n"))
+      .as[Int].collect().toSeq
+    // "abcbc" → [abc, bc]; "abd" → [ab, d]; "xyz" → [x, y, z]; "ab" → [ab]
+    assert(out == Seq(2, 2, 3, 1), out)
+  }
+
+  test("wordpieceEncode counts pieces under the learned vocabulary") {
+    val df = Seq((1L, "abcbc abd"), (2L, "xyz")).toDF("doc_id", "text")
+    val out = CorpusStats.wordpieceEncode(df, "text", "doc_id",
+        Seq("ab", "abc", "bc"))
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 4L), (2L, 1L, 3L)), out)
+  }
+
   test("perplexityBuckets: thirds per group by value threshold, ties share a bucket") {
     // group g: six docs with strictly increasing rarity → 2 head, 2 middle,
     // 2 tail; the common-word doc scores lowest nll (head).
