@@ -335,6 +335,16 @@ class CorpusStatsSpec extends SparkSpec {
       CorpusStats.bpeEncode(d, "text", "doc_id", merges)
         .orderBy("id").collect().toSeq
     assert(enc(docs) == enc(shuffled))
+    // round-11: the likelihood-ranked trainer's argmax (score, a, b) and
+    // the greedy encoder must also be layout-blind
+    def wp(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.wordpieceTrain(d, "text", steps = 3)
+        .orderBy("step").collect().toSeq
+    assert(wp(docs) == wp(shuffled))
+    def wenc(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.wordpieceEncode(d, "text", "doc_id", Seq("th", "the"))
+        .orderBy("id").collect().toSeq
+    assert(wenc(docs) == wenc(shuffled))
   }
 
   test("dsir: target-like docs weigh higher; weights and selection are layout-independent") {

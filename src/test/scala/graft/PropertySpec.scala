@@ -235,6 +235,81 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("wordpieceTrain + encode equal a single-node likelihood reference on random corpora") {
+    // Independent textbook reference (the bpeTrain-lesson protocol:
+    // check the construction against the algorithm's definition, not its
+    // own mirror): likelihood-ranked merges — argmax of
+    // cnt(ab)·10^9 / (cnt(a)·cnt(b)) truncated, ties lexicographic —
+    // then greedy longest-match-first segmentation under the learned
+    // pieces.
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def refWp(words: Seq[String], steps: Int): Seq[(String, String, Long, Long)] = {
+      var vocab = words.groupBy(identity).map { case (w, ws) =>
+        (w.map(_.toString).toVector, ws.size.toLong) }.toVector
+      val merges = Vector.newBuilder[(String, String, Long, Long)]
+      var s = 0
+      var done = false
+      while (s < steps && !done) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        val syms = scala.collection.mutable.Map.empty[String, Long]
+        vocab.foreach { case (ss, wc) =>
+          ss.foreach(y => syms(y) = syms.getOrElse(y, 0L) + wc)
+          ss.indices.dropRight(1).foreach { i =>
+            pairs((ss(i), ss(i + 1))) =
+              pairs.getOrElse((ss(i), ss(i + 1)), 0L) + wc
+          }
+        }
+        if (pairs.isEmpty) done = true
+        else {
+          val scored = pairs.map { case ((a, b), c) =>
+            ((a, b), c, c * 1000000000L / (syms(a) * syms(b))) }
+          val ((a, b), cnt, sc) = scored.minBy { case ((a, b), _, s) => (-s, a, b) }
+          merges += ((a, b, cnt, sc))
+          vocab = vocab.map { case (ss, wc) => (applyMerge(ss, a, b), wc) }
+          s += 1
+        }
+      }
+      merges.result()
+    }
+    def refSegCount(w: String, pieces: Set[String]): Long = {
+      val maxLen = if (pieces.isEmpty) 1 else pieces.map(_.length).max
+      var pos = 0; var n = 0L
+      while (pos < w.length) {
+        val l = (math.min(maxLen, w.length - pos) to 2 by -1)
+          .find(k => pieces.contains(w.substring(pos, pos + k)))
+        pos += l.getOrElse(1); n += 1
+      }
+      n
+    }
+    val wordGen = Gen.listOfN(6, Gen.oneOf("a", "b", "c")).map(_.mkString)
+    forAllSampled(Gen.listOfN(12, wordGen), n = 4) { words =>
+      if (words.nonEmpty) {
+        val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+        val got = graft.text.CorpusStats.wordpieceTrain(df, "text", steps = 4)
+          .orderBy("step").as[(Long, String, String, String, Long, Long)]
+          .collect().map(r => (r._2, r._3, r._5, r._6)).toSeq
+        val want = refWp(words, steps = 4)
+        assert(got == want, s"words=$words\n got=$got\nwant=$want")
+        val pieces = got.map { case (a, b, _, _) => a + b }
+        val gotEnc = graft.text.CorpusStats
+          .wordpieceEncode(df, "text", "doc_id", pieces)
+          .as[(Long, Long, Long)].head()
+        val wantPieces = words.map(refSegCount(_, pieces.toSet)).sum
+        assert(gotEnc == ((1L, words.size.toLong, wantPieces)),
+          s"words=$words enc=$gotEnc want=(1,${words.size},$wantPieces)")
+      }
+    }
+  }
+
   test("dedupClusters equals single-node union-find on random edge sets") {
     // same class of test that caught the BPE greedy bug: the distributed
     // construction (large-star/small-star rounds) checked against an
