@@ -144,7 +144,7 @@ object Bench {
       // the expensive tail (r10 VERDICT #3): the four most costly ops
       // belong under the official metric, cold included
       "d_cluster_keep_best", "d_dedup_clusters", "s_knn_graph",
-      "p_pack_bpe")
+      "p_pack_bpe", "t_wordpiece_train", "t_wordpiece_encode")
     println(json(results.filter(r => headline(r._1)), "%.3f", withCold = false))
     spark.stop()
   }

@@ -62,7 +62,7 @@ object TextExprs {
     * with a per-length hash-set lookup, no join against a vocab table.
     */
   case class WordpieceCount(child: Expression, pieces: Seq[String])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType =
       org.apache.spark.sql.types.IntegerType
     @transient private lazy val byLen: Map[Int, Set[String]] =
@@ -70,8 +70,14 @@ object TextExprs {
         .map { case (k, v) => k -> v.toSet }
     @transient private lazy val maxLen: Int =
       if (byLen.isEmpty) 1 else byLen.keys.max
-    override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString
+    /** The segmentation loop, shared by interpreted eval and codegen
+      * (the generated code calls it through a reference object — the
+      * per-length hash sets stay JVM objects, the surrounding row
+      * pipeline stays inside whole-stage codegen instead of falling
+      * back to interpreted expression trees per token occurrence).
+      */
+    def countPieces(u: UTF8String): Int = {
+      val s = u.toString
       var pos = 0
       var n = 0
       while (pos < s.length) {
@@ -85,7 +91,16 @@ object TextExprs {
         pos += step
         n += 1
       }
-      java.lang.Integer.valueOf(n)
+      n
+    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Integer.valueOf(countPieces(input.asInstanceOf[UTF8String]))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("wpCount", this, classOf[WordpieceCount].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.countPieces($c);")
     }
     override protected def withNewChildInternal(c: Expression): WordpieceCount =
       copy(child = c)
