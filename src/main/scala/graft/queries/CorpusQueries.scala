@@ -571,6 +571,21 @@ object CorpusQueries {
            |FROM graft_docs_sqlx ORDER BY doc_id""".stripMargin)
     }),
 
+    // The round-11 WordPiece runtime on the SQL surface: the same
+    // greedy longest-match expression (WordpieceCount) driven from
+    // spark.sql with the pieces as SQL string literals — the §2.F
+    // extension path for the newest native expression.
+    "x_sql_wordpiece" -> ((s, dir) => {
+      graft.sql.GraftSqlExtensions.install(s)
+      docs(s, dir).createOrReplaceTempView("graft_docs_wpx")
+      s.sql(
+        """SELECT doc_id,
+          |  graft_wordpiece_count(
+          |    substring(regexp_replace(lower(text), '[^a-z]', ''), 1, 12),
+          |    'th', 'the', 'er', 'in', 'ing') AS np
+          |FROM graft_docs_wpx ORDER BY doc_id""".stripMargin)
+    }),
+
     // The streaming tier end-to-end: replay the documents table as a
     // bona-fide file STREAM (micro-batched by Structured Streaming, NOT a
     // batch read) through a stateful streaming aggregation, and gate the
@@ -1408,6 +1423,27 @@ object CorpusQueries {
          |  CAST(least(128, n - st) AS BIGINT) AS chunk_len,
          |  md5(array_to_string(toks[st + 1 : st + 128], ' ')) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the same greedy longest-match segmentation as the
+    // t_wordpiece_encode oracle, here over a fixed literal piece set and
+    // a 12-char prefix — one recursive CTE, position advances by the
+    // longest matching piece else 1
+    "x_sql_wordpiece" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(lower(text), '[^a-z]', '', 'g'), 1, 12) AS tok
+        |  FROM documents),
+        |mv(m) AS (VALUES ('th'), ('the'), ('er'), ('in'), ('ing')),
+        |seg AS (
+        |  SELECT doc_id, tok, 0 AS pos, 0 AS n FROM w
+        |  UNION ALL
+        |  SELECT doc_id, tok,
+        |    pos + coalesce((SELECT max(len(v.m)) FROM mv v
+        |      WHERE substr(tok, pos + 1, len(v.m)) = v.m), 1) AS pos,
+        |    n + 1 AS n
+        |  FROM seg WHERE pos < len(tok))
+        |SELECT doc_id, CAST(n AS INT) AS np FROM seg
+        |WHERE pos = len(tok) ORDER BY doc_id""".stripMargin,
 
     // the batch equivalent of the stream-static enrich join — complete
     // mode makes the finished table equal this whatever the replay order

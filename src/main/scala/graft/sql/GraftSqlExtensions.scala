@@ -208,7 +208,19 @@ object GraftSqlExtensions {
             s"graft_nearest_centroid: argument 2 must be a foldable array<array<double>> literal, got $other")
         }
         HashExprs.NearestCentroid(args.head, cents)
-      }))
+      }),
+    desc("graft_wordpiece_count",
+      "graft_wordpiece_count(tok, piece, ...) - greedy longest-match-first piece count (WordPiece runtime); pieces are string literals", { args =>
+        if (args.isEmpty)
+          badArg("graft_wordpiece_count expects at least 1 argument, got 0")
+        val pieces = args.tail.zipWithIndex.map {
+          case (Literal(v, org.apache.spark.sql.types.StringType), _) if v != null =>
+            v.toString
+          case (other, i) => badArg(
+            s"graft_wordpiece_count: piece argument ${i + 2} must be a string literal, got $other")
+        }
+        TextExprs.WordpieceCount(args.head, pieces)
+      }, className = "graft.exprs.TextExprs", group = "string_funcs"))
 
   /** Post-hoc registration into a live session (idempotent — re-register
     * replaces the same table).

@@ -21,7 +21,7 @@ class SqlExtensionsSpec extends SparkSpec {
     val names = GraftBridge.injectedFunctionNames(new GraftSqlExtensions()(_))
     val expected = GraftSqlExtensions.functions.map(_._1.funcName).toSet
     assert(expected.subsetOf(names.toSet), s"missing: ${expected -- names.toSet}")
-    assert(expected.size == 13) // update when adding to GraftSqlExtensions.functions
+    assert(expected.size == 14) // update when adding to GraftSqlExtensions.functions
   }
 
   test("graft_nearest_centroid assigns cells from a nested array literal") {
