@@ -358,6 +358,13 @@ object CorpusQueries {
         .select(col("id").as("doc_id"), col("n_toks"), col("avg_nll"))
         .orderBy("doc_id")),
 
+    // Kneser-Ney bigram score — the smoothing KenLM (CCNet's scorer)
+    // implements: absolute discount + continuation-count backoff.
+    "t_lm_kn" -> ((s, dir) =>
+      CorpusStats.knBigramNll(docs(s, dir), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_toks"), col("kn_nll"))
+        .orderBy("doc_id")),
+
     // Okapi BM25 top-20 for a fixed query-term bag.
     "t_bm25_topk" -> ((s, dir) =>
       CorpusStats.bm25TopK(docs(s, dir), "text", "doc_id", bm25Terms, k = 20)
@@ -1324,6 +1331,32 @@ object CorpusQueries {
          |       JOIN uni u USING (tok) CROSS JOIN stats s
          |  GROUP BY p.doc_id)
          |SELECT d.doc_id, coalesce(a.n_toks, 0) AS n_toks, a.avg_nll
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // same pair relation as t_lm_bigram; the KN probability is written
+    // in the exact operator order the Spark Column expression uses:
+    // ((cb - d) + d*n1v*(n1w/bt)) / cc
+    "t_lm_kn" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, tok,
+         |    coalesce(lag(tok) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS prev
+         |  FROM (SELECT doc_id, unnest(toks) AS tok,
+         |               generate_subscripts(toks, 1) AS pos FROM toks)),
+         |big AS (SELECT prev, tok, count(*) AS cb FROM pairs GROUP BY prev, tok),
+         |ctx AS (SELECT prev, CAST(sum(cb) AS DOUBLE) AS cc,
+         |               CAST(count(*) AS DOUBLE) AS n1v FROM big GROUP BY prev),
+         |cont AS (SELECT tok, CAST(count(*) AS DOUBLE) AS n1w FROM big GROUP BY tok),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM big),
+         |agg AS (
+         |  SELECT p.doc_id, count(*) AS n_toks,
+         |    round(avg(-ln((b.cb - 0.75 + 0.75 * c.n1v * (k.n1w / s.bt)) / c.cc)), 6) AS kn_nll
+         |  FROM pairs p JOIN big b USING (prev, tok) JOIN ctx c USING (prev)
+         |       JOIN cont k USING (tok) CROSS JOIN stats s
+         |  GROUP BY p.doc_id)
+         |SELECT d.doc_id, coalesce(a.n_toks, 0) AS n_toks, a.kn_nll
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 

@@ -676,6 +676,57 @@ object CorpusStats {
         col("avg_nll"))
   }
 
+  /** Interpolated Kneser-Ney bigram NLL (Kneser & Ney 1995; the
+    * smoothing KenLM implements, i.e. what CCNet's quality scorer
+    * actually runs): absolute discount d off every seen bigram, the
+    * reclaimed mass backed off to the CONTINUATION unigram
+    * P_cont(w) = N1+(·w)/|bigram types| — "how many contexts does w
+    * complete", not "how often does w occur", which is what stops
+    * high-frequency-but-context-bound words (the "Francisco" effect)
+    * from inflating backoff scores. Fit and scored corpus coincide here
+    * (the CCNet pattern), so every scored bigram is seen and
+    * c(vw) − d ≥ 1 − d > 0 — no zero-probability branch.
+    *
+    * P_kn(w|v) = (c(vw) − d + d·N1+(v·)·P_cont(w)) / c(v).
+    *
+    * Scale: same shape as [[bigramNll]] — per-doc window lag, three
+    * vocabulary²-bounded map-side-combined aggregates off the shared
+    * pair relation, one scalar (|bigram types|), token-keyed score
+    * joins; the FP expression is written in the exact operator order
+    * the SQL oracle uses.
+    */
+  def knBigramNll(df: DataFrame, textCol: String, idCol: String,
+                  discount: Double = 0.75): DataFrame = {
+    val t = toks(df, textCol, idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val pairs = graft.CacheScope.cache(
+      t.select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+        .withColumn("prev", coalesce(lag(col("tok"), 1).over(w), lit("<s>")))
+        .select(col("id"), col("prev"), col("tok")))
+    val big = graft.CacheScope.cache(
+      pairs.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cb")))
+    val ctx = big.groupBy(col("prev"))
+      .agg(sum(col("cb")).as("cc"), count(lit(1)).as("n1v"))
+    val cont = big.groupBy(col("tok")).agg(count(lit(1)).as("n1w"))
+    val bTypes = big.count()
+    val p = (col("cb").cast("double") - lit(discount) +
+      lit(discount) * col("n1v").cast("double") *
+        (col("n1w").cast("double") / lit(bTypes.toDouble))) /
+      col("cc").cast("double")
+    val scored = pairs
+      .join(big, Seq("prev", "tok"))
+      .join(ctx, Seq("prev"))
+      .join(cont, Seq("tok"))
+      .select(col("id"), (-log(p)).as("nll"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"), round(avg(col("nll")), 6).as("kn_nll"))
+    t.select(col("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        col("kn_nll"))
+  }
+
   /** BM25 top-k retrieval (Robertson/Spärck Jones probabilistic relevance
     * framework; the Okapi BM25 formula with the standard k1/b defaults and
     * the Lucene-style idf = ln(1 + (N − df + ½)/(df + ½)), which keeps idf

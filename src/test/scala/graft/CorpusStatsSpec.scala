@@ -268,6 +268,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 3L), (2L, 2L, 4L)), out)
   }
 
+  test("knBigramNll: hand-checkable continuation backoff; model normalizes") {
+    // corpus "a b a b" + "a c": big = {(<s>,a):2,(a,b):2,(b,a):1,(a,c):1},
+    // bt=4; P_kn(w|v) = (c-0.75 + 0.75*N1+(v.)*(N1+(.w)/4)) / c(v)
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = CorpusStats.knBigramNll(df, "text", "doc_id")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    def p(cb: Double, n1v: Double, n1w: Double, cc: Double) =
+      (cb - 0.75 + 0.75 * n1v * (n1w / 4.0)) / cc
+    val psa = p(2, 1, 2, 2); val pab = p(2, 2, 1, 3)
+    val pba = p(1, 1, 2, 1); val pac = p(1, 2, 1, 3)
+    // normalization over the FULL vocab: seen w carry discounted counts
+    // plus their continuation share; unseen w (a, <s>) carry pure backoff
+    // mass d*n1v*Pcont(w)/cc. Over the seen set {b, c} the sum is
+    // (discounted mass + d*n1v*(Pcont(b)+Pcont(c)))/cc — with the unseen
+    // share (Pcont(a)+Pcont(<s>) = 1/2) it totals exactly 1.
+    val seenSum = ((3 - 2 * 0.75) + 0.75 * 2 * (2.0 / 4.0)) / 3.0
+    val unseenSum = 0.75 * 2 * ((2.0 + 0.0) / 4.0) / 3.0 // Pcont(a)=2/4, <s> never follows
+    assert(math.abs((pab + pac) - seenSum) < 1e-12)
+    assert(math.abs(seenSum + unseenSum - 1.0) < 1e-12)
+    val d1 = -(math.log(psa) + math.log(pab) + math.log(pba) + math.log(pab)) / 4
+    val d2 = -(math.log(psa) + math.log(pac)) / 2
+    assert(out.map(t => (t._1, t._2)) == Seq((1L, 4L), (2L, 2L)), out)
+    assert(math.abs(out(0)._3 - d1) < 1e-6 && math.abs(out(1)._3 - d2) < 1e-6,
+      s"$out vs ($d1, $d2)")
+  }
+
   test("wordpieceTrain ranks by likelihood, not frequency (qu beats the)") {
     // tokens: "qu"×2, "the"×4. Round-1 pair counts: (t,h)=4, (h,e)=4,
     // (q,u)=2 — frequency (BPE) would merge (h,e) (tie → lexicographic);

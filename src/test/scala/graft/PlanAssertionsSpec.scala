@@ -242,6 +242,30 @@ class PlanAssertionsSpec extends SparkSpec {
       s"threshold join must broadcast (corpus-side shuffle otherwise):\n$p")
   }
 
+  test("q7: both nation role aliases and every dimension broadcast; one fact shuffle") {
+    val p = plan("q7_volume_shipping")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q7 degenerated:\n$p")
+  }
+
+  test("q18: the HAVING aggregate never shuffles text and joins orders keyed") {
+    val p = plan("q18_large_orders")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q18 degenerated:\n$p")
+  }
+
+  test("wordpiece encode: segmentation is scan-stage; only the per-doc agg exchanges") {
+    val df = graft.text.CorpusStats.wordpieceEncode(
+      graft.Tables.load(spark, sf0, "documents"), "text", "doc_id",
+      Seq("th", "the", "er"))
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 exchanges (partial+final agg), got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"encode must not join a vocab table:\n$p")
+  }
+
   test("kafkaProduceBySchemaField compiles to a single scan of the input") {
     import spark.implicits._
     val sA = """{"type":"record","name":"A","fields":[{"name":"id","type":"long"}]}"""
