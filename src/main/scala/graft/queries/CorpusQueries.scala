@@ -78,6 +78,28 @@ object CorpusQueries {
     s.table(name)
   }
 
+  /** Run a streaming query to completion into an APPEND-mode memory sink
+    * and return the accumulated table. Append is the only output mode
+    * stream-stream joins support; each start() registers a FRESH memory
+    * sink under the name, so bench re-runs never accumulate across runs.
+    * Same 8-partition state pinning (and the same single-threaded-driver
+    * conf-mutation caveat) as [[runToCompletion]]. */
+  private def runAppend(s: SparkSession, df: DataFrame,
+                        name: String): DataFrame = {
+    s.streams.active.filter(q => Option(q.name).contains(name))
+      .foreach(_.stop())
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      df.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // GPT-style concat-and-chop sequence packing (two-level distributed
@@ -662,6 +684,43 @@ object CorpusQueries {
       runToCompletion(s, agg, "x_stream_enrich_sink")
         .select(col("segment"), col("event_type"), col("n"), col("sum_value"))
         .orderBy("segment", "event_type")
+    }),
+
+    // Stream-STREAM interval join — the fourth streaming surface, and
+    // the only Structured Streaming join class the earlier gates don't
+    // touch: BOTH sides are live streams with buffered join state that
+    // must pair rows ACROSS micro-batches (a click in batch 1 matches a
+    // purchase in batch 3). Attribution shape: purchases within 1 hour
+    // after a click by the same user. Inner join in append mode emits
+    // every matching pair exactly once whatever the replay batching —
+    // both sides' state is retained un-evicted — so the accumulated sink
+    // equals the batch join and the gate is hash-oracle-able. Production
+    // adds withWatermark on both sides + the interval condition so state
+    // evicts once the watermark passes click_ts + 1h; the gate omits the
+    // watermark because the staged replay hash-splits rows across files
+    // (arrival order ≠ event order), and watermark eviction would make
+    // the result depend on that arrival order. The join keys on user_id,
+    // so both streams shuffle once on the same key and the interval
+    // check runs within the co-partitioned state.
+    "x_stream_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val clicks = replayAsStream(s, dir, "events_click",
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts")))
+      val buys = replayAsStream(s, dir, "events_buy",
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_id"), col("ts").as("purchase_ts")))
+      val joined = clicks.join(buys,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+      runAppend(s,
+        joined.select(col("user_id"), col("click_id"), col("purchase_id")),
+        "x_stream_join_sink")
+        .orderBy("user_id", "click_id", "purchase_id")
     }),
 
     // RefinedWeb/C4 line-wise quality signals. Documents are single-line
@@ -1488,6 +1547,17 @@ object CorpusQueries {
         |  CAST(ROUND(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events e LEFT JOIN users u USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the batch equivalent of the stream-stream interval join — an inner
+    // join in append mode emits each matching pair exactly once, so the
+    // accumulated sink equals this whatever the replay batching
+    "x_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
 
     // the batch equivalent of the streamed tumbling window — complete
     // mode makes the finished table equal this whatever the replay order

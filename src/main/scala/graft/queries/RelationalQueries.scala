@@ -154,6 +154,142 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // TPC-H Q4 shape: priority checking — a date-windowed orders scan
+    // semi-joined against a filtered lineitem EXISTS probe. The testdata
+    // has no l_commitdate/l_receiptdate, so the "late line" predicate is
+    // adapted to l_returnflag = 'R' (same plan: selective fact filter →
+    // LeftSemi on the order key → tiny grouped count). The semi join
+    // shuffles only (l_orderkey) scalars from the probe side.
+    "q4_order_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+      val probe = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      ord.join(probe, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q6 shape: forecasting-revenue-change — a pure single-table
+    // scan aggregate; every predicate (shipdate range, discount band,
+    // quantity cap) pushes to the parquet reader, so at 100 TB this is
+    // an embarrassingly parallel scan with map-side partial aggregation
+    // and a one-row result. No shuffle beyond the final partial merge.
+    "q6_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+          col("l_quantity") < 24.0)
+        .agg(
+          round(sum(dec("l_extendedprice") * dec("l_discount")), 2)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // TPC-H Q12 shape: shipping-mode / priority matrix — fact⋈fact join
+    // on the order key (one shuffle each side), conditional counts per
+    // group. The testdata has no l_shipmode, so the group key is
+    // l_linestatus; the high/low split on o_orderpriority is verbatim.
+    // count(CASE WHEN … THEN 1 END) rather than sum() keeps both engines
+    // on BIGINT (DuckDB's sum(int) returns HUGEINT, which hash-mismatches).
+    "q12_priority_lines" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+      val high = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(when(high, lit(1))).as("high_line_count"),
+          count(when(!high, lit(1))).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution. Aggregate the
+    // (filtered) orders side FIRST — one shuffle over orders keyed on
+    // o_custkey producing a customer-sized count relation — then left
+    // join customers so zero-order customers survive with c_count = 0.
+    // Joining raw orders to customers and counting after would shuffle
+    // the full fact table twice; the agg-then-join plan is the one that
+    // holds at 100 TB. The comment filter (no o_comment column) is
+    // adapted to o_orderpriority <> '4-NOT SPECIFIED'.
+    "q13_customer_orders" -> ((s, dir) => {
+      val cnt = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cc"))
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(cnt, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("cc"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q19 shape: discounted revenue under a disjunction of
+    // (brand, size, quantity) bands. The OR references both sides, so a
+    // naive formulation leaves the planner nothing to push; here the
+    // single-side implications are pre-extracted — part pre-filtered to
+    // the brand/size union, lineitem to the quantity hull [1, 30] — so
+    // both scans prune before the broadcast hash join, and the exact
+    // disjunction evaluates as the join's residual filter. (No
+    // l_shipinstruct/p_container in the testdata; the brand/size/qty
+    // bands carry the shape.)
+    "q19_discounted_revenue" -> ((s, dir) => {
+      val bands = Seq(
+        ("Brand#12", 5, 1.0, 11.0),
+        ("Brand#23", 10, 10.0, 20.0),
+        ("Brand#34", 15, 20.0, 30.0))
+      val partSide = bands.map { case (b, sz, _, _) =>
+        col("p_brand") === b && col("p_size").between(1, sz) }.reduce(_ || _)
+      val liSide = col("l_quantity") >= 1.0 && col("l_quantity") <= 30.0
+      val full = bands.map { case (b, sz, lo, hi) =>
+        col("p_brand") === b && col("p_size").between(1, sz) &&
+          col("l_quantity") >= lo && col("l_quantity") <= hi }.reduce(_ || _)
+      t(s, dir, "lineitem").filter(liSide)
+        .join(broadcast(t(s, dir, "part").filter(partSide)),
+          col("l_partkey") === col("p_partkey") && full)
+        .agg(
+          round(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount"))), 2)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q22 shape: global sales opportunity — customers above the
+    // average positive balance of their cohort with no qualifying
+    // orders. Two adaptations to the synthetic data: the country-code
+    // substring has no c_phone, so cntrycode is c_nationkey % 7 ∈
+    // {0..3}; and every customer has SOME order here, so the anti join
+    // is against high-value orders (> 450k) — "never placed a big
+    // order" — which keeps the NOT EXISTS non-degenerate at every sf.
+    // The scalar "avg" subquery is kept as exact (sum, count) and the
+    // threshold test is cross-multiplied (c_acctbal·n > s over DECIMAL)
+    // so no engine-ordered double summation ever decides membership —
+    // the FP-avg formulation can flip a boundary customer between
+    // engines. The one-row stats frame broadcasts; the anti join
+    // against orders shuffles only custkeys.
+    "q22_global_sales" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .withColumn("cntrycode", (col("c_nationkey") % 7).cast("int"))
+        .filter(col("cntrycode") <= 3)
+      val stats = cust.filter(col("c_acctbal") > 0.0)
+        .agg(sum(dec("c_acctbal")).as("s"), count(lit(1)).as("n"))
+      cust
+        .join(t(s, dir, "orders")
+            .filter(col("o_totalprice") > 450000.0).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(stats))
+        .filter(dec("c_acctbal") * col("n") > col("s"))
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(dec("c_acctbal")), 2).cast("double").as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
     // Window ranking: top-3 orders per customer.
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -586,6 +722,72 @@ object RelationalQueries {
         |  o_totalprice, sum_qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= CAST(0.02 AS DOUBLE)
+        |  AND l_discount <= CAST(0.04 AS DOUBLE)
+        |  AND l_quantity < CAST(24 AS DOUBLE)""".stripMargin,
+    "q12_priority_lines" ->
+      """SELECT l_linestatus,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |        THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |        THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q13_customer_orders" ->
+      """WITH cnt AS (
+        |  SELECT o_custkey, count(*) AS cc FROM orders
+        |  WHERE o_orderpriority <> '4-NOT SPECIFIED' GROUP BY o_custkey)
+        |SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT coalesce(cc, CAST(0 AS BIGINT)) AS c_count
+        |  FROM customer LEFT JOIN cnt ON c_custkey = o_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q19_discounted_revenue" ->
+      """SELECT
+        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN CAST(1 AS DOUBLE) AND CAST(11 AS DOUBLE))
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN CAST(10 AS DOUBLE) AND CAST(20 AS DOUBLE))
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN CAST(20 AS DOUBLE) AND CAST(30 AS DOUBLE))""".stripMargin,
+    "q22_global_sales" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    CAST(c_nationkey % 7 AS INT) AS cntrycode
+        |  FROM customer WHERE c_nationkey % 7 <= 3),
+        |stats AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS s, count(*) AS n
+        |  FROM cust WHERE c_acctbal > CAST(0 AS DOUBLE))
+        |SELECT cntrycode, count(*) AS numcust,
+        |  CAST(ROUND(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS totacctbal
+        |FROM cust, stats
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_totalprice > CAST(450000 AS DOUBLE))
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, rnk FROM (
         |  SELECT o_custkey, o_orderkey,

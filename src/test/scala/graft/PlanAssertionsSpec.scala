@@ -22,6 +22,52 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "a dimension join fell back to SMJ")
   }
 
+  test("q6: every predicate reaches the parquet scan; one-row result, no wide shuffle") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: ["), s"no pushdown in:\n$p")
+    // shipdate range, discount band, and quantity cap all push
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(p.substring(p.indexOf("PushedFilters")).take(400).contains(c),
+        s"$c not pushed:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"scan-aggregate grew a hash shuffle:\n$p")
+  }
+
+  test("q13: orders aggregate BEFORE the customer join (never join-then-count)") {
+    val p = SparkEntry.queries("q13_customer_orders")(spark, sf0)
+      .queryExecution.optimizedPlan
+    // walk the optimized tree: the outer join's right child must already
+    // contain the per-custkey aggregate — if counting happened after the
+    // join, the first Aggregate above the scan would sit above the Join
+    val joins = p.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty, s"no join in:\n$p")
+    val aggUnderJoin = joins.head.right.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(aggUnderJoin.nonEmpty,
+      s"orders not pre-aggregated below the join:\n$p")
+  }
+
+  test("q19: disjunctive bands pre-extracted — part broadcasts, both scans pruned") {
+    val p = plan("q19_discounted_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"part join not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"disjunction degenerated the join:\n$p")
+    // the quantity hull [1,30] is a pushed scan filter on lineitem
+    val scanSection = p.substring(p.indexOf("PushedFilters"))
+    assert(scanSection.take(400).contains("l_quantity"),
+      s"quantity hull not pushed to lineitem scan:\n$p")
+  }
+
+  test("q22: anti join stays keyed; the stats row broadcasts") {
+    val p = plan("q22_global_sales")
+    assert(p.contains("LeftAnti"), s"anti join missing:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the one-row stats join must be a broadcast, not cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"stats row not broadcast:\n$p")
+  }
+
   test("range join is a keyed join, not a nested loop") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

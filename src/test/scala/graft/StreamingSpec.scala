@@ -40,6 +40,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join: re-run parity (fresh append sink per start)") {
+    // the x_stream_join gate accumulates an APPEND-mode memory sink; a
+    // second start() under the same query name must register a FRESH
+    // sink — if the old one leaked through, the re-run would double
+    // every pair. Also pins the inner-join completeness claim: the
+    // result equals the batch interval join exactly, twice.
+    val run1 = graft.SparkEntry.queries("x_stream_join")(spark, sf0)
+      .collect().map(_.toSeq).toSeq
+    val run2 = graft.SparkEntry.queries("x_stream_join")(spark, sf0)
+      .collect().map(_.toSeq).toSeq
+    assert(run1.nonEmpty, "no click→purchase pairs at sf0.001")
+    assert(run1 == run2, s"re-run diverged: ${run1.size} vs ${run2.size} rows")
+    val ev = Tables.load(spark, sf0, "events")
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+    val batch = ev.as("c").filter($"c.event_type" === "click")
+      .join(ev.as("p").filter($"p.event_type" === "purchase"),
+        expr("p.user_id = c.user_id AND p.ts >= c.ts " +
+          "AND p.ts < c.ts + INTERVAL 1 HOUR"))
+      .select($"c.user_id", $"c.event_id".as("click_id"),
+        $"p.event_id".as("purchase_id"))
+      .orderBy("user_id", "click_id", "purchase_id")
+      .collect().map(_.toSeq).toSeq
+    assert(run1 == batch, "streamed join ≠ batch interval join")
+  }
+
   test("batch pipeline runs unchanged on a stream (memory sink)") {
     val pipe = Pipeline("stream-pipe", Seq(
       ControlOps.dropWhere(col("event_type") === "error"),
