@@ -334,6 +334,54 @@ object Dedup {
           .as("dup_sent_frac"))
   }
 
+  /** CCNet-style cross-document line/paragraph deduplication (Wenzek et
+    * al. 2020 §3.1 — duplicate paragraphs removed by hash comparison
+    * before any language scoring): every line that occurs anywhere else
+    * in the corpus keeps exactly ONE canonical occurrence — the smallest
+    * (document id, line position) — and every other occurrence is cut;
+    * each document is then rebuilt from its surviving lines in order.
+    * Input is (id, lines array); returns (id, n_lines, n_removed,
+    * clean_md5) — the md5 travels instead of the rewritten text so
+    * downstream compares stay fixed-width (same contract as the span
+    * removers).
+    *
+    * 100 TB shape: the duplicate decision shuffles (8-byte line digest,
+    * id, idx) scalars once, keyed by digest — line TEXT never shuffles
+    * or joins; the canonical pick is a min-struct aggregate per digest
+    * (map-side combinable — the [[withCrossDocFlag]] rationale: a
+    * rank-1 window here would buffer a corpus-wide hot boilerplate
+    * digest in one task, the aggregate+join streams it); removals come
+    * back (id)-keyed as position sets, and the rewrite is a positional
+    * array filter over the lines the document already holds — no
+    * doc-sized sort, no text re-shuffle.
+    */
+  def lineDedup(df: DataFrame, linesCol: String, idCol: String): DataFrame = {
+    // cached (caller-released): the lines relation feeds the occurrence
+    // explode AND the final positional rewrite
+    val t = graft.CacheScope.cache(
+      df.select(col(idCol).as("id"), col(linesCol).as("lines")))
+    val occ = t.select(col("id"),
+        posexplode(col("lines")).as(Seq("idx", "line")))
+      .select(col("id"), col("idx"), xxhash64(col("line")).as("h"))
+    // one row per DUPLICATED digest carrying its canonical occurrence
+    val canon = occ.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("idx"))).as("c"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val removed = occ.join(canon, Seq("h"))
+      .filter(struct(col("id"), col("idx")) =!= col("c"))
+      .groupBy(col("id")).agg(collect_set(col("idx")).as("rm"))
+    t.join(removed, Seq("id"), "left")
+      .select(col("id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"),
+        md5(concat_ws("\n",
+          filter(col("lines"), (_, i) =>
+            !array_contains(coalesce(col("rm"),
+              array().cast("array<integer>")), i))))
+          .as("clean_md5"))
+  }
+
   /** Mark each (id, key) row with whether its key occurs in ≥ 2 DISTINCT
     * documents — the shared cross-doc duplication test behind
     * [[dupSentenceFraction]], [[crossDocSpanDupFraction]] and

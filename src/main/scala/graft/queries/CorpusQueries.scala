@@ -100,6 +100,26 @@ object CorpusQueries {
     s.table(name)
   }
 
+  /** Deterministic line synthesis shared by t_line_quality and
+    * d_line_dedup: the documents are single-line word streams, so line
+    * structure is staged as 6-token slices with a terminal '.' when
+    * (doc_id+j)%3=0 and a '- ' bullet when (doc_id+j)%7=0. Returns
+    * (doc_id, lines). The DuckDB mirror is the shared `l AS (…)` CTE in
+    * both oracles.
+    */
+  private def stagedLines(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        sequence(lit(0),
+          ((size(col("toks")) - 1) / lit(6)).cast("int")).as("idx"))
+      .select(col("doc_id"),
+        transform(col("idx"), j => concat(
+          when((col("doc_id") + j) % 7 === 0, lit("- ")).otherwise(lit("")),
+          array_join(slice(col("toks"), j * 6 + 1, lit(6)), " "),
+          when((col("doc_id") + j) % 3 === 0, lit(".")).otherwise(lit(""))))
+          .as("lines"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // GPT-style concat-and-chop sequence packing (two-level distributed
@@ -727,22 +747,21 @@ object CorpusQueries {
     // word streams, so line structure is synthesized deterministically
     // (6-token lines; terminal '.' when (doc_id+i)%3=0, '- ' bullet when
     // (doc_id+i)%7=0) — the operator under test is the measuring side.
-    "t_line_quality" -> ((s, dir) => {
-      val staged = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("toks"),
-          sequence(lit(0),
-            ((size(col("toks")) - 1) / lit(6)).cast("int")).as("idx"))
-        .select(col("doc_id"),
-          transform(col("idx"), j => concat(
-            when((col("doc_id") + j) % 7 === 0, lit("- ")).otherwise(lit("")),
-            array_join(slice(col("toks"), j * 6 + 1, lit(6)), " "),
-            when((col("doc_id") + j) % 3 === 0, lit(".")).otherwise(lit(""))))
-            .as("lines"))
-      staged.select(
+    "t_line_quality" -> ((s, dir) =>
+      stagedLines(s, dir).select(
           (col("doc_id") +: CorpusStats.lineQualitySignals(col("lines"))): _*)
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
+
+    // CCNet-style cross-document line/paragraph dedup (Wenzek 2020
+    // §3.1): duplicated lines keep one canonical occurrence corpus-wide,
+    // documents are rebuilt from the survivors. Same synthesized line
+    // structure as t_line_quality (the operator under test is the
+    // digest-keyed canonical pick + positional rewrite in
+    // Dedup.lineDedup; the synthesis is shared staging).
+    "d_line_dedup" -> ((s, dir) =>
+      Dedup.lineDedup(stagedLines(s, dir), "lines", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
 
     // Top-3 terms per document by tf-idf (deterministic tiebreak).
     "t_tfidf_topk" -> ((s, dir) =>
@@ -1892,6 +1911,40 @@ object CorpusQueries {
         |  CAST(round(CAST(list_sum(list_transform(lines, x -> length(x))) AS DOUBLE) /
         |    CAST(len(lines) AS DOUBLE), 6) AS DOUBLE) AS mean_line_chars
         |FROM l ORDER BY doc_id""".stripMargin,
+
+    // same line synthesis; the canonical occurrence of each duplicated
+    // line is the min (doc_id, idx) — mirrored here by a row_number over
+    // that order (DuckDB-side windows are fine; the SPARK side avoids
+    // the window for the hot-digest streaming reason in Dedup.lineDedup)
+    "d_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, (len(toks) - 1) // 6 + 1), j ->
+        |      (CASE WHEN (doc_id + j) % 7 = 0 THEN '- ' ELSE '' END) ||
+        |      array_to_string(toks[j*6+1 : j*6+6], ' ') ||
+        |      (CASE WHEN (doc_id + j) % 3 = 0 THEN '.' ELSE '' END)) AS lines
+        |  FROM t),
+        |o AS (
+        |  SELECT doc_id, CAST(x AS INT) AS idx, lines[CAST(x AS INT) + 1] AS line
+        |  FROM l CROSS JOIN unnest(range(0, len(lines))) AS u(x)),
+        |k AS (
+        |  SELECT doc_id, idx, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn,
+        |    count(*) OVER (PARTITION BY line) AS cnt
+        |  FROM o),
+        |agg AS (
+        |  SELECT doc_id,
+        |    count(*) FILTER (WHERE cnt > 1 AND rn > 1) AS n_removed,
+        |    md5(coalesce(
+        |      string_agg(line, chr(10) ORDER BY idx)
+        |        FILTER (WHERE cnt = 1 OR rn = 1), '')) AS clean_md5
+        |  FROM k GROUP BY doc_id)
+        |SELECT l.doc_id, CAST(len(l.lines) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed, a.clean_md5
+        |FROM l JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // tf·ln(N/df), rank ties broken by term — integer tf/df/N so the only
     // float ops are the ln and one multiply, identical on both engines

@@ -16,6 +16,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("line dedup keeps the min-(id,idx) occurrence of each duplicated line") {
+    // "alpha" appears at (1,0), (2,1), (3,0): canonical is (1,0), the two
+    // later occurrences are cut. "beta" at (1,1) and (2,0): keep (1,1).
+    // "gamma"/"delta" are unique and untouched.
+    val df = Seq(
+      (1L, Seq("alpha", "beta")),
+      (2L, Seq("beta", "alpha", "gamma")),
+      (3L, Seq("alpha", "delta"))).toDF("id", "lines")
+    val out = Dedup.lineDedup(df, "lines", "id")
+      .orderBy("id")
+      .select("id", "n_lines", "n_removed", "clean_md5")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 0L), (2L, 3L, 2L), (3L, 2L, 1L)))
+    // doc 2 survives as just "gamma"; doc 3 as just "delta"
+    def md5of(ss: String*) = java.security.MessageDigest.getInstance("MD5")
+      .digest(ss.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(1).getString(3) == md5of("gamma"))
+    assert(out(2).getString(3) == md5of("delta"))
+    assert(out(0).getString(3) == md5of("alpha", "beta"))
+  }
+
   test("fingerprint dedup catches word-order/punct variants") {
     val df = Seq((1L, "the quick brown fox"), (2L, "fox quick, the brown!"),
       (3L, "unrelated")).toDF("id", "text")
