@@ -485,6 +485,26 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Residual IVF-PQ top-5 — the FAISS IVFPQ index end-to-end: coarse
+    // cells (first 3 vectors as centroids), PQ codes of the RESIDUAL
+    // v − centroid(cell), 2-cell probe with per-(query, cell) residual
+    // ADC tables. Deterministic table lookups, fully oracle-checkable.
+    "s_knn_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.filter(col("vec_id") < 3).orderBy("vec_id")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      val cb = e.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      Similarity.ivfPqKnn(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 3), "vec_id", "embedding",
+          centroids, cb, m = 8, nProbe = 2, k = 5)
+        .select(col("qid"), col("id"), round(col("adc"), 6).as("adc"),
+          col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // Int8 embedding quantization — verified via exact integer sum of the
     // quantized vector (list hashing across engines is brittle; the sum
     // pins every element's rounding).
@@ -1012,6 +1032,73 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
         |  FROM ex)
         |SELECT qid, id, cos, rank FROM rer WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // residual IVF-PQ: coarse cell = s_ivf_assign's argmin shape;
+    // residual sub-distances are ((v_j − cent_j) − cb_j)² in that exact
+    // operator order (Spark computes the residual array first with
+    // zip_with, then the sub-codebook delta — same two subtractions,
+    // same j order); the per-candidate ADC folds in fixed subspace
+    // order (list ORDER BY m) to mirror the engine's fixed-order reduce
+    "s_knn_ivfpq" ->
+      """WITH cent AS (SELECT vec_id AS cl, embedding AS cv FROM embeddings WHERE vec_id < 3),
+        |cb AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < 4),
+        |sub AS (SELECT unnest(range(0, 8)) AS m),
+        |cd AS (
+        |  SELECT e.vec_id, cent.cl,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE)) *
+        |           (CAST(e.embedding[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE)))) AS d2
+        |  FROM embeddings e CROSS JOIN cent),
+        |cell AS (
+        |  SELECT vec_id, cl AS cell FROM (
+        |    SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |d AS (
+        |  SELECT e.vec_id, s.m, cb.c,
+        |    list_sum(list_transform(range(1, 9),
+        |      j -> ((CAST(e.embedding[s.m * 8 + j] AS DOUBLE) - CAST(ct.cv[s.m * 8 + j] AS DOUBLE)) -
+        |              CAST(cb.cv[s.m * 8 + j] AS DOUBLE)) *
+        |           ((CAST(e.embedding[s.m * 8 + j] AS DOUBLE) - CAST(ct.cv[s.m * 8 + j] AS DOUBLE)) -
+        |              CAST(cb.cv[s.m * 8 + j] AS DOUBLE)))) AS d2
+        |  FROM embeddings e JOIN cell ON cell.vec_id = e.vec_id
+        |    JOIN cent ct ON ct.cl = cell.cell
+        |    CROSS JOIN cb CROSS JOIN sub s),
+        |code AS (
+        |  SELECT vec_id, m, c FROM (
+        |    SELECT vec_id, m, c,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+        |    FROM d) WHERE rn = 1),
+        |qd AS (
+        |  SELECT q.vec_id AS qid, cent.cl,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE)) *
+        |           (CAST(q.embedding[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE)))) AS d2
+        |  FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 3),
+        |probe AS (
+        |  SELECT qid, cl AS cell FROM (
+        |    SELECT qid, cl, row_number() OVER (PARTITION BY qid ORDER BY d2, cl) AS rn
+        |    FROM qd) WHERE rn <= 2),
+        |qt AS (
+        |  SELECT p.qid, p.cell, s.m, cb.c,
+        |    list_sum(list_transform(range(1, 9),
+        |      j -> ((CAST(q.embedding[s.m * 8 + j] AS DOUBLE) - CAST(ct.cv[s.m * 8 + j] AS DOUBLE)) -
+        |              CAST(cb.cv[s.m * 8 + j] AS DOUBLE)) *
+        |           ((CAST(q.embedding[s.m * 8 + j] AS DOUBLE) - CAST(ct.cv[s.m * 8 + j] AS DOUBLE)) -
+        |              CAST(cb.cv[s.m * 8 + j] AS DOUBLE)))) AS t
+        |  FROM probe p JOIN embeddings q ON q.vec_id = p.qid
+        |    JOIN cent ct ON ct.cl = p.cell
+        |    CROSS JOIN cb CROSS JOIN sub s),
+        |scored AS (
+        |  SELECT qt.qid, code.vec_id AS id,
+        |    list_sum(list(qt.t ORDER BY qt.m)) AS raw_adc
+        |  FROM cell JOIN code ON code.vec_id = cell.vec_id
+        |    JOIN qt ON qt.cell = cell.cell AND qt.m = code.m AND qt.c = code.c
+        |  GROUP BY qt.qid, code.vec_id),
+        |ranked AS (
+        |  SELECT qid, id, CAST(round(raw_adc, 6) AS DOUBLE) AS adc,
+        |    row_number() OVER (PARTITION BY qid ORDER BY raw_adc, id) AS rank
+        |  FROM scored)
+        |SELECT qid, id, adc, rank FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
     // int8 quantization: scale = 127/max|x| on exact float64 (float32→64
     // cast is exact), per-element ROUND pinned by the integer sum

@@ -610,6 +610,80 @@ object Similarity {
       .select("qid", "id", "cosine", "rank")
   }
 
+  /** Residual IVF-PQ top-k (Jégou TPAMI 2011 §V — the FAISS `IVFPQ`
+    * index): corpus vectors are coarse-assigned to their nearest
+    * centroid cell ([[ivfAssign]]) and the RESIDUAL v − centroid(cell)
+    * is PQ-encoded — residuals are far smaller than raw vectors, so the
+    * same codebook quantizes them much more accurately (the reason
+    * production billion-scale indexes encode residuals, not vectors).
+    * Each query probes its `nProbe` nearest cells; per probed cell it
+    * builds an ADC table from its OWN residual q − centroid(cell), and
+    * candidates in that cell score as m table lookups. Deterministic
+    * given centroids + codebook (lowest-index/lowest-id ties) — fully
+    * oracle-checkable like [[ivfKnn]]/[[pqKnn]].
+    *
+    * 100 TB shape: the corpus carries only (id, cell, m small codes) —
+    * vectors are read once in the scan stage and never shuffle;
+    * partitioned/bucketed by `cell` the probe join prunes to
+    * nProbe/nCells of the data; the query side (queries × nProbe rows,
+    * each with its m·K-double table) broadcasts; only (qid, id, adc)
+    * triples reach the per-query top-k. Centroids and codebook are
+    * driver-side bounded models.
+    */
+  def ivfPqKnn(corpus: DataFrame, idCol: String, vecCol: String,
+               queries: DataFrame, qidCol: String, qvecCol: String,
+               centroids: Seq[Seq[Double]], codebook: Seq[Seq[Double]],
+               m: Int, nProbe: Int, k: Int): DataFrame = {
+    val dim = codebook.head.length
+    val sub = dim / m
+    require(m * sub == dim, s"m=$m must divide dim=$dim")
+    val cmat = typedLit(centroids)
+    // corpus: cell assignment, then PQ codes of the residual — all
+    // scan-stage (nearest_centroid native exprs over sliced arrays)
+    val resid = ivfAssign(corpus, vecCol, centroids)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), col("cell"))
+      .withColumn("r",
+        zip_with(col("v"), element_at(cmat, col("cell") + 1), (a, b) => a - b))
+    val codes = (0 until m).map { mi =>
+      graft.exprs.HashExprs.nearest_centroid(
+        slice(col("r"), mi * sub + 1, sub),
+        codebook.map(_.slice(mi * sub, (mi + 1) * sub))).cast("int")
+    }
+    val enc = resid.select(col("id"), col("cell"), array(codes: _*).as("codes"))
+    // queries: nProbe nearest cells (same (d2, cell) sort as ivfKnn),
+    // then a per-(query, cell) ADC table over the query's cell residual
+    val dists = centroids.zipWithIndex.map { case (cvec, i) =>
+      val c = typedLit(cvec)
+      struct(dot(zip_with(col("q"), c, (a, b) => a - b),
+        zip_with(col("q"), c, (a, b) => a - b)).as("d2"), lit(i).as("cell"))
+    }
+    val table = array((0 until m).map { mi =>
+      array(codebook.indices.map { c =>
+        val cl = typedLit(codebook(c).slice(mi * sub, (mi + 1) * sub))
+        val dv = zip_with(slice(col("qr"), mi * sub + 1, sub), cl, (a, b) => a - b)
+        dot(dv, dv)
+      }: _*)
+    }: _*)
+    val qt = queries
+      .select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("q"))
+      .withColumn("pc", explode(slice(array_sort(array(dists: _*)), 1, nProbe)))
+      .withColumn("cell", col("pc.cell")).drop("pc")
+      .withColumn("qr",
+        zip_with(col("q"), element_at(cmat, col("cell") + 1), (a, b) => a - b))
+      .withColumn("t", table)
+      .select("qid", "cell", "t")
+    // subspace lookups summed in fixed mi order (the oracle mirrors it)
+    val adc = (0 until m).map(mi =>
+      element_at(element_at(col("t"), mi + 1),
+        col("codes").getItem(mi) + lit(1))).reduce(_ + _)
+    val scored = enc.join(broadcast(qt), Seq("cell"))
+      .select(col("qid"), col("id"), adc.as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("adc"), col("rank"))
+  }
+
   /** Exact self-kNN graph: every vector's top-k cosine neighbours plus a
     * mutual flag — the input graph for SemDeDup-style pruning, graph-based
     * quality propagation, and mutual-kNN clustering, where EVERY row is a

@@ -590,6 +590,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(rerank == brute)
   }
 
+  test("ivfPqKnn with one zero centroid equals plain pqKnn (residual fixpoint)") {
+    // a single all-zero centroid means every vector's residual IS the
+    // vector and every query probes the one cell — the residual IVF-PQ
+    // machinery must then reproduce pqKnn bit-for-bit
+    val e = Tables.load(spark, sf0, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val cb = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val zero = Seq(Seq.fill(cb.head.length)(0.0))
+    val ivfpq = Similarity.ivfPqKnn(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", zero, cb, m = 8, nProbe = 1, k = 5)
+      .orderBy("qid", "rank")
+      .select("qid", "id", "adc", "rank").collect().toSeq
+    val pq = Similarity.pqKnn(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", cb, m = 8, k = 5)
+      .orderBy("qid", "rank")
+      .select("qid", "id", "adc", "rank").collect().toSeq
+    assert(ivfpq == pq)
+  }
+
+  test("ivfPqKnn: residual coding has zero ADC self-distance at cell centers") {
+    // vectors that sit exactly on a centroid have residual 0; with a
+    // codebook whose first entry is the zero vector they encode to code
+    // 0 in every subspace and self-ADC is exactly 0.0
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 1.0)), (1L, Seq(0.0, 1.0, 1.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.9, 0.1))).toDF("id", "v")
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 1.0), Seq(0.0, 1.0, 1.0, 0.0))
+    val cb = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(0.5, 0.5, 0.5, 0.5))
+    val out = Similarity.ivfPqKnn(vecs, "id", "v",
+        vecs.filter(col("id") < 2), "id", "v",
+        cents, cb, m = 2, nProbe = 1, k = 1)
+      .orderBy("qid").select("qid", "id", "adc").collect().toSeq
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) ==
+      Seq((0L, 0L, 0.0), (1L, 1L, 0.0)))
+  }
+
   test("winnowPairs finds the copied-passage pair, skips unrelated docs") {
     val passage = "the winnowing algorithm selects minimum hashes per window"
     val df = Seq(
