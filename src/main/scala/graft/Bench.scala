@@ -144,7 +144,11 @@ object Bench {
       // the expensive tail (r10 VERDICT #3): the four most costly ops
       // belong under the official metric, cold included
       "d_cluster_keep_best", "d_dedup_clusters", "s_knn_graph",
-      "p_pack_bpe", "t_wordpiece_train", "t_wordpiece_encode")
+      "p_pack_bpe", "t_wordpiece_train", "t_wordpiece_encode",
+      // round-11 second-half additions: TPC-H breadth, the stream-stream
+      // join gate, line dedup, residual IVF-PQ
+      "q6_forecast_revenue", "q19_discounted_revenue", "x_stream_join",
+      "d_line_dedup", "s_knn_ivfpq")
     println(json(results.filter(r => headline(r._1)), "%.3f", withCold = false))
     spark.stop()
   }

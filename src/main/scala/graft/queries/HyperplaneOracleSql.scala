@@ -98,4 +98,38 @@ private[graft] object HyperplaneOracleSql {
        |  FROM sc)
        |SELECT qid, id, cos, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
+
+  /** The `s_rand_proj` oracle, mirroring
+    * `Similarity.randomProject(dim=64, outDim=B, seed=42)`: the same
+    * splitmix64 ±1 sign chain as [[knnLshSql]]'s `sgn` CTE (seed term
+    * without the per-table 7919 offset), each projection folded in
+    * d-order by `list_sum(list_transform(...))` — the proven order-exact
+    * mirror of the native VecDot loop — then divided by √B (exact for
+    * power-of-4 B) and pivoted to y0..y(B-1) columns.
+    */
+  def randProjSql(outDim: Int): String = {
+    val cols = (0 until outDim).map(b =>
+      s"CAST(round(max(CASE WHEN b = $b THEN y END), 6) AS DOUBLE) AS y$b")
+      .mkString(",\n  ")
+    s"""WITH sgn AS (
+       |  SELECT b, list(CASE WHEN xor(z2, z2//2147483648::HUGEINT) % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS sv
+       |  FROM (
+       |   SELECT b, d, ${mulcCol("zx1", FIN3)} AS z2 FROM (
+       |    SELECT b, d, xor(z1, z1//134217728::HUGEINT) AS zx1 FROM (
+       |     SELECT b, d, ${mulcCol("zx0", INCC)} AS z1 FROM (
+       |      SELECT b, d, xor(z0, z0//1073741824::HUGEINT) AS zx0 FROM (
+       |       SELECT bb.range AS b, dd.range AS d,
+       |         (42::HUGEINT + bb.range::HUGEINT*$GOLD::HUGEINT + dd.range::HUGEINT*$INCC::HUGEINT) % $M::HUGEINT AS z0
+       |       FROM range(0,$outDim) bb, range(0,64) dd)))))
+       |  GROUP BY b),
+       |vecs AS (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |pj AS (
+       |  SELECT v.id, s.b,
+       |    list_sum(list_transform(range(1,65), i -> v.v[i] * s.sv[i])) / sqrt(CAST($outDim AS DOUBLE)) AS y
+       |  FROM vecs v CROSS JOIN sgn s)
+       |SELECT id AS vec_id,
+       |  $cols
+       |FROM pj GROUP BY id ORDER BY vec_id""".stripMargin
+  }
 }

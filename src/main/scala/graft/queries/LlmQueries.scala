@@ -505,6 +505,18 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Johnson–Lindenstrauss random projection 64 → 16 dims with the
+    // deterministic splitmix64 ±1 matrix — distance-preserving cheap
+    // embeddings for downstream dedup/clustering. √16 = 4 exactly, so
+    // the scale division is FP-exact on both engines.
+    "s_rand_proj" -> ((s, dir) => {
+      val p = Similarity.randomProject(emb(s, dir), "vec_id", "embedding",
+        dim = 64, outDim = 16)
+      p.select(col("id").as("vec_id") +:
+          (0 until 16).map(b => round(col(s"y$b"), 6).as(s"y$b")): _*)
+        .orderBy("vec_id")
+    }),
+
     // Int8 embedding quantization — verified via exact integer sum of the
     // quantized vector (list hashing across engines is brittle; the sum
     // pins every element's rounding).
@@ -1100,6 +1112,9 @@ object LlmQueries {
         |  FROM scored)
         |SELECT qid, id, adc, rank FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    // JL projection: splitmix64 sign matrix + d-order folds reproduced
+    // in SQL (the HyperplaneOracleSql machinery proven by s_knn_lsh)
+    "s_rand_proj" -> HyperplaneOracleSql.randProjSql(16),
     // int8 quantization: scale = 127/max|x| on exact float64 (float32→64
     // cast is exact), per-element ROUND pinned by the integer sum
     "s_embed_quant" ->

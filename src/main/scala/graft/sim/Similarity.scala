@@ -610,6 +610,42 @@ object Similarity {
       .select("qid", "id", "cosine", "rank")
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions with
+    * a deterministic ±1 sign matrix (Achlioptas 2003, "Database-friendly
+    * random projections": Rademacher entries satisfy the JL distortion
+    * bound with the same guarantees as Gaussian matrices at a fraction
+    * of the compute). The matrix is splitmix64-derived exactly like
+    * [[lshBucket]]'s hyperplanes, so it needs no stored model and no
+    * randomness service — any worker regenerates entry (b, d) from the
+    * seed. y_b = (Σ_d v_d · s_{b,d}) / √outDim preserves norms and
+    * pairwise distances in expectation — the cheap front-end for dedup /
+    * clustering / ANN over embeddings whose full dimension is too wide
+    * to shuffle.
+    *
+    * 100 TB shape: pure scan-stage column arithmetic (`outDim` native
+    * VecDot expressions per row) — no shuffle, no model join, no driver
+    * state beyond the integer seed; the projected corpus shuffles at
+    * outDim/dim of the original vector bytes. Returns (id, y0..y(B-1)).
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, outDim: Int, seed: Long = 42L): DataFrame = {
+    val v = asDouble(col(vecCol))
+    // SAME splitmix64 scramble as HashExprs.HyperplaneLsh's sign matrix
+    // (and HyperplaneOracleSql's proven SQL mirror)
+    def sign(b: Int, d: Int): Double = {
+      var z = seed + b * 0x9E3779B97F4A7C15L + d * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+    }
+    val scale = math.sqrt(outDim.toDouble)
+    val proj = (0 until outDim).map { b =>
+      (dot(v, typedLit(Seq.tabulate(dim)(d => sign(b, d)))) / lit(scale))
+        .as(s"y$b")
+    }
+    df.select(col(idCol).as("id") +: proj: _*)
+  }
+
   /** Residual IVF-PQ top-k (Jégou TPAMI 2011 §V — the FAISS `IVFPQ`
     * index): corpus vectors are coarse-assigned to their nearest
     * centroid cell ([[ivfAssign]]) and the RESIDUAL v − centroid(cell)

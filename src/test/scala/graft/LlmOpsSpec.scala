@@ -590,6 +590,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(rerank == brute)
   }
 
+  test("randomProject preserves norms in JL expectation and is layout-invariant") {
+    val e = Tables.load(spark, sf0, "embeddings")
+    val p = Similarity.randomProject(e, "vec_id", "embedding", 64, 16)
+    val yn = sqrt((0 until 16).map(b => col(s"y$b") * col(s"y$b"))
+      .reduce(_ + _))
+    val vn = Similarity.norm(transform(col("embedding"), _.cast("double")))
+    val ratios = p.join(e.select(col("vec_id").as("id"), vn.as("nv")), "id")
+      .filter(col("nv") > 0)
+      .select((yn / col("nv")).as("r")).as[Double].collect()
+    // E[r²] = 1 with std ≈ √(2/16); virtually all mass in [0.3, 1.9]
+    val inBand = ratios.count(r => r > 0.3 && r < 1.9).toDouble / ratios.length
+    assert(inBand > 0.9, f"only $inBand%.2f of norm ratios near 1")
+    val mean2 = ratios.map(r => r * r).sum / ratios.length
+    assert(mean2 > 0.7 && mean2 < 1.3, s"E[r^2]=$mean2 far from 1")
+    // deterministic under repartition (pure scan-stage arithmetic)
+    val p7 = Similarity.randomProject(e.repartition(7), "vec_id",
+        "embedding", 64, 16)
+      .orderBy("id").collect().toSeq
+    assert(p.orderBy("id").collect().toSeq == p7)
+  }
+
   test("ivfPqKnn with one zero centroid equals plain pqKnn (residual fixpoint)") {
     // a single all-zero centroid means every vector's residual IS the
     // vector and every query probes the one cell — the residual IVF-PQ
