@@ -225,12 +225,84 @@ object Packing {
     * split assignment thresholded on the SAME seed's draw is degenerate —
     * every surviving row sits below the rate cutoff, so the split's
     * val/test tail is empty. Convention in this repo: 42 = mixing/
-    * sharding, 7 = stratified sampling, 13 = eval-split assignment.
+    * sharding, 7 = stratified sampling, 13 = eval-split assignment,
+    * 29 = span-corruption mask positions.
     */
   def stableDraw(id: org.apache.spark.sql.Column, seed: Long = 42L)
       : org.apache.spark.sql.Column =
     conv(substring(md5(concat(lit(s"$seed|"), id.cast("string"))), 1, 8), 16, 10)
       .cast("long")
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): deterministic
+    * denoising-objective preprocessing. Span STARTS are drawn per token
+    * position with the stable md5 draw (`startPermille`), each start
+    * masks `spanLen` consecutive tokens, and overlapping/adjacent masked
+    * runs merge into one span — T5's merge rule; with startPermille = 50
+    * and spanLen = 3 the expected corruption rate is ≈ 15%, the paper's
+    * setting. Each merged span k becomes `<extra_id_k>` in the encoder
+    * input; the decoder target is the sentinel-prefixed masked tokens
+    * plus the closing `<extra_id_K>` terminator. The draw is the
+    * portable hash, NOT rand(): the same (doc, position) masks the same
+    * way across engines, runs, retries, and layout — so the pair
+    * (input, target) is reproducible and the op is oracle-checkable.
+    *
+    * Returns (id, n_toks, n_masked, n_spans, input_md5, target_md5) —
+    * md5s travel instead of the rewritten strings (fixed-width
+    * downstream, the span-remover contract); select the built strings
+    * instead in a real pipeline.
+    *
+    * 100 TB shape: everything is array-local column arithmetic over the
+    * token array — the mask flags, the run/merge structure, and both
+    * output strings fold in ONE sequential `aggregate` pass per row; no
+    * shuffle, no explode, no per-token state outside the row.
+    */
+  def spanCorrupt(df: DataFrame, textCol: String, idCol: String,
+                  startPermille: Int = 50, spanLen: Int = 3,
+                  seed: Long = 29L): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // start(s) for position s; flag(p) = OR of start(s), s in (p-spanLen, p]
+    def startAt(p: org.apache.spark.sql.Column) =
+      stableDraw(concat(col("__id"), lit(":"), p.cast("string")), seed) % 1000 <
+        startPermille
+    def flagAt(p: org.apache.spark.sql.Column) =
+      (0 until spanLen).map(o =>
+        p - o >= 0 && startAt(p - o)).reduce(_ || _)
+    val zero = struct(lit(0).as("k"), lit(false).as("prev"),
+      lit("").as("inp"), lit("").as("tgt"), lit(0).as("nm"))
+    val folded = aggregate(
+      sequence(lit(0), n - 1),
+      zero,
+      (acc, p) => {
+        val f = flagAt(p)
+        val tok = element_at(toks, p + 1)
+        val isStart = f && !acc.getField("prev")
+        val k2 = when(isStart, acc.getField("k") + 1)
+          .otherwise(acc.getField("k"))
+        val sent = concat(lit("<extra_id_"), (k2 - 1).cast("string"), lit(">"))
+        struct(
+          k2.as("k"),
+          f.as("prev"),
+          when(!f, concat(acc.getField("inp"), lit(" "), tok))
+            .when(isStart, concat(acc.getField("inp"), lit(" "), sent))
+            .otherwise(acc.getField("inp")).as("inp"),
+          when(isStart,
+              concat(acc.getField("tgt"), lit(" "), sent, lit(" "), tok))
+            .when(f, concat(acc.getField("tgt"), lit(" "), tok))
+            .otherwise(acc.getField("tgt")).as("tgt"),
+          (acc.getField("nm") + when(f, 1).otherwise(0)).as("nm"))
+      })
+    df.select(col(idCol).as("id"), col(textCol))
+      .withColumn("__id", col("id").cast("string"))
+      .withColumn("__f", folded)
+      .select(col("id"),
+        n.cast("long").as("n_toks"),
+        col("__f.nm").cast("long").as("n_masked"),
+        col("__f.k").cast("long").as("n_spans"),
+        md5(ltrim(col("__f.inp"))).as("input_md5"),
+        md5(ltrim(concat(col("__f.tgt"), lit(" <extra_id_"),
+          col("__f.k").cast("string"), lit(">")))).as("target_md5"))
+  }
 
   /** Sliding-window document chunking: each document's token array is cut
     * into windows of `maxToks` tokens whose starts step by `stride`

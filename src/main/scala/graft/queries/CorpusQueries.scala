@@ -752,6 +752,15 @@ object CorpusQueries {
           (col("doc_id") +: CorpusStats.lineQualitySignals(col("lines"))): _*)
         .orderBy("doc_id")),
 
+    // T5 span corruption (Raffel 2020 §3.1.4): deterministic denoising
+    // pairs — masked spans become <extra_id_k> sentinels in the input,
+    // the target lists the masked tokens behind their sentinels. Start
+    // rate 50‰ × span length 3 ⇒ ≈15% corruption, the paper's setting.
+    "p_span_corrupt" -> ((s, dir) =>
+      Packing.spanCorrupt(docs(s, dir), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // CCNet-style cross-document line/paragraph dedup (Wenzek 2020
     // §3.1): duplicated lines keep one canonical occurrence corpus-wide,
     // documents are rebuilt from the survivors. Same synthesized line
@@ -1911,6 +1920,52 @@ object CorpusQueries {
         |  CAST(round(CAST(list_sum(list_transform(lines, x -> length(x))) AS DOUBLE) /
         |    CAST(len(lines) AS DOUBLE), 6) AS DOUBLE) AS mean_line_chars
         |FROM l ORDER BY doc_id""".stripMargin,
+
+    // the same stable per-(doc, position) draws decide span starts; runs
+    // merge via the lag window, sentinels number by the running sum, and
+    // both output strings rebuild through NULL-skipping string_agg in
+    // position order — mirroring the Spark fold's single-space piecing
+    "p_span_corrupt" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |o AS (
+        |  SELECT doc_id, CAST(x AS INT) AS p, toks[CAST(x AS INT) + 1] AS tok,
+        |    len(toks) AS n
+        |  FROM t CROSS JOIN unnest(range(0, len(toks))) u(x)),
+        |f AS (
+        |  SELECT doc_id, p, tok, n,
+        |    (CAST(('0x' || substr(md5('29|' || CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 50
+        |     OR (p >= 1 AND CAST(('0x' || substr(md5('29|' || CAST(doc_id AS VARCHAR) || ':' || CAST(p - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 50)
+        |     OR (p >= 2 AND CAST(('0x' || substr(md5('29|' || CAST(doc_id AS VARCHAR) || ':' || CAST(p - 2 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 50)) AS m
+        |  FROM o),
+        |g AS (
+        |  SELECT *, CASE WHEN m AND NOT coalesce(
+        |      lag(m) OVER (PARTITION BY doc_id ORDER BY p), false)
+        |    THEN 1 ELSE 0 END AS st
+        |  FROM f),
+        |h AS (
+        |  SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY p) AS k FROM g),
+        |agg AS (
+        |  SELECT doc_id,
+        |    max(n) AS n_toks,
+        |    count(*) FILTER (WHERE m) AS n_masked,
+        |    max(k) AS n_spans,
+        |    coalesce(string_agg(CASE WHEN NOT m THEN tok
+        |        WHEN st = 1 THEN '<extra_id_' || CAST(k - 1 AS VARCHAR) || '>'
+        |        END, ' ' ORDER BY p), '') AS input,
+        |    coalesce(string_agg(CASE
+        |        WHEN st = 1 THEN '<extra_id_' || CAST(k - 1 AS VARCHAR) || '> ' || tok
+        |        WHEN m THEN tok END, ' ' ORDER BY p), '') AS tgt0
+        |  FROM h GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(n_toks AS BIGINT) AS n_toks,
+        |  CAST(n_masked AS BIGINT) AS n_masked,
+        |  CAST(n_spans AS BIGINT) AS n_spans,
+        |  md5(input) AS input_md5,
+        |  md5(CASE WHEN tgt0 = '' THEN '<extra_id_' || CAST(n_spans AS VARCHAR) || '>'
+        |       ELSE tgt0 || ' <extra_id_' || CAST(n_spans AS VARCHAR) || '>' END)
+        |    AS target_md5
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // same line synthesis; the canonical occurrence of each duplicated
     // line is the min (doc_id, idx) — mirrored here by a row_number over

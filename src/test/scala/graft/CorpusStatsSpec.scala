@@ -9,6 +9,66 @@ import org.apache.spark.sql.functions._
 class CorpusStatsSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---------------- span corruption ----------------
+
+  test("spanCorrupt matches an independent single-node reference implementation") {
+    // reference: same stable draw (first 8 md5 hex digits of "29|id:p"),
+    // span starts < 50‰, length-3 flags, merged runs → sentinels —
+    // written straight from the T5 §3.1.4 description, not from the
+    // Spark column code
+    def draw(id: Long, p: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"29|$id:$p".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def md5s(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def reference(id: Long, text: String)
+        : (Long, Long, Long, String, String) = {
+      val toks = text.split(" ", -1)
+      val starts = toks.indices.map(p => draw(id, p) % 1000 < 50)
+      val flags = toks.indices.map(p =>
+        (0 until 3).exists(o => p - o >= 0 && starts(p - o)))
+      val inp = new StringBuilder; val tgt = new StringBuilder
+      var k = 0; var prev = false; var nm = 0
+      toks.indices.foreach { p =>
+        if (!flags(p)) inp.append(" ").append(toks(p))
+        else {
+          nm += 1
+          if (!prev) {
+            inp.append(s" <extra_id_$k>")
+            tgt.append(s" <extra_id_$k> ").append(toks(p))
+            k += 1
+          } else tgt.append(" ").append(toks(p))
+        }
+        prev = flags(p)
+      }
+      tgt.append(s" <extra_id_$k>")
+      (toks.length.toLong, nm.toLong, k.toLong,
+        md5s(inp.toString.stripPrefix(" ")), md5s(tgt.toString.stripPrefix(" ")))
+    }
+    // enough tokens that masked and unmasked positions both occur
+    val docsIn = (0L until 8L).map(i =>
+      (i, (0 until 120).map(t => s"w${i}_$t").mkString(" ")))
+    val out = Packing.spanCorrupt(docsIn.toDF("doc_id", "text"),
+        "text", "doc_id")
+      .orderBy("id")
+      .select("id", "n_toks", "n_masked", "n_spans", "input_md5", "target_md5")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    docsIn.foreach { case (id, text) =>
+      val (nt, nm, ns, imd, tmd) = reference(id, text)
+      assert(out(id) == ((nt, nm, ns, imd, tmd)), s"doc $id diverged")
+    }
+    // sanity: corruption actually happened somewhere and not everywhere
+    val totalMasked = out.values.map(_._2).sum
+    val totalToks = out.values.map(_._1).sum
+    assert(totalMasked > 0 && totalMasked < totalToks / 2,
+      s"mask rate implausible: $totalMasked/$totalToks")
+  }
+
   // ---------------- sequence packing ----------------
 
   test("packSequences chops the concatenated token tape at capacity") {
