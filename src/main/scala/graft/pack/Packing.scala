@@ -226,7 +226,8 @@ object Packing {
     * every surviving row sits below the rate cutoff, so the split's
     * val/test tail is empty. Convention in this repo: 42 = mixing/
     * sharding, 7 = stratified sampling, 13 = eval-split assignment,
-    * 29 = span-corruption mask positions.
+    * 29 = span-corruption mask positions, 31 = FIM document selection
+    * and cut points.
     */
   def stableDraw(id: org.apache.spark.sql.Column, seed: Long = 42L)
       : org.apache.spark.sql.Column =
@@ -302,6 +303,49 @@ object Packing {
         md5(ltrim(col("__f.inp"))).as("input_md5"),
         md5(ltrim(concat(col("__f.tgt"), lit(" <extra_id_"),
           col("__f.k").cast("string"), lit(">")))).as("target_md5"))
+  }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): for a
+    * `fimPermille` fraction of documents, split the token stream at two
+    * stable-draw cut points into (prefix, middle, suffix) and emit the
+    * PSM reordering `<fim_prefix> P <fim_suffix> S <fim_middle> M` — the
+    * infilling objective Code Llama / StarCoder train with; the rest
+    * pass through unchanged (mode 'ar'). The paper applies FIM at the
+    * character level with rate 0.5 and shows no AR-capability cost
+    * ("FIM-for-free"); cuts here are at token boundaries for hash
+    * portability. All three decisions (apply?, cut1, cut2) come from
+    * the stable md5 draw under DISTINCT tags — same (doc) transforms
+    * identically across engines, runs, retries, and layout.
+    *
+    * Returns (id, mode, cut1, cut2, out_md5) — the md5 travels instead
+    * of the rewritten text (fixed-width downstream); select the built
+    * string in a real pipeline. 100 TB shape: pure scan-stage array
+    * slicing per row — no shuffle, no model, no driver state.
+    */
+  def fimTransform(df: DataFrame, textCol: String, idCol: String,
+                   fimPermille: Int = 500, seed: Long = 31L): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val apply_ = stableDraw(concat(lit("f:"), col(idCol).cast("string")), seed) %
+      1000 < fimPermille
+    // two independent draws in [0, n] — sorted into cut1 <= cut2
+    val d1 = stableDraw(concat(lit("c1:"), col(idCol).cast("string")), seed) %
+      (n.cast("long") + 1L)
+    val d2 = stableDraw(concat(lit("c2:"), col(idCol).cast("string")), seed) %
+      (n.cast("long") + 1L)
+    val c1 = least(d1, d2).cast("int")
+    val c2 = greatest(d1, d2).cast("int")
+    val prefix = array_join(slice(toks, lit(1), c1), " ")
+    val middle = array_join(slice(toks, c1 + 1, c2 - c1), " ")
+    val suffix = array_join(slice(toks, c2 + 1, n - c2), " ")
+    val psm = concat(lit("<fim_prefix>"), prefix,
+      lit("<fim_suffix>"), suffix, lit("<fim_middle>"), middle)
+    df.select(col(idCol).as("id"),
+      when(apply_, lit("psm")).otherwise(lit("ar")).as("mode"),
+      when(apply_, c1).otherwise(lit(0)).as("cut1"),
+      when(apply_, c2).otherwise(lit(0)).as("cut2"),
+      md5(when(apply_, psm).otherwise(col(textCol))).as("out_md5"))
   }
 
   /** Sliding-window document chunking: each document's token array is cut

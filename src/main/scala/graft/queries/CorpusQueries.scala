@@ -752,6 +752,15 @@ object CorpusQueries {
           (col("doc_id") +: CorpusStats.lineQualitySignals(col("lines"))): _*)
         .orderBy("doc_id")),
 
+    // Fill-in-the-middle reordering (Bavarian 2022): half the documents
+    // become <fim_prefix>P<fim_suffix>S<fim_middle>M infilling samples,
+    // cuts and selection by stable draws — the Code Llama / StarCoder
+    // preprocessing step.
+    "p_fim_transform" -> ((s, dir) =>
+      Packing.fimTransform(docs(s, dir), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // T5 span corruption (Raffel 2020 §3.1.4): deterministic denoising
     // pairs — masked spans become <extra_id_k> sentinels in the input,
     // the target lists the masked tokens behind their sentinels. Start
@@ -1920,6 +1929,33 @@ object CorpusQueries {
         |  CAST(round(CAST(list_sum(list_transform(lines, x -> length(x))) AS DOUBLE) /
         |    CAST(len(lines) AS DOUBLE), 6) AS DOUBLE) AS mean_line_chars
         |FROM l ORDER BY doc_id""".stripMargin,
+
+    // same stable draws under the f:/c1:/c2: tags; DuckDB list slices
+    // are 1-based inclusive, matching Spark's slice(start, len) windows
+    "p_fim_transform" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, toks, len(toks) AS n,
+        |    CAST(('0x' || substr(md5('31|f:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 500 AS ap,
+        |    CAST(('0x' || substr(md5('31|c1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % (len(toks) + 1) AS d1,
+        |    CAST(('0x' || substr(md5('31|c2:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % (len(toks) + 1) AS d2
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, text, toks, n, ap,
+        |    CAST(least(d1, d2) AS INT) AS c1,
+        |    CAST(greatest(d1, d2) AS INT) AS c2
+        |  FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN ap THEN 'psm' ELSE 'ar' END AS mode,
+        |  CAST(CASE WHEN ap THEN c1 ELSE 0 END AS INT) AS cut1,
+        |  CAST(CASE WHEN ap THEN c2 ELSE 0 END AS INT) AS cut2,
+        |  md5(CASE WHEN ap THEN
+        |      '<fim_prefix>' || coalesce(array_to_string(toks[1 : c1], ' '), '') ||
+        |      '<fim_suffix>' || coalesce(array_to_string(toks[c2 + 1 : n], ' '), '') ||
+        |      '<fim_middle>' || coalesce(array_to_string(toks[c1 + 1 : c2], ' '), '')
+        |    ELSE text END) AS out_md5
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // the same stable per-(doc, position) draws decide span starts; runs
     // merge via the lag window, sentinels number by the running sum, and

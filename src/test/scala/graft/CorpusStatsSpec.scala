@@ -69,6 +69,41 @@ class CorpusStatsSpec extends SparkSpec {
       s"mask rate implausible: $totalMasked/$totalToks")
   }
 
+  test("fimTransform matches an independent reference; splits partition the doc") {
+    def draw(tag: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"31|$tag".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def md5s(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docsIn = (0L until 10L).map(i =>
+      (i, (0 until 20).map(t => s"t${i}_$t").mkString(" ")))
+    val out = Packing.fimTransform(docsIn.toDF("doc_id", "text"),
+        "text", "doc_id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))).toMap
+    var sawPsm = false; var sawAr = false
+    docsIn.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val n = toks.length
+      val ap = draw(s"f:$id") % 1000 < 500
+      val d1 = draw(s"c1:$id") % (n + 1); val d2 = draw(s"c2:$id") % (n + 1)
+      val (c1, c2) = (math.min(d1, d2).toInt, math.max(d1, d2).toInt)
+      val expected = if (ap) {
+        sawPsm = true
+        ("psm", c1, c2, md5s(
+          "<fim_prefix>" + toks.take(c1).mkString(" ") +
+          "<fim_suffix>" + toks.drop(c2).mkString(" ") +
+          "<fim_middle>" + toks.slice(c1, c2).mkString(" ")))
+      } else { sawAr = true; ("ar", 0, 0, md5s(text)) }
+      assert(out(id) == expected, s"doc $id diverged")
+    }
+    assert(sawPsm && sawAr, "fixture did not exercise both modes")
+  }
+
   // ---------------- sequence packing ----------------
 
   test("packSequences chops the concatenated token tape at capacity") {
