@@ -341,6 +341,16 @@ object CorpusQueries {
           col("rank"), col("mutual"))
         .orderBy("id", "rank")),
 
+    // Integer-exact PageRank over the top-3 kNN graph — embedding-space
+    // centrality for coreset/hub selection. Ranks scaled to 1e12; every
+    // division is integer, so 3 damped power iterations hash-oracle
+    // exactly (an FP formulation would diverge on summation order).
+    "s_pagerank" -> ((s, dir) =>
+      Similarity.pageRankKnn(emb(s, dir), "vec_id", "embedding",
+          k = 3, iters = 3, blocks = 8)
+        .select(col("id").as("vec_id"), col("pr"))
+        .orderBy("vec_id")),
+
     // Corpus-wide frequent trigrams (boilerplate mining, exact tier).
     "t_top_ngrams" -> ((s, dir) =>
       CorpusStats.topNgrams(docs(s, dir), "text", n = 3, k = 25)),
@@ -1395,6 +1405,54 @@ object CorpusQueries {
         |  CAST(CASE WHEN m.id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS mutual
         |FROM topk t LEFT JOIN topk m ON m.id = t.nbr AND m.nbr = t.id
         |ORDER BY t.id, t.rank""".stripMargin,
+
+    // same kNN edge derivation as s_knn_graph (rank <= 3), then three
+    // integer power iterations: // mirrors Spark's `div`, BIGINT sums
+    // are order-free, and the teleport constant folds the same way
+    // ((1e12 // n) * 15 // 100)
+    "s_pagerank" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nbr,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) > 0
+        |    AND list_sum(list_transform(range(1, 65),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) > 0),
+        |e AS (
+        |  SELECT id AS src, nbr AS dst FROM (
+        |    SELECT id, nbr,
+        |      row_number() OVER (PARTITION BY id ORDER BY cosine DESC, nbr) AS rank
+        |    FROM scored) WHERE rank <= 3),
+        |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |params AS (
+        |  SELECT 1000000000000 // count(*) AS r0,
+        |    (1000000000000 // count(*)) * 15 // 100 AS tp
+        |  FROM nodes),
+        |p0 AS (SELECT node, (SELECT r0 FROM params) AS pr FROM nodes),
+        |c1 AS (SELECT e.dst, sum(p.pr // od.od) AS s
+        |  FROM e JOIN od USING (src) JOIN p0 p ON p.node = e.src GROUP BY e.dst),
+        |p1 AS (SELECT n.node,
+        |    (SELECT tp FROM params) + (85 * coalesce(c.s, 0)) // 100 AS pr
+        |  FROM nodes n LEFT JOIN c1 c ON c.dst = n.node),
+        |c2 AS (SELECT e.dst, sum(p.pr // od.od) AS s
+        |  FROM e JOIN od USING (src) JOIN p1 p ON p.node = e.src GROUP BY e.dst),
+        |p2 AS (SELECT n.node,
+        |    (SELECT tp FROM params) + (85 * coalesce(c.s, 0)) // 100 AS pr
+        |  FROM nodes n LEFT JOIN c2 c ON c.dst = n.node),
+        |c3 AS (SELECT e.dst, sum(p.pr // od.od) AS s
+        |  FROM e JOIN od USING (src) JOIN p2 p ON p.node = e.src GROUP BY e.dst),
+        |p3 AS (SELECT n.node,
+        |    (SELECT tp FROM params) + (85 * coalesce(c.s, 0)) // 100 AS pr
+        |  FROM nodes n LEFT JOIN c3 c ON c.dst = n.node)
+        |SELECT node AS vec_id, CAST(pr AS BIGINT) AS pr
+        |FROM p3 ORDER BY vec_id""".stripMargin,
 
     "t_top_ngrams" ->
       s"""WITH toks AS (

@@ -610,6 +610,58 @@ object Similarity {
       .select("qid", "id", "cosine", "rank")
   }
 
+  /** Integer-exact PageRank over the exact kNN graph ([[knnGraph]]):
+    * embedding-space centrality — hub documents whose neighbourhoods are
+    * dense rank high; used for coreset selection and as the
+    * graph-quality propagation signal SemDeDup-style pipelines threshold
+    * on. Fixed `iters` power iterations with damping 0.85.
+    *
+    * ALL rank arithmetic is 64-bit integer (ranks scaled to 10^12, the
+    * per-edge contribution and the damping both integer divisions):
+    * integer division is identical in every engine and independent of
+    * summation order, so T iterations hash-oracle exactly — the FP
+    * formulation diverges across engines on the order the incoming
+    * contributions are summed (the lesson every FP-threshold surface in
+    * this repo has paid for once). The truncation deliberately leaks a
+    * few units of mass per division; ranking is unaffected and
+    * determinism is total.
+    *
+    * 100 TB shape: per iteration ONE edge-keyed join (ranks are (node,
+    * long) pairs — vectors never enter) and one map-side-combinable
+    * BIGINT sum; `iters` is a small constant. Same bounded-rounds shape
+    * as the connected-components dedup. The kNN edge build is the
+    * expensive exact tier (see [[knnGraph]]'s scale note — swap in
+    * LSH/IVF candidates at corpus scale; the iteration shape is
+    * unchanged).
+    */
+  def pageRankKnn(corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int = 3, iters: Int = 3, blocks: Int = 8): DataFrame = {
+    val edges = graft.CacheScope.cache(
+      knnGraph(corpus, idCol, vecCol, k, blocks)
+        .select(col("id").as("src"), col("nbr").as("dst")))
+    val nodes = graft.CacheScope.cache(
+      edges.select(col("src").as("node")).distinct())
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // one count job sizes the teleport constant (the s_knn_lsh
+    // exact-metadata-count convention — never a plan-stats estimate)
+    val n = nodes.count()
+    val r0 = 1000000000000L / n
+    val teleport = (r0 * 15L) / 100L
+    var pr = nodes.select(col("node"), lit(r0).as("pr"))
+    (1 to iters).foreach { _ =>
+      val contrib = edges.join(outdeg, Seq("src"))
+        .join(pr, col("src") === col("node"))
+        .select(col("dst"), expr("pr div od").as("c"))
+      pr = nodes.join(
+          contrib.groupBy(col("dst")).agg(sum(col("c")).as("s")),
+          col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
+    }
+    pr.select(col("node").as("id"), col("pr"))
+  }
+
   /** Johnson–Lindenstrauss random projection to `outDim` dimensions with
     * a deterministic ±1 sign matrix (Achlioptas 2003, "Database-friendly
     * random projections": Rademacher entries satisfy the JL distortion

@@ -590,6 +590,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(rerank == brute)
   }
 
+  test("pageRankKnn: central vector ranks highest; mass bounded; layout-invariant") {
+    // 2-D unit vectors by angle: 45° sits within 45° of every other
+    // vector, so it enters everyone's top-3 (highest in-degree) and must
+    // get the top rank after damped iterations
+    val angles = Seq(0L -> 45.0, 1L -> 0.0, 2L -> 90.0, 3L -> 20.0,
+      4L -> 70.0, 5L -> 10.0)
+    val vecs = angles.map { case (id, a) =>
+      val r = math.toRadians(a); (id, Seq(math.cos(r), math.sin(r)))
+    }.toDF("id", "v")
+    val pr = Similarity.pageRankKnn(vecs, "id", "v", k = 3, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pr(0L) == pr.values.max, s"hub not top-ranked: $pr")
+    // total mass stays within (teleport-truncated) bounds of 1e12
+    val total = pr.values.sum
+    assert(total > 500000000000L && total <= 1000000000000L, s"mass $total")
+    val pr7 = Similarity.pageRankKnn(vecs.repartition(7), "id", "v",
+        k = 3, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pr == pr7)
+  }
+
   test("randomProject preserves norms in JL expectation and is layout-invariant") {
     val e = Tables.load(spark, sf0, "embeddings")
     val p = Similarity.randomProject(e, "vec_id", "embedding", 64, 16)
