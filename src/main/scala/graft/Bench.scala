@@ -148,7 +148,7 @@ object Bench {
       // round-11 second-half additions: TPC-H breadth, the stream-stream
       // join gate, line dedup, residual IVF-PQ
       "q6_forecast_revenue", "q19_discounted_revenue", "x_stream_join",
-      "d_line_dedup", "s_knn_ivfpq")
+      "d_line_dedup", "s_knn_ivfpq", "s_pagerank", "x_stream_session")
     println(json(results.filter(r => headline(r._1)), "%.3f", withCold = false))
     spark.stop()
   }

@@ -716,6 +716,35 @@ object CorpusQueries {
         .orderBy("segment", "event_type")
     }),
 
+    // Streaming SESSION windows — the remaining stateful streaming class
+    // (after exact-dedup state, tumbling windows, stream-static and
+    // stream-stream joins): gap-merged session state that must extend
+    // and MERGE sessions across micro-batches as the replay delivers a
+    // user's events out of arrival order. Complete mode converges to
+    // the batch gaps-and-islands sessions whatever the batching. The
+    // oracle mirrors session_window's semantics exactly: a gap >= 30
+    // minutes STARTS a new session (session end is exclusive last+gap;
+    // the batch q_session_count's strict > is the other boundary
+    // convention). w_start formats fixed-width to the microsecond on
+    // both engines — a bare timestamp→string cast trims trailing zeros
+    // differently across engines.
+    "x_stream_session" -> ((s, dir) => {
+      val src = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("value"))
+      val stream = replayAsStream(s, dir, "events_session", src)
+      val agg = stream
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_value"))
+      runToCompletion(s, agg, "x_stream_session_sink")
+        .select(
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("w_start"),
+          col("user_id"), col("n"), col("sum_value"))
+        .orderBy("user_id", "w_start")
+    }),
+
     // Stream-STREAM interval join — the fourth streaming surface, and
     // the only Structured Streaming join class the earlier gates don't
     // touch: BOTH sides are live streams with buffered join state that
@@ -1642,6 +1671,28 @@ object CorpusQueries {
         |  CAST(ROUND(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events e LEFT JOIN users u USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // batch gaps-and-islands with session_window's >= gap boundary; the
+    // running island sum mirrors session identity, min(ts) the window
+    // start
+    "x_stream_session" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(CASE WHEN prev IS NULL
+        |          OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS w_start,
+        |  user_id, count(*) AS n,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin,
 
     // the batch equivalent of the stream-stream interval join — an inner
     // join in append mode emits each matching pair exactly once, so the
