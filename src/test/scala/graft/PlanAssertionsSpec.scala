@@ -68,6 +68,35 @@ class PlanAssertionsSpec extends SparkSpec {
       s"stats row not broadcast:\n$p")
   }
 
+  test("scan-stage transforms are shuffle-free: rand_proj, span_corrupt, fim") {
+    // the only exchange these may contain is the output orderBy's range
+    // partitioning — a hash exchange means the per-row transform grew a
+    // shuffle it doesn't need
+    for (q <- Seq("s_rand_proj", "p_span_corrupt", "p_fim_transform")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q grew a hash shuffle:\n$p")
+    }
+  }
+
+  test("line dedup: the lines array never enters an exchange") {
+    // digests and id-keyed position sets shuffle; line text must not
+    val p = plan("d_line_dedup")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, s"expected shuffles in:\n$p")
+    exchanges.foreach(l =>
+      assert(!l.contains("lines#"), s"lines array shuffled: $l\n$p"))
+  }
+
+  test("pagerank: iteration joins carry (node, long) pairs — never vectors") {
+    val p = plan("s_pagerank")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    exchanges.foreach { l =>
+      assert(!l.contains("embedding#") && !l.contains(" v#"),
+        s"vectors entered an iteration shuffle: $l")
+    }
+  }
+
   test("range join is a keyed join, not a nested loop") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
