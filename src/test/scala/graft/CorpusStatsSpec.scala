@@ -48,9 +48,14 @@ class CorpusStatsSpec extends SparkSpec {
       (toks.length.toLong, nm.toLong, k.toLong,
         md5s(inp.toString.stripPrefix(" ")), md5s(tgt.toString.stripPrefix(" ")))
     }
-    // enough tokens that masked and unmasked positions both occur
-    val docsIn = (0L until 8L).map(i =>
-      (i, (0 until 120).map(t => s"w${i}_$t").mkString(" ")))
+    // seeded random lengths, including degenerate 1- and 2-token docs
+    // (all-masked and no-masked folds must both terminate correctly)
+    val rnd = new scala.util.Random(
+      sys.props.getOrElse("graft.prop.seed", "42").toLong)
+    val docsIn = (0L until 12L).map { i =>
+      val len = Seq(1, 2, 3, 40, 120)(rnd.nextInt(5))
+      (i, (0 until len).map(t => s"w${i}_$t").mkString(" "))
+    }
     val out = Packing.spanCorrupt(docsIn.toDF("doc_id", "text"),
         "text", "doc_id")
       .orderBy("id")
@@ -78,8 +83,14 @@ class CorpusStatsSpec extends SparkSpec {
     def md5s(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val docsIn = (0L until 10L).map(i =>
-      (i, (0 until 20).map(t => s"t${i}_$t").mkString(" ")))
+    // includes 1-token docs: cuts land in [0, 1], so empty prefix /
+    // middle / suffix segments all occur
+    val rnd = new scala.util.Random(
+      sys.props.getOrElse("graft.prop.seed", "42").toLong)
+    val docsIn = (0L until 12L).map { i =>
+      val len = Seq(1, 2, 5, 20)(rnd.nextInt(4))
+      (i, (0 until len).map(t => s"t${i}_$t").mkString(" "))
+    }
     val out = Packing.fimTransform(docsIn.toDF("doc_id", "text"),
         "text", "doc_id")
       .orderBy("id").collect()
