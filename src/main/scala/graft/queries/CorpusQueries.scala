@@ -791,6 +791,27 @@ object CorpusQueries {
           (col("doc_id") +: CorpusStats.lineQualitySignals(col("lines"))): _*)
         .orderBy("doc_id")),
 
+    // WARC→WET HTML extraction over synthesized pages (the synthesize-
+    // then-verify pattern of t_redact_pii / t_url_normalize): each doc
+    // wraps in boilerplate with script/style blocks (the script body
+    // contains a bare '<' to prove subtree removal precedes tag
+    // stripping) and escaped entities in the footer.
+    "t_html_strip" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p { color: red; }</style>" +
+          "<script>if (1<2) { alert(\"x&y\"); }</script></head><body><h1>Doc "),
+        col("doc_id").cast("string"), lit("</h1><p>"), col("text"),
+        lit("</p><div class=\"footer\">&quot;cite&quot; &amp; " +
+          "&lt;tags&gt;&nbsp;ok</div></body></html>"))
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.stripHtml(page).as("clean"))
+        .select(col("doc_id"),
+          length(col("clean")).cast("long").as("n_chars"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Fill-in-the-middle reordering (Bavarian 2022): half the documents
     // become <fim_prefix>P<fim_suffix>S<fim_middle>M infilling samples,
     // cuts and selection by stable draws — the Code Llama / StarCoder
@@ -2038,6 +2059,33 @@ object CorpusQueries {
         |  CAST(round(CAST(list_sum(list_transform(lines, x -> length(x))) AS DOUBLE) /
         |    CAST(len(lines) AS DOUBLE), 6) AS DOUBLE) AS mean_line_chars
         |FROM l ORDER BY doc_id""".stripMargin,
+
+    // identical regexp/replace chain (RE2 both sides; 'g' flags); the
+    // entity fold unescapes amp LAST, matching the Spark order
+    "t_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style>p { color: red; }</style>' ||
+        |    '<script>if (1<2) { alert("x&y"); }</script></head><body><h1>Doc ' ||
+        |    CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+        |    '</p><div class="footer">&quot;cite&quot; &amp; &lt;tags&gt;&nbsp;ok</div></body></html>'
+        |      AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id, CAST(length(clean) AS BIGINT) AS n_chars,
+        |  md5(clean) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // same stable draws under the f:/c1:/c2: tags; DuckDB list slices
     // are 1-based inclusive, matching Spark's slice(start, len) windows

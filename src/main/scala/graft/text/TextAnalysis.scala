@@ -350,6 +350,27 @@ object TextAnalysis {
         .otherwise(lit("")))
   }
 
+  /** HTML → text extraction — the WARC→WET step every web-crawl corpus
+    * starts with (CommonCrawl WET, C4 §2.1, RefinedWeb §3.1): drop
+    * script/style subtrees whole, strip remaining tags, unescape the
+    * core entities (amp LAST, per spec, so `&amp;lt;` yields the
+    * literal `&lt;`), collapse whitespace. Pure scan-stage
+    * regexp/replace chain — RE2-safe (lazy block matches, no
+    * lookaround), so the identical chain runs in DuckDB; no HTML parser
+    * dependency, which is the point at 100 TB: tag stripping is a
+    * per-row codegen'd expression, not a library call.
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   def dupNgramFraction(toks: Column, n: Int): Column = {
     val total = greatest(size(toks) - n, lit(0)) + 1
     val grams = transform(sequence(lit(1), total),

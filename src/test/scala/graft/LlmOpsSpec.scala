@@ -590,6 +590,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(rerank == brute)
   }
 
+  test("stripHtml: script/style subtrees drop whole, entities unescape, amp last") {
+    val html = """<html><head><style>a { b: c; }</style>""" +
+      """<script>if (1<2) { x("</p>"); }</script></head>""" +
+      """<body><h1 class="t">Title</h1><p>one &amp; two &lt;three&gt;</p>""" +
+      """<p>&amp;lt; stays literal</p>  <br/>tail</body></html>"""
+    val out = Seq((1L, html)).toDF("id", "h")
+      .select(TextAnalysis.stripHtml(col("h")).as("c"))
+      .as[String].head()
+    // the script body's stray '<' and the quoted '</p>' vanish with the
+    // subtree; &amp;lt; must yield the literal '&lt;', not '<'
+    assert(out == "Title one & two <three> &lt; stays literal tail", out)
+  }
+
   test("pageRankKnn: central vector ranks highest; mass bounded; layout-invariant") {
     // 2-D unit vectors by angle: 45° sits within 45° of every other
     // vector, so it enters everyone's top-3 (highest in-degree) and must
