@@ -505,6 +505,25 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // The complete FAISS serving path: residual IVF-PQ ADC shortlist
+    // (R=20 over 2 probed cells) then exact-cosine rerank to top-5 —
+    // exact math touches queries × 20 vectors, never the corpus.
+    "s_knn_ivfpq_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.filter(col("vec_id") < 3).orderBy("vec_id")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      val cb = e.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      Similarity.ivfPqKnnRerank(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 3), "vec_id", "embedding",
+          centroids, cb, m = 8, nProbe = 2, k = 5, shortlist = 20)
+        .select(col("qid"), col("id"), round(col("cosine"), 6).as("cos"),
+          col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // Johnson–Lindenstrauss random projection 64 → 16 dims with the
     // deterministic splitmix64 ±1 matrix — distance-preserving cheap
     // embeddings for downstream dedup/clustering. √16 = 4 exactly, so
@@ -671,6 +690,67 @@ object LlmQueries {
       |       'that','for','on','with','as','was','at','by','be','this'], x)))
       |     AS DOUBLE) / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) > 0.01
       |   THEN 1.0 ELSE 0.0 END) * 0.3, 4) AS DOUBLE)""".stripMargin
+
+  /** Shared CTE prefix for the two residual-IVF-PQ oracles: coarse cell
+    * assignment, residual codes, query probes, per-(query, cell) ADC
+    * tables, and the ADC-scored candidate relation. The operator-order
+    * notes live on the `s_knn_ivfpq` entry below.
+    */
+  private val ivfpqScoredCtes: String =
+    """WITH cent AS (SELECT vec_id AS cl, embedding AS cv FROM embeddings WHERE vec_id < 3),
+      |cb AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < 4),
+      |sub AS (SELECT unnest(range(0, 8)) AS m),
+      |cd AS (
+      |  SELECT e.vec_id, cent.cl,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE)) *
+      |           (CAST(e.embedding[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE)))) AS d2
+      |  FROM embeddings e CROSS JOIN cent),
+      |cell AS (
+      |  SELECT vec_id, cl AS cell FROM (
+      |    SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+      |    FROM cd) WHERE rn = 1),
+      |d AS (
+      |  SELECT e.vec_id, s.m, cb.c,
+      |    list_sum(list_transform(range(1, 9),
+      |      j -> ((CAST(e.embedding[s.m * 8 + j] AS DOUBLE) - CAST(ct.cv[s.m * 8 + j] AS DOUBLE)) -
+      |              CAST(cb.cv[s.m * 8 + j] AS DOUBLE)) *
+      |           ((CAST(e.embedding[s.m * 8 + j] AS DOUBLE) - CAST(ct.cv[s.m * 8 + j] AS DOUBLE)) -
+      |              CAST(cb.cv[s.m * 8 + j] AS DOUBLE)))) AS d2
+      |  FROM embeddings e JOIN cell ON cell.vec_id = e.vec_id
+      |    JOIN cent ct ON ct.cl = cell.cell
+      |    CROSS JOIN cb CROSS JOIN sub s),
+      |code AS (
+      |  SELECT vec_id, m, c FROM (
+      |    SELECT vec_id, m, c,
+      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+      |    FROM d) WHERE rn = 1),
+      |qd AS (
+      |  SELECT q.vec_id AS qid, cent.cl,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE)) *
+      |           (CAST(q.embedding[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE)))) AS d2
+      |  FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 3),
+      |probe AS (
+      |  SELECT qid, cl AS cell FROM (
+      |    SELECT qid, cl, row_number() OVER (PARTITION BY qid ORDER BY d2, cl) AS rn
+      |    FROM qd) WHERE rn <= 2),
+      |qt AS (
+      |  SELECT p.qid, p.cell, s.m, cb.c,
+      |    list_sum(list_transform(range(1, 9),
+      |      j -> ((CAST(q.embedding[s.m * 8 + j] AS DOUBLE) - CAST(ct.cv[s.m * 8 + j] AS DOUBLE)) -
+      |              CAST(cb.cv[s.m * 8 + j] AS DOUBLE)) *
+      |           ((CAST(q.embedding[s.m * 8 + j] AS DOUBLE) - CAST(ct.cv[s.m * 8 + j] AS DOUBLE)) -
+      |              CAST(cb.cv[s.m * 8 + j] AS DOUBLE)))) AS t
+      |  FROM probe p JOIN embeddings q ON q.vec_id = p.qid
+      |    JOIN cent ct ON ct.cl = p.cell
+      |    CROSS JOIN cb CROSS JOIN sub s),
+      |scored AS (
+      |  SELECT qt.qid, code.vec_id AS id,
+      |    list_sum(list(qt.t ORDER BY qt.m)) AS raw_adc
+      |  FROM cell JOIN code ON code.vec_id = cell.vec_id
+      |    JOIN qt ON qt.cell = cell.cell AND qt.m = code.m AND qt.c = code.c
+      |  GROUP BY qt.qid, code.vec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // MinHash-LSH pairs, FULL hash oracle: Spark's xxhash64 is
@@ -1051,67 +1131,39 @@ object LlmQueries {
     // zip_with, then the sub-codebook delta — same two subtractions,
     // same j order); the per-candidate ADC folds in fixed subspace
     // order (list ORDER BY m) to mirror the engine's fixed-order reduce
-    "s_knn_ivfpq" ->
-      """WITH cent AS (SELECT vec_id AS cl, embedding AS cv FROM embeddings WHERE vec_id < 3),
-        |cb AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < 4),
-        |sub AS (SELECT unnest(range(0, 8)) AS m),
-        |cd AS (
-        |  SELECT e.vec_id, cent.cl,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE)) *
-        |           (CAST(e.embedding[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE)))) AS d2
-        |  FROM embeddings e CROSS JOIN cent),
-        |cell AS (
-        |  SELECT vec_id, cl AS cell FROM (
-        |    SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
-        |    FROM cd) WHERE rn = 1),
-        |d AS (
-        |  SELECT e.vec_id, s.m, cb.c,
-        |    list_sum(list_transform(range(1, 9),
-        |      j -> ((CAST(e.embedding[s.m * 8 + j] AS DOUBLE) - CAST(ct.cv[s.m * 8 + j] AS DOUBLE)) -
-        |              CAST(cb.cv[s.m * 8 + j] AS DOUBLE)) *
-        |           ((CAST(e.embedding[s.m * 8 + j] AS DOUBLE) - CAST(ct.cv[s.m * 8 + j] AS DOUBLE)) -
-        |              CAST(cb.cv[s.m * 8 + j] AS DOUBLE)))) AS d2
-        |  FROM embeddings e JOIN cell ON cell.vec_id = e.vec_id
-        |    JOIN cent ct ON ct.cl = cell.cell
-        |    CROSS JOIN cb CROSS JOIN sub s),
-        |code AS (
-        |  SELECT vec_id, m, c FROM (
-        |    SELECT vec_id, m, c,
-        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
-        |    FROM d) WHERE rn = 1),
-        |qd AS (
-        |  SELECT q.vec_id AS qid, cent.cl,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE)) *
-        |           (CAST(q.embedding[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE)))) AS d2
-        |  FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 3),
-        |probe AS (
-        |  SELECT qid, cl AS cell FROM (
-        |    SELECT qid, cl, row_number() OVER (PARTITION BY qid ORDER BY d2, cl) AS rn
-        |    FROM qd) WHERE rn <= 2),
-        |qt AS (
-        |  SELECT p.qid, p.cell, s.m, cb.c,
-        |    list_sum(list_transform(range(1, 9),
-        |      j -> ((CAST(q.embedding[s.m * 8 + j] AS DOUBLE) - CAST(ct.cv[s.m * 8 + j] AS DOUBLE)) -
-        |              CAST(cb.cv[s.m * 8 + j] AS DOUBLE)) *
-        |           ((CAST(q.embedding[s.m * 8 + j] AS DOUBLE) - CAST(ct.cv[s.m * 8 + j] AS DOUBLE)) -
-        |              CAST(cb.cv[s.m * 8 + j] AS DOUBLE)))) AS t
-        |  FROM probe p JOIN embeddings q ON q.vec_id = p.qid
-        |    JOIN cent ct ON ct.cl = p.cell
-        |    CROSS JOIN cb CROSS JOIN sub s),
-        |scored AS (
-        |  SELECT qt.qid, code.vec_id AS id,
-        |    list_sum(list(qt.t ORDER BY qt.m)) AS raw_adc
-        |  FROM cell JOIN code ON code.vec_id = cell.vec_id
-        |    JOIN qt ON qt.cell = cell.cell AND qt.m = code.m AND qt.c = code.c
-        |  GROUP BY qt.qid, code.vec_id),
+    "s_knn_ivfpq" -> (ivfpqScoredCtes + """,
         |ranked AS (
         |  SELECT qid, id, CAST(round(raw_adc, 6) AS DOUBLE) AS adc,
         |    row_number() OVER (PARTITION BY qid ORDER BY raw_adc, id) AS rank
         |  FROM scored)
         |SELECT qid, id, adc, rank FROM ranked WHERE rank <= 5
-        |ORDER BY qid, rank""".stripMargin,
+        |ORDER BY qid, rank""".stripMargin),
+    // the serving composition: top-20 ADC shortlist from the shared
+    // CTEs, then exact cosine (the proven brute-force float-op order)
+    // over shortlist members only
+    "s_knn_ivfpq_rerank" -> (ivfpqScoredCtes + """,
+        |shortl AS (
+        |  SELECT qid, id FROM (
+        |    SELECT qid, id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY raw_adc, id) AS rank
+        |    FROM scored) WHERE rank <= 20),
+        |ex AS (
+        |  SELECT sh.qid, sh.id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))) AS cosine
+        |  FROM shortl sh
+        |  JOIN embeddings e ON e.vec_id = sh.id
+        |  JOIN embeddings q ON q.vec_id = sh.qid),
+        |rer AS (
+        |  SELECT qid, id, CAST(round(cosine, 6) AS DOUBLE) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
+        |  FROM ex)
+        |SELECT qid, id, cos, rank FROM rer WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin),
     // JL projection: splitmix64 sign matrix + d-order folds reproduced
     // in SQL (the HyperplaneOracleSql machinery proven by s_knn_lsh)
     "s_rand_proj" -> HyperplaneOracleSql.randProjSql(16),

@@ -594,6 +594,37 @@ object Similarity {
     val short = pqKnn(corpus, idCol, vecCol, queries, qidCol, qvecCol,
         codebook, m, shortlist)
       .select(col("qid"), col("id"))
+    exactRerank(corpus, idCol, vecCol, queries, qidCol, qvecCol, short, k)
+  }
+
+  /** IVF-PQ shortlist + exact rerank — the COMPLETE FAISS serving path
+    * (coarse cells → residual ADC shortlist → exact cosine on the
+    * shortlist only; Jégou §VII): [[ivfPqKnn]] supplies the top-R
+    * candidates, [[exactRerank]] the final ordering. Exact float math
+    * touches queries×R vectors; the corpus never shuffles and only its
+    * shortlist members are ever re-read.
+    */
+  def ivfPqKnnRerank(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     centroids: Seq[Seq[Double]], codebook: Seq[Seq[Double]],
+                     m: Int, nProbe: Int, k: Int,
+                     shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val short = ivfPqKnn(corpus, idCol, vecCol, queries, qidCol, qvecCol,
+        centroids, codebook, m, nProbe, shortlist)
+      .select(col("qid"), col("id"))
+    exactRerank(corpus, idCol, vecCol, queries, qidCol, qvecCol, short, k)
+  }
+
+  /** Shared exact-cosine rerank stage behind [[pqKnnRerank]] and
+    * [[ivfPqKnnRerank]]: the (qid, id) shortlist is broadcast into a
+    * probe of the corpus scan, so full vectors are fetched (and exact
+    * float math runs) for queries×R rows only; ties break to the lowest
+    * id — fully oracle-checkable.
+    */
+  private def exactRerank(corpus: DataFrame, idCol: String, vecCol: String,
+                          queries: DataFrame, qidCol: String, qvecCol: String,
+                          short: DataFrame, k: Int): DataFrame = {
     val cand = corpus
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .join(broadcast(short), Seq("id"))

@@ -683,6 +683,30 @@ class LlmOpsSpec extends SparkSpec {
       Seq((0L, 0L, 0.0), (1L, 1L, 0.0)))
   }
 
+  test("ivfPqKnnRerank probing every cell with a full shortlist equals brute force") {
+    // nProbe = nCells and R = corpus size ⇒ the ADC stage prunes
+    // nothing, so the exact rerank must reproduce bruteForceKnn
+    val e = Tables.load(spark, sf0, "embeddings")
+    val n = e.count().toInt
+    val q = e.filter(col("vec_id") < 3)
+    val centroids = e.filter(col("vec_id") < 3).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val cb = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val rerank = Similarity.ivfPqKnnRerank(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", centroids, cb,
+        m = 8, nProbe = centroids.size, k = 5, shortlist = n)
+      .orderBy("qid", "rank")
+      .select("qid", "id", "cosine", "rank").collect().toSeq
+    val brute = Similarity.bruteForceKnn(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5)
+      .orderBy("qid", "rank")
+      .select("qid", "id", "cosine", "rank").collect().toSeq
+    assert(rerank == brute)
+  }
+
   test("winnowPairs finds the copied-passage pair, skips unrelated docs") {
     val passage = "the winnowing algorithm selects minimum hashes per window"
     val df = Seq(
