@@ -153,6 +153,26 @@ object LlmQueries {
         .select(col("id").as("doc_id"), col("label").as("canonical"))
         .orderBy("doc_id")),
 
+    // Soft deduplication: DOWNWEIGHT duplicate clusters instead of
+    // dropping members — each doc trains with weight 1/cluster-size
+    // (integer ppm so the division is engine-exact), singletons at full
+    // weight. The reweighting alternative to hard dedup (sampling
+    // proportional to 1/count preserves corpus diversity while removing
+    // the duplication gradient bias); reuses the SAME shared pair graph
+    // and connected components as d_dedup_clusters.
+    "d_soft_weights" -> ((s, dir) => {
+      val labels = Dedup.dedupClusters(jacPairs(s, dir))
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      docs(s, dir).select(col("doc_id"))
+        .join(labels.join(sizes, Seq("label"))
+            .select(col("id").as("doc_id"), col("sz")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("sz"), lit(1L)).as("cluster_size"),
+          expr("1000000 div coalesce(sz, CAST(1 AS BIGINT))").as("weight_ppm"))
+        .orderBy("doc_id")
+    }),
+
     // Near-dup clusters with KEEP-BEST canonical: real pipelines keep the
     // highest-quality member of each duplicate cluster, not the smallest
     // id — the integrated dedup→quality composition.
@@ -1312,6 +1332,48 @@ object LlmQueries {
         |SELECT n.id AS doc_id, least(n.id, min(r.dst)) AS canonical
         |FROM nodes n LEFT JOIN reach r ON r.src = n.id
         |GROUP BY n.id ORDER BY n.id""".stripMargin,
+    // same closure as d_dedup_clusters; component label → size →
+    // integer-ppm weight, singletons (docs outside the pair graph) at
+    // full weight via the left joins
+    "d_soft_weights" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, source, lang,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' ')) - 1, 2)),
+        |      i -> array_to_string(
+        |        (list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '), x -> x <> ''))[i:i+2],
+        |        ' '))) AS sh
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '),
+        |            x -> x <> '')) > 0),
+        |pf AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jac
+        |    FROM sh a JOIN sh b
+        |      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  WHERE jac >= 0.2),
+        |sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pf
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM pf),
+        |reach AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |lab AS (
+        |  SELECT n.id, least(n.id, min(r.dst)) AS label
+        |  FROM nodes n LEFT JOIN reach r ON r.src = n.id GROUP BY n.id),
+        |sz AS (SELECT label, count(*) AS sz FROM lab GROUP BY label)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s2.sz, 1) AS BIGINT) AS cluster_size,
+        |  CAST(1000000 // coalesce(s2.sz, 1) AS BIGINT) AS weight_ppm
+        |FROM documents d
+        |LEFT JOIN lab ON lab.id = d.doc_id
+        |LEFT JOIN sz s2 ON s2.label = lab.label
+        |ORDER BY d.doc_id""".stripMargin,
     // same closure as d_dedup_clusters + the t_quality_score expression;
     // keep-best = row_number over (q DESC, id) per cluster
     "d_cluster_keep_best" ->
