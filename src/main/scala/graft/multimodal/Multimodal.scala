@@ -385,4 +385,87 @@ object Multimodal {
       .withColumn("frame",
         col(bodyCol).substr((col("frameIdx") * stride * chunkBytes + 1).cast("int"),
           lit(chunkBytes)))
+
+  // ====================== audio (s16le PCM) tier ======================
+
+  /** Synthesize REAL signed-16-bit little-endian PCM payloads from a
+    * deterministic integer waveform — sample_i = ((tone·37 + i·17) mod
+    * 4096) − 2048 — the audio counterpart of [[synthesizePatternPng]]:
+    * the bytes on the wire are genuine PCM (a real audio pipeline swaps
+    * its codec in without plan changes), and because the waveform is an
+    * integer formula, feature oracles recompute expected values without
+    * parsing bytes (the phash-oracle pattern). Appends `media` with
+    * mime `audio/L16`.
+    */
+  def synthesizePcm(df: DataFrame, toneCol: String,
+                    nSamplesCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("media", mediaSchema, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val tone = r.getAs[Number](toneCol).longValue()
+        val n = r.getAs[Number](nSamplesCol).intValue()
+        require(tone >= 0 && n >= 1, s"tone=$tone n=$n out of range")
+        val buf = java.nio.ByteBuffer.allocate(2 * n)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) {
+          buf.putShort((((tone * 37L + i * 17L) % 4096L) - 2048L).toShort)
+          i += 1
+        }
+        Row.fromSeq(r.toSeq :+ Row(buf.array(), "audio/L16", "binary"))
+      }
+    }(enc)
+  }
+
+  /** Decode s16le PCM bytes and emit the audio-curation signals real
+    * pipelines gate on — exact integer energy (Σ s²), peak |amplitude|,
+    * and zero-crossing count (the voiced/unvoiced + silence heuristics).
+    * ByteBuffer decode per row inside `mapPartitions`; audio bytes never
+    * shuffle — only the integer signals leave the scan stage. All
+    * outputs are integers, so the gate hash-compares exactly.
+    */
+  def pcmFeatures(df: DataFrame, bodyCol: String = "media.body"): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("zero_cross", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    // resolve the (possibly nested) body path to POSITIONAL indexes at
+    // plan time: chained mapPartitions can hand this lambda the raw
+    // schema-less Rows the upstream lambda built (object-chain
+    // elimination skips the encoder round-trip), where name lookup fails
+    val pathIdx = bodyCol.split("\\.").foldLeft(
+        (Seq.empty[Int], df.schema: org.apache.spark.sql.types.DataType)) {
+      case ((idxs, st: StructType), f) =>
+        (idxs :+ st.fieldIndex(f), st(f).dataType)
+      case ((idxs, other), f) =>
+        throw new IllegalArgumentException(s"$f not a struct field in $other")
+    }._1
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = pathIdx.foldLeft[Any](r) {
+          case (row: Row, i) => row.get(i)
+          case (x, _) => x
+        }.asInstanceOf[Array[Byte]]
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = bytes.length / 2
+        var i = 0; var sumSq = 0L; var peak = 0L; var zc = 0L
+        var prevNonNeg = true
+        while (i < n) {
+          val s = buf.getShort(2 * i).toLong
+          sumSq += s * s
+          val a = math.abs(s); if (a > peak) peak = a
+          val nonNeg = s >= 0
+          if (i > 0 && nonNeg != prevNonNeg) zc += 1
+          prevNonNeg = nonNeg
+          i += 1
+        }
+        Row.fromSeq(r.toSeq ++ Seq(n.toLong, sumSq, peak, zc))
+      }
+    }(enc)
+  }
 }

@@ -591,6 +591,22 @@ object LlmQueries {
     }),
 
     // ---------------- multimodal ----------------
+    // Audio tier: REAL s16le PCM payloads synthesized from an integer
+    // waveform, decoded back via ByteBuffer in the scan stage; the
+    // curation signals (exact energy, peak, zero crossings) are pure
+    // integers, and the oracle recomputes them from the waveform
+    // FORMULA — matching proves the encode→decode byte roundtrip (the
+    // mm_phash_dedup pattern).
+    "mm_audio_features" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        (col("doc_id") % 8).as("tone"),
+        (lit(64) + col("doc_id") % 32).as("n"))
+      Multimodal.pcmFeatures(Multimodal.synthesizePcm(base, "tone", "n"))
+        .select(col("doc_id"), col("n_samples"), col("sum_sq"),
+          col("peak"), col("zero_cross"))
+        .orderBy("doc_id")
+    }),
+
     "mm_media_stats" -> ((s, dir) => {
       val media = Multimodal.asMedia(docs(s, dir), "text", "text/plain")
       Multimodal.mediaStats(media)
@@ -1582,6 +1598,26 @@ object LlmQueries {
         |SELECT vec_id, CAST(cid AS INT) AS cell FROM (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         |  FROM d) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // waveform formula recomputation — no byte parsing; equality with
+    // the Spark side's decoded-bytes path proves the PCM roundtrip
+    "mm_audio_features" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 8 AS tone, 64 + (doc_id % 32) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, i, ((tone * 37 + i * 17) % 4096) - 2048 AS v
+        |  FROM p CROSS JOIN unnest(range(0, n)) u(i)),
+        |f AS (
+        |  SELECT doc_id, n, i, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak,
+        |  CAST(count(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+        |        THEN 1 END) AS BIGINT) AS zero_cross
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_media_stats" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byteLen,
         |  md5(text) AS contentMd5,

@@ -590,6 +590,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(rerank == brute)
   }
 
+  test("PCM synth → decode roundtrip reproduces the waveform formula exactly") {
+    val base = Seq((0L, 0L, 4), (1L, 3L, 64), (2L, 7L, 95))
+      .toDF("id", "tone", "n")
+    val out = Multimodal.pcmFeatures(Multimodal.synthesizePcm(base, "tone", "n"))
+      .select("id", "n_samples", "sum_sq", "peak", "zero_cross")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def ref(tone: Long, n: Int) = {
+      val v = (0 until n).map(i => ((tone * 37 + i * 17) % 4096) - 2048)
+      (n.toLong, v.map(x => x * x).sum, v.map(math.abs).max,
+        v.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0)).toLong)
+    }
+    assert(out(0L) == ref(0, 4))
+    assert(out(1L) == ref(3, 64))
+    assert(out(2L) == ref(7, 95))
+    // the bytes really are little-endian s16: peak of tone 0 is -2048
+    assert(out(0L)._3 == 2048L)
+  }
+
   test("stripHtml: script/style subtrees drop whole, entities unescape, amp last") {
     val html = """<html><head><style>a { b: c; }</style>""" +
       """<script>if (1<2) { x("</p>"); }</script></head>""" +
