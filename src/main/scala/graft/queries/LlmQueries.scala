@@ -525,6 +525,18 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // MMR diversified re-rank: top-20 brute shortlist → greedy top-5
+    // trading relevance against redundancy (λ=0.5) — the de-duplicating
+    // re-rank RAG pipelines run. Output is integers only (qid, id,
+    // rank), the argmax chain rides on bit-exact cosines.
+    "s_mmr_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.mmrDiversify(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = 5, shortlist = 20)
+        .orderBy("qid", "mmr_rank")
+    }),
+
     // The complete FAISS serving path: residual IVF-PQ ADC shortlist
     // (R=20 over 2 probed cells) then exact-cosine rerank to top-5 —
     // exact math touches queries × 20 vectors, never the corpus.
@@ -787,6 +799,31 @@ object LlmQueries {
       |  FROM cell JOIN code ON code.vec_id = cell.vec_id
       |    JOIN qt ON qt.cell = cell.cell AND qt.m = code.m AND qt.c = code.c
       |  GROUP BY qt.qid, code.vec_id)""".stripMargin
+
+  /** Greedy MMR rounds 2..k for the `s_mmr_rerank` oracle: each round
+    * removes the selected set, computes max-sim-to-selected per
+    * remaining candidate, and argmaxes 0.5·rel − 0.5·msim (ties to the
+    * lowest id) — the same double arithmetic, in the same order, as
+    * [[graft.sim.Similarity.mmrDiversify]]'s loop. */
+  private def mmrRounds(k: Int): String = (2 to k).map { t =>
+    s"""rem$t AS (
+       |  SELECT c.qid, c.id, c.rel FROM cand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+       |                    WHERE s.qid = c.qid AND s.id = c.id)),
+       |ms$t AS (
+       |  SELECT r.qid, r.id, r.rel, coalesce(mx.ms, 0.0) AS msim
+       |  FROM rem$t r LEFT JOIN (
+       |    SELECT ps.qid, ps.a AS id, max(ps.sim) AS ms
+       |    FROM ps JOIN sel${t - 1} s ON s.qid = ps.qid AND s.id = ps.b
+       |    GROUP BY ps.qid, ps.a) mx ON mx.qid = r.qid AND mx.id = r.id),
+       |p$t AS (
+       |  SELECT qid, id FROM (
+       |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY 0.5 * rel - 0.5 * msim DESC, id) AS rn
+       |    FROM ms$t) WHERE rn = 1),
+       |sel$t AS (SELECT * FROM sel${t - 1}
+       |  UNION ALL SELECT qid, id, $t AS mmr_rank FROM p$t)""".stripMargin
+  }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
     // MinHash-LSH pairs, FULL hash oracle: Spark's xxhash64 is
@@ -1161,6 +1198,40 @@ object LlmQueries {
         |  FROM ex)
         |SELECT qid, id, cos, rank FROM rer WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    // MMR: brute shortlist + candidate pair sims in the proven cosine
+    // float-op order; greedy rounds generated by mmrRounds. Output is
+    // integer-only, so no double ever enters the hash.
+    "s_mmr_rerank" -> (s"""WITH vecs AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |rel AS (
+        |  SELECT q.id AS qid, c.id,
+        |    list_sum(list_transform(range(1, 65), i -> c.v[i] * q.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))) AS rel
+        |  FROM vecs c CROSS JOIN vecs q WHERE q.id < 3),
+        |cand AS (
+        |  SELECT qid, id, rel FROM (
+        |    SELECT qid, id, rel,
+        |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn
+        |    FROM rel) WHERE rn <= 20),
+        |ps AS (
+        |  SELECT a.qid, a.id AS a, b.id AS b,
+        |    list_sum(list_transform(range(1, 65), i -> va.v[i] * vb.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> va.v[i] * va.v[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> vb.v[i] * vb.v[i])))) AS sim
+        |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id
+        |  JOIN vecs va ON va.id = a.id JOIN vecs vb ON vb.id = b.id),
+        |p1 AS (
+        |  SELECT qid, id FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY 0.5 * rel - 0.5 * 0.0 DESC, id) AS rn
+        |    FROM cand) WHERE rn = 1),
+        |sel1 AS (SELECT qid, id, 1 AS mmr_rank FROM p1),
+        |""".stripMargin + mmrRounds(5) + """
+        |SELECT qid, id, CAST(mmr_rank AS INT) AS mmr_rank FROM sel5
+        |ORDER BY qid, mmr_rank""".stripMargin),
     // residual IVF-PQ: coarse cell = s_ivf_assign's argmin shape;
     // residual sub-distances are ((v_j − cent_j) − cb_j)² in that exact
     // operator order (Spark computes the residual array first with

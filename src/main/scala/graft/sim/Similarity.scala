@@ -616,6 +616,96 @@ object Similarity {
     exactRerank(corpus, idCol, vecCol, queries, qidCol, qvecCol, short, k)
   }
 
+  /** Maximal-Marginal-Relevance diversified re-ranking (Carbonell &
+    * Goldstein, SIGIR 1998): greedily select `k` of the top-`shortlist`
+    * candidates, each step maximizing λ·rel(c) − (1−λ)·max_{s∈S}
+    * sim(c, s) — relevance traded against redundancy with what is
+    * already selected; the de-duplicating re-rank step retrieval-
+    * augmented pipelines run so near-identical passages don't crowd the
+    * context window. Ties break to the lowest id; every cosine follows
+    * the brute-force float-op order, so the greedy argmax sequence is
+    * bit-deterministic and hash-oracle-able.
+    *
+    * 100 TB shape: the expensive part is the shortlist retrieval
+    * (swap [[bruteForceKnn]] for [[pqKnnRerank]]/[[ivfPqKnnRerank]] at
+    * corpus scale — same (qid, id, rel) contract); the greedy loop
+    * itself touches queries × shortlist² candidate pairs — broadcast-
+    * sized — through `k` bounded join+window rounds. Returns
+    * (qid, id, mmr_rank).
+    */
+  def mmrDiversify(corpus: DataFrame, idCol: String, vecCol: String,
+                   queries: DataFrame, qidCol: String, qvecCol: String,
+                   k: Int, shortlist: Int,
+                   lambda: Double = 0.5): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val cand = graft.CacheScope.cache(
+      bruteForceKnn(corpus, idCol, vecCol, queries, qidCol, qvecCol,
+          shortlist)
+        .select(col("qid"), col("id"), col("cosine").as("rel")))
+    val vecs = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vv"))
+    // pairwise sims among each query's candidates: queries × R² rows
+    val pairSims = graft.CacheScope.cache(
+      cand.select(col("qid"), col("id").as("a"))
+        .join(cand.select(col("qid"), col("id").as("b")), Seq("qid"))
+        .filter(col("a") =!= col("b"))
+        .join(broadcast(vecs), col("a") === col("vid"))
+        .withColumnRenamed("vv", "va").drop("vid")
+        .join(broadcast(vecs), col("b") === col("vid"))
+        .select(col("qid"), col("a"), col("b"),
+          (dot(col("va"), col("vv")) / (norm(col("va")) * norm(col("vv"))))
+            .as("sim")))
+    // The greedy loop's state (the selected set) is queries×k rows — the
+    // SMALL broadcast side by this op's contract — so each round's picks
+    // are collected and re-planted as a local relation. This is the
+    // bounded model-fetch convention (codebooks, centroids), not a
+    // corpus collect, and it keeps every round's plan CONSTANT-depth:
+    // chaining DataFrame rounds instead compounds the anti-join lineage
+    // so round t re-executes all t−1 prior windows (measured 32 s for
+    // k=5 at sf0.01; constant-depth rounds run it in seconds).
+    import org.apache.spark.sql.Row
+    val spark = corpus.sparkSession
+    val selSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        cand.schema("qid").dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("id",
+        cand.schema("id").dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("mmr_rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    var selectedRows = Seq.empty[Row]
+    (1 to k).foreach { step =>
+      val selectedDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(selectedRows, 1), selSchema)
+      val remaining = cand.join(selectedDf.select(col("qid"), col("id")),
+        Seq("qid", "id"), "left_anti")
+      val msim =
+        if (selectedRows.isEmpty) remaining.withColumn("msim", lit(0.0))
+        else {
+          val mx = pairSims.join(
+              selectedDf.select(col("qid"), col("id").as("b")),
+              Seq("qid", "b"))
+            .groupBy(col("qid"), col("a")).agg(max(col("sim")).as("ms"))
+            .select(col("qid").as("mqid"), col("a").as("mid"), col("ms"))
+          remaining.join(mx,
+              remaining("qid") === col("mqid") && remaining("id") === col("mid"),
+              "left")
+            .select(remaining("qid"), remaining("id"), remaining("rel"),
+              coalesce(col("ms"), lit(0.0)).as("msim"))
+        }
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("id"))
+      val picked = msim.withColumn("score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("msim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("id"))
+        .collect()
+      selectedRows = selectedRows ++
+        picked.map(r => Row(r.get(0), r.get(1), step))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(selectedRows, 1), selSchema)
+  }
+
   /** Shared exact-cosine rerank stage behind [[pqKnnRerank]] and
     * [[ivfPqKnnRerank]]: the (qid, id) shortlist is broadcast into a
     * probe of the corpus scan, so full vectors are fetched (and exact

@@ -590,6 +590,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(rerank == brute)
   }
 
+  test("mmrDiversify defers the near-duplicate behind a diverse candidate") {
+    // query (1,0) is NOT a candidate. Candidates: 1 ≈ 2 are mutual
+    // near-copies at rel ≈ 0.99; 3 is diverse at rel = 0.5. Pure
+    // relevance ranks [1,2,3]; after MMR picks 1, candidate 2's
+    // redundancy (sim ≈ 1) sinks it below the diverse 3.
+    val cands = Seq(
+      (1L, Seq(0.9, 0.1)), (2L, Seq(0.9, 0.11)), (3L, Seq(0.5, -0.866)))
+      .toDF("id", "v")
+    val q = Seq((0L, Seq(1.0, 0.0))).toDF("id", "v")
+    val out = Similarity.mmrDiversify(cands, "id", "v", q, "id", "v",
+        k = 3, shortlist = 3)
+      .orderBy("mmr_rank")
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 3L, 2L),
+      s"expected diverse-promoted order [1, 3, 2], got $out")
+  }
+
   test("PCM synth → decode roundtrip reproduces the waveform formula exactly") {
     val base = Seq((0L, 0L, 4), (1L, 3L, 64), (2L, 7L, 95))
       .toDF("id", "tone", "n")
