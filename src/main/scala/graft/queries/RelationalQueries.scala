@@ -290,6 +290,53 @@ object RelationalQueries {
         .orderBy("cntrycode")
     }),
 
+    // TPC-H Q15 shape: top supplier by quarterly revenue — an aggregate
+    // relation consumed twice (per-supplier revenue + its scalar max).
+    // The revenue relation is cached; the one-row max broadcasts back as
+    // a filter. Equality on the rounded-decimal double is exact: both
+    // consumers derive it from the SAME exact decimal sum.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = graft.CacheScope.cache(
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1996-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(round(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount"))), 2)
+            .cast("double").as("total_revenue")))
+      val mx = rev.agg(max(col("total_revenue")).as("mr"))
+      t(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(mx))
+        .filter(col("total_revenue") === col("mr"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    // "l_quantity < 0.2 · avg(l_quantity per part)" threshold. The avg
+    // is NOT computed as a double (an engine-ordered double summation
+    // deciding row membership is the q22 portability trap); the test
+    // cross-multiplies to 5·qty·cnt < sum over exact DECIMAL. Brand
+    // parts broadcast; the per-part aggregate joins back agg-then-join.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      val stats = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(dec("l_quantity")).as("qsum"), count(lit(1)).as("qcnt"))
+      li.join(stats, col("l_partkey") === col("pk"))
+        .filter(dec("l_quantity") * lit(5).cast("decimal(18,4)") * col("qcnt")
+          < col("qsum"))
+        .agg(
+          // decimal-division scale rules differ between engines; round
+          // the exact decimal sum first, then divide identical doubles
+          // by the exactly-representable 7.0 — one IEEE op, same bits
+          (round(sum(dec("l_extendedprice")), 2).cast("double") / lit(7.0))
+            .as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
     // Window ranking: top-3 orders per customer.
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -788,6 +835,37 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_totalprice > CAST(450000 AS DOUBLE))
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |             (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |stats AS (
+        |  SELECT l_partkey AS pk,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS qsum,
+        |    count(*) AS qcnt
+        |  FROM li GROUP BY l_partkey)
+        |SELECT
+        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    / CAST(7 AS DOUBLE) AS avg_yearly,
+        |  count(*) AS n
+        |FROM li JOIN stats ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(18,4)) * CAST(5 AS DECIMAL(18,4)) * qcnt
+        |      < qsum""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, rnk FROM (
         |  SELECT o_custkey, o_orderkey,
