@@ -58,8 +58,24 @@ class EntryContractSpec extends AnyFunSuite {
   }
 
   test("every oracle is plain single-statement SQL (driver runs them verbatim)") {
+    // a ';' inside a quoted SQL string literal is data (HTML entities,
+    // synthesized scripts), not a statement separator — scan with
+    // quote-state so only separators OUTSIDE literals fail
+    def outsideLiterals(sql: String): String = {
+      val sb = new StringBuilder
+      var inQuote = false
+      var i = 0
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (c == '\'') inQuote = !inQuote
+        else if (!inQuote) sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      assert(!sql.contains(";"), s"$name oracle has a statement separator")
+      assert(!outsideLiterals(sql).contains(";"),
+        s"$name oracle has a statement separator outside string literals")
       assert(sql.trim.toUpperCase.startsWith("SELECT") ||
         sql.trim.toUpperCase.startsWith("WITH"), s"$name oracle is not a query")
     }
