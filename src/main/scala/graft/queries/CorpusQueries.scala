@@ -137,6 +137,26 @@ object CorpusQueries {
           distributedPrefix = true)
         .orderBy("id")),
 
+    // Packing datasheet: how many documents a GPT-style concat-and-chop
+    // run SPLITS across sequence boundaries (the attention-contamination
+    // number a packed-pretraining card reports) plus sequence counts.
+    // Derived entirely from packSequences' output — a doc crosses iff
+    // its in-bin offset + length overruns the capacity. Integer-only
+    // output (ppm fraction by integer division).
+    "p_pack_report" -> ((s, dir) => {
+      val packed = Packing.packSequences(docs(s, dir), "text", "doc_id",
+        capacity = 2048)
+      packed.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_toks"),
+          count(when(col("bin_off") + col("n_toks") > 2048, lit(1)))
+            .as("split_docs"))
+        .select(col("n_docs"), col("total_toks"),
+          expr("(total_toks + 2047) div 2048").as("n_seqs"),
+          col("split_docs"),
+          expr("1000000 * split_docs div n_docs").as("split_ppm"))
+    }),
+
     // Length-quantile bucketing for dynamic batching: histogram-based
     // two-level assignment (never a corpus-wide ntile window).
     "p_length_buckets" -> ((s, dir) =>
@@ -1003,6 +1023,27 @@ object CorpusQueries {
         |         OVER (ORDER BY doc_id) AS BIGINT) AS cum_end
         |  FROM documents)
         |ORDER BY id""".stripMargin,
+
+    // the p_pack_sequences tape + integer aggregation; a doc splits iff
+    // bin_off + n_toks > capacity
+    "p_pack_report" ->
+      """WITH tape AS (
+        |  SELECT id, n_toks, (cum_end - n_toks) % 2048 AS bin_off FROM (
+        |    SELECT doc_id AS id,
+        |      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
+        |      CAST(sum(len(string_split_regex(trim(text), '\s+')))
+        |           OVER (ORDER BY doc_id) AS BIGINT) AS cum_end
+        |    FROM documents)),
+        |agg AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS total_toks,
+        |    count(CASE WHEN bin_off + n_toks > 2048 THEN 1 END) AS split_docs
+        |  FROM tape)
+        |SELECT n_docs, total_toks,
+        |  (total_toks + 2047) // 2048 AS n_seqs,
+        |  split_docs,
+        |  1000000 * split_docs // n_docs AS split_ppm
+        |FROM agg""".stripMargin,
 
     // identical math to p_pack_sequences — the distributed-prefix path
     // must be indistinguishable by result
