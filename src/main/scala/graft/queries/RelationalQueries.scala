@@ -337,6 +337,26 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     }),
 
+    // KMV (bottom-k) distinct sketch per group — the MERGEABLE sketch
+    // whose estimate is hash-oracle-able: unlike HLL (engine-internal
+    // registers ⇒ q_hll_sketch stays rows-only), the KMV estimate is a
+    // pure integer function of the k smallest portable md5 hashes, so
+    // both engines compute the identical number. The typed Aggregator
+    // map-side combines; the shuffle carries ≤ k longs per group.
+    "q_kmv_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          graft.pack.Packing.stableDraw(col("l_partkey"), seed = 42).as("hv"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.exprs.Aggregators.KmvDistinct(128).toColumn
+          .name("kmv_distinct"))
+        .toDF("l_returnflag", "kmv_distinct")
+        .orderBy("l_returnflag")
+    }),
+
     // Window ranking: top-3 orders per customer.
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -835,6 +855,22 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_totalprice > CAST(450000 AS DOUBLE))
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
+    "q_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    CAST(('0x' || substr(md5('42|' || CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, hv,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS nh
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  CAST(CASE WHEN max(nh) < 128 THEN max(nh)
+        |       ELSE 127 * 4294967296 //
+        |            greatest(max(CASE WHEN rn = 128 THEN hv END), 1)
+        |       END AS BIGINT) AS kmv_distinct
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q15_top_supplier" ->
       """WITH revenue AS (
         |  SELECT l_suppkey,

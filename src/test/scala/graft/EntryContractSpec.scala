@@ -110,6 +110,32 @@ class ApproxBoundsSpec extends SparkSpec {
     assert(recall >= 0.8, f"LSH recall $recall%.2f fell below 0.8")
   }
 
+  test("q_kmv_distinct: estimate within the KMV error bound; merge-invariant") {
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kmv = graft.queries.RelationalQueries
+      .queries("q_kmv_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kmv.keySet == exact.keySet)
+    // k=128 ⇒ relative std error ≈ 1/√(k−2) ≈ 9%; 30% is ≥3σ headroom
+    kmv.foreach { case (g, est) =>
+      val err = math.abs(est.toDouble - exact(g)) / exact(g)
+      assert(err < 0.30, f"group $g: kmv=$est exact=${exact(g)} err=$err%.2f")
+    }
+    // mergeability: a different partitioning must produce the IDENTICAL
+    // estimate (the sketch is a pure function of the k-min hash set)
+    import spark.implicits._
+    val re = Tables.load(spark, sf, "lineitem").repartition(13)
+      .select(col("l_returnflag"),
+        graft.pack.Packing.stableDraw(col("l_partkey"), 42).as("hv"))
+      .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.exprs.Aggregators.KmvDistinct(128).toColumn
+        .name("kmv_distinct"))
+      .collect().toMap
+    assert(re == kmv)
+  }
+
   test("q_approx_distinct relative error vs exact distinct counts") {
     val exact = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("n"))
