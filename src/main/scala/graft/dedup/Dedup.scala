@@ -354,6 +354,15 @@ object Dedup {
     * back (id)-keyed as position sets, and the rewrite is a positional
     * array filter over the lines the document already holds — no
     * doc-sized sort, no text re-shuffle.
+    *
+    * ORACLE ASYMMETRY (deliberate): duplicate detection keys on
+    * xxhash64(line) while the DuckDB oracle partitions by the line TEXT,
+    * so a 64-bit digest collision would both over-dedup two distinct
+    * lines and break cross-engine parity. Accepted at 2^-64-per-pair
+    * odds — CCNet itself dedups on hashes (Wenzek 2020 §3.1), and
+    * carrying text into the shuffle to close a 2^-64 hole would defeat
+    * the digest-only-shuffle design above. If a collision ever
+    * materializes, the gate turns red and points straight here.
     */
   def lineDedup(df: DataFrame, linesCol: String, idCol: String): DataFrame = {
     // cached (caller-released): the lines relation feeds the occurrence

@@ -49,9 +49,18 @@ object Aggregators {
     */
   class KmvDistinct(k: Int) extends Aggregator[Long, KmvBuf, Long] {
     private def insert(b: Seq[Long], h: Long): Seq[Long] = {
-      // b is sorted ascending and distinct; bounded insert
-      if (b.contains(h)) b
-      else ((h +: b).sorted).take(k)
+      // b is sorted ascending and distinct; bounded insert. Fast path:
+      // once the buffer is full, a hash >= the current k-th minimum can
+      // never enter the bottom-k — O(1) reject for the common case, so
+      // the per-row cost is a single comparison once the sketch warms up.
+      if (b.size == k && h >= b.last) b
+      else if (b.contains(h)) b
+      else {
+        // positional insert into the sorted seq — no re-sort
+        val i = b.indexWhere(_ > h)
+        val ins = if (i < 0) b :+ h else (b.take(i) :+ h) ++ b.drop(i)
+        if (ins.size > k) ins.take(k) else ins
+      }
     }
     override def zero: KmvBuf = KmvBuf(Nil)
     override def reduce(b: KmvBuf, h: Long): KmvBuf = KmvBuf(insert(b.hashes, h))

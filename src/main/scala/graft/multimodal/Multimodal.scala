@@ -446,9 +446,16 @@ object Multimodal {
     }._1
     df.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = pathIdx.foldLeft[Any](r) {
-          case (row: Row, i) => row.get(i)
-          case (x, _) => x
+        val bytes = pathIdx.zipWithIndex.foldLeft[Any](r) {
+          case (row: Row, (i, _)) => row.get(i)
+          // a non-Row met with path segments left to resolve means the
+          // caller's bodyCol names a path through a non-struct — fail
+          // with the offending segment, not a downstream ClassCast on
+          // whatever bytes happened to be at the wrong position
+          case (x, (_, depth)) => throw new IllegalStateException(
+            s"pcmFeatures: path '$bodyCol' segment #$depth " +
+              s"('${bodyCol.split("\\.")(depth)}') resolves into a " +
+              s"non-struct value of ${if (x == null) "null" else x.getClass.getName}")
         }.asInstanceOf[Array[Byte]]
         val buf = java.nio.ByteBuffer.wrap(bytes)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)

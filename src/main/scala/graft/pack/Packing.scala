@@ -266,16 +266,25 @@ object Packing {
     def startAt(p: org.apache.spark.sql.Column) =
       stableDraw(concat(col("__id"), lit(":"), p.cast("string")), seed) % 1000 <
         startPermille
-    def flagAt(p: org.apache.spark.sql.Column) =
+    // The per-position draws and flags are MATERIALIZED as arrays bound to
+    // their own columns before the fold: Spark does no CSE inside lambda
+    // bodies, so inlining flag(p) at every struct-branch reference inside
+    // `aggregate` re-evaluated ~spanLen md5 draws several times per token.
+    // Each draw now evaluates exactly once (__starts), each flag once
+    // (__flags), and the fold reads a cheap element_at over the bound
+    // attribute. Bound via withColumn, not a shared Column val, so
+    // CollapseProject's multi-reference check keeps them materialized.
+    val starts = transform(sequence(lit(0), n - 1), p => startAt(p))
+    def flags = transform(sequence(lit(0), n - 1), p =>
       (0 until spanLen).map(o =>
-        p - o >= 0 && startAt(p - o)).reduce(_ || _)
+        p - o >= 0 && element_at(col("__starts"), p - o + 1)).reduce(_ || _))
     val zero = struct(lit(0).as("k"), lit(false).as("prev"),
       lit("").as("inp"), lit("").as("tgt"), lit(0).as("nm"))
     val folded = aggregate(
       sequence(lit(0), n - 1),
       zero,
       (acc, p) => {
-        val f = flagAt(p)
+        val f = element_at(col("__flags"), p + 1)
         val tok = element_at(toks, p + 1)
         val isStart = f && !acc.getField("prev")
         val k2 = when(isStart, acc.getField("k") + 1)
@@ -295,6 +304,8 @@ object Packing {
       })
     df.select(col(idCol).as("id"), col(textCol))
       .withColumn("__id", col("id").cast("string"))
+      .withColumn("__starts", starts)
+      .withColumn("__flags", flags)
       .withColumn("__f", folded)
       .select(col("id"),
         n.cast("long").as("n_toks"),

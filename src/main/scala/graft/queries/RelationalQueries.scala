@@ -283,7 +283,13 @@ object RelationalQueries {
             .filter(col("o_totalprice") > 450000.0).select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .join(broadcast(stats))
-        .filter(dec("c_acctbal") * col("n") > col("s"))
+        // n cast to DECIMAL(12,0) keeps the product at (18,4)×(12,0) =
+        // DECIMAL(31,4) — inside precision 38 on BOTH engines, so the
+        // comparison is exact decimal arithmetic everywhere (a bare
+        // BIGINT operand pushes Spark past 38 → silent scale truncation,
+        // while DuckDB falls back to DOUBLE — divergent membership).
+        // Headroom: 10^12 qualifying customers per bucket.
+        .filter(dec("c_acctbal") * col("n").cast("decimal(12,0)") > col("s"))
         .groupBy(col("cntrycode"))
         .agg(count(lit(1)).as("numcust"),
           round(sum(dec("c_acctbal")), 2).cast("double").as("totacctbal"))
@@ -326,8 +332,13 @@ object RelationalQueries {
       val stats = li.groupBy(col("l_partkey").as("pk"))
         .agg(sum(dec("l_quantity")).as("qsum"), count(lit(1)).as("qcnt"))
       li.join(stats, col("l_partkey") === col("pk"))
-        .filter(dec("l_quantity") * lit(5).cast("decimal(18,4)") * col("qcnt")
-          < col("qsum"))
+        // operand widths chosen so the triple product stays inside
+        // precision 38 on both engines: (18,4)×(2,0)×(12,0) → Spark
+        // DECIMAL(34,4), DuckDB DECIMAL(32,4) — exact, no scale
+        // truncation (Spark) and no DOUBLE fallback (DuckDB). Headroom:
+        // 10^12 lineitems per part before qcnt overflows DECIMAL(12,0).
+        .filter(dec("l_quantity") * lit(5).cast("decimal(2,0)") *
+          col("qcnt").cast("decimal(12,0)") < col("qsum"))
         .agg(
           // decimal-division scale rules differ between engines; round
           // the exact decimal sum first, then divide identical doubles
@@ -851,7 +862,7 @@ object RelationalQueries {
         |  CAST(ROUND(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
         |    AS totacctbal
         |FROM cust, stats
-        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n > s
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * CAST(n AS DECIMAL(12,0)) > s
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_totalprice > CAST(450000 AS DOUBLE))
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
@@ -900,8 +911,8 @@ object RelationalQueries {
         |    / CAST(7 AS DOUBLE) AS avg_yearly,
         |  count(*) AS n
         |FROM li JOIN stats ON l_partkey = pk
-        |WHERE CAST(l_quantity AS DECIMAL(18,4)) * CAST(5 AS DECIMAL(18,4)) * qcnt
-        |      < qsum""".stripMargin,
+        |WHERE CAST(l_quantity AS DECIMAL(18,4)) * CAST(5 AS DECIMAL(2,0))
+        |      * CAST(qcnt AS DECIMAL(12,0)) < qsum""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, rnk FROM (
         |  SELECT o_custkey, o_orderkey,
