@@ -24,6 +24,45 @@ object RelationalQueries {
 
   private def dec(c: String) = col(c).cast("decimal(18,4)")
 
+  /** Derived deterministic `partsupp` — the testdata ships no partsupp
+    * table (TESTDATA.md), so the six remaining TPC-H shapes
+    * (Q2/9/11/16/20/21's patterns) run over a pure modular function of
+    * part × supplier: each part gets exactly 4 suppliers
+    * `(p_partkey·17 + i) mod S` (distinct for i ∈ 0..3 whenever S > 3),
+    * an integer supply cost in CENTS (BIGINT — every threshold compare
+    * stays integer-exact cross-engine) and an integer availqty. S is the
+    * supplier count — a metadata scalar, so the derivation scales with
+    * the corpus. The identical definition is the `partsupp AS (…)` CTE
+    * in each oracle. 100 TB shape: 4×|part| rows built by a broadcast
+    * cross of part with a 4-row local relation — scan-stage, no shuffle.
+    */
+  private def partsupp(s: SparkSession, dir: String): DataFrame = {
+    val sCount = t(s, dir, "supplier").count() // bounded metadata scalar
+    val offs = s.range(4).select(col("id").as("i"))
+    t(s, dir, "part").select(col("p_partkey"))
+      .crossJoin(broadcast(offs))
+      .select(col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") * 17 + col("i")) % sCount).as("ps_suppkey"))
+      .withColumn("ps_supplycost_cents",
+        (col("ps_partkey") * 37 + col("ps_suppkey") * 61) % 90000 + 10000)
+      .withColumn("ps_availqty",
+        (col("ps_partkey") * 13 + col("ps_suppkey") * 7) % 9999 + 1)
+  }
+
+  /** The partsupp CTE mirrored verbatim into every partsupp oracle —
+    * one definition, six consumers. */
+  private val partsuppCte: String =
+    """partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    (p_partkey * 17 + i) % sc AS ps_suppkey,
+      |    (p_partkey * 37 + ((p_partkey * 17 + i) % sc) * 61) % 90000
+      |      + 10000 AS ps_supplycost_cents,
+      |    (p_partkey * 13 + ((p_partkey * 17 + i) % sc) * 7) % 9999
+      |      + 1 AS ps_availqty
+      |  FROM part
+      |  CROSS JOIN (SELECT count(*) AS sc FROM supplier)
+      |  CROSS JOIN (VALUES (0), (1), (2), (3)) AS offs(i))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1 shape: scan-heavy grouped aggregation with map-side partials.
@@ -723,6 +762,200 @@ object RelationalQueries {
       wide.unpivot(Array(col("l_returnflag")),
           Array(col("qty"), col("price"), col("disc")), "metric", "amount")
         .orderBy("l_returnflag", "metric")
+    }),
+
+    // TPC-H Q2 shape: minimum-cost supplier — the correlated scalar
+    // subquery over a join (min supplycost within the region, per part).
+    // Implemented as ONE pass over the region-filtered partsupp⋈supplier
+    // relation with a per-part min window (integer cost ⇒ exact compare);
+    // supplier/nation/region broadcast, so the only shuffle is the
+    // window's ps_partkey partitioning. LIMIT rides a full deterministic
+    // sort key.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      // the part filter is part-level and the min is per-part, so pruning
+      // parts BEFORE the window is result-identical and cuts the window
+      // input by the part selectivity (the oracle windows the unpruned
+      // set — same per-part minima)
+      val eligible = partsupp(s, dir)
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_size") <= 15 && col("p_type") === "LARGE")),
+          col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+      eligible.withColumn("min_cost",
+          min(col("ps_supplycost_cents"))
+            .over(Window.partitionBy(col("ps_partkey"))))
+        .filter(col("ps_supplycost_cents") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("ps_supplycost_cents"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q9 shape: multi-fact product-profit — lineitem⋈partsupp on
+    // the COMPOSITE (partkey, suppkey) key plus part/supplier/nation/
+    // orders, aggregated by (nation, year). Profit is computed entirely
+    // in exact DECIMAL at cent scale — operand widths (11,4)/(5,4)/(6,4)
+    // /(7,0) keep every product inside precision 38 on both engines —
+    // and the output is FLOOR(sum) as BIGINT cents (floor of the same
+    // exact rational on both engines; ROUND's half-away vs half-up would
+    // diverge on negative profits). partsupp is 4×|part| (fact-sized at
+    // scale) so the composite-key join shuffles both sides once;
+    // part/supplier/nation broadcast; orders shuffles on orderkey.
+    "q9_product_profit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_name").like("%ring%")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+      val profit = li
+        .join(partsupp(s, dir),
+          col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name"),
+          date_format(col("o_orderdate"), "yyyy").as("o_year"),
+          (col("l_extendedprice").cast("decimal(11,4)") *
+            (lit(100).cast("decimal(3,0)") -
+              col("l_discount").cast("decimal(5,4)") *
+                lit(100).cast("decimal(3,0)")) -
+            col("ps_supplycost_cents").cast("decimal(7,0)") *
+              col("l_quantity").cast("decimal(6,4)")).as("amount_cents"))
+      profit.groupBy(col("n_name"), col("o_year"))
+        .agg(floor(sum(col("amount_cents"))).cast("long").as("profit_cents"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 shape: important-stock — per-part inventory value with a
+    // HAVING over a global sum. The fraction threshold is scale-invariant
+    // (above the MEAN part value: sum_pk · n_parts > total — TPC-H's
+    // 0.0001/SF made the cut scale with the corpus; the mean does the
+    // same without a tuning constant) and ENTIRELY integer: value is
+    // cents·availqty BIGINT, the compare cross-multiplied BIGINT — no
+    // double ever decides membership. One shuffle to group by part; the
+    // one-row total broadcasts back.
+    "q11_important_stock" -> ((s, dir) => {
+      val vals = partsupp(s, dir)
+        .join(broadcast(t(s, dir, "supplier")),
+          col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_regionkey") === 3)
+        .select(col("ps_partkey"),
+          (col("ps_supplycost_cents") * col("ps_availqty")).as("v"))
+      val perPart = vals.groupBy(col("ps_partkey"))
+        .agg(sum(col("v")).as("value_cents"))
+      val tot = perPart.agg(sum(col("value_cents")).as("total"),
+        count(lit(1)).as("nparts"))
+      perPart.join(broadcast(tot))
+        .filter(col("value_cents") * col("nparts") > col("total"))
+        .select(col("ps_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("ps_partkey"))
+    }),
+
+    // TPC-H Q16 shape: parts/supplier relationship count — DISTINCT
+    // supplier count per (brand, type, size) bucket after an ANTI join
+    // against the excluded-supplier set (negative account balance — the
+    // testdata's stand-in for the comment-flagged complaint suppliers).
+    // The exclusion set is tiny ⇒ broadcast anti join, no extra shuffle;
+    // countDistinct shuffles once on the grouping key.
+    "q16_parts_supplier_cnt" -> ((s, dir) => {
+      val excluded = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+      partsupp(s, dir)
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 4, 9, 16, 25, 36, 49))),
+          col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(excluded), col("ps_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q20 shape: potential part promotion — nested SEMI joins:
+    // suppliers (region-filtered) semi-joined against partsupp rows whose
+    // availqty exceeds half the 1996 shipped quantity of that exact
+    // (part, supplier) pair, parts themselves semi-filtered by type. The
+    // half-of-sum threshold cross-multiplies in DECIMAL (2·availqty >
+    // sum qty — no double membership decision); missing shipment sums
+    // coalesce to 0 explicitly on BOTH engines. partsupp⋈shipped joins
+    // on the composite key (one shuffle each side); the qualifying
+    // supplier-key set is small ⇒ broadcast semi join into supplier.
+    "q20_promotion_suppliers" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+      val shipped = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec("l_quantity")).as("qsum"))
+      val qualifying = partsupp(s, dir)
+        .join(broadcast(parts), col("ps_partkey") === col("p_partkey"),
+          "left_semi")
+        .join(shipped,
+          col("ps_partkey") === col("l_partkey") &&
+            col("ps_suppkey") === col("l_suppkey"), "left")
+        .filter(col("ps_availqty").cast("decimal(18,4)") *
+          lit(2).cast("decimal(2,0)") >
+          coalesce(col("qsum"), lit(0).cast("decimal(18,4)")))
+        .select(col("ps_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_regionkey") === 3)
+        .join(broadcast(qualifying), col("s_suppkey") === col("ps_suppkey"),
+          "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q21 shape: suppliers-who-kept-orders-waiting — the triple
+    // lineitem SELF-join: for each 'R'-flagged line of a finished order,
+    // EXISTS another supplier's line in the same order (semi join) and
+    // NOT EXISTS another supplier's 'R' line (anti join). The testdata
+    // ships no commit/receipt dates, so returnflag='R' is the
+    // deterministic "late" stand-in — the join topology (the shape under
+    // test) is Q21's exactly. All three lineitem sides shuffle on
+    // l_orderkey — the same key, so AQE/exchange reuse co-locates them;
+    // supplier⋈nation broadcast; orders filtered then shuffled once.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      val waiting = l1
+        .join(l2, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+      waiting
+        .join(broadcast(t(s, dir, "supplier")
+            .join(broadcast(t(s, dir, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+            .filter(col("n_regionkey") === 3)
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
     })
   )
 
@@ -1105,6 +1338,103 @@ object RelationalQueries {
         |  SELECT l_returnflag, 'qty' AS metric, qty AS amount FROM w
         |  UNION ALL SELECT l_returnflag, 'price', price FROM w
         |  UNION ALL SELECT l_returnflag, 'disc', disc FROM w)
-        |ORDER BY l_returnflag, metric""".stripMargin
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "q2_min_cost_supplier" ->
+      s"""WITH $partsuppCte,
+        |eligible AS (
+        |  SELECT ps_partkey, ps_supplycost_cents, s_acctbal, s_name, n_name
+        |  FROM partsupp, supplier, nation, region
+        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |won AS (
+        |  SELECT *, min(ps_supplycost_cents)
+        |    OVER (PARTITION BY ps_partkey) AS mc
+        |  FROM eligible)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost_cents
+        |FROM won JOIN part ON ps_partkey = p_partkey
+        |WHERE ps_supplycost_cents = mc
+        |  AND p_size <= 15 AND p_type = 'LARGE'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q9_product_profit" ->
+      s"""WITH $partsuppCte
+        |SELECT n_name, strftime(o_orderdate, '%Y') AS o_year,
+        |  CAST(FLOOR(sum(
+        |    CAST(l_extendedprice AS DECIMAL(11,4)) *
+        |      (CAST(100 AS DECIMAL(3,0)) -
+        |       CAST(l_discount AS DECIMAL(5,4)) * CAST(100 AS DECIMAL(3,0))) -
+        |    CAST(ps_supplycost_cents AS DECIMAL(7,0)) *
+        |      CAST(l_quantity AS DECIMAL(6,4)))) AS BIGINT) AS profit_cents
+        |FROM lineitem, partsupp, part, supplier, nation, orders
+        |WHERE l_partkey = p_partkey AND p_name LIKE '%ring%'
+        |  AND l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+    "q11_important_stock" ->
+      s"""WITH $partsuppCte,
+        |vals AS (
+        |  SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v
+        |  FROM partsupp, supplier, nation
+        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_regionkey = 3),
+        |per_part AS (
+        |  SELECT ps_partkey, sum(v) AS value_cents FROM vals GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(value_cents) AS total, count(*) AS nparts FROM per_part)
+        |SELECT ps_partkey, CAST(value_cents AS BIGINT) AS value_cents
+        |FROM per_part, tot
+        |WHERE value_cents * nparts > total
+        |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+    "q16_parts_supplier_cnt" ->
+      s"""WITH $partsuppCte
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM partsupp JOIN part ON ps_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < CAST(0 AS DOUBLE))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_promotion_suppliers" ->
+      s"""WITH $partsuppCte,
+        |shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS qsum
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1, 2),
+        |qualifying AS (
+        |  SELECT DISTINCT ps_suppkey FROM partsupp
+        |  LEFT JOIN shipped
+        |    ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |  WHERE ps_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+        |    AND CAST(ps_availqty AS DECIMAL(18,4)) * CAST(2 AS DECIMAL(2,0)) >
+        |        coalesce(qsum, CAST(0 AS DECIMAL(18,4))))
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey = 3
+        |  AND s_suppkey IN (SELECT ps_suppkey FROM qualifying)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+        |  AND n_regionkey = 3
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
   )
 }

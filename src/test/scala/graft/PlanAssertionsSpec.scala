@@ -354,4 +354,30 @@ class PlanAssertionsSpec extends SparkSpec {
         $"id".cast("string").cast("binary"), "value", "schema"),
       "kafkaProduceBySchemaField")
   }
+
+  test("partsupp TPC-H shapes: dims broadcast, self-joins keyed, no cartesian") {
+    // The derived partsupp builds via a deliberate 4-row broadcast cross
+    // (BroadcastNestedLoopJoin over a 4-row local relation — constant
+    // fan-out, scale-safe), so only a true CartesianProduct is a defect.
+    for (q <- Seq("q2_min_cost_supplier", "q9_product_profit",
+        "q11_important_stock", "q16_parts_supplier_cnt",
+        "q20_promotion_suppliers", "q21_waiting_suppliers")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+    }
+    // Q9: part/supplier/nation broadcast; the composite-key
+    // lineitem⋈partsupp join may shuffle (both fact-sized at scale)
+    val p9 = plan("q9_product_profit")
+    assert("BroadcastHashJoin".r.findAllIn(p9).length >= 3,
+      s"q9 dimensions not broadcast:\n$p9")
+    // Q21: the triple self-join keeps the semi and anti forms, keyed on
+    // l_orderkey — never a nested loop over lineitem
+    val p21 = plan("q21_waiting_suppliers")
+    assert(p21.contains("LeftSemi"), s"q21 lost the semi join:\n$p21")
+    assert(p21.contains("LeftAnti"), s"q21 lost the anti join:\n$p21")
+    // Q2: the per-part min must be a window over the keyed partition,
+    // and the part prune must precede it (broadcast join below window)
+    val p2 = plan("q2_min_cost_supplier")
+    assert(p2.contains("Window"), s"q2 lost the min window:\n$p2")
+  }
 }
