@@ -46,6 +46,55 @@ object CorpusQueries {
       .option("maxFilesPerTrigger", "1").load(stage.toString)
   }
 
+  /** Stage `src` as 4 parquet files in EVENT-TIME order — file k holds the
+    * k-th quartile of the `tsCol` order — and open it as a file stream
+    * replayed one file per trigger. Arrival order == event order at file
+    * granularity, so no row ever arrives behind the watermark (the
+    * hash-split [[replayAsStream]] staging can deliver a row late, and
+    * watermark DROPS then depend on arrival order — the reason the
+    * complete-mode gates exist). Drop-free replay makes the append+
+    * watermark emitted set a pure function of the data: every window
+    * whose end the final watermark (max event time − delay) has passed,
+    * with full counts — which is what lets the PRODUCTION streaming path
+    * (withWatermark + append, bounded state) be hash-oracle-checked at
+    * all. FileStreamSource picks files oldest-modified-first
+    * (latestFirst=false); the mtimes are pinned explicitly rather than
+    * trusting write latency. The global-sort ntile is replay SETUP (runs
+    * once per (dir, name), memoized), not part of the streaming op.
+    */
+  private def replayAsStreamOrdered(s: SparkSession, dir: String,
+                                    name: String, src: DataFrame,
+                                    tsCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val stage = java.nio.file.Paths.get("/tmp/graft-streamstage-" +
+      java.util.UUID.nameUUIDFromBytes(
+        s"$dir|$name|ordered".getBytes("UTF-8")).toString)
+    if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS"))) {
+      val ranked = src.withColumn("__q", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(tsCol))))
+      java.nio.file.Files.createDirectories(stage)
+      for (q <- 1 to 4) {
+        val sub = stage.resolve(s"__build$q")
+        ranked.filter(col("__q") === q).drop("__q")
+          .coalesce(1).write.mode("overwrite").parquet(sub.toString)
+        val part = java.nio.file.Files.list(sub).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written under $sub"))
+        val dst = stage.resolve(f"part-$q%05d.parquet")
+        java.nio.file.Files.move(part, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + q * 60000L))
+        java.nio.file.Files.walk(sub).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      java.nio.file.Files.createFile(stage.resolve("_SUCCESS"))
+    }
+    s.readStream.schema(src.schema).format("parquet")
+      .option("maxFilesPerTrigger", "1").load(stage.toString)
+  }
+
   /** Run a streaming aggregation to completion into a memory sink
     * (complete mode, AvailableNow) and return the finished table. */
   private def runToCompletion(s: SparkSession, agg: DataFrame,
@@ -800,6 +849,60 @@ object CorpusQueries {
         joined.select(col("user_id"), col("click_id"), col("purchase_id")),
         "x_stream_join_sink")
         .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
+    // The PRODUCTION streaming path, gated: withWatermark + APPEND mode —
+    // bounded state with real eviction, the path a 100 TB stream must run
+    // (complete mode re-emits the whole result table every trigger; its
+    // gates exist for replay determinism, see x_stream_window). The
+    // event-time-ordered replay makes it deterministic: no row arrives
+    // behind the watermark, so nothing is ever dropped, and the emitted
+    // set is exactly the windows whose end <= max(ts) − delay (the final
+    // watermark after the closing no-data batch), with full counts —
+    // mirrored in the oracle as a HAVING over the batch aggregate.
+    // Mid-stream the watermark genuinely advances file-by-file and evicts
+    // window state whose end it passed — bounded state is exercised, not
+    // just asserted.
+    "x_stream_window_append" -> ((s, dir) => {
+      val src = Tables.load(s, dir, "events")
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+          col("value"))
+      val stream = replayAsStreamOrdered(s, dir, "events_wm", src, "ts")
+      val agg = stream.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_value"))
+      runAppend(s, agg, "x_stream_window_append_sink")
+        .select(col("window.start").cast("string").as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // Session windows on the production path: watermark + append over the
+    // event-time-ordered replay (the x_stream_session complete-mode
+    // gate's documented alternative, now proven). A session is emitted
+    // exactly once, when the watermark passes its END (last event + gap —
+    // at that point no in-order event can extend it: an extender would
+    // need ts < end <= watermark). Emitted set = batch gaps-and-islands
+    // sessions whose end <= max(ts) − delay; later sessions stay in
+    // state and are withheld — the oracle's HAVING mirrors it.
+    "x_stream_session_append" -> ((s, dir) => {
+      val src = Tables.load(s, dir, "events")
+        .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+          col("value"))
+      val stream = replayAsStreamOrdered(s, dir, "events_wm_sess", src, "ts")
+      val agg = stream.withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_value"))
+      runAppend(s, agg, "x_stream_session_append_sink")
+        .select(
+          date_format(col("session_window.start"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("w_start"),
+          col("user_id"), col("n"), col("sum_value"))
+        .orderBy("user_id", "w_start")
     }),
 
     // RefinedWeb/C4 line-wise quality signals. Documents are single-line
@@ -1774,6 +1877,43 @@ object CorpusQueries {
         |  count(*) AS n,
         |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // append+watermark: the emitted set is the batch aggregate restricted
+    // to windows the final watermark (max ts − 2h) has closed
+    "x_stream_window_append" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start, event_type,
+        |  count(*) AS n,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events, m
+        |GROUP BY date_trunc('hour', ts), event_type, mx
+        |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    // append+watermark sessions: batch gaps-and-islands sessions whose
+    // END (last event + 30 min gap) the final watermark has passed
+    "x_stream_session_append" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(CASE WHEN prev IS NULL
+        |          OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS w_start,
+        |  user_id, count(*) AS n,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM s, m
+        |GROUP BY user_id, sid, mx
+        |HAVING max(ts) + INTERVAL 30 MINUTE <= mx - INTERVAL 2 HOUR
+        |ORDER BY user_id, w_start""".stripMargin,
 
     // every output column is BIGINT — integer-scaled truncating division
     // of exact integer sums, per-doc quality via pure-integer
