@@ -243,6 +243,55 @@ object MorphlineQueries {
         .orderBy("doc_id")
     }),
 
+    // pipe / callParentPipe (SURVEY §2.C; reference PipeBuilder — a
+    // nested morphline as one command): TWO levels of `pipe` nesting
+    // compiled from verbatim HOCON, with @{} interpolation flowing
+    // through every level — fields set by the grandchild are visible to
+    // the parent's later commands, exactly the reference's shared-record
+    // semantics. Composition is plan construction: however deep the
+    // nesting, it stays ONE Catalyst projection chain (no per-level
+    // materialization).
+    "m_pipe_nested" -> ((s, dir) => {
+      val conf =
+        """morphlines : [
+          |  { id : parent, commands : [
+          |    { setValues { stage : "parent" } }
+          |    { pipe { id : child, commands : [
+          |      { setValues { child_tag : "@{event_type}-in" } }
+          |      { pipe { id : grandchild, commands : [
+          |        { setValues { deep_tag : "@{child_tag}ner" } }
+          |      ] } }
+          |    ] } }
+          |    { setValues { out_tag : "@{deep_tag}-out" } }
+          |  ] }
+          |]""".stripMargin
+      val pipe = graft.pipeline.PipelineSpec.fromHocon(conf, "parent",
+        env = _ => None)
+      pipe(events(s, dir))
+        .select(col("event_id"), col("stage"), col("child_tag"),
+          col("deep_tag"), col("out_tag"))
+        .orderBy("event_id")
+    }),
+
+    // Failure semantics / dead-letter channel (SURVEY §2.C): the
+    // reference SKIPS a record a command rejects in the sink path
+    // (MorphlineSinkTask.java:136-138) and DROPS it in the SMT path
+    // (MorphlineTransform.java:113-121); at Spark scale the production
+    // form is the badRecordsPath split — one pass, two channels, the
+    // rejected rows carrying a machine-readable error instead of dying
+    // in a log. The gate emits BOTH channels tagged, so the oracle
+    // checks the split is a partition (every row in exactly one channel)
+    // and the error column is right.
+    "m_dead_letter" -> ((s, dir) => {
+      val (good, bad) = ControlOps.deadLetterSplit(events(s, dir),
+        col("event_type") =!= "error")
+      good.select(col("event_id"), lit("ok").as("channel"),
+          lit(null).cast("string").as("error"))
+        .unionAll(bad.select(col("event_id"), lit("dead").as("channel"),
+          concat(lit("bad_event_type:"), col("event_type")).as("error")))
+        .orderBy("event_id")
+    }),
+
     // if/then/else routing: column-level conditional.
     "m_if_then_else" -> ((s, dir) => {
       val pipe = Pipeline("ifelse", Seq(
@@ -593,6 +642,19 @@ object MorphlineQueries {
         |  CASE WHEN event_type = 'purchase' THEN 'r_purchase'
         |       WHEN value > 150 THEN 'r_highvalue'
         |       ELSE 'r_default' END AS rule
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m_pipe_nested" ->
+      """SELECT event_id, 'parent' AS stage,
+        |  event_type || '-in' AS child_tag,
+        |  event_type || '-inner' AS deep_tag,
+        |  event_type || '-inner-out' AS out_tag
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m_dead_letter" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type <> 'error' THEN 'ok' ELSE 'dead' END
+        |    AS channel,
+        |  CASE WHEN event_type <> 'error' THEN CAST(NULL AS VARCHAR)
+        |       ELSE 'bad_event_type:' || event_type END AS error
         |FROM events ORDER BY event_id""".stripMargin,
     "m_head" ->
       "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 10",
