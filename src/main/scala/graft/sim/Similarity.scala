@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Default candidate-pair budget for the EXACT similarity tiers
+    * ([[knnGraph]], [[cosinePairsBlocked]]'s exact blocks): 10^9 pairs ≈
+    * n = 31k vectors all-pairs — comfortably above any evaluation slice,
+    * far below corpus scale. Exceeding it fails fast with the ANN-tier
+    * escape hatch, so "evaluation slices only" is an enforced contract,
+    * not a doc comment. Callers that intend the n² cost pass a larger
+    * budget explicitly. */
+  val DefaultPairsBudget: Long = 1000000000L
+
   /** Elementwise dot product of two double arrays — native single-loop
     * expression ([[graft.exprs.HashExprs.VecDot]]); same sequential
     * accumulation order as `aggregate(zip_with(...))`, no per-row zipped
@@ -262,13 +271,29 @@ object Similarity {
   def cosinePairsBlocked(df: DataFrame, idCol: String, vecCol: String,
                          blockCol: String, threshold: Double,
                          maxExactBlock: Int = 4096, nBits: Int = 8,
-                         seed: Long = 42L): DataFrame = {
+                         seed: Long = 42L,
+                         maxPairsBudget: Long = Similarity.DefaultPairsBudget): DataFrame = {
     val tEff = threshold - 1e-6
     val e = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     // One tiny row per block; joining it back is broadcast-sized under AQE.
     val sizes = e.groupBy(col("blk")).agg(count(lit(1)).as("__blk_n"))
+    // ENFORCED pair budget on the EXACT tier (the LSH tier's work is
+    // bucket-bounded by construction): one lightweight aggregate over the
+    // per-block counts — a (blk) column scan, the price of turning the
+    // documented "blocks stay bounded" convention into a contract.
+    val exactPairs = sizes.filter(col("__blk_n") <= maxExactBlock)
+      .agg(coalesce(sum(col("__blk_n") * (col("__blk_n") - lit(1L))), lit(0L))
+        .as("p"))
+      .head().getLong(0) / 2
+    if (exactPairs > maxPairsBudget)
+      throw new IllegalArgumentException(
+        s"cosinePairsBlocked: the exact tier's blocked pair count " +
+          s"$exactPairs exceeds maxPairsBudget=$maxPairsBudget. Lower " +
+          "maxExactBlock so oversized blocks take the LSH tier, shrink " +
+          "the blocks (finer blockCol / more ivfAssign cells), or raise " +
+          "maxPairsBudget explicitly if the cost is intended.")
     val tagged = e.join(sizes, Seq("blk"))
     def scorePair(): Seq[Column] = Seq(
       col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -916,7 +941,8 @@ object Similarity {
     * for [[lshKnn]] candidates; the merge/top-k shape is unchanged.
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-               blocks: Int = 8): DataFrame = {
+               blocks: Int = 8,
+               maxPairsBudget: Long = Similarity.DefaultPairsBudget): DataFrame = {
     // zero-norm vectors are EXCLUDED: their cosine is 0/0 = NaN, and
     // Spark sorts NaN above every double DESC, so a degenerate vector
     // would rank as everyone's top neighbour (while SQL engines yield
@@ -926,6 +952,19 @@ object Similarity {
       corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
         .withColumn("vn", norm(col("v")))
         .filter(col("vn") > 0))
+    // ENFORCED eval-slice contract: exact all-pairs is n²·d compute, and
+    // "evaluation slices only" was a documented convention — now a fail-
+    // fast check. The count materializes the cache the join reuses, so
+    // the guard costs one cache fill, not an extra scan.
+    val n = slim.count()
+    if (n > 1 && n - 1 > maxPairsBudget / n)
+      throw new IllegalArgumentException(
+        s"knnGraph: exact all-pairs over n=$n vectors is ${n}x${n - 1} " +
+          s"candidate pairs, exceeding maxPairsBudget=$maxPairsBudget. " +
+          "The exact tier is for evaluation slices; at corpus scale route " +
+          "through the ANN tiers (lshKnn / ivfKnn / pqKnnRerank) or run " +
+          "per-cell via ivfAssign (the SemDeDup shape), or raise " +
+          "maxPairsBudget explicitly if the n² cost is intended.")
     val bkt = pmod(xxhash64(col("id")), lit(blocks))
     val js = explode(sequence(lit(0), lit(blocks - 1)))
     val src = slim.select(col("id").as("sid"), col("v").as("sv"),

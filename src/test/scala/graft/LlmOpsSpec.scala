@@ -797,6 +797,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.exists(_._3 == 1), "expected at least one mutual edge")
   }
 
+  test("exact-tier pair budget is an enforced contract, not a doc comment") {
+    val e = Tables.load(spark, sf0, "embeddings")
+    // 500 vectors -> 500*499 = 249,500 candidate pairs > 1000 budget
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.knnGraph(e, "vec_id", "embedding", k = 3, blocks = 4,
+        maxPairsBudget = 1000L)
+    }
+    assert(ex.getMessage.contains("maxPairsBudget"), ex.getMessage)
+    assert(ex.getMessage.contains("lshKnn"),
+      s"escape hatch must name the ANN tiers: ${ex.getMessage}")
+    // one global block of 500 -> 124,750 exact pairs > 1000 budget
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.cosinePairsBlocked(
+        e.withColumn("blk", org.apache.spark.sql.functions.lit(0)),
+        "vec_id", "embedding", "blk", threshold = 0.5,
+        maxPairsBudget = 1000L)
+    }
+    assert(ex2.getMessage.contains("maxPairsBudget"), ex2.getMessage)
+    // within budget: both run fine (knnGraph covered by the tests above;
+    // the blocked path returns a well-formed pair frame)
+    assert(Similarity.cosinePairsBlocked(
+      e.withColumn("blk", col("vec_id") % 50),
+      "vec_id", "embedding", "blk", threshold = 0.99)
+      .columns.toSeq == Seq("id_a", "id_b", "cosine"))
+  }
+
   test("dedupFunnel reports sequential stage survival") {
     val base = (1 to 10).map(i => s"w$i").mkString(" ")
     val docs = Seq(
