@@ -1226,6 +1226,12 @@ object RelationalQueries {
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // approx_count_distinct, FULL hash oracle (round 12): the HLL++
+    // registers and estimator are rebuilt in DuckDB from the xxhash64
+    // values XxhashOracleSql already reproduces; every constant is read
+    // reflectively from Spark's HyperLogLogPlusPlusHelper at SQL-gen
+    // time. See HllOracleSql.
+    "q_approx_distinct" -> HllOracleSql.approxDistinctSql,
     "q_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |  CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total

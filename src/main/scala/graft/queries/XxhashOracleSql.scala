@@ -221,6 +221,36 @@ private[graft] object XxhashOracleSql {
     inner
   }
 
+  /** XXH64 of ONE non-negative 8-byte long (Spark
+    * `XxHash64Function.hash` for LongType, seed 42 — the HLL++ input
+    * hash, HyperLogLogPlusPlusHelper.update) as a let-bound scalar SQL
+    * expression over `colExpr`. `colExpr` must be non-negative (a key
+    * column): a negative BIGINT would need the +2^64 unsigned rebias
+    * before entering the HUGEINT arithmetic.
+    *
+    * hashLong(v, seed): h = seed + P5 + 8; k = rotl(v·P2, 31)·P1;
+    * h = rotl(h ⊕ k, 27)·P1 + P4; then the 33/29/32 avalanche — the
+    * same per-element step [[minhashPairsSql]]'s band fold chains,
+    * here as one scalar expression.
+    */
+  private[graft] def xxh64LongSql(colExpr: String): String = {
+    val g = new Gen
+    val h0 = (BigInt(42) + P5 + 8) % M
+    g.let(s"($colExpr)::HUGEINT") { v =>
+      g.let(g.mulc(v, P2)) { k0 =>
+        g.let(g.rotl(k0, 31)) { k1 =>
+          g.let(g.mulc(k1, P1)) { k2 =>
+            g.let(g.xor(s"$h0::HUGEINT", k2)) { hx =>
+              g.let(g.rotl(hx, 27)) { hr =>
+                g.let(s"(${g.mulc(hr, P1)} + $P4::HUGEINT)%$M")(g.fmix)
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** The complete `d_minhash_pairs` oracle: WordShingles-equivalent
     * 3-gram sets → per-DISTINCT-shingle XXH64 → 16 affine minhash
     * permutations (signed-min via +2^63 bias) → 4 LSH band buckets via

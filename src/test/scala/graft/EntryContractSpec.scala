@@ -33,9 +33,19 @@ class EntryContractSpec extends AnyFunSuite {
       // s_knn_lsh: UPGRADED in round 11 — splitmix64 hyperplanes in SQL
       // (HyperplaneOracleSql) once nBits moved from Catalyst plan stats
       // (environment-dependent) to the exact row count.
-      "q_approx_distinct",   // HLL estimate
-      "q_approx_percentile", // KLL estimate
-      "q_hll_sketch")        // sketch internals engine-specific
+      // q_approx_distinct: UPGRADED in round 12 — the HLL++ registers
+      // and estimator rebuilt in DuckDB over the reproduced xxhash64,
+      // constants reflected from Spark's own helper (HllOracleSql).
+      "q_approx_percentile", // KLL estimate: merge-order-dependent
+                             // compaction internals, not a pure function
+                             // of the input multiset
+      "q_hll_sketch")        // DataSketches HLL (hll_sketch_agg) — a
+                             // different algorithm family from Spark's
+                             // HLL++ (which round 12 did oracle, see
+                             // q_approx_distinct): murmur3-keyed
+                             // coupon/dense transitions with
+                             // library-internal thresholds
+
     assert(rowsOnly == justified,
       s"undocumented rows-only: ${rowsOnly -- justified}; " +
         s"stale justification: ${justified -- rowsOnly}")
@@ -51,6 +61,9 @@ class EntryContractSpec extends AnyFunSuite {
       graft.queries.XxhashOracleSql.simhashPairsSql)
     assert(graft.queries.HyperplaneOracleSql.knnLshSql ==
       graft.queries.HyperplaneOracleSql.knnLshSql)
+    assert(graft.queries.HllOracleSql.approxDistinctSql ==
+      graft.queries.HllOracleSql.approxDistinctSql)
+    assert(graft.queries.HllOracleSql.approxDistinctSql.length < 60000)
     // and they are large but bounded (a blowup here means the let-chain
     // started duplicating operand subtrees textually)
     assert(graft.queries.XxhashOracleSql.minhashPairsSql.length < 60000)
