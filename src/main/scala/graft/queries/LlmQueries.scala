@@ -574,6 +574,59 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // ONLINE ANN SERVING, gated: a query STREAM probes the static IVF-PQ
+    // index per micro-batch — the deployment shape of s_knn_ivfpq (a
+    // trained index serving queries as they arrive) — via foreachBatch,
+    // the Structured Streaming idiom for batch-only plans (ivfPqKnn's
+    // top-k windows are unsupported on streams). The index (centroids +
+    // codebook, driver-held; coded corpus, re-planned per batch with the
+    // probe side small) is static; per-query results are independent, so
+    // the accumulated serving output equals the batch index lookup
+    // whatever the replay batching — which is what makes it
+    // hash-oracle-able against the SAME s_knn_ivfpq oracle SQL.
+    "x_stream_knn" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val centroids = e.filter(col("vec_id") < 3).orderBy("vec_id")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      val cb = e.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding"))
+      val stage = java.nio.file.Paths.get("/tmp/graft-streamstage-" +
+        java.util.UUID.nameUUIDFromBytes(
+          s"$dir|knn_queries".getBytes("UTF-8")).toString)
+      if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS")))
+        queries.repartition(3).write.mode("overwrite").parquet(stage.toString)
+      val stream = s.readStream.schema(queries.schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(stage.toString)
+      s.streams.active
+        .filter(q => Option(q.name).contains("x_stream_knn_sink"))
+        .foreach(_.stop())
+      // serving results are queries×k — bounded, the legitimate collect
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double, Int)]
+      val q = stream.writeStream.queryName("x_stream_knn_sink")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val served = Similarity.ivfPqKnn(e, "vec_id", "embedding",
+                batch, "vec_id", "embedding",
+                centroids, cb, m = 8, nProbe = 2, k = 5)
+              .select(col("qid"), col("id"),
+                round(col("adc"), 6).as("adc"), col("rank"))
+              .as[(Long, Long, Double, Int)].collect()
+            acc.synchronized { acc ++= served }
+            ()
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      acc.toSeq.toDF("qid", "id", "adc", "rank").orderBy("qid", "rank")
+    }),
+
     // MMR diversified re-rank: top-20 brute shortlist → greedy top-5
     // trading relevance against redundancy (λ=0.5) — the de-duplicating
     // re-rank RAG pipelines run. Output is integers only (qid, id,
@@ -1818,7 +1871,11 @@ object LlmQueries {
     * truth and candidate sets are the same queries the individual gates
     * hash-check — recall over drifted variants would be meaningless.
     * Overlap counts are pure integers. */
-  val oracle: Map[String, String] = oracleBase + ("s_ann_recall" ->
+  val oracle: Map[String, String] = oracleBase +
+    // online serving parity: the accumulated per-micro-batch probe
+    // results equal the batch index lookup — same oracle, verbatim
+    ("x_stream_knn" -> oracleBase("s_knn_ivfpq")) +
+    ("s_ann_recall" ->
     ("WITH brute AS (" + oracleBase("s_knn_brute") + "),\n" +
       "lshr AS (" + oracleBase("s_knn_lsh") + "),\n" +
       "ivfr AS (" + oracleBase("s_knn_ivf") + "),\n" +
