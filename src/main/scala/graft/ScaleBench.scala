@@ -68,7 +68,34 @@ object ScaleBench {
         (col("user_id") + col("cpy") * maxUid).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
-    System.err.println(s"[scale] built ${factor}x documents+embeddings+events at $bigDir")
+    // TPC-H fact+dim blow-up (round 12): EVERY key shifts by copy so
+    // joins stay strictly within a copy — true output grows linearly
+    // for the fact joins and a superlinear timing is a plan defect.
+    // nation/region pass through unchanged (fixed key domain).
+    def keyMax(t: String, c: String): Long =
+      Tables.load(spark, sfDir, t).agg(max(col(c))).head().getLong(0) + 1
+    val (maxOrd, maxCust, maxPart, maxSupp) =
+      (keyMax("orders", "o_orderkey"), keyMax("customer", "c_custkey"),
+        keyMax("part", "p_partkey"), keyMax("supplier", "s_suppkey"))
+    def shifted(t: String, shifts: Map[String, Long]): Unit = {
+      val src = Tables.load(spark, sfDir, t)
+      src.crossJoin(copies)
+        .select(src.columns.toSeq.map(c => shifts.get(c) match {
+          case Some(k) => (col(c) + col("cpy") * k).as(c)
+          case None => col(c)
+        }): _*)
+        .write.mode("overwrite").parquet(s"$bigDir/$t.parquet")
+    }
+    shifted("orders", Map("o_orderkey" -> maxOrd, "o_custkey" -> maxCust))
+    shifted("lineitem", Map("l_orderkey" -> maxOrd,
+      "l_partkey" -> maxPart, "l_suppkey" -> maxSupp))
+    shifted("customer", Map("c_custkey" -> maxCust))
+    shifted("part", Map("p_partkey" -> maxPart))
+    shifted("supplier", Map("s_suppkey" -> maxSupp))
+    Seq("nation", "region").foreach(t => Tables.load(spark, sfDir, t)
+      .write.mode("overwrite").parquet(s"$bigDir/$t.parquet"))
+    System.err.println(
+      s"[scale] built ${factor}x all-tables blow-up at $bigDir")
 
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
