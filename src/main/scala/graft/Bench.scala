@@ -90,6 +90,16 @@ object Bench {
       // r9 failure mode ever reappears.
       if (CacheScope.sessionLiveCount == 0)
         spark.sharedState.cacheManager.clearCache()
+      // Unload accumulated state-store providers after each streaming
+      // gate: every streaming start() loads one provider per state
+      // partition, terminated queries' providers linger until the
+      // 60 s maintenance pass, and with 8+ streaming gates × 3 iters
+      // the carried providers + maintenance IO inflated later gates'
+      // medians ~2× in the full run (x_stream_session 3.5 s fresh-JVM
+      // vs 5.9 s at run position ~200). stop() unloads everything and
+      // the pool restarts lazily on next use — batch queries unaffected.
+      if (name.startsWith("x_stream"))
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       System.gc()
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
       if (heapMb > 2000) {
