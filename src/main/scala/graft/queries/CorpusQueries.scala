@@ -851,6 +851,42 @@ object CorpusQueries {
         .orderBy("user_id", "click_id", "purchase_id")
     }),
 
+    // Stream-stream interval join WITH WATERMARKS — the production path
+    // the x_stream_join gate's comment documents (bounded join state,
+    // eviction once the watermark passes click_ts + 1h), now gated. The
+    // event-time-ordered replay of BOTH sides makes it deterministic:
+    // neither side ever sees a late row, and an evicted click cannot
+    // miss a future purchase — eviction needs global watermark
+    // W > click_ts + 1h, W <= max(purchase ts seen) − 2h, and ordered
+    // arrival makes every unseen purchase ts >= that max, so unseen
+    // purchases sit > click_ts + 1h + … — outside the interval anyway.
+    // Emitted pairs therefore equal the full batch join (the SAME
+    // oracle as x_stream_join), with state actually bounded.
+    "x_stream_join_append" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"))
+      val clicks = replayAsStreamOrdered(s, dir, "events_click_ord",
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts")), "click_ts")
+        .withWatermark("click_ts", "2 hours")
+      val buys = replayAsStreamOrdered(s, dir, "events_buy_ord",
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts")), "purchase_ts")
+        .withWatermark("purchase_ts", "2 hours")
+      val joined = clicks.join(buys,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+      runAppend(s,
+        joined.select(col("user_id"), col("click_id"), col("purchase_id")),
+        "x_stream_join_append_sink")
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
     // The PRODUCTION streaming path, gated: withWatermark + APPEND mode —
     // bounded state with real eviction, the path a 100 TB stream must run
     // (complete mode re-emits the whole result table every trigger; its
@@ -1863,6 +1899,16 @@ object CorpusQueries {
     // join in append mode emits each matching pair exactly once, so the
     // accumulated sink equals this whatever the replay batching
     "x_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    // watermarked variant emits the SAME full pair set (ordered replay
+    // ⇒ eviction can never race a still-possible match) — one oracle
+    "x_stream_join_append" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
         |FROM events c JOIN events p
         |  ON c.event_type = 'click' AND p.event_type = 'purchase'
