@@ -523,8 +523,11 @@ object RelationalQueries {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
-    // Approx distinct (HLL sketch) — rows-only check (approx has no exact
-    // oracle); the scale path for distinct counts at 100 TB.
+    // Approx distinct (HLL++) — the scale path for distinct counts at
+    // 100 TB. FULL hash oracle since round 12: the estimate is a
+    // deterministic function of xxhash64 values the oracle layer
+    // reproduces, so HllOracleSql rebuilds registers + estimator in
+    // DuckDB with constants reflected from Spark's own helper.
     "q_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
