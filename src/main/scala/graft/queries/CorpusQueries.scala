@@ -106,17 +106,20 @@ object CorpusQueries {
     // partitions × 4 replay triggers that is 128 state commits for a
     // few-thousand-row state, pure fixed overhead (~40% of the replay
     // gate's wall time). Complete-mode output is partition-count
-    // independent, so pin the STREAM's state partitioning to 8; the conf
-    // is restored right after start() (streaming captures conf at start;
-    // later batch queries see the original value). On a real cluster
-    // state partitions are sized to state volume, not corpus volume.
+    // independent, so pin the STREAM's state partitioning to 4 (round-12
+    // sweep over {2, 4, 8}: 4 cut every gate's median ~30% vs 8 —
+    // x_stream_join 5.4→3.1 s — while 2 starts losing parallelism on the
+    // 95k-session state); the conf is restored right after start()
+    // (streaming captures conf at start; later batch queries see the
+    // original value). On a real cluster state partitions are sized to
+    // state volume, not corpus volume.
     // CONCURRENCY CAVEAT: mutating the shared session conf is only safe
     // because the bench/verify drivers are single-threaded — a batch
     // query planned concurrently inside the set/restore window would
-    // silently capture 8 partitions; concurrent driving would need a
+    // silently capture 4 partitions; concurrent driving would need a
     // cloned session or per-writer options instead.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     val q = try {
       agg.writeStream.format("memory").queryName(name)
         .outputMode("complete")
@@ -131,14 +134,14 @@ object CorpusQueries {
     * and return the accumulated table. Append is the only output mode
     * stream-stream joins support; each start() registers a FRESH memory
     * sink under the name, so bench re-runs never accumulate across runs.
-    * Same 8-partition state pinning (and the same single-threaded-driver
+    * Same 4-partition state pinning (and the same single-threaded-driver
     * conf-mutation caveat) as [[runToCompletion]]. */
   private def runAppend(s: SparkSession, df: DataFrame,
                         name: String): DataFrame = {
     s.streams.active.filter(q => Option(q.name).contains(name))
       .foreach(_.stop())
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     val q = try {
       df.writeStream.format("memory").queryName(name)
         .outputMode("append")
