@@ -68,15 +68,22 @@ object ScaleBench {
         (col("user_id") + col("cpy") * maxUid).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
-    // TPC-H fact+dim blow-up (round 12): EVERY key shifts by copy so
-    // joins stay strictly within a copy — true output grows linearly
-    // for the fact joins and a superlinear timing is a plan defect.
-    // nation/region pass through unchanged (fixed key domain).
+    // TPC-H blow-up (round 12): the FACT keys (orderkey, custkey) shift
+    // by copy so order-grained joins stay strictly within a copy and
+    // their true output grows linearly — a superlinear timing is a plan
+    // defect. part/supplier (and their keys in lineitem) pass through
+    // UNSHIFTED: the derived partsupp draws suppliers from
+    // `(p_partkey·17+i) mod count(supplier)`, so shifting supplier keys
+    // per copy while partsupp spans the full grown domain would make
+    // the lineitem⋈partsupp composite join 10× SPARSER at 10× — the
+    // measured exponent would flatter a genuinely superlinear plan.
+    // With dims fixed, every part/supplier-grained fact join fans out
+    // exactly linearly (TPC-H dims do grow with SF in reality, but the
+    // invariant ScaleBench exists for is linear TRUE output).
     def keyMax(t: String, c: String): Long =
       Tables.load(spark, sfDir, t).agg(max(col(c))).head().getLong(0) + 1
-    val (maxOrd, maxCust, maxPart, maxSupp) =
-      (keyMax("orders", "o_orderkey"), keyMax("customer", "c_custkey"),
-        keyMax("part", "p_partkey"), keyMax("supplier", "s_suppkey"))
+    val (maxOrd, maxCust) =
+      (keyMax("orders", "o_orderkey"), keyMax("customer", "c_custkey"))
     def shifted(t: String, shifts: Map[String, Long]): Unit = {
       val src = Tables.load(spark, sfDir, t)
       src.crossJoin(copies)
@@ -87,13 +94,11 @@ object ScaleBench {
         .write.mode("overwrite").parquet(s"$bigDir/$t.parquet")
     }
     shifted("orders", Map("o_orderkey" -> maxOrd, "o_custkey" -> maxCust))
-    shifted("lineitem", Map("l_orderkey" -> maxOrd,
-      "l_partkey" -> maxPart, "l_suppkey" -> maxSupp))
+    shifted("lineitem", Map("l_orderkey" -> maxOrd))
     shifted("customer", Map("c_custkey" -> maxCust))
-    shifted("part", Map("p_partkey" -> maxPart))
-    shifted("supplier", Map("s_suppkey" -> maxSupp))
-    Seq("nation", "region").foreach(t => Tables.load(spark, sfDir, t)
-      .write.mode("overwrite").parquet(s"$bigDir/$t.parquet"))
+    Seq("part", "supplier", "nation", "region").foreach(t =>
+      Tables.load(spark, sfDir, t)
+        .write.mode("overwrite").parquet(s"$bigDir/$t.parquet"))
     System.err.println(
       s"[scale] built ${factor}x all-tables blow-up at $bigDir")
 
@@ -120,7 +125,11 @@ object ScaleBench {
         println(f"$name%-24s $t1%8.2f $tN%8.2f $ratio%7.1f $exp%6.2f")
       } catch { case e: Exception =>
         CacheScope.releaseAll()
-        println(f"$name%-24s SKIP (${e.getClass.getSimpleName}: table not in blow-up?)")
+        // the blow-up now materializes every table, so a failure here is
+        // a REAL query defect at scale (or an enforced-contract throw
+        // like the exact-tier pair budget) — print the actual cause
+        println(f"$name%-24s SKIP (${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("").take(120)})")
       }
     }
     spark.stop()

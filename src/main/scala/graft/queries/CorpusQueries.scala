@@ -70,25 +70,35 @@ object CorpusQueries {
       java.util.UUID.nameUUIDFromBytes(
         s"$dir|$name|ordered".getBytes("UTF-8")).toString)
     if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS"))) {
+      // cache the global sort: the four quartile filters would otherwise
+      // re-run the single-partition window sort once each
       val ranked = src.withColumn("__q", ntile(4).over(
         org.apache.spark.sql.expressions.Window.orderBy(col(tsCol))))
+        .cache()
       java.nio.file.Files.createDirectories(stage)
-      for (q <- 1 to 4) {
-        val sub = stage.resolve(s"__build$q")
-        ranked.filter(col("__q") === q).drop("__q")
-          .coalesce(1).write.mode("overwrite").parquet(sub.toString)
-        val part = java.nio.file.Files.list(sub).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part written under $sub"))
-        val dst = stage.resolve(f"part-$q%05d.parquet")
-        java.nio.file.Files.move(part, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            1700000000000L + q * 60000L))
-        java.nio.file.Files.walk(sub).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
+      try {
+        for (q <- 1 to 4) {
+          val sub = stage.resolve(s"__build$q")
+          ranked.filter(col("__q") === q).drop("__q")
+            .coalesce(1).write.mode("overwrite").parquet(sub.toString)
+          val ls = java.nio.file.Files.list(sub)
+          val part =
+            try ls.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet"))
+              .getOrElse(sys.error(s"no parquet part written under $sub"))
+            finally ls.close()
+          val dst = stage.resolve(f"part-$q%05d.parquet")
+          java.nio.file.Files.move(part, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              1700000000000L + q * 60000L))
+          val wk = java.nio.file.Files.walk(sub)
+          try wk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+          finally wk.close()
+        }
+      } finally ranked.unpersist()
       java.nio.file.Files.createFile(stage.resolve("_SUCCESS"))
     }
     s.readStream.schema(src.schema).format("parquet")
@@ -1929,8 +1939,14 @@ object CorpusQueries {
 
     // append+watermark: the emitted set is the batch aggregate restricted
     // to windows the final watermark (max ts − 2h) has closed
+    // mx truncates to MILLISECONDS: Spark's event-time stats round the
+    // watermark through DateTimeUtils.microsToMillis, so the final
+    // watermark is floor_ms(max ts) − delay; comparing against the
+    // full-microsecond max would emit a window/session whose end falls
+    // in the sub-millisecond gap (boundary-case red on regenerated data)
     "x_stream_window_append" ->
-      """WITH m AS (SELECT max(ts) AS mx FROM events)
+      """WITH m AS (
+        |  SELECT date_trunc('milliseconds', max(ts)) AS mx FROM events)
         |SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start, event_type,
         |  count(*) AS n,
         |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
@@ -1941,8 +1957,10 @@ object CorpusQueries {
 
     // append+watermark sessions: batch gaps-and-islands sessions whose
     // END (last event + 30 min gap) the final watermark has passed
+    // same millisecond-floored watermark as x_stream_window_append
     "x_stream_session_append" ->
-      """WITH m AS (SELECT max(ts) AS mx FROM events),
+      """WITH m AS (
+        |  SELECT date_trunc('milliseconds', max(ts)) AS mx FROM events),
         |g AS (
         |  SELECT user_id, ts, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev

@@ -29,6 +29,16 @@ object LlmQueries {
     * through this helper, CacheManager reuse can no longer be broken by
     * alias or parameter drift between hand-copied variants.
     */
+  /** Driver-held coarse/PQ model vectors: the first `n` embeddings in
+    * vec_id order — the ONE construction every IVF/PQ gate (batch and
+    * streaming) and the recall gate build their index from, so the
+    * gates can never drift from the oracles they share. */
+  private def modelVectors(s: SparkSession, dir: String,
+                           n: Int): Seq[Seq[Double]] =
+    emb(s, dir).filter(col("vec_id") < n).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+
   /** The four kNN engines, factored so the `s_knn_*` gates and the
     * `s_ann_recall` recall gate drive the IDENTICAL builds — a recall
     * number computed over a drifted variant of a method would be
@@ -51,9 +61,7 @@ object LlmQueries {
 
   private def knnIvfRaw(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val centroids = e.filter(col("vec_id") < 3).orderBy("vec_id")
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val centroids = modelVectors(s, dir, 3)
     Similarity.ivfKnn(e, "vec_id", "embedding",
       e.filter(col("vec_id") < 3), "vec_id", "embedding",
       centroids, nProbe = 2, k = 5)
@@ -61,9 +69,7 @@ object LlmQueries {
 
   private def knnPqRerankRaw(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cb = e.filter(col("vec_id") < 4).orderBy("vec_id")
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val cb = modelVectors(s, dir, 4)
     Similarity.pqKnnRerank(e, "vec_id", "embedding",
       e.filter(col("vec_id") < 3), "vec_id", "embedding",
       cb, m = 8, k = 5, shortlist = 20)
@@ -487,9 +493,7 @@ object LlmQueries {
     // 16-bit word so the compare is a portable BIGINT, not a list.
     "s_pq_codes" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cb = e.filter(col("vec_id") < 4).orderBy("vec_id")
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      val cb = modelVectors(s, dir, 4)
       Similarity.pqEncode(e, "vec_id", "embedding", cb, m = 8)
         .select(col("id").as("vec_id"),
           (0 until 8).map(mi =>
@@ -502,9 +506,7 @@ object LlmQueries {
     // vectors — deterministic table lookups, fully oracle-checkable.
     "s_knn_pq" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cb = e.filter(col("vec_id") < 4).orderBy("vec_id")
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      val cb = modelVectors(s, dir, 4)
       Similarity.pqKnn(e, "vec_id", "embedding",
           e.filter(col("vec_id") < 3), "vec_id", "embedding",
           cb, m = 8, k = 5)
@@ -560,12 +562,8 @@ object LlmQueries {
     // ADC tables. Deterministic table lookups, fully oracle-checkable.
     "s_knn_ivfpq" -> ((s, dir) => {
       val e = emb(s, dir)
-      val centroids = e.filter(col("vec_id") < 3).orderBy("vec_id")
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
-      val cb = e.filter(col("vec_id") < 4).orderBy("vec_id")
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      val centroids = modelVectors(s, dir, 3)
+      val cb = modelVectors(s, dir, 4)
       Similarity.ivfPqKnn(e, "vec_id", "embedding",
           e.filter(col("vec_id") < 3), "vec_id", "embedding",
           centroids, cb, m = 8, nProbe = 2, k = 5)
@@ -587,12 +585,8 @@ object LlmQueries {
     "x_stream_knn" -> ((s, dir) => {
       import s.implicits._
       val e = emb(s, dir)
-      val centroids = e.filter(col("vec_id") < 3).orderBy("vec_id")
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
-      val cb = e.filter(col("vec_id") < 4).orderBy("vec_id")
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      val centroids = modelVectors(s, dir, 3)
+      val cb = modelVectors(s, dir, 4)
       val queries = e.filter(col("vec_id") < 3)
         .select(col("vec_id"), col("embedding"))
       val stage = java.nio.file.Paths.get("/tmp/graft-streamstage-" +
@@ -644,12 +638,8 @@ object LlmQueries {
     // exact math touches queries × 20 vectors, never the corpus.
     "s_knn_ivfpq_rerank" -> ((s, dir) => {
       val e = emb(s, dir)
-      val centroids = e.filter(col("vec_id") < 3).orderBy("vec_id")
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
-      val cb = e.filter(col("vec_id") < 4).orderBy("vec_id")
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      val centroids = modelVectors(s, dir, 3)
+      val cb = modelVectors(s, dir, 4)
       Similarity.ivfPqKnnRerank(e, "vec_id", "embedding",
           e.filter(col("vec_id") < 3), "vec_id", "embedding",
           centroids, cb, m = 8, nProbe = 2, k = 5, shortlist = 20)
@@ -696,9 +686,7 @@ object LlmQueries {
     // IVF coarse assignment with the first 3 vectors as fixed centroids.
     "s_ivf_assign" -> ((s, dir) => {
       val e = emb(s, dir)
-      val centroids = e.filter(col("vec_id") < 3).orderBy("vec_id")
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      val centroids = modelVectors(s, dir, 3)
       Similarity.ivfAssign(e, "embedding", centroids)
         .select(col("vec_id"), col("cell"))
         .orderBy("vec_id")

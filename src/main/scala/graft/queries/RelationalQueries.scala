@@ -857,10 +857,20 @@ object RelationalQueries {
           (col("ps_supplycost_cents") * col("ps_availqty")).as("v"))
       val perPart = vals.groupBy(col("ps_partkey"))
         .agg(sum(col("v")).as("value_cents"))
-      val tot = perPart.agg(sum(col("value_cents")).as("total"),
+      // overflow headroom at the 100 TB design point (the q17/q22 rule):
+      // per-part value is bounded (4 suppliers × cents × availqty
+      // < 2×10^10 — BIGINT-safe always), but the GLOBAL total and the
+      // cross-multiplied membership product scale with |part| and would
+      // silently wrap Spark's non-ANSI Long at |part| ≳ 10^9 while
+      // DuckDB keeps them exact in HUGEINT — divergent membership
+      // exactly at scale. DECIMAL(28,0) total and a (14,0)×(12,0)
+      // product (precision 27) keep both engines exact within 38.
+      val tot = perPart.agg(
+        sum(col("value_cents").cast("decimal(28,0)")).as("total"),
         count(lit(1)).as("nparts"))
       perPart.join(broadcast(tot))
-        .filter(col("value_cents") * col("nparts") > col("total"))
+        .filter(col("value_cents").cast("decimal(14,0)") *
+          col("nparts").cast("decimal(12,0)") > col("total"))
         .select(col("ps_partkey"), col("value_cents"))
         .orderBy(col("value_cents").desc, col("ps_partkey"))
     }),
@@ -1390,10 +1400,12 @@ object RelationalQueries {
         |per_part AS (
         |  SELECT ps_partkey, sum(v) AS value_cents FROM vals GROUP BY 1),
         |tot AS (
-        |  SELECT sum(value_cents) AS total, count(*) AS nparts FROM per_part)
+        |  SELECT sum(CAST(value_cents AS DECIMAL(28,0))) AS total,
+        |    count(*) AS nparts FROM per_part)
         |SELECT ps_partkey, CAST(value_cents AS BIGINT) AS value_cents
         |FROM per_part, tot
-        |WHERE value_cents * nparts > total
+        |WHERE CAST(value_cents AS DECIMAL(14,0))
+        |      * CAST(nparts AS DECIMAL(12,0)) > total
         |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
     "q16_parts_supplier_cnt" ->
       s"""WITH $partsuppCte
