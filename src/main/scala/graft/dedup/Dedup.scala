@@ -29,6 +29,37 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** INCREMENTAL exact dedup: adjudicate a new ingest DELTA against the
+    * digest index of the corpus already on disk — the shape every
+    * recurring-crawl pipeline actually runs (a 100 TB corpus is never
+    * re-deduped from scratch when a shard arrives; the delta joins the
+    * standing index). Precedence is operational, not id-ordered: an
+    * existing-corpus occurrence ALWAYS wins (its doc already shipped),
+    * then min-id within the delta. Returns one row per delta doc with
+    * its digest and verdict ('new' | 'dup_of_corpus' | 'dup_in_delta')
+    * — callers filter verdict = 'new' to append, and the full verdict
+    * column is what makes the op gate-checkable.
+    *
+    * 100 TB shape: the index side carries ONLY (digest) — 32 B/doc,
+    * bucketable by digest so the anti-join side is co-located and
+    * re-shuffles nothing on repeat ingests; the delta shuffles once for
+    * the existing-check join (digest-keyed, text never moves) and once
+    * for the within-delta min-id window on the same key — at real scale
+    * both hang off one digest partitioning.
+    */
+  def incrementalExact(existing: DataFrame, delta: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val index = existing.select(md5(col(textCol)).as("digest")).distinct()
+    val d = delta.select(col(idCol).as("id"), md5(col(textCol)).as("digest"))
+    val w = Window.partitionBy(col("digest")).orderBy(col("id"))
+    d.join(index.withColumn("__in_corpus", lit(true)), Seq("digest"), "left")
+      .withColumn("__rn", row_number().over(w))
+      .select(col("id"), col("digest"),
+        when(col("__in_corpus"), lit("dup_of_corpus"))
+          .when(col("__rn") > 1, lit("dup_in_delta"))
+          .otherwise(lit("new")).as("verdict"))
+  }
+
   /** Exact dedup keyed on the normalized word-set fingerprint — catches
     * whitespace/punctuation/word-order variants of identical content.
     */

@@ -164,6 +164,37 @@ object LlmQueries {
       Dedup.byFingerprint(docs(s, dir), "text", "doc_id")
         .select(col("doc_id")).orderBy("doc_id")),
 
+    // INCREMENTAL ingest dedup — adjudicate a new-crawl DELTA against the
+    // standing corpus digest index (Dedup.incrementalExact): the shape a
+    // recurring 100 TB pipeline actually runs — nothing global is ever
+    // re-deduped; the delta joins the index. The corpus has no natural
+    // cross-split exact dups, so they are SYNTHESIZED deterministically
+    // (the d_semantic_dedup pattern): delta = doc_id%10 >= 8; a delta doc
+    // with doc_id%30 == 8 takes the text of corpus doc (id−1), %30 == 19
+    // takes the text of plain delta doc (id−10) — so all three verdicts
+    // (new / dup_of_corpus / dup_in_delta) occur at every sf, and the
+    // existing-wins + min-id-within-delta precedence is what the hash
+    // checks.
+    "d_incremental_dedup" -> ((s, dir) => {
+      val all = docs(s, dir).select(col("doc_id"), col("text"))
+      val existing = all.filter(col("doc_id") % 10 < 8)
+      val corpusSrc = all.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("src_corpus"))
+      val deltaSrc = all.select((col("doc_id") + 10).as("doc_id"),
+        col("text").as("src_delta"))
+      val delta = all.filter(col("doc_id") % 10 >= 8)
+        .join(corpusSrc, Seq("doc_id"), "left")
+        .join(deltaSrc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 30 === 8,
+              coalesce(col("src_corpus"), col("text")))
+            .when(col("doc_id") % 30 === 19,
+              coalesce(col("src_delta"), col("text")))
+            .otherwise(col("text")).as("text"))
+      Dedup.incrementalExact(existing, delta, "text", "doc_id")
+        .orderBy("id")
+    }),
+
     // Exact n-gram Jaccard with (source, lang) block semantics — prefix-
     // filtered set-similarity join (Dedup.jaccardPairsExact): same result
     // set as the all-pairs join, but candidates come from a fine-grained
@@ -1391,6 +1422,30 @@ object LlmQueries {
       """SELECT doc_id FROM (
         |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "d_incremental_dedup" ->
+      """WITH delta AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 30 = 8 THEN coalesce(c.text, d.text)
+        |         WHEN d.doc_id % 30 = 19 THEN coalesce(t.text, d.text)
+        |         ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents c ON c.doc_id = d.doc_id - 1
+        |  LEFT JOIN documents t ON t.doc_id = d.doc_id - 10
+        |  WHERE d.doc_id % 10 >= 8),
+        |idx AS (
+        |  SELECT DISTINCT md5(text) AS digest FROM documents
+        |  WHERE doc_id % 10 < 8),
+        |v AS (
+        |  SELECT dl.doc_id AS id, md5(dl.text) AS digest,
+        |    (i.digest IS NOT NULL) AS in_corpus,
+        |    row_number() OVER (PARTITION BY md5(dl.text)
+        |                       ORDER BY dl.doc_id) AS rn
+        |  FROM delta dl LEFT JOIN idx i ON i.digest = md5(dl.text))
+        |SELECT id, digest,
+        |  CASE WHEN in_corpus THEN 'dup_of_corpus'
+        |       WHEN rn > 1 THEN 'dup_in_delta'
+        |       ELSE 'new' END AS verdict
+        |FROM v ORDER BY id""".stripMargin,
     "d_dedup_fingerprint" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id, row_number() OVER (

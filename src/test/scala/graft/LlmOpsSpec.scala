@@ -797,6 +797,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.exists(_._3 == 1), "expected at least one mutual edge")
   }
 
+  test("incrementalExact: existing corpus wins regardless of id order") {
+    // corpus doc 100 and delta doc 1 share text: the CORPUS occurrence
+    // wins even though the delta id is smaller (operational precedence,
+    // not id order); delta docs 2 & 3 share text → min-id 2 is new,
+    // 3 is dup_in_delta; delta doc 4 is unique → new
+    val existing = Seq((100L, "shared with corpus")).toDF("doc_id", "text")
+    val delta = Seq(
+      (1L, "shared with corpus"),
+      (2L, "shared in delta"), (3L, "shared in delta"),
+      (4L, "unique")).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(existing, delta, "text", "doc_id")
+      .select("id", "verdict").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "dup_of_corpus", 2L -> "new",
+      3L -> "dup_in_delta", 4L -> "new"))
+  }
+
   test("exact-tier pair budget is an enforced contract, not a doc comment") {
     val e = Tables.load(spark, sf0, "embeddings")
     // 500 vectors -> 500*499 = 249,500 candidate pairs > 1000 budget
