@@ -579,6 +579,73 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingSpec.published.isEmpty,
       s"checkpoint restart replayed ${StreamingSpec.published.size()} records")
   }
+
+  test("append+watermark window survives a checkpointed RESTART: " +
+      "recovered state completes windows spanning the stop") {
+    // The production-path claim the x_stream_*_append gates check is
+    // about one continuous run; this proves the other half — a restart
+    // from the checkpoint recovers (a) the file-source offsets (no file
+    // re-read, no double counts) and (b) the window STATE, so a window
+    // whose events straddle the stop still emits with full counts.
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.load(spark, sf0, "events")
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+        col("value"))
+    val base = java.nio.file.Files.createTempDirectory("graft-restart")
+    val ranked = src.withColumn("__q",
+      ntile(4).over(Window.orderBy(col("ts")))).cache()
+    for (q <- 1 to 4)
+      ranked.filter(col("__q") === q).drop("__q")
+        .coalesce(1).write.parquet(s"$base/f$q")
+    ranked.unpersist()
+    val inDir = base.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    def publish(q: Int): Unit = {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(base.resolve(s"f$q"))
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally ls.close()
+      val dst = inDir.resolve(f"part-$q%05d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + q * 60000L))
+    }
+    val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    def runPhase(): Unit = {
+      val stream = spark.readStream.schema(src.schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(inDir.toString)
+      val agg = stream.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("string").as("w_start"),
+          col("event_type"), col("n"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    publish(1); publish(2); runPhase() // phase 1: first half, then STOP
+    publish(3); publish(4); runPhase() // restart from the checkpoint
+    val got = spark.read.parquet(outDir)
+      .select("w_start", "event_type", "n")
+      .as[(String, String, Long)].collect().toSet
+    // expected: batch windows closed by the final (ms-floored) watermark
+    val mx = src.agg(max(col("ts"))).head().getTimestamp(0).getTime // ms
+    val expected = src
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("window.end").cast("long") * 1000 <=
+        lit(mx - 2L * 60 * 60 * 1000))
+      .select(col("window.start").cast("string"), col("event_type"),
+        col("n")).as[(String, String, Long)].collect().toSet
+    assert(got == expected,
+      s"restart lost or duplicated state: got ${got.size} windows, " +
+        s"expected ${expected.size}; diff=${(got diff expected).take(3)} / " +
+        s"${(expected diff got).take(3)}")
+    assert(got.nonEmpty, "no windows emitted — vacuous")
+  }
 }
 
 /** Static collector for the foreach-sink test (ForeachWriter is serialized
