@@ -72,8 +72,14 @@ object Bench {
       // broken query look like the fastest one in the file. Failed queries
       // report -1 and are excluded from the total.
       val failed = times.exists(_._2 < 0)
-      val median =
-        if (failed) -1.0 else times.map(_._1).sorted.apply(times.size / 2)
+      val sortedT = times.map(_._1).sorted
+      val median = if (failed) -1.0 else sortedT(times.size / 2)
+      // min/max across iterations ride along in the file output so host
+      // variance (wide spread, stable min) is distinguishable from a real
+      // regression (min itself moved) without a rerun — round-12's
+      // d_dedup_exact 2.21x "regression" took a manual rerun to classify.
+      val tMin = if (failed) -1.0 else sortedT.head
+      val tMax = if (failed) -1.0 else sortedT.last
       val liveBefore = CacheScope.liveCount
       CacheScope.releaseAll()
       // Defensive sweep outside the timing window: drop anything the
@@ -110,22 +116,24 @@ object Bench {
         System.gc()
       }
       System.err.println(
-        f"[bench] $name%-24s median=$median%8.2fs cold=$cold%8.2fs rows=${times.head._2} cached=$liveBefore sess=${CacheScope.sessionLiveCount} heapMB=$heapMb")
-      (name, median, if (failed) -1.0 else cold)
+        f"[bench] $name%-24s median=$median%8.2fs min=$tMin%8.2fs max=$tMax%8.2fs cold=$cold%8.2fs rows=${times.head._2} cached=$liveBefore sess=${CacheScope.sessionLiveCount} heapMB=$heapMb")
+      (name, median, if (failed) -1.0 else cold, tMin, tMax)
     }
-    val failedNames = results.collect { case (n, m, _) if m < 0 => n }
+    val failedNames = results.collect { case (n, m, _, _, _) if m < 0 => n }
     if (failedNames.nonEmpty)
       System.err.println(s"[bench] FAILED queries: ${failedNames.mkString(", ")}")
     val total = results.map(_._2).filter(_ >= 0).sum
     def fmt(prec: String, v: Double): String =
       String.format(java.util.Locale.ROOT, prec, Double.box(v))
-    def json(rs: Seq[(String, Double, Double)], prec: String,
+    def json(rs: Seq[(String, Double, Double, Double, Double)], prec: String,
              withCold: Boolean): String = {
-      val qs = rs.map { case (k, v, _) => "\"" + k + "\":" + fmt(prec, v) }
+      val qs = rs.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(prec, v) }
         .mkString("{", ",", "}")
+      def extra(label: String, pick: ((String, Double, Double, Double, Double)) => Double) =
+        rs.map(r => "\"" + r._1 + "\":" + fmt(prec, pick(r)))
+          .mkString(s""","$label":{""", ",", "}")
       val cold = if (withCold)
-        rs.map { case (k, _, c) => "\"" + k + "\":" + fmt(prec, c) }
-          .mkString(",\"cold\":{", ",", "}")
+        extra("cold", _._3) + extra("min", _._4) + extra("max", _._5)
       else ""
       val failedJson =
         if (failedNames.isEmpty) ""

@@ -15,8 +15,12 @@ object ExplainAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    for (q <- args) {
+    // First arg may be a data dir (contains '/'), so plans can be audited
+    // at the gated scale factor; remaining args are query names.
+    val (dir, names) =
+      if (args.nonEmpty && args.head.contains("/")) (args.head, args.tail)
+      else ("/root/testdata/sf0.001", args)
+    for (q <- names) {
       println(s"===== $q =====")
       val df = SparkEntry.queries(q)(spark, dir)
       val p = df.queryExecution.executedPlan.toString

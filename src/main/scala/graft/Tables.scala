@@ -58,4 +58,28 @@ object Tables {
   /** Register every table as a temp view for `spark.sql` use. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Cheap content fingerprint of a testdata dir: every file's relative
+    * path, size and mtime folded into one hash. Streaming gates mix this
+    * into their /tmp staging-dir keys so that REGENERATED testdata at the
+    * same path invalidates the memoized replay stage instead of silently
+    * replaying stale files (round-12 ADVICE). Pure directory-listing
+    * metadata — no Spark job, microseconds at testdata file counts.
+    */
+  def dirFingerprint(dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) return "missing"
+    val wk = java.nio.file.Files.walk(root)
+    val acc =
+      try wk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map { p =>
+          s"${root.relativize(p)}|${java.nio.file.Files.size(p)}|" +
+            java.nio.file.Files.getLastModifiedTime(p).toMillis
+        }
+        .toSeq.sorted.mkString("\n")
+      finally wk.close()
+    java.util.UUID.nameUUIDFromBytes(acc.getBytes("UTF-8")).toString
+  }
 }

@@ -6,9 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
-    // Optional third arg: only dump queries whose name starts with the
-    // prefix (focused local iteration; the driver passes two args).
-    val prefix = if (args.length > 2) args(2) else ""
+    // Optional third arg: comma-separated name prefixes — only dump
+    // queries matching one (focused local iteration; the driver passes
+    // two args, so the default empty prefix keeps everything).
+    val prefixes =
+      (if (args.length > 2) args(2) else "").split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +21,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter(kv => prefixes.exists(kv._1.startsWith))
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       System.err.println(s"[verify] running $name")
       try {

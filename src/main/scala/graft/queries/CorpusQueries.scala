@@ -32,14 +32,16 @@ object CorpusQueries {
   /** Stage `src` as a 4-file parquet dir and open it as a bona-fide file
     * STREAM replayed one file per trigger, so downstream aggregation state
     * genuinely crosses four micro-batches. Staging is memoized per
-    * (input dir, name) — deterministic path + _SUCCESS check — because it
+    * (input dir, data fingerprint, name) — deterministic path + _SUCCESS
+    * check, invalidated if the testdata is regenerated — because it
     * is replay SETUP, not part of the streaming op, and re-writing it per
     * bench iteration was half the query's cost.
     */
   private def replayAsStream(s: SparkSession, dir: String, name: String,
                              src: DataFrame): DataFrame = {
     val stage = java.nio.file.Paths.get("/tmp/graft-streamstage-" +
-      java.util.UUID.nameUUIDFromBytes(s"$dir|$name".getBytes("UTF-8")).toString)
+      java.util.UUID.nameUUIDFromBytes(
+        s"$dir|${Tables.dirFingerprint(dir)}|$name".getBytes("UTF-8")).toString)
     if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS")))
       src.repartition(4).write.mode("overwrite").parquet(stage.toString)
     s.readStream.schema(src.schema).format("parquet")
@@ -68,7 +70,8 @@ object CorpusQueries {
     import scala.jdk.CollectionConverters._
     val stage = java.nio.file.Paths.get("/tmp/graft-streamstage-" +
       java.util.UUID.nameUUIDFromBytes(
-        s"$dir|$name|ordered".getBytes("UTF-8")).toString)
+        s"$dir|${Tables.dirFingerprint(dir)}|$name|ordered"
+          .getBytes("UTF-8")).toString)
     if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS"))) {
       // cache the global sort: the four quartile filters would otherwise
       // re-run the single-partition window sort once each

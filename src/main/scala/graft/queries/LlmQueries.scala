@@ -32,12 +32,12 @@ object LlmQueries {
   /** Driver-held coarse/PQ model vectors: the first `n` embeddings in
     * vec_id order — the ONE construction every IVF/PQ gate (batch and
     * streaming) and the recall gate build their index from, so the
-    * gates can never drift from the oracles they share. */
+    * gates can never drift from the oracles they share. Routed through
+    * [[Similarity.collectModelVectors]] so the pull carries the
+    * enforced driver-vector budget. */
   private def modelVectors(s: SparkSession, dir: String,
                            n: Int): Seq[Seq[Double]] =
-    emb(s, dir).filter(col("vec_id") < n).orderBy("vec_id")
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    Similarity.collectModelVectors(emb(s, dir), "vec_id", "embedding", n)
 
   /** The four kNN engines, factored so the `s_knn_*` gates and the
     * `s_ann_recall` recall gate drive the IDENTICAL builds — a recall
@@ -622,7 +622,8 @@ object LlmQueries {
         .select(col("vec_id"), col("embedding"))
       val stage = java.nio.file.Paths.get("/tmp/graft-streamstage-" +
         java.util.UUID.nameUUIDFromBytes(
-          s"$dir|knn_queries".getBytes("UTF-8")).toString)
+          s"$dir|${graft.Tables.dirFingerprint(dir)}|knn_queries"
+            .getBytes("UTF-8")).toString)
       if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS")))
         queries.repartition(3).write.mode("overwrite").parquet(stage.toString)
       val stream = s.readStream.schema(queries.schema).format("parquet")

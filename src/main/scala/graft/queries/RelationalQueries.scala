@@ -1414,8 +1414,9 @@ object RelationalQueries {
         |FROM partsupp JOIN part ON ps_partkey = p_partkey
         |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
         |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
-        |  AND ps_suppkey NOT IN (
-        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < CAST(0 AS DOUBLE))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM supplier
+        |    WHERE s_suppkey = ps_suppkey AND s_acctbal < CAST(0 AS DOUBLE))
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q20_promotion_suppliers" ->

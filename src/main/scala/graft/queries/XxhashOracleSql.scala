@@ -221,12 +221,13 @@ private[graft] object XxhashOracleSql {
     inner
   }
 
-  /** XXH64 of ONE non-negative 8-byte long (Spark
-    * `XxHash64Function.hash` for LongType, seed 42 — the HLL++ input
-    * hash, HyperLogLogPlusPlusHelper.update) as a let-bound scalar SQL
-    * expression over `colExpr`. `colExpr` must be non-negative (a key
-    * column): a negative BIGINT would need the +2^64 unsigned rebias
-    * before entering the HUGEINT arithmetic.
+  /** XXH64 of ONE 8-byte long (Spark `XxHash64Function.hash` for
+    * LongType, seed 42 — the HLL++ input hash,
+    * HyperLogLogPlusPlusHelper.update) as a let-bound scalar SQL
+    * expression over `colExpr`. Any BIGINT is accepted: negatives are
+    * rebiased by +2^64 into their unsigned two's-complement value
+    * before entering the HUGEINT arithmetic, matching Spark's byte-wise
+    * interpretation.
     *
     * hashLong(v, seed): h = seed + P5 + 8; k = rotl(v·P2, 31)·P1;
     * h = rotl(h ⊕ k, 27)·P1 + P4; then the 33/29/32 avalanche — the
@@ -236,7 +237,11 @@ private[graft] object XxhashOracleSql {
   private[graft] def xxh64LongSql(colExpr: String): String = {
     val g = new Gen
     val h0 = (BigInt(42) + P5 + 8) % M
-    g.let(s"($colExpr)::HUGEINT") { v =>
+    // Unconditional +2^64 rebias: a negative BIGINT reinterprets as its
+    // unsigned two's-complement value, matching Spark's raw 8-byte hash
+    // input (no-op for non-negative keys — closes the silent-divergence
+    // path flagged in round-12 ADVICE).
+    g.let(s"((($colExpr)::HUGEINT + $M::HUGEINT) % $M::HUGEINT)") { v =>
       g.let(g.mulc(v, P2)) { k0 =>
         g.let(g.rotl(k0, 31)) { k1 =>
           g.let(g.mulc(k1, P1)) { k2 =>

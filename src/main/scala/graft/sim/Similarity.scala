@@ -22,6 +22,37 @@ object Similarity {
     * budget explicitly. */
   val DefaultPairsBudget: Long = 1000000000L
 
+  /** Default driver-held vector budget for model state ([[kmeansFit]]'s
+    * training sample, [[collectModelVectors]]' centroid/codebook pulls):
+    * 2^18 vectors ≈ 134 MB of 64-dim doubles — far above any sane
+    * centroid set or fit sample, far below a corpus. Exceeding it fails
+    * fast (the [[DefaultPairsBudget]] pattern): a misconfigured 100 TB
+    * run throws with the intended knob named instead of OOMing the
+    * driver. Callers that intend a bigger pull pass a larger budget
+    * explicitly. */
+  val DefaultDriverVectorBudget: Int = 1 << 18
+
+  /** The guarded driver-side model-vector pull: the first `n` vectors in
+    * `idCol` order, as the ONE construction IVF/PQ index builders take
+    * their centroid/codebook seeds from. `orderBy+limit` plans as a
+    * per-partition top-N merge (no global sort shuffle), and the
+    * enforced `maxDriverVectors` budget makes "model small, data never
+    * collected" a contract rather than a convention.
+    */
+  def collectModelVectors(df: DataFrame, idCol: String, vecCol: String,
+                          n: Int,
+                          maxDriverVectors: Int = DefaultDriverVectorBudget): Seq[Seq[Double]] = {
+    if (n > maxDriverVectors)
+      throw new IllegalArgumentException(
+        s"collectModelVectors: n=$n exceeds maxDriverVectors=" +
+          s"$maxDriverVectors. Model vectors are driver-held; raise " +
+          "maxDriverVectors explicitly if a pull this size is intended.")
+    df.filter(col(idCol) < n).orderBy(idCol)
+      .select(asDouble(col(vecCol)).as("v"))
+      .limit(n) // structural bound even under duplicate ids
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+  }
+
   /** Elementwise dot product of two double arrays — native single-loop
     * expression ([[graft.exprs.HashExprs.VecDot]]); same sequential
     * accumulation order as `aggregate(zip_with(...))`, no per-row zipped
@@ -387,7 +418,14 @@ object Similarity {
     * [[ivfAssign]] / [[ivfKnn]].
     */
   def kmeansFit(df: DataFrame, vecCol: String, k: Int, iters: Int = 10,
-                sampleN: Int = 10000, seed: Long = 42L): Seq[Seq[Double]] = {
+                sampleN: Int = 10000, seed: Long = 42L,
+                maxDriverVectors: Int = Similarity.DefaultDriverVectorBudget): Seq[Seq[Double]] = {
+    if (sampleN > maxDriverVectors)
+      throw new IllegalArgumentException(
+        s"kmeansFit: sampleN=$sampleN exceeds maxDriverVectors=" +
+          s"$maxDriverVectors. The fit sample is driver-held; shrink " +
+          "sampleN or raise maxDriverVectors explicitly if a sample " +
+          "this size is intended.")
     val sample = df.select(asDouble(col(vecCol)).as("v"))
       .withColumn("__h", xxhash64(col("v")))
       .orderBy(col("__h"))

@@ -378,6 +378,26 @@ class LlmOpsSpec extends SparkSpec {
       "v", k = 3, iters = 10) == centroids)
   }
 
+  test("driver-held model state fails fast past the vector budget") {
+    val pts = (0 until 20).map(i => (i.toLong, Seq(i.toDouble, 1.0)))
+      .toDF("id", "v")
+    // kmeansFit: a misconfigured sample size throws BEFORE collecting
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.kmeansFit(pts, "v", k = 3, sampleN = 50,
+        maxDriverVectors = 10)
+    }
+    assert(e1.getMessage.contains("maxDriverVectors"), e1.getMessage)
+    // collectModelVectors: same contract on the centroid/codebook pull
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.collectModelVectors(pts, "id", "v", n = 11,
+        maxDriverVectors = 10)
+    }
+    assert(e2.getMessage.contains("maxDriverVectors"), e2.getMessage)
+    // within budget: first-n in id order, float-widening-exact
+    val mv = Similarity.collectModelVectors(pts, "id", "v", n = 3)
+    assert(mv == Seq(Seq(0.0, 1.0), Seq(1.0, 1.0), Seq(2.0, 1.0)))
+  }
+
   test("approxRowCount: stats sentinel falls back instead of exploding") {
     // a LogicalRDD has no stats: sizeInBytes is the defaultSizeInBytes
     // sentinel (Long.MaxValue); dividing it by avgRowBytes would estimate

@@ -96,6 +96,19 @@ class SchemaProviderSpec extends SparkSpec {
     assert(e.getMessage.contains("maxSchemas") || e.getMessage.contains("distinct"))
   }
 
+  test("conformBySubject rejects an unbounded subject set") {
+    import spark.implicits._
+    val t = """{"type":"record","name":"T","fields":[{"name":"v","type":"long"}]}"""
+    val reg = new graft.schema.InMemoryRegistry(Map("s1" -> Seq(t)))
+    val rows = (1 to 5).map(i => (i.toLong, s"s$i")).toDF("v", "subj")
+      .select(org.apache.spark.sql.functions.struct($"v").as("value"), $"subj")
+    val e = intercept[IllegalArgumentException] {
+      Conform.conformBySubject(rows, "subj", "value", reg, maxSubjects = 3)
+    }
+    assert(e.getMessage.contains("maxSubjects") ||
+      e.getMessage.contains("distinct"), e.getMessage)
+  }
+
   test("enrichJson op accepts exactly one schema source") {
     val reg = graft.pipeline.StandardOps.registry
     val ok = reg.build("enrichJson", Map("schemaString" -> target))
