@@ -580,28 +580,28 @@ class StreamingSpec extends SparkSpec {
       s"checkpoint restart replayed ${StreamingSpec.published.size()} records")
   }
 
-  test("append+watermark window survives a checkpointed RESTART: " +
-      "recovered state completes windows spanning the stop") {
-    // The production-path claim the x_stream_*_append gates check is
-    // about one continuous run; this proves the other half — a restart
-    // from the checkpoint recovers (a) the file-source offsets (no file
-    // re-read, no double counts) and (b) the window STATE, so a window
-    // whose events straddle the stop still emits with full counts.
+  /** Stage `src` as four single-file parquet quartiles of `tsCol` order
+    * under `base/$tag-f{1..4}` and create the stream input dir
+    * `base/$tag-in`; returns (inDir, publish) where publish(q) copies
+    * quartile q into inDir with a pinned mtime, so FileStreamSource
+    * (oldest-modified-first) delivers files in event-time order — the
+    * drop-free replay the checkpointed-restart tests share.
+    */
+  private def stageOrderedQuartiles(src: org.apache.spark.sql.DataFrame,
+      tsCol: String, base: java.nio.file.Path,
+      tag: String): (java.nio.file.Path, Int => Unit) = {
     import org.apache.spark.sql.expressions.Window
-    val src = Tables.load(spark, sf0, "events")
-      .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
-        col("value"))
-    val base = java.nio.file.Files.createTempDirectory("graft-restart")
     val ranked = src.withColumn("__q",
-      ntile(4).over(Window.orderBy(col("ts")))).cache()
+      ntile(4).over(Window.orderBy(col(tsCol)))).cache()
     for (q <- 1 to 4)
       ranked.filter(col("__q") === q).drop("__q")
-        .coalesce(1).write.parquet(s"$base/f$q")
+        .coalesce(1).write.parquet(s"$base/$tag-f$q")
     ranked.unpersist()
-    val inDir = base.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val inDir = base.resolve(s"$tag-in")
+    java.nio.file.Files.createDirectories(inDir)
     def publish(q: Int): Unit = {
       import scala.jdk.CollectionConverters._
-      val ls = java.nio.file.Files.list(base.resolve(s"f$q"))
+      val ls = java.nio.file.Files.list(base.resolve(s"$tag-f$q"))
       val part = try ls.iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet")).get
         finally ls.close()
@@ -610,6 +610,21 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + q * 60000L))
     }
+    (inDir, publish)
+  }
+
+  test("append+watermark window survives a checkpointed RESTART: " +
+      "recovered state completes windows spanning the stop") {
+    // The production-path claim the x_stream_*_append gates check is
+    // about one continuous run; this proves the other half — a restart
+    // from the checkpoint recovers (a) the file-source offsets (no file
+    // re-read, no double counts) and (b) the window STATE, so a window
+    // whose events straddle the stop still emits with full counts.
+    val src = Tables.load(spark, sf0, "events")
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+        col("value"))
+    val base = java.nio.file.Files.createTempDirectory("graft-restart")
+    val (inDir, publish) = stageOrderedQuartiles(src, "ts", base, "ev")
     val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
     def runPhase(): Unit = {
       val stream = spark.readStream.schema(src.schema).format("parquet")
@@ -645,6 +660,120 @@ class StreamingSpec extends SparkSpec {
         s"expected ${expected.size}; diff=${(got diff expected).take(3)} / " +
         s"${(expected diff got).take(3)}")
     assert(got.nonEmpty, "no windows emitted — vacuous")
+  }
+
+  test("append+watermark SESSION window survives a checkpointed restart: " +
+      "recovered session state completes sessions spanning the stop") {
+    // x_stream_session_append's claim, across a stop: the checkpoint
+    // recovers the session-window state, so a session whose events
+    // straddle the restart still merges and emits once, with full
+    // counts, when the watermark passes its end (last event + gap).
+    val src = Tables.load(spark, sf0, "events")
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("value"))
+    val base = java.nio.file.Files.createTempDirectory("graft-restart-sess")
+    val (inDir, publish) = stageOrderedQuartiles(src, "ts", base, "ev")
+    val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    def runPhase(): Unit = {
+      val stream = spark.readStream.schema(src.schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(inDir.toString)
+      val agg = stream.withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").cast("string").as("w_start"),
+          col("user_id"), col("n"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    publish(1); publish(2); runPhase() // first half, then STOP
+    publish(3); publish(4); runPhase() // restart from the checkpoint
+    val got = spark.read.parquet(outDir)
+      .select("w_start", "user_id", "n")
+      .as[(String, Long, Long)].collect().toSet
+    // expected: batch gaps-and-islands sessions whose END the final
+    // (ms-floored) watermark passed — µs-exact via unix_micros, session
+    // ends are not aligned to any grid (cast-to-seconds would truncate)
+    val mxMs = src.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val wmUs = mxMs * 1000L - 2L * 3600 * 1000000L
+    val expected = src
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(unix_micros(col("session_window.end")) <= lit(wmUs))
+      .select(col("session_window.start").cast("string"), col("user_id"),
+        col("n")).as[(String, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"restart lost or duplicated session state: got ${got.size}, " +
+        s"expected ${expected.size}; diff=${(got diff expected).take(3)} / " +
+        s"${(expected diff got).take(3)}")
+    assert(got.nonEmpty, "no sessions emitted — vacuous")
+  }
+
+  test("append+watermark stream-stream JOIN survives a checkpointed " +
+      "restart: buffered click state matches purchases arriving after it") {
+    // x_stream_join_append's claim, across a stop — made structural: ALL
+    // clicks stream in phase 1 (the purchase side publishes nothing, so
+    // the min-policy global watermark stays put and nothing can evict),
+    // then the restarted query streams every purchase. Every emitted
+    // pair therefore joins a checkpoint-RECOVERED buffered click against
+    // a post-restart purchase; the full batch join is the oracle.
+    val ev = Tables.load(spark, sf0, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"))
+    val clicksB = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val buysB = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val base = java.nio.file.Files.createTempDirectory("graft-restart-join")
+    val (inC, publishClick) = stageOrderedQuartiles(clicksB, "click_ts",
+      base, "click")
+    val (inB, publishBuy) = stageOrderedQuartiles(buysB, "purchase_ts",
+      base, "buy")
+    val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    def runPhase(): Unit = {
+      val clicks = spark.readStream.schema(clicksB.schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(inC.toString)
+        .withWatermark("click_ts", "2 hours")
+      val buys = spark.readStream.schema(buysB.schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(inB.toString)
+        .withWatermark("purchase_ts", "2 hours")
+      val joined = clicks.join(buys,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+      val q = joined.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val outSchema = StructType(Seq(StructField("user_id", LongType),
+      StructField("click_id", LongType), StructField("purchase_id", LongType)))
+    (1 to 4).foreach(publishClick); runPhase() // clicks buffer, then STOP
+    assert(spark.read.schema(outSchema).parquet(outDir).isEmpty,
+      "pairs emitted before any purchase arrived")
+    (1 to 4).foreach(publishBuy); runPhase() // restart: purchases stream
+    val got = spark.read.parquet(outDir)
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = clicksB.join(buysB,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"restart lost or duplicated join state: got ${got.size} pairs, " +
+        s"expected ${expected.size}; diff=${(got diff expected).take(3)} / " +
+        s"${(expected diff got).take(3)}")
+    assert(got.nonEmpty, "no pairs emitted — vacuous")
   }
 }
 
