@@ -390,4 +390,68 @@ class PropertySpec extends SparkSpec {
         assert(a.subsetOf(b), s"rate $lo kept rows rate $hi dropped")
     }
   }
+
+  test("md5-draw operators are retry/layout-deterministic: a repartitioned, " +
+      "re-ordered corpus selects the identical set") {
+    // The contract stableDraw exists for: a task retry or a different
+    // input layout recomputes the SAME selection (rand()/sample() do
+    // not). Perturbation = repartition to a different partition count +
+    // reversed in-partition order — the shapes a lost executor or a
+    // compacted upstream produce.
+    import graft.pack.Packing
+    import org.apache.spark.sql.expressions.Window
+    val corpusGen = for {
+      n <- Gen.chooseNum(50, 250)
+      idBase <- Gen.chooseNum(-1000000L, 1000000L)
+      stride <- Gen.chooseNum(1L, 9999L)
+      nSrc <- Gen.chooseNum(1, 5)
+      rate <- Gen.chooseNum(0, 1000)
+      parts <- Gen.chooseNum(2, 13)
+    } yield (n, idBase, stride, nSrc, rate, parts)
+    forAllSampled(corpusGen, n = 6) { case (n, idBase, stride, nSrc, rate, parts) =>
+      val rows = (0 until n).map(i =>
+        (idBase + i * stride, s"src${i % nSrc}"))
+      val df = rows.toDF("doc_id", "source")
+      val perturbed = rows.reverse.toDF("doc_id", "source")
+        .repartition(parts).sortWithinPartitions(col("doc_id").desc)
+      def onBoth[A](f: org.apache.spark.sql.DataFrame => A): (A, A) =
+        (f(df), f(perturbed))
+      // mixSources: kept-id set
+      val rates = (0 until nSrc).map(k => s"src$k" -> ((rate + k * 137) % 1001)).toMap
+      val (m1, m2) = onBoth(d => Packing
+        .mixSources(d, "doc_id", "source", rates)
+        .select("doc_id").as[Long].collect().toSet)
+      assert(m1 == m2, s"mixSources selection changed under layout: ${(m1 diff m2).take(3)}")
+      // shard shuffle: full (doc_id, shard, pos) assignment (p_shard_shuffle)
+      val (s1, s2) = onBoth { d =>
+        val draw = Packing.stableDraw(col("doc_id"))
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("draw"), col("doc_id"))
+        d.select(col("doc_id"), draw.as("draw"))
+          .withColumn("shard", (col("draw") % 16).cast("int"))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .as[(Long, Int, Long)].collect().toSet
+      }
+      assert(s1 == s2, s"shard/pos assignment changed under layout: ${(s1 diff s2).take(3)}")
+      // eval split: (doc_id, split) assignment (p_eval_split, seed 13)
+      val (e1, e2) = onBoth { d =>
+        val draw = Packing.stableDraw(col("doc_id"), 13L) % 1000
+        d.select(col("doc_id"),
+            when(draw < 980, "train").when(draw < 990, "val")
+              .otherwise("test").as("split"))
+          .as[(Long, String)].collect().toSet
+      }
+      assert(e1 == e2, s"eval-split assignment changed under layout: ${(e1 diff e2).take(3)}")
+      // stratified fixed-quota sample: selected ids (p_stratified_sample, seed 7)
+      val (q1, q2) = onBoth { d =>
+        val w = Window.partitionBy(col("source"))
+          .orderBy(Packing.stableDraw(col("doc_id"), 7L), col("doc_id"))
+        d.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10).select("doc_id")
+          .as[Long].collect().toSet
+      }
+      assert(q1 == q2, s"stratified quota selection changed under layout: ${(q1 diff q2).take(3)}")
+    }
+  }
 }
