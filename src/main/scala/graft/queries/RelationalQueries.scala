@@ -683,6 +683,31 @@ object RelationalQueries {
           expr("element_at(ap, 2)").as("p99"))
         .orderBy("l_returnflag")),
 
+    // approx_percentile in its EXACT regime, full hash oracle: with
+    // accuracy >= the group row count, QuantileSummaries never compresses
+    // (every sample keeps g=1, delta=0), so the sketch holds the exact
+    // distribution whatever the merge order and query() returns the
+    // element at rank ceil(p*n) — DuckDB's quantile_disc, verified
+    // probe-identical across percentiles 0.01..0.99 and under a
+    // repartitioned (different merge order) input. This certifies the
+    // sketch's exact regime only; the estimator regime (q_approx_percentile
+    // above) stays rows-only because KLL compaction is merge-order-
+    // dependent. The 10^8 accuracy pin is a MEMORY statement: the state
+    // is the group's value multiset, so this variant is for gate scale /
+    // bounded groups, not the 100 TB path (that's the sketch regime).
+    "q_approx_percentile_exact" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.01, 0.5, 0.99), 100000000)")
+          .as("ap"))
+        .select(
+          col("l_returnflag"),
+          expr("element_at(ap, 1)").as("p01"),
+          expr("element_at(ap, 2)").as("p50"),
+          expr("element_at(ap, 3)").as("p99"))
+        .orderBy("l_returnflag")),
+
     // Statistical moments from exact decimal power sums: mean and sample
     // variance derived as identical double arithmetic on both engines —
     // no dependence on streaming-variance implementation details.
@@ -1306,6 +1331,14 @@ object RelationalQueries {
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
         |  round(quantile_cont(l_quantity, 0.9), 6) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // exact-regime approx_percentile returns the element at rank
+    // ceil(p*n) — quantile_disc, not the interpolating quantile_cont
+    "q_approx_percentile_exact" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_extendedprice, 0.01) AS p01,
+        |  quantile_disc(l_extendedprice, 0.5) AS p50,
+        |  quantile_disc(l_extendedprice, 0.99) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_stats_moments" ->
       """WITH s AS (
