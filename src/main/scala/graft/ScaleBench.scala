@@ -3,11 +3,17 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Two-point scaling harness: times selected queries on the sf corpus and
-  * on a synthetic `factor`× blow-up, printing ratio + log-exponent per
-  * query (1.0 = linear, 0 = flat). This is the measured evidence behind
-  * PLANS.md's "Measured scaling" table — round 7 built the blown-up corpus
-  * ad-hoc; this main makes the experiment reproducible.
+/** Multi-point scaling harness: times selected queries on the sf corpus
+  * and on synthetic `factor`× blow-ups, printing ratio + log-exponent per
+  * scaling segment (1.0 = linear, 0 = flat). This is the measured
+  * evidence behind PLANS.md's "Measured scaling" tables — round 7 built
+  * the blown-up corpus ad-hoc; this main makes the experiment
+  * reproducible. Round 13 adds (a) a factor LIST (`10,100`) so the
+  * 10×→100× segment exponent is measured, not extrapolated — a 0.35
+  * exponent at 10× can still knee at 100× — and (b) a skewed-key mode
+  * (`SPARK_GRAFT_SCALE_SKEW=1`) that gives one URL/domain/line-digest
+  * identity ~30% of all documents (the real CommonCrawl boilerplate
+  * shape), for the dedup/agg straggler measurements.
   *
   * Blow-up construction (documents): `factor` copies with id offsets; each
   * copy appends a per-copy suffix token to the text so copies are NEAR
@@ -15,34 +21,52 @@ import org.apache.spark.sql.functions._
   * RATE stays constant and pair-producing ops grow output linearly, which
   * is what separates "plan went quadratic" from "answer got bigger".
   *
+  * Skew mode remaps ~30% of blown-up documents onto doc_id multiples of
+  * 91: the URL identity is doc_id (mod 7, mod 13) and the domain identity
+  * doc_id mod 7, so those rows share ONE canonical URL and ONE domain;
+  * their text becomes one fixed 6-token line, so line dedup sees one
+  * corpus-hot digest. Cold rows keep residues 1..89 (never ≡ 0 mod 91),
+  * so ids stay unique and the cold key space stays diverse.
+  *
   * Usage: runMain graft.ScaleBench [queryPrefix ...]
   * Env: SPARK_GRAFT_SF_DIR (base corpus), SPARK_GRAFT_CPUS,
-  *      SPARK_GRAFT_SCALE_FACTOR (default 10).
+  *      SPARK_GRAFT_SCALE_FACTOR (default 10; comma list for segments),
+  *      SPARK_GRAFT_SCALE_SKEW (any value enables hot-key documents).
   */
 object ScaleBench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
-    val prefixes = if (args.isEmpty) Seq("") else args.toSeq
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    val bigDir = s"/tmp/graft-scale$factor"
+  /** Build the `factor`× all-tables blow-up under `bigDir`. */
+  private def buildBlowup(spark: SparkSession, sfDir: String, factor: Int,
+                          bigDir: String, skew: Boolean): Unit = {
     val docs = Tables.load(spark, sfDir, "documents")
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val copies = spark.range(factor).select(col("id").as("cpy"))
-    docs.crossJoin(copies)
-      .select((col("doc_id") + col("cpy") * maxId).as("doc_id"),
-        concat(col("text"), lit(" cpy"), col("cpy")).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+    val blown = docs.crossJoin(copies)
+    val docsOut =
+      if (!skew)
+        blown.select((col("doc_id") + col("cpy") * maxId).as("doc_id"),
+          concat(col("text"), lit(" cpy"), col("cpy")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      else {
+        // hot identity: ~30% of rows get doc_id ≡ 0 (mod 91) — one
+        // canonical URL (d_url_dedup keys on %7 × %13), one domain
+        // (d_domain_filter keys on %7) — and one fixed 6-token line
+        // (d_line_dedup's digest). monotonically_increasing_id is
+        // layout-dependent, which a bench corpus can tolerate.
+        val mid = monotonically_increasing_id()
+        blown.select(mid.as("mid"), col("text"), col("cpy"),
+            col("lang"), col("source"), col("n_chars"))
+          .select(
+            when(pmod(col("mid"), lit(10)) < 3, col("mid") * 91)
+              .otherwise(col("mid") * 91 + 1 + pmod(col("mid"), lit(89)))
+              .as("doc_id"),
+            when(pmod(col("mid"), lit(10)) < 3,
+              lit("hot boilerplate tokens repeated across the corpus"))
+              .otherwise(concat(col("text"), lit(" cpy"), col("cpy")))
+              .as("text"),
+            col("lang"), col("source"), col("n_chars"))
+      }
+    docsOut.write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
     // embeddings blow-up: byte-identical copies with offset ids —
     // deliberately adversarial for pair ops (true output grows
     // quadratically); labels keep their distribution
@@ -100,34 +124,61 @@ object ScaleBench {
       Tables.load(spark, sfDir, t)
         .write.mode("overwrite").parquet(s"$bigDir/$t.parquet"))
     System.err.println(
-      s"[scale] built ${factor}x all-tables blow-up at $bigDir")
+      s"[scale] built ${factor}x all-tables blow-up at $bigDir" +
+        (if (skew) " (skewed documents)" else ""))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10")
+      .split(",").map(_.trim.toInt).toSeq.sorted
+    val skew = sys.env.contains("SPARK_GRAFT_SCALE_SKEW")
+    val prefixes = if (args.isEmpty) Seq("") else args.toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tag = if (skew) "skew" else "scale"
+    val dirs = factors.map(f => f -> s"/tmp/graft-$tag$f")
+    dirs.foreach { case (f, d) => buildBlowup(spark, sfDir, f, d, skew) }
 
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => prefixes.exists(n.startsWith))
-    println(f"${"query"}%-24s ${"t1x"}%8s ${"t10x"}%8s ${"ratio"}%7s ${"expnt"}%6s")
+    val hdr = dirs.map { case (f, _) => f"${s"t${f}x"}%8s" }.mkString(" ")
+    println(f"${"query"}%-24s ${"t1x"}%8s $hdr  segment-exponents")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       def median(dir: String): Double =
         (1 to 3).map(_ => time(fn(spark, dir).count())).sorted.apply(1)
-      // per-query isolation: a query reading a table the blow-up doesn't
-      // materialize (only documents/embeddings/events are built) must
-      // SKIP, not kill the whole sweep
+      // per-query isolation: a failure must SKIP, not kill the sweep —
+      // the blow-up materializes every table, so a failure here is a
+      // REAL query defect at scale (or an enforced-contract throw like
+      // the exact-tier pair budget)
       try {
         val t1 = median(sfDir)
-        CacheScope.releaseAll() // the big run must not reuse 1x caches
-        val tN = median(bigDir)
-        CacheScope.releaseAll()
-        val ratio = tN / t1
-        val exp = math.log(ratio) / math.log(factor.toDouble)
-        println(f"$name%-24s $t1%8.2f $tN%8.2f $ratio%7.1f $exp%6.2f")
+        CacheScope.releaseAll() // the big runs must not reuse 1x caches
+        val tNs = dirs.map { case (_, d) =>
+          val t = median(d); CacheScope.releaseAll(); t
+        }
+        // exponent per adjacent segment: (1, f1), (f1, f2), ...
+        val pts = (1 -> t1) +: factors.zip(tNs)
+        val exps = pts.sliding(2).map { case Seq((fa, ta), (fb, tb)) =>
+          val e = math.log(tb / ta) / math.log(fb.toDouble / fa)
+          f"${fa}x->${fb}x:$e%5.2f"
+        }.mkString(" ")
+        val cols = tNs.map(t => f"$t%8.2f").mkString(" ")
+        println(f"$name%-24s $t1%8.2f $cols  $exps")
       } catch { case e: Exception =>
         CacheScope.releaseAll()
-        // the blow-up now materializes every table, so a failure here is
-        // a REAL query defect at scale (or an enforced-contract throw
-        // like the exact-tier pair budget) — print the actual cause
         println(f"$name%-24s SKIP (${e.getClass.getSimpleName}: " +
           s"${Option(e.getMessage).getOrElse("").take(120)})")
       }
