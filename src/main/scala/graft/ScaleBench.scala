@@ -35,9 +35,19 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  /** Build the `factor`× all-tables blow-up under `bigDir`. */
+  /** Build the `factor`× all-tables blow-up under `bigDir`. With
+    * SPARK_GRAFT_SCALE_REUSE set, an already-materialized blow-up (and
+    * with it the memoized streaming replay staging, which keys on the
+    * dir fingerprint) is reused — for re-measuring one knob (e.g. the
+    * streaming state-partition count) without paying the build again. */
   private def buildBlowup(spark: SparkSession, sfDir: String, factor: Int,
                           bigDir: String, skew: Boolean): Unit = {
+    if (sys.env.contains("SPARK_GRAFT_SCALE_REUSE") &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(
+          s"$bigDir/region.parquet/_SUCCESS"))) {
+      System.err.println(s"[scale] reusing existing blow-up at $bigDir")
+      return
+    }
     val docs = Tables.load(spark, sfDir, "documents")
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val copies = spark.range(factor).select(col("id").as("cpy"))

@@ -108,6 +108,16 @@ object CorpusQueries {
       .option("maxFilesPerTrigger", "1").load(stage.toString)
   }
 
+  /** State partitions for the streaming gates: 4 at gate scale (the
+    * round-12 sweep's winner — see [[runToCompletion]]), overridable via
+    * SPARK_GRAFT_STREAM_PARTS so ScaleBench can demonstrate the
+    * documented cluster-side mitigation (state partitions sized to state
+    * VOLUME: at 100× events the 4-partition pin is the session gate's
+    * bottleneck, and 32 is the right setting there — measured in
+    * PLANS.md round 13). Output is partition-count independent. */
+  private def streamParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
+
   /** Run a streaming aggregation to completion into a memory sink
     * (complete mode, AvailableNow) and return the finished table. */
   private def runToCompletion(s: SparkSession, agg: DataFrame,
@@ -132,7 +142,7 @@ object CorpusQueries {
     // silently capture 4 partitions; concurrent driving would need a
     // cloned session or per-writer options instead.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts)
     val q = try {
       agg.writeStream.format("memory").queryName(name)
         .outputMode("complete")
@@ -154,7 +164,7 @@ object CorpusQueries {
     s.streams.active.filter(q => Option(q.name).contains(name))
       .foreach(_.stop())
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts)
     val q = try {
       df.writeStream.format("memory").queryName(name)
         .outputMode("append")
