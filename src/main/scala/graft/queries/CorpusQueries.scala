@@ -67,6 +67,19 @@ object CorpusQueries {
   private def replayAsStreamOrdered(s: SparkSession, dir: String,
                                     name: String, src: DataFrame,
                                     tsCol: String): DataFrame = {
+    val stage = stageOrderedQuartiles(s, dir, name, src, tsCol)
+    s.readStream.schema(src.schema).format("parquet")
+      .option("maxFilesPerTrigger", "1").load(stage.toString)
+  }
+
+  /** The staging half of [[replayAsStreamOrdered]]: materialize `src` as
+    * four event-time-quartile parquet files (part-00001..4, mtime-pinned
+    * so FileStreamSource reads them in event order), memoized per
+    * (dir, data fingerprint, name). Exposed separately so the RESTART
+    * gate can publish the files incrementally into its own input dir. */
+  private def stageOrderedQuartiles(s: SparkSession, dir: String,
+                                    name: String, src: DataFrame,
+                                    tsCol: String): java.nio.file.Path = {
     import scala.jdk.CollectionConverters._
     val stage = java.nio.file.Paths.get("/tmp/graft-streamstage-" +
       java.util.UUID.nameUUIDFromBytes(
@@ -104,8 +117,7 @@ object CorpusQueries {
       } finally ranked.unpersist()
       java.nio.file.Files.createFile(stage.resolve("_SUCCESS"))
     }
-    s.readStream.schema(src.schema).format("parquet")
-      .option("maxFilesPerTrigger", "1").load(stage.toString)
+    stage
   }
 
   /** State partitions for the streaming gates: 4 at gate scale (the
@@ -938,6 +950,63 @@ object CorpusQueries {
       runAppend(s, agg, "x_stream_window_append_sink")
         .select(col("window.start").cast("string").as("w_start"),
           col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // CHECKPOINTED-RESTART recovery as a driver gate (round-12 verdict
+    // stretch): the same watermark+append window aggregation as
+    // x_stream_window_append, but the run is split across a real STOP —
+    // phase 1 streams the first two event-time quartiles into a parquet
+    // sink and terminates; phase 2 starts a NEW query from the same
+    // checkpoint and streams the rest. Recovery must restore (a) the
+    // file-source offsets (no re-read, no double counts) and (b) the
+    // window state, so windows straddling the stop emit once with full
+    // counts — making the union of both phases' output equal the
+    // single-run emitted set, which is what lets a RESTARTED run share
+    // x_stream_window_append's batch oracle verbatim. Checkpoint/output
+    // live in a fresh temp dir per invocation (restart state must not
+    // leak across bench iterations); the quartile staging is the
+    // memoized shared one.
+    "x_stream_restart" -> ((s, dir) => {
+      val src = Tables.load(s, dir, "events")
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+          col("value"))
+      val stage = stageOrderedQuartiles(s, dir, "events_wm", src, "ts")
+      val run = java.nio.file.Files.createTempDirectory("graft-restart-gate")
+      val in = run.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      def publish(q: Int): Unit = {
+        val dst = in.resolve(f"part-$q%05d.parquet")
+        java.nio.file.Files.copy(stage.resolve(f"part-$q%05d.parquet"), dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + q * 60000L))
+      }
+      def phase(): Unit = {
+        val stream = s.readStream.schema(src.schema).format("parquet")
+          .option("maxFilesPerTrigger", "1").load(in.toString)
+        val agg = stream.withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value").cast("decimal(18,4)")), 2)
+              .cast("double").as("sum_value"))
+          .select(col("window.start").cast("string").as("w_start"),
+            col("event_type"), col("n"), col("sum_value"))
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", streamParts)
+        val q = try {
+          agg.writeStream.format("parquet")
+            .option("path", run.resolve("out").toString)
+            .option("checkpointLocation", run.resolve("ckpt").toString)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        q.awaitTermination()
+      }
+      publish(1); publish(2); phase() // first half, then STOP
+      publish(3); publish(4); phase() // resume from the checkpoint
+      s.read.parquet(run.resolve("out").toString)
         .orderBy("w_start", "event_type")
     }),
 
@@ -1958,6 +2027,19 @@ object CorpusQueries {
     // full-microsecond max would emit a window/session whose end falls
     // in the sub-millisecond gap (boundary-case red on regenerated data)
     "x_stream_window_append" ->
+      """WITH m AS (
+        |  SELECT date_trunc('milliseconds', max(ts)) AS mx FROM events)
+        |SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start, event_type,
+        |  count(*) AS n,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events, m
+        |GROUP BY date_trunc('hour', ts), event_type, mx
+        |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    // restart recovery emits exactly the continuous-run append set — the
+    // SAME oracle as x_stream_window_append (that equality IS the gate)
+    "x_stream_restart" ->
       """WITH m AS (
         |  SELECT date_trunc('milliseconds', max(ts)) AS mx FROM events)
         |SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start, event_type,
