@@ -74,12 +74,16 @@ object Bench {
       val failed = times.exists(_._2 < 0)
       val sortedT = times.map(_._1).sorted
       val median = if (failed) -1.0 else sortedT(times.size / 2)
-      // min/max across iterations ride along in the file output so host
-      // variance (wide spread, stable min) is distinguishable from a real
-      // regression (min itself moved) without a rerun — round-12's
+      // min/max over the WARM iterations ride along in the file output so
+      // host variance (wide spread, stable min) is distinguishable from a
+      // real regression (min itself moved) without a rerun — round-12's
       // d_dedup_exact 2.21x "regression" took a manual rerun to classify.
-      val tMin = if (failed) -1.0 else sortedT.head
-      val tMax = if (failed) -1.0 else sortedT.last
+      // The cold first run is excluded (it has its own column): including
+      // it would make max==cold for nearly every query and hide exactly
+      // the warm spread these fields exist to expose.
+      val warm = if (times.size > 1) times.tail.map(_._1) else times.map(_._1)
+      val tMin = if (failed) -1.0 else warm.min
+      val tMax = if (failed) -1.0 else warm.max
       val liveBefore = CacheScope.liveCount
       CacheScope.releaseAll()
       // Defensive sweep outside the timing window: drop anything the

@@ -15,10 +15,12 @@ object ExplainAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // First arg may be a data dir (contains '/'), so plans can be audited
-    // at the gated scale factor; remaining args are query names.
+    // First arg may be a data dir (an existing directory — not a
+    // substring heuristic, which misrouted relative paths), so plans can
+    // be audited at the gated scale factor; remaining args are query names.
     val (dir, names) =
-      if (args.nonEmpty && args.head.contains("/")) (args.head, args.tail)
+      if (args.nonEmpty && java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(args.head))) (args.head, args.tail)
       else ("/root/testdata/sf0.001", args)
     for (q <- names) {
       println(s"===== $q =====")

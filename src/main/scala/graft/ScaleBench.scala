@@ -22,11 +22,12 @@ import org.apache.spark.sql.functions._
   * is what separates "plan went quadratic" from "answer got bigger".
   *
   * Skew mode remaps ~30% of blown-up documents onto doc_id multiples of
-  * 91: the URL identity is doc_id (mod 7, mod 13) and the domain identity
-  * doc_id mod 7, so those rows share ONE canonical URL and ONE domain;
-  * their text becomes one fixed 6-token line, so line dedup sees one
-  * corpus-hot digest. Cold rows keep residues 1..89 (never ≡ 0 mod 91),
-  * so ids stay unique and the cold key space stays diverse.
+  * 273 (= 7·13·3): the URL identity is doc_id (mod 7, mod 13) and the
+  * domain identity doc_id mod 7, so those rows share ONE canonical URL
+  * and ONE domain; their text becomes one fixed 6-token line whose
+  * stagedLines decorations are id-residue-constant, so line dedup sees
+  * exactly one corpus-hot digest. Cold rows keep residues that are never
+  * ≡ 0 mod 91, so ids stay unique and the cold key space stays diverse.
   *
   * Usage: runMain graft.ScaleBench [queryPrefix ...]
   * Env: SPARK_GRAFT_SF_DIR (base corpus), SPARK_GRAFT_CPUS,
@@ -42,12 +43,20 @@ object ScaleBench {
     * streaming state-partition count) without paying the build again. */
   private def buildBlowup(spark: SparkSession, sfDir: String, factor: Int,
                           bigDir: String, skew: Boolean): Unit = {
+    // The reuse marker records WHAT was built (base dir + its data
+    // fingerprint + factor + skew), not just that something was: reusing
+    // a blow-up built from a different base would silently measure
+    // exponents between unrelated corpora.
+    val provenance =
+      s"$sfDir|${Tables.dirFingerprint(sfDir)}|$factor|skew=$skew"
+    val marker = java.nio.file.Paths.get(s"$bigDir/_BLOWUP_SRC")
     if (sys.env.contains("SPARK_GRAFT_SCALE_REUSE") &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(
-          s"$bigDir/region.parquet/_SUCCESS"))) {
+        java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker) == provenance) {
       System.err.println(s"[scale] reusing existing blow-up at $bigDir")
       return
     }
+    java.nio.file.Files.deleteIfExists(marker)
     val docs = Tables.load(spark, sfDir, "documents")
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val copies = spark.range(factor).select(col("id").as("cpy"))
@@ -58,20 +67,31 @@ object ScaleBench {
           concat(col("text"), lit(" cpy"), col("cpy")).as("text"),
           col("lang"), col("source"), col("n_chars"))
       else {
-        // hot identity: ~30% of rows get doc_id ≡ 0 (mod 91) — one
-        // canonical URL (d_url_dedup keys on %7 × %13), one domain
-        // (d_domain_filter keys on %7) — and one fixed 6-token line
-        // (d_line_dedup's digest). monotonically_increasing_id is
+        // hot identity: ~30% of rows get doc_id ≡ 0 (mod 273 = 7·13·3) —
+        // one canonical URL (d_url_dedup keys on %7 × %13), one domain
+        // (d_domain_filter keys on %7), and EXACTLY one hot line digest:
+        // the 6-token hot text forms a single synthesized line whose
+        // decorations (stagedLines: '- ' bullet when (doc_id+0)%7==0,
+        // terminal '.' when (doc_id+0)%3==0) are CONSTANT because hot
+        // ids are ≡ 0 mod both 7 and 3 — a 7-token or %3-varying id
+        // would split the hot identity into several digests and measure
+        // a milder skew than documented. Cold rows take residues in
+        // 1..271 excluding 91 and 182 (the other multiples of 91), so
+        // ids stay unique, no cold row lands on the hot URL, and the
+        // cold key space stays diverse. monotonically_increasing_id is
         // layout-dependent, which a bench corpus can tolerate.
         val mid = monotonically_increasing_id()
+        val r0 = pmod(col("mid"), lit(269)) + 1 // 1..269
+        val r1 = when(r0 >= 91, r0 + 1).otherwise(r0) // skip 91
+        val coldRes = when(r1 >= 182, r1 + 1).otherwise(r1) // skip 182
         blown.select(mid.as("mid"), col("text"), col("cpy"),
             col("lang"), col("source"), col("n_chars"))
           .select(
-            when(pmod(col("mid"), lit(10)) < 3, col("mid") * 91)
-              .otherwise(col("mid") * 91 + 1 + pmod(col("mid"), lit(89)))
+            when(pmod(col("mid"), lit(10)) < 3, col("mid") * 273)
+              .otherwise(col("mid") * 273 + coldRes)
               .as("doc_id"),
             when(pmod(col("mid"), lit(10)) < 3,
-              lit("hot boilerplate tokens repeated across the corpus"))
+              lit("hot boilerplate tokens repeated across corpus"))
               .otherwise(concat(col("text"), lit(" cpy"), col("cpy")))
               .as("text"),
             col("lang"), col("source"), col("n_chars"))

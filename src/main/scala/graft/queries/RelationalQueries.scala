@@ -695,18 +695,33 @@ object RelationalQueries {
     // dependent. The 10^8 accuracy pin is a MEMORY statement: the state
     // is the group's value multiset, so this variant is for gate scale /
     // bounded groups, not the 100 TB path (that's the sketch regime).
-    "q_approx_percentile_exact" -> ((s, dir) =>
+    "q_approx_percentile_exact" -> ((s, dir) => {
+      // ENFORCED exact-regime precondition (the fail-fast budget
+      // pattern): beyond `accuracy` rows the sketch starts compressing
+      // and silently re-enters the merge-order-dependent regime this
+      // gate's oracle excludes — and the uncompressed state is the value
+      // multiset, so the same bound is the memory statement. One cheap
+      // count against the total (>= any group's count) turns both from
+      // doc-comment conventions into a throw.
+      val accuracy = 100000000L
+      val n = t(s, dir, "lineitem").count()
+      if (n > accuracy)
+        throw new IllegalArgumentException(
+          s"q_approx_percentile_exact: $n rows exceed accuracy=$accuracy — " +
+            "the no-compression exact regime no longer holds; use the " +
+            "sketch-regime q_approx_percentile instead")
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(expr(
-          "approx_percentile(l_extendedprice, array(0.01, 0.5, 0.99), 100000000)")
+          s"approx_percentile(l_extendedprice, array(0.01, 0.5, 0.99), $accuracy)")
           .as("ap"))
         .select(
           col("l_returnflag"),
           expr("element_at(ap, 1)").as("p01"),
           expr("element_at(ap, 2)").as("p50"),
           expr("element_at(ap, 3)").as("p99"))
-        .orderBy("l_returnflag")),
+        .orderBy("l_returnflag")
+    }),
 
     // Statistical moments from exact decimal power sums: mean and sample
     // variance derived as identical double arithmetic on both engines —

@@ -10,8 +10,6 @@ class QuickstartSpec extends SparkSpec {
 
   test("README quickstart compiles and runs end-to-end") {
     val data = sf0 // README: val data = "/root/testdata/sf0.001"
-    val staged = java.nio.file.Files
-      .createTempDirectory("graft-quickstart").toString
     val sent = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
     graft.io.Sinks.KafkaEnv.sender = // README: wire a real producer here
       batch => batch.foreach { case (topic, _, value) =>
@@ -53,6 +51,8 @@ class QuickstartSpec extends SparkSpec {
       // 3. Streaming: the SAME pipeline runs unchanged on a stream;
       //    produce each micro-batch to a kafka-shaped sink with a
       //    per-row topic (with a broker, use StreamingOps.kafkaSink).
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft-quickstart").toString
       envelope.write.mode("overwrite").parquet(staged)
       val q = pipeline(StreamingOps.fileSource(spark, envelope.schema, staged))
         .transform(df => Sinks.kafkaProduce(df,
