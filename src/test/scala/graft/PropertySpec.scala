@@ -391,6 +391,76 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lineDedup equals a single-node reference on random line corpora") {
+    // the distributed min-struct-aggregate + positional-rewrite pipeline
+    // checked against a literal in-memory replay of the CCNet rule:
+    // every line occurring anywhere else keeps only its smallest
+    // (doc id, position) occurrence. A tiny line alphabet forces heavy
+    // cross-document duplication, including corpus-hot digests.
+    val corpusGen = for {
+      nDocs <- Gen.chooseNum(2, 25)
+      docs <- Gen.listOfN(nDocs, Gen.listOf(Gen.chooseNum(0, 6)))
+    } yield docs.zipWithIndex.map { case (ls, i) =>
+      (i.toLong, ls.map(x => s"line $x"))
+    }
+    forAllSampled(corpusGen, n = 6) { docsL =>
+      if (docsL.exists(_._2.nonEmpty)) {
+        val got = graft.dedup.Dedup
+          .lineDedup(docsL.toDF("id", "lines"), "lines", "id")
+          .collect()
+          .map(r => r.getAs[Long]("id") ->
+            ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed"),
+              r.getAs[String]("clean_md5"))))
+          .toMap
+        // reference: min (id, idx) per duplicated line wins
+        val occ = for ((id, ls) <- docsL; (l, idx) <- ls.zipWithIndex)
+          yield (l, id, idx)
+        val canon = occ.groupBy(_._1).collect {
+          case (l, os) if os.size > 1 => l -> os.map(o => (o._2, o._3)).min
+        }
+        val want = docsL.map { case (id, ls) =>
+          val keptLines = ls.zipWithIndex.collect {
+            case (l, idx) if !canon.contains(l) || canon(l) == ((id, idx)) => l
+          }
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(keptLines.mkString("\n").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          id -> ((ls.size.toLong, (ls.size - keptLines.size).toLong, md5))
+        }.toMap
+        assert(got == want, s"docs=$docsL")
+        graft.CacheScope.releaseAll()
+      }
+    }
+  }
+
+  test("incrementalExact equals a single-node reference on random splits") {
+    // existing-wins, then min-id-within-delta: replayed literally
+    val gen = for {
+      nCorpus <- Gen.chooseNum(0, 15)
+      nDelta <- Gen.chooseNum(1, 20)
+      corpus <- Gen.listOfN(nCorpus, Gen.chooseNum(0, 8))
+      delta <- Gen.listOfN(nDelta, Gen.chooseNum(0, 8))
+    } yield (corpus.map(x => s"text $x"), delta.map(x => s"text $x"))
+    forAllSampled(gen, n = 6) { case (corpus, delta) =>
+      val existing = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val deltaDf = delta.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.dedup.Dedup
+        .incrementalExact(existing, deltaDf, "text", "doc_id")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("verdict"))
+        .toMap
+      val inCorpus = corpus.toSet
+      val firstInDelta = delta.zipWithIndex.groupBy(_._1)
+        .map { case (t, os) => t -> os.map(_._2).min }
+      val want = delta.zipWithIndex.map { case (t, i) =>
+        i.toLong -> (if (inCorpus(t)) "dup_of_corpus"
+          else if (firstInDelta(t) != i) "dup_in_delta" else "new")
+      }.toMap
+      assert(got == want, s"corpus=$corpus delta=$delta")
+    }
+  }
+
   test("md5-draw operators are retry/layout-deterministic: a repartitioned, " +
       "re-ordered corpus selects the identical set") {
     // The contract stableDraw exists for: a task retry or a different
