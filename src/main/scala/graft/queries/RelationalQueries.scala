@@ -980,9 +980,13 @@ object RelationalQueries {
     // NOT EXISTS another supplier's 'R' line (anti join). The testdata
     // ships no commit/receipt dates, so returnflag='R' is the
     // deterministic "late" stand-in — the join topology (the shape under
-    // test) is Q21's exactly. All three lineitem sides shuffle on
-    // l_orderkey — the same key, so AQE/exchange reuse co-locates them;
-    // supplier⋈nation broadcast; orders filtered then shuffled once.
+    // test) is Q21's exactly. Plan regimes (post-exec audit, PLANS.md
+    // round 13): up to ~6M-row lineitem the column-pruned
+    // (orderkey, suppkey) semi/anti sides compress under the broadcast
+    // threshold, so every join is a BroadcastHashJoin and the final
+    // groupBy is the ONLY exchange; past the threshold Spark flips them
+    // to SMJ on the shared l_orderkey key, where same-key exchange reuse
+    // co-locates the three sides. supplier⋈nation stays broadcast.
     "q21_waiting_suppliers" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
