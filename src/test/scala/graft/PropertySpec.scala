@@ -404,7 +404,7 @@ class PropertySpec extends SparkSpec {
       (i.toLong, ls.map(x => s"line $x"))
     }
     forAllSampled(corpusGen, n = 6) { docsL =>
-      if (docsL.exists(_._2.nonEmpty)) {
+      if (docsL.exists(_._2.nonEmpty)) try {
         val got = graft.dedup.Dedup
           .lineDedup(docsL.toDF("id", "lines"), "lines", "id")
           .collect()
@@ -428,8 +428,8 @@ class PropertySpec extends SparkSpec {
           id -> ((ls.size.toLong, (ls.size - keptLines.size).toLong, md5))
         }.toMap
         assert(got == want, s"docs=$docsL")
-        graft.CacheScope.releaseAll()
-      }
+      } finally graft.CacheScope.releaseAll() // even on a failing sample:
+      // the cached lines relation must not leak into later suites
     }
   }
 
