@@ -141,6 +141,27 @@ object CorpusQueries {
       .select(col("window.start").cast("string").as("w_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** The events relation the watermarked session gates aggregate. */
+  private def eventsWmSess(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("value"))
+
+  /** THE watermark+append session aggregation — one definition shared by
+    * `x_stream_session_append` and `x_stream_restart_session` (the
+    * [[windowedAppendAgg]] rationale: shared oracle ⇒ shared
+    * aggregation, structurally). */
+  private def sessionAppendAgg(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_value"))
+      .select(
+        date_format(col("session_window.start"),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("w_start"),
+        col("user_id"), col("n"), col("sum_value"))
+
   /** Fresh working dir for a restart-gate invocation, with the previous
     * invocation's dir deleted (bench iterations run sequentially, so the
     * prior DataFrame is already consumed) and the last one removed by a
@@ -1053,20 +1074,53 @@ object CorpusQueries {
     // sessions whose end <= max(ts) − delay; later sessions stay in
     // state and are withheld — the oracle's HAVING mirrors it.
     "x_stream_session_append" -> ((s, dir) => {
-      val src = Tables.load(s, dir, "events")
-        .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
-          col("value"))
+      val src = eventsWmSess(s, dir)
       val stream = replayAsStreamOrdered(s, dir, "events_wm_sess", src, "ts")
-      val agg = stream.withWatermark("ts", "2 hours")
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("value").cast("decimal(18,4)")), 2)
-            .cast("double").as("sum_value"))
-      runAppend(s, agg, "x_stream_session_append_sink")
-        .select(
-          date_format(col("session_window.start"),
-            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("w_start"),
-          col("user_id"), col("n"), col("sum_value"))
+      runAppend(s, sessionAppendAgg(stream), "x_stream_session_append_sink")
+        .select(col("w_start"), col("user_id"), col("n"), col("sum_value"))
+        .orderBy("user_id", "w_start")
+    }),
+
+    // The restart-parity family's hardest member: MERGING session-window
+    // state across a stop (same construction as x_stream_restart —
+    // phase 1 streams two event-time quartiles to a parquet sink and
+    // terminates, phase 2 resumes from the checkpoint). A session whose
+    // events straddle the stop must be recovered, EXTENDED by
+    // post-restart events, and emitted once with full counts — which
+    // makes the two-phase union share x_stream_session_append's oracle
+    // verbatim (the shared sessionAppendAgg definition makes parameter
+    // drift impossible).
+    "x_stream_restart_session" -> ((s, dir) => {
+      val src = eventsWmSess(s, dir)
+      val stage = stageOrderedQuartiles(s, dir, "events_wm_sess", src, "ts")
+      val run = freshRestartRunDir()
+      val in = run.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      def publish(q: Int): Unit = {
+        val dst = in.resolve(f"part-$q%05d.parquet")
+        java.nio.file.Files.copy(stage.resolve(f"part-$q%05d.parquet"), dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + q * 60000L))
+      }
+      def phase(): Unit = {
+        val stream = s.readStream.schema(src.schema).format("parquet")
+          .option("maxFilesPerTrigger", "1").load(in.toString)
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", streamParts)
+        val q = try {
+          sessionAppendAgg(stream).writeStream.format("parquet")
+            .option("path", run.resolve("out").toString)
+            .option("checkpointLocation", run.resolve("ckpt").toString)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        q.awaitTermination()
+      }
+      publish(1); publish(2); phase() // first half, then STOP
+      publish(3); publish(4); phase() // resume from the checkpoint
+      s.read.parquet(run.resolve("out").toString)
         .orderBy("user_id", "w_start")
     }),
 
@@ -2088,6 +2142,33 @@ object CorpusQueries {
     // END (last event + 30 min gap) the final watermark has passed
     // same millisecond-floored watermark as x_stream_window_append
     "x_stream_session_append" ->
+      """WITH m AS (
+        |  SELECT date_trunc('milliseconds', max(ts)) AS mx FROM events),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(CASE WHEN prev IS NULL
+        |          OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS w_start,
+        |  user_id, count(*) AS n,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM s, m
+        |GROUP BY user_id, sid, mx
+        |HAVING max(ts) + INTERVAL 30 MINUTE <= mx - INTERVAL 2 HOUR
+        |ORDER BY user_id, w_start""".stripMargin,
+
+    // restart recovery of MERGING session state emits exactly the
+    // continuous-run append set — x_stream_session_append's oracle
+    // verbatim (the equality IS the gate)
+    "x_stream_restart_session" ->
       """WITH m AS (
         |  SELECT date_trunc('milliseconds', max(ts)) AS mx FROM events),
         |g AS (
