@@ -10,14 +10,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.build(cpus)
     // Warm up codegen/scan paths so the alphabetically-first query doesn't
     // absorb JVM+session startup in its timing.
     try {
@@ -81,9 +74,12 @@ object Bench {
       // The cold first run is excluded (it has its own column): including
       // it would make max==cold for nearly every query and hide exactly
       // the warm spread these fields exist to expose.
-      val warm = if (times.size > 1) times.tail.map(_._1) else times.map(_._1)
-      val tMin = if (failed) -1.0 else warm.min
-      val tMax = if (failed) -1.0 else warm.max
+      // With a single iteration there ARE no warm runs — emit -1 rather
+      // than echoing the cold time, so a 1-iter run cannot masquerade as
+      // a zero-variance warm measurement (advice r13).
+      val warm = times.drop(1).map(_._1)
+      val tMin = if (failed || warm.isEmpty) -1.0 else warm.min
+      val tMax = if (failed || warm.isEmpty) -1.0 else warm.max
       val liveBefore = CacheScope.liveCount
       CacheScope.releaseAll()
       // Defensive sweep outside the timing window: drop anything the

@@ -94,7 +94,15 @@ object ScaleBench {
               lit("hot boilerplate tokens repeated across corpus"))
               .otherwise(concat(col("text"), lit(" cpy"), col("cpy")))
               .as("text"),
-            col("lang"), col("source"), col("n_chars"))
+            // hot rows must stay internally consistent: n_chars is the
+            // HOT text's length and lang is pinned, so queries that
+            // filter/weight on n_chars or lang measure a coherent
+            // corpus in skew runs (advice r13)
+            when(pmod(col("mid"), lit(10)) < 3, lit("en")).otherwise(col("lang")).as("lang"),
+            col("source"),
+            when(pmod(col("mid"), lit(10)) < 3,
+              lit("hot boilerplate tokens repeated across corpus".length))
+              .otherwise(col("n_chars")).as("n_chars"))
       }
     docsOut.write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
     // embeddings blow-up: byte-identical copies with offset ids —
@@ -153,6 +161,10 @@ object ScaleBench {
     Seq("part", "supplier", "nation", "region").foreach(t =>
       Tables.load(spark, sfDir, t)
         .write.mode("overwrite").parquet(s"$bigDir/$t.parquet"))
+    // record provenance so SPARK_GRAFT_SCALE_REUSE can actually match
+    // next time (the marker was deleted up front; without this write the
+    // reuse path is dead code — advice r13)
+    java.nio.file.Files.writeString(marker, provenance)
     System.err.println(
       s"[scale] built ${factor}x all-tables blow-up at $bigDir" +
         (if (skew) " (skewed documents)" else ""))

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place the harness mains (Bench / Verify / ScaleBench) build their
+  * SparkSession, so the execution-environment knobs behave identically
+  * everywhere:
+  *
+  *  - `SPARK_GRAFT_MASTER` — overrides the master URL. The interesting
+  *    value is `local-cluster[N,C,MEM_MB]`: Spark's standalone-in-a-box
+  *    mode that launches N SEPARATE EXECUTOR JVMS (real process
+  *    boundary: closures/state serialize, broadcasts actually
+  *    transfer, nothing accidentally shares the driver heap) without
+  *    needing a real cluster. Every number before round 14 was
+  *    single-JVM `local[32]`; this knob is how the gate surface is
+  *    re-run under the closest available approximation of the 100 TB
+  *    deployment shape. Executor JVMs are launched by the in-process
+  *    Worker from SPARK_HOME, so they need (a) this project's classes
+  *    on their classpath and (b) the same JDK-17 --add-opens set the
+  *    driver gets from build.sbt — both wired here, not in each main.
+  *  - `SPARK_GRAFT_STATE_PROVIDER` — `rocksdb` switches Structured
+  *    Streaming state stores to the RocksDB provider (the production
+  *    choice for large state at 100 TB: state lives off-heap/on-disk
+  *    with changelog/snapshot persistence instead of in-memory
+  *    HashMaps). Any other non-empty value is taken as a provider FQCN.
+  *    Consumed by the streaming gates when they start queries; setting
+  *    it at session scope here makes EVERY gate inherit it.
+  */
+object Sessions {
+
+  /** The JDK-17 module opens Spark needs when sessions are created
+    * outside spark-submit — mirrored from build.sbt's driver options so
+    * local-cluster executor JVMs (which do NOT inherit sbt's
+    * javaOptions) get the same set. */
+  private val jdk17AddOpens: String = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+
+  /** Resolved state-store provider FQCN from SPARK_GRAFT_STATE_PROVIDER,
+    * if any. */
+  def stateProviderClass: Option[String] =
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").map(_.trim).filter(_.nonEmpty)
+      .map {
+        case "rocksdb" =>
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        case "hdfs" =>
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        case fqcn => fqcn
+      }
+
+  /** Build the standard harness session: `cpus` threads (or the
+    * SPARK_GRAFT_MASTER override), `cpus` shuffle partitions, AQE, UTC,
+    * no UI. */
+  def build(cpus: String): SparkSession = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    var b = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    if (master.startsWith("local-cluster")) {
+      // Executor JVMs are spawned by the Worker from SPARK_HOME/jars;
+      // they additionally need this project's compiled classes (the
+      // closures they deserialize reference graft.* classes) and the
+      // JDK-17 opens. sbt runs from the project root, so the relative
+      // classes dir resolves; an explicit override is available for
+      // running from elsewhere.
+      val classes = sys.env.getOrElse("SPARK_GRAFT_CLASSES",
+        new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+      b = b.config("spark.executor.extraClassPath", classes)
+        .config("spark.executor.extraJavaOptions", jdk17AddOpens)
+    }
+    stateProviderClass.foreach(p =>
+      b = b.config("spark.sql.streaming.stateStore.providerClass", p))
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -12,14 +12,7 @@ object Verify {
     val prefixes =
       (if (args.length > 2) args(2) else "").split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.build(cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter(kv => prefixes.exists(kv._1.startsWith))

@@ -72,6 +72,32 @@ object CorpusQueries {
       .option("maxFilesPerTrigger", "1").load(stage.toString)
   }
 
+  /** BOUNDED-DISORDER replay (round-14): like [[replayAsStreamOrdered]]
+    * but rows are replayed in PERTURBED event-time order — each row's
+    * replay position is its event time plus a deterministic per-row
+    * jitter drawn from [0, `disorderMicros`). Real streams are not
+    * event-time-ordered; they are disordered within the watermark
+    * delay, and THAT is the regime the watermark contract covers. With
+    * disorder bound δ strictly below the delay D, no row can ever
+    * arrive behind the watermark: a row r replayed in batch q+1 has
+    * perturbed time ≥ every file-q perturbed time b, so its TRUE time
+    * ≥ b − δ, while the watermark after batch q is ≤ b − D < b − δ.
+    * Hence zero drops, the final watermark (max true ts − D) is
+    * unchanged, and the emitted append set must be IDENTICAL to the
+    * ordered replay's — the disorder gates assert exactly that by
+    * sharing the ordered gates' aggregation AND oracle. Determinism of
+    * the gate itself: the jitter is xxhash64 of the row (same data ⇒
+    * same replay layout), so the staging stays memoizable. */
+  private def replayAsStreamDisordered(s: SparkSession, dir: String,
+                                       name: String, src: DataFrame,
+                                       tsCol: String,
+                                       disorderMicros: Long): DataFrame = {
+    val stage = stageOrderedQuartiles(s, dir, name, src, tsCol,
+      disorderMicros)
+    s.readStream.schema(src.schema).format("parquet")
+      .option("maxFilesPerTrigger", "1").load(stage.toString)
+  }
+
   /** The staging half of [[replayAsStreamOrdered]]: materialize `src` as
     * four event-time-quartile parquet files (part-00001..4, mtime-pinned
     * so FileStreamSource reads them in event order), memoized per
@@ -79,17 +105,28 @@ object CorpusQueries {
     * gate can publish the files incrementally into its own input dir. */
   private def stageOrderedQuartiles(s: SparkSession, dir: String,
                                     name: String, src: DataFrame,
-                                    tsCol: String): java.nio.file.Path = {
+                                    tsCol: String,
+                                    disorderMicros: Long = 0L)
+      : java.nio.file.Path = {
     import scala.jdk.CollectionConverters._
+    val mode =
+      if (disorderMicros == 0L) "ordered" else s"disorder$disorderMicros"
     val stage = java.nio.file.Paths.get("/tmp/graft-streamstage-" +
       java.util.UUID.nameUUIDFromBytes(
-        s"$dir|${Tables.dirFingerprint(dir)}|$name|ordered"
+        s"$dir|${Tables.dirFingerprint(dir)}|$name|$mode"
           .getBytes("UTF-8")).toString)
     if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS"))) {
+      // replay position: true event time; in disorder mode, plus a
+      // deterministic per-row jitter in [0, δ) — xxhash64 of the whole
+      // row, so identical data stages identically
+      val orderCol =
+        if (disorderMicros == 0L) col(tsCol)
+        else expr(s"unix_micros(cast($tsCol AS timestamp))") +
+          pmod(xxhash64(src.columns.map(col): _*), lit(disorderMicros))
       // cache the global sort: the four quartile filters would otherwise
       // re-run the single-partition window sort once each
       val ranked = src.withColumn("__q", ntile(4).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(tsCol))))
+        org.apache.spark.sql.expressions.Window.orderBy(orderCol)))
         .cache()
       java.nio.file.Files.createDirectories(stage)
       try {
@@ -162,28 +199,8 @@ object CorpusQueries {
           "yyyy-MM-dd HH:mm:ss.SSSSSS").as("w_start"),
         col("user_id"), col("n"), col("sum_value"))
 
-  /** Fresh working dir for a restart-gate invocation, with the previous
-    * invocation's dir deleted (bench iterations run sequentially, so the
-    * prior DataFrame is already consumed) and the last one removed by a
-    * JVM shutdown hook — unbounded /tmp accumulation across bench/verify
-    * cycles was a round-13 self-review finding. */
-  private val lastRestartRun =
-    new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path]()
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    if (p != null && java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val wk = java.nio.file.Files.walk(p)
-      try wk.iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      finally wk.close()
-    }
-  Runtime.getRuntime.addShutdownHook(
-    new Thread(() => deleteTree(lastRestartRun.get())))
-  private def freshRestartRunDir(): java.nio.file.Path = {
-    val run = java.nio.file.Files.createTempDirectory("graft-restart-gate")
-    deleteTree(lastRestartRun.getAndSet(run))
-    run
-  }
+  private def freshRestartRunDir(gate: String): java.nio.file.Path =
+    RestartRuns.fresh(gate)
 
   /** State partitions for the streaming gates: 4 at gate scale (the
     * round-12 sweep's winner — see [[runToCompletion]]), overridable via
@@ -194,6 +211,31 @@ object CorpusQueries {
     * PLANS.md round 13). Output is partition-count independent. */
   private def streamParts: String =
     sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
+
+  /** Run a streaming `start()` under the gates' streaming conf: state
+    * partitions pinned to [[streamParts]] and — when
+    * SPARK_GRAFT_STATE_PROVIDER is set (round-14: RocksDB parity) — the
+    * state-store provider class, both restored immediately after start
+    * (streaming captures conf at start; later batch queries see the
+    * originals). One definition so the provider knob reaches EVERY gate
+    * (continuous, restart phases, tests with their own sessions) and
+    * the single-threaded-driver conf-mutation caveat documented at the
+    * original site lives in one place. */
+  private def startWithStreamConf[T](s: SparkSession)(start: => T): T = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set("spark.sql.shuffle.partitions", streamParts)
+    graft.Sessions.stateProviderClass.foreach(s.conf.set(provKey, _))
+    try start
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (graft.Sessions.stateProviderClass.isDefined) prevProv match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+    }
+  }
 
   /** Run a streaming aggregation to completion into a memory sink
     * (complete mode, AvailableNow) and return the finished table. */
@@ -218,14 +260,12 @@ object CorpusQueries {
     // query planned concurrently inside the set/restore window would
     // silently capture 4 partitions; concurrent driving would need a
     // cloned session or per-writer options instead.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts)
-    val q = try {
+    val q = startWithStreamConf(s) {
       agg.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     q.awaitTermination()
     s.table(name)
   }
@@ -240,14 +280,12 @@ object CorpusQueries {
                         name: String): DataFrame = {
     s.streams.active.filter(q => Option(q.name).contains(name))
       .foreach(_.stop())
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts)
-    val q = try {
+    val q = startWithStreamConf(s) {
       df.writeStream.format("memory").queryName(name)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     q.awaitTermination()
     s.table(name)
   }
@@ -1011,6 +1049,25 @@ object CorpusQueries {
         .orderBy("w_start", "event_type")
     }),
 
+    // The watermark contract under BOUNDED DISORDER (round-14 verdict
+    // item): same aggregation and same oracle as x_stream_window_append,
+    // but rows replay in PERTURBED event-time order — shuffled within a
+    // 90-minute disorder bound, strictly below the 2-hour delay.
+    // Determinism no longer leans on ordered replay; it is the
+    // watermark contract itself doing the work (no drop is possible
+    // when disorder < delay — proof at replayAsStreamDisordered), so
+    // the emitted set must be IDENTICAL to the ordered run's.
+    "x_stream_window_disorder" -> ((s, dir) => {
+      val src = eventsWm(s, dir)
+      val stream = replayAsStreamDisordered(s, dir, "events_wm", src,
+        "ts", 90L * 60 * 1000000)
+      runAppend(s, windowedAppendAgg(stream),
+          "x_stream_window_disorder_sink")
+        .select(col("w_start"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
     // (eventsWm / windowedAppendAgg are shared with x_stream_restart
     // below: both gates check the SAME aggregation against the SAME
     // oracle, so the aggregation must have one definition — parameter
@@ -1034,7 +1091,7 @@ object CorpusQueries {
     "x_stream_restart" -> ((s, dir) => {
       val src = eventsWm(s, dir)
       val stage = stageOrderedQuartiles(s, dir, "events_wm", src, "ts")
-      val run = freshRestartRunDir()
+      val run = freshRestartRunDir("window")
       val in = run.resolve("in")
       java.nio.file.Files.createDirectories(in)
       def publish(q: Int): Unit = {
@@ -1047,16 +1104,14 @@ object CorpusQueries {
       def phase(): Unit = {
         val stream = s.readStream.schema(src.schema).format("parquet")
           .option("maxFilesPerTrigger", "1").load(in.toString)
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", streamParts)
-        val q = try {
+        val q = startWithStreamConf(s) {
           windowedAppendAgg(stream).writeStream.format("parquet")
             .option("path", run.resolve("out").toString)
             .option("checkpointLocation", run.resolve("ckpt").toString)
             .outputMode("append")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        }
         q.awaitTermination()
       }
       publish(1); publish(2); phase() // first half, then STOP
@@ -1081,6 +1136,24 @@ object CorpusQueries {
         .orderBy("user_id", "w_start")
     }),
 
+    // Bounded-disorder twin of x_stream_session_append — the harder
+    // member of the disorder family: session MERGING must also be
+    // order-insensitive. It is, given disorder δ < delay D: a session
+    // is only emitted once the watermark passes its end (last event +
+    // gap), and any row yet to replay has true ts > watermark (the
+    // no-drop bound), so it cannot extend an emitted session — merge
+    // order can differ mid-stream but the final merged set cannot.
+    // Same sessionAppendAgg, same oracle; 90-minute disorder bound.
+    "x_stream_session_disorder" -> ((s, dir) => {
+      val src = eventsWmSess(s, dir)
+      val stream = replayAsStreamDisordered(s, dir, "events_wm_sess",
+        src, "ts", 90L * 60 * 1000000)
+      runAppend(s, sessionAppendAgg(stream),
+          "x_stream_session_disorder_sink")
+        .select(col("w_start"), col("user_id"), col("n"), col("sum_value"))
+        .orderBy("user_id", "w_start")
+    }),
+
     // The restart-parity family's hardest member: MERGING session-window
     // state across a stop (same construction as x_stream_restart —
     // phase 1 streams two event-time quartiles to a parquet sink and
@@ -1093,7 +1166,7 @@ object CorpusQueries {
     "x_stream_restart_session" -> ((s, dir) => {
       val src = eventsWmSess(s, dir)
       val stage = stageOrderedQuartiles(s, dir, "events_wm_sess", src, "ts")
-      val run = freshRestartRunDir()
+      val run = freshRestartRunDir("session")
       val in = run.resolve("in")
       java.nio.file.Files.createDirectories(in)
       def publish(q: Int): Unit = {
@@ -1106,16 +1179,14 @@ object CorpusQueries {
       def phase(): Unit = {
         val stream = s.readStream.schema(src.schema).format("parquet")
           .option("maxFilesPerTrigger", "1").load(in.toString)
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", streamParts)
-        val q = try {
+        val q = startWithStreamConf(s) {
           sessionAppendAgg(stream).writeStream.format("parquet")
             .option("path", run.resolve("out").toString)
             .option("checkpointLocation", run.resolve("ckpt").toString)
             .outputMode("append")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        }
         q.awaitTermination()
       }
       publish(1); publish(2); phase() // first half, then STOP
@@ -1334,6 +1405,53 @@ object CorpusQueries {
       s"SELECT CAST($i AS BIGINT) AS step, a, b, merged, " +
         s"CAST(cnt AS BIGINT) AS cnt, score AS score_x9 FROM p$i")
       .mkString("\nUNION ALL ")
+
+  /** ONE oracle for the whole windowed-append family
+    * (`x_stream_window_append` / `x_stream_restart` /
+    * `x_stream_window_disorder`): all three gates claim to emit exactly
+    * this batch set, so the SQL must have one definition — the same
+    * no-drift rationale as the shared [[windowedAppendAgg]]. Spark
+    * floors the watermark through DateTimeUtils.microsToMillis, so the
+    * final watermark is floor_ms(max ts) − delay. */
+  private val windowAppendOracle =
+    """WITH m AS (
+        |  SELECT date_trunc('milliseconds', max(ts)) AS mx FROM events)
+        |SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start, event_type,
+        |  count(*) AS n,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events, m
+        |GROUP BY date_trunc('hour', ts), event_type, mx
+        |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+        |ORDER BY w_start, event_type""".stripMargin
+
+  /** ONE oracle for the session-append family
+    * (`x_stream_session_append` / `x_stream_restart_session` /
+    * `x_stream_session_disorder`) — batch gaps-and-islands sessions
+    * whose END (last event + 30 min gap) the final millisecond-floored
+    * watermark has passed. */
+  private val sessionAppendOracle =
+    """WITH m AS (
+        |  SELECT date_trunc('milliseconds', max(ts)) AS mx FROM events),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(CASE WHEN prev IS NULL
+        |          OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS w_start,
+        |  user_id, count(*) AS n,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM s, m
+        |GROUP BY user_id, sid, mx
+        |HAVING max(ts) + INTERVAL 30 MINUTE <= mx - INTERVAL 2 HOUR
+        |ORDER BY user_id, w_start""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "p_pack_sequences" ->
@@ -2114,83 +2232,29 @@ object CorpusQueries {
     // watermark is floor_ms(max ts) − delay; comparing against the
     // full-microsecond max would emit a window/session whose end falls
     // in the sub-millisecond gap (boundary-case red on regenerated data)
-    "x_stream_window_append" ->
-      """WITH m AS (
-        |  SELECT date_trunc('milliseconds', max(ts)) AS mx FROM events)
-        |SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start, event_type,
-        |  count(*) AS n,
-        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
-        |FROM events, m
-        |GROUP BY date_trunc('hour', ts), event_type, mx
-        |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
-        |ORDER BY w_start, event_type""".stripMargin,
+    "x_stream_window_append" -> windowAppendOracle,
+
+    // bounded disorder < delay cannot change the emitted set — the
+    // SAME oracle (that equality IS the gate)
+    "x_stream_window_disorder" -> windowAppendOracle,
 
     // restart recovery emits exactly the continuous-run append set — the
     // SAME oracle as x_stream_window_append (that equality IS the gate)
-    "x_stream_restart" ->
-      """WITH m AS (
-        |  SELECT date_trunc('milliseconds', max(ts)) AS mx FROM events)
-        |SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start, event_type,
-        |  count(*) AS n,
-        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
-        |FROM events, m
-        |GROUP BY date_trunc('hour', ts), event_type, mx
-        |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
-        |ORDER BY w_start, event_type""".stripMargin,
+    "x_stream_restart" -> windowAppendOracle,
 
     // append+watermark sessions: batch gaps-and-islands sessions whose
     // END (last event + 30 min gap) the final watermark has passed
     // same millisecond-floored watermark as x_stream_window_append
-    "x_stream_session_append" ->
-      """WITH m AS (
-        |  SELECT date_trunc('milliseconds', max(ts)) AS mx FROM events),
-        |g AS (
-        |  SELECT user_id, ts, value,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, ts, value,
-        |    sum(CASE WHEN prev IS NULL
-        |          OR epoch_us(ts) - epoch_us(prev) >= 1800000000
-        |        THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY ts
-        |            ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM g)
-        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS w_start,
-        |  user_id, count(*) AS n,
-        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
-        |    AS sum_value
-        |FROM s, m
-        |GROUP BY user_id, sid, mx
-        |HAVING max(ts) + INTERVAL 30 MINUTE <= mx - INTERVAL 2 HOUR
-        |ORDER BY user_id, w_start""".stripMargin,
+    "x_stream_session_append" -> sessionAppendOracle,
+
+    // bounded disorder < delay cannot change the merged-session set —
+    // the SAME oracle (that equality IS the gate)
+    "x_stream_session_disorder" -> sessionAppendOracle,
 
     // restart recovery of MERGING session state emits exactly the
     // continuous-run append set — x_stream_session_append's oracle
     // verbatim (the equality IS the gate)
-    "x_stream_restart_session" ->
-      """WITH m AS (
-        |  SELECT date_trunc('milliseconds', max(ts)) AS mx FROM events),
-        |g AS (
-        |  SELECT user_id, ts, value,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, ts, value,
-        |    sum(CASE WHEN prev IS NULL
-        |          OR epoch_us(ts) - epoch_us(prev) >= 1800000000
-        |        THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY ts
-        |            ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM g)
-        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS w_start,
-        |  user_id, count(*) AS n,
-        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
-        |    AS sum_value
-        |FROM s, m
-        |GROUP BY user_id, sid, mx
-        |HAVING max(ts) + INTERVAL 30 MINUTE <= mx - INTERVAL 2 HOUR
-        |ORDER BY user_id, w_start""".stripMargin,
+    "x_stream_restart_session" -> sessionAppendOracle,
 
     // every output column is BIGINT — integer-scaled truncating division
     // of exact integer sums, per-doc quality via pure-integer
