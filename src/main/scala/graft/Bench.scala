@@ -138,7 +138,15 @@ object Bench {
       val failedJson =
         if (failedNames.isEmpty) ""
         else failedNames.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
-      s"""{"metric":"total","value":${fmt(prec, total)},"unit":"sec","iters":$iters,"queries":$qs$cold$failedJson,"sf":"$sfDir"}"""
+      // Streaming throughput from the queries' OWN progress (rows/sec over
+      // triggerExecution): corpus-size-independent, so a per-micro-batch
+      // overhead regression shows even when the wall-clock seconds are
+      // dominated by replay size (round-13 verdict item 8).
+      val rps = graft.queries.StreamMetrics.rowsPerSec.toSeq.sorted
+        .map { case (k, v) => "\"" + k + "\":" + fmt("%.1f", v) }
+      val rpsJson =
+        if (rps.isEmpty) "" else rps.mkString(",\"stream_rps\":{", ",", "}")
+      s"""{"metric":"total","value":${fmt(prec, total)},"unit":"sec","iters":$iters,"queries":$qs$cold$failedJson$rpsJson,"sf":"$sfDir"}"""
     }
     // Full per-query timings go to a file: the driver's stdout capture keeps
     // only a ~2k-char tail, which truncated the 90-query JSON line from the

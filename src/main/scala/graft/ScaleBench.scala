@@ -61,11 +61,17 @@ object ScaleBench {
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val copies = spark.range(factor).select(col("id").as("cpy"))
     val blown = docs.crossJoin(copies)
-    val docsOut =
+    val docsOut = {
+      // every extended text carries ' cpy<N>' (4 chars + the copy
+      // number's digits), so n_chars must grow with it — stale base
+      // lengths would make n_chars-weighted queries measure an
+      // incoherent corpus (advice r14)
+      val suffixLen = lit(4) + length(col("cpy").cast("string"))
       if (!skew)
         blown.select((col("doc_id") + col("cpy") * maxId).as("doc_id"),
           concat(col("text"), lit(" cpy"), col("cpy")).as("text"),
-          col("lang"), col("source"), col("n_chars"))
+          col("lang"), col("source"),
+          (col("n_chars") + suffixLen).as("n_chars"))
       else {
         // hot identity: ~30% of rows get doc_id ≡ 0 (mod 273 = 7·13·3) —
         // one canonical URL (d_url_dedup keys on %7 × %13), one domain
@@ -102,8 +108,9 @@ object ScaleBench {
             col("source"),
             when(pmod(col("mid"), lit(10)) < 3,
               lit("hot boilerplate tokens repeated across corpus".length))
-              .otherwise(col("n_chars")).as("n_chars"))
+              .otherwise(col("n_chars") + suffixLen).as("n_chars"))
       }
+    }
     docsOut.write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
     // embeddings blow-up: byte-identical copies with offset ids —
     // deliberately adversarial for pair ops (true output grows
@@ -177,14 +184,11 @@ object ScaleBench {
       .split(",").map(_.trim.toInt).toSeq.sorted
     val skew = sys.env.contains("SPARK_GRAFT_SCALE_SKEW")
     val prefixes = if (args.isEmpty) Seq("") else args.toSeq
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Shared builder (advice r14): ScaleBench must honor the same
+    // SPARK_GRAFT_MASTER / state-provider knobs as Bench/Verify — an
+    // inline local[k] builder here would silently re-measure scaling in
+    // single-JVM mode when the user asked for local-cluster.
+    val spark = Sessions.build(cpus)
 
     val tag = if (skew) "skew" else "scale"
     val dirs = factors.map(f => f -> s"/tmp/graft-$tag$f")

@@ -267,6 +267,7 @@ object CorpusQueries {
         .start()
     }
     q.awaitTermination()
+    StreamMetrics.record(name, q)
     s.table(name)
   }
 
@@ -287,6 +288,7 @@ object CorpusQueries {
         .start()
     }
     q.awaitTermination()
+    StreamMetrics.record(name, q)
     s.table(name)
   }
 

@@ -10,8 +10,8 @@ package graft.queries
   * finding. Keyed per gate name (advice r13): the gates return LAZY
   * parquet reads over their run dir, so a SIBLING gate constructing
   * must not invalidate an unconsumed sibling result. Shared by
-  * CorpusQueries (window/session restart) and LlmQueries (knn serving
-  * restart). */
+  * CorpusQueries (`x_stream_restart` / `x_stream_restart_session`) and
+  * LlmQueries (`x_stream_restart_knn`, the serving-path recovery gate). */
 private[queries] object RestartRuns {
   private val last =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()

@@ -1,0 +1,38 @@
+package graft.queries
+
+/** Per-gate streaming throughput, captured from the engine's own
+  * `StreamingQueryProgress` after each gate run (round-13 verdict item 8):
+  * the bench's wall-clock seconds time a FIXED-SIZE replay, so a
+  * per-micro-batch overhead regression is invisible once the corpus grows —
+  * rows/sec from the query's own progress (numInputRows over
+  * triggerExecution ms, summed across the run's triggers) is
+  * corpus-size-independent and rides along in BENCH.out.json /
+  * the stdout bench line as `stream_rps`. Iterations accumulate: the
+  * reported figure is the run-wide average, which smooths the cold first
+  * iteration the same way the timing median does.
+  */
+object StreamMetrics {
+  private final case class Acc(rows: Long, ms: Long)
+  private val acc =
+    new java.util.concurrent.ConcurrentHashMap[String, Acc]()
+
+  /** Record a finished streaming query's progress under the GATE name
+    * (sink names arrive as `<gate>_sink` and are stripped). */
+  def record(sinkName: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val name = sinkName.stripSuffix("_sink")
+    val ps = q.recentProgress
+    val rows = ps.map(_.numInputRows).sum
+    val ms = ps.map(p =>
+      Option(p.durationMs.get("triggerExecution"))
+        .map(_.longValue).getOrElse(0L)).sum
+    if (rows > 0 && ms > 0)
+      acc.merge(name, Acc(rows, ms),
+        (a, b) => Acc(a.rows + b.rows, a.ms + b.ms))
+  }
+
+  /** gate → rows/sec over everything recorded so far. */
+  def rowsPerSec: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    acc.asScala.map { case (k, a) => k -> a.rows * 1000.0 / a.ms }.toMap
+  }
+}

@@ -36,15 +36,14 @@ class EntryContractSpec extends AnyFunSuite {
       // q_approx_distinct: UPGRADED in round 12 — the HLL++ registers
       // and estimator rebuilt in DuckDB over the reproduced xxhash64,
       // constants reflected from Spark's own helper (HllOracleSql).
-      "q_approx_percentile", // KLL estimate: merge-order-dependent
+      // q_hll_sketch: UPGRADED in round 15 — the hashed output is the
+      // exact per-group distinct count (full DuckDB oracle) and the
+      // DataSketches estimates are certified by an enforced 5%
+      // relative-error fail-fast inside the query (hash-equality across
+      // algorithm families stays impossible; the bound is the contract).
+      "q_approx_percentile") // KLL estimate: merge-order-dependent
                              // compaction internals, not a pure function
                              // of the input multiset
-      "q_hll_sketch")        // DataSketches HLL (hll_sketch_agg) — a
-                             // different algorithm family from Spark's
-                             // HLL++ (which round 12 did oracle, see
-                             // q_approx_distinct): murmur3-keyed
-                             // coupon/dense transitions with
-                             // library-internal thresholds
 
     assert(rowsOnly == justified,
       s"undocumented rows-only: ${rowsOnly -- justified}; " +
@@ -164,13 +163,18 @@ class ApproxBoundsSpec extends SparkSpec {
     }
   }
 
-  test("q_hll_sketch union estimate vs exact global distinct") {
-    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
-    val est = graft.queries.RelationalQueries.queries("q_hll_sketch")(spark, sf)
-      .head().getLong(0)
-    val err = math.abs(est.toDouble - exact) / exact
-    assert(err <= 0.05, f"hll union estimate rel err $err%.3f > 0.05 " +
-      s"(est=$est exact=$exact)")
+  test("q_hll_sketch: hashed output is the exact per-group counts; the " +
+      "estimates are certified by the query's own 5% fail-fast guard") {
+    // Round 15 moved the estimate bound INSIDE the query (per-group AND
+    // unioned-global, throw on >5% relative error), so the query merely
+    // COMPLETING certifies the estimator; what it returns — and what the
+    // DuckDB oracle hashes — is the exact distinct counts.
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = graft.queries.RelationalQueries.queries("q_hll_sketch")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, s"exact-count output diverged: $got vs $exact")
   }
 
   test("q_approx_percentile rank error vs the exact distribution") {

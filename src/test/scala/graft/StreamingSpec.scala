@@ -15,7 +15,7 @@ class StreamingSpec extends SparkSpec {
 
   // FileStreamSource requires a directory: stage the parquet in a temp dir.
   private lazy val streamDir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-stream")
+    val d = tempDir("graft-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0/events.parquet"),
       d.resolve("events.parquet"))
@@ -119,7 +119,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming dedup drops cross-batch duplicates via keyed state") {
     // Two identical files arrive as separate micro-batches; the second
     // batch's rows are all duplicates and must be dropped by state.
-    val d = java.nio.file.Files.createTempDirectory("graft-dedup")
+    val d = tempDir("graft-dedup")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0/events.parquet"), d.resolve("a.parquet"))
     val schema = spark.read.parquet(d.toString).schema
@@ -147,11 +147,11 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming near-dup dedup collapses whitespace/word-order variants in-stream") {
-    val d = java.nio.file.Files.createTempDirectory("graft-neardup")
+    val d = tempDir("graft-neardup")
     val schema = new StructType()
       .add("id", LongType).add("ts", LongType).add("text", StringType)
     def drop(name: String, rows: Seq[(Long, Long, String)]): Unit = {
-      val stage = java.nio.file.Files.createTempDirectory("graft-neardup-st")
+      val stage = tempDir("graft-neardup-st")
       rows.toDF("id", "ts", "text").repartition(1)
         .write.mode("overwrite").parquet(stage.toString)
       val part = java.nio.file.Files.list(stage).toArray.map(_.toString)
@@ -195,7 +195,7 @@ class StreamingSpec extends SparkSpec {
     val expectFps = batchSurvivors
       .select(graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
       .as[String].collect().sorted.toSeq
-    val d = java.nio.file.Files.createTempDirectory("graft-paritydedup")
+    val d = tempDir("graft-paritydedup")
     val t0 = 1700000000000000L
     docs.withColumn("ts", lit(t0)).repartition(1)
       .write.mode("overwrite").parquet(d.toString)
@@ -227,7 +227,7 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     val tokenized = docs.select(lit("all").as("key"), col("doc_id"),
       graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
-    val d = java.nio.file.Files.createTempDirectory("graft-streampack")
+    val d = tempDir("graft-streampack")
     val (lo, hi) = (tokenized.filter(col("doc_id") < 50),
       tokenized.filter(col("doc_id") >= 50))
     lo.orderBy("doc_id").coalesce(1).write.parquet(s"$d/b0")
@@ -261,7 +261,7 @@ class StreamingSpec extends SparkSpec {
     val oneShot = graft.text.CorpusStats.unigramNll(docs, "text", "doc_id")
       .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(expect == oneShot)
-    val d = java.nio.file.Files.createTempDirectory("graft-streamlm")
+    val d = tempDir("graft-streamlm")
     docs.repartition(1).write.mode("overwrite").parquet(d.toString)
     val schema = new StructType().add("doc_id", LongType).add("text", StringType)
     val scored = graft.text.CorpusStats.scoreUnigramNll(lm,
@@ -287,7 +287,7 @@ class StreamingSpec extends SparkSpec {
     val expect = graft.text.CorpusStats
       .scoreNaiveBayes(m, docs, "text", "doc_id")
       .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
-    val d = java.nio.file.Files.createTempDirectory("graft-streamnb")
+    val d = tempDir("graft-streamnb")
     docs.select("doc_id", "text").repartition(1)
       .write.mode("overwrite").parquet(d.toString)
     val schema = new StructType().add("doc_id", LongType).add("text", StringType)
@@ -312,7 +312,7 @@ class StreamingSpec extends SparkSpec {
       col("lang") === "en")
     val expect = graft.text.CorpusStats.scoreDsir(m, docs, "text", "doc_id")
       .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
-    val d = java.nio.file.Files.createTempDirectory("graft-streamdsir")
+    val d = tempDir("graft-streamdsir")
     docs.select("doc_id", "text").repartition(1)
       .write.mode("overwrite").parquet(d.toString)
     val schema = new StructType().add("doc_id", LongType).add("text", StringType)
@@ -344,7 +344,7 @@ class StreamingSpec extends SparkSpec {
           .when(col("rep") > 0.2, "repetition").when(col("q") < 0.5, "quality")
           .otherwise("keep").as("verdict"))
     val expect = verdicts(docs).as[(Long, String)].collect().sortBy(_._1).toSeq
-    val d = java.nio.file.Files.createTempDirectory("graft-paritycurate")
+    val d = tempDir("graft-paritycurate")
     docs.repartition(1).write.mode("overwrite").parquet(d.toString)
     val schema = new StructType().add("doc_id", LongType).add("text", StringType)
     val q = verdicts(StreamingOps.fileSource(spark, schema, d.toString))
@@ -375,8 +375,8 @@ class StreamingSpec extends SparkSpec {
     // The reference's at-least-once story is Connect offset commits
     // (MorphlineSinkTask.java:148); here the checkpoint is the commit log:
     // a restarted query resumes past consumed files.
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    val outDir = java.nio.file.Files.createTempDirectory("graft-ckpt-out").toString
+    val ckpt = tempDir("graft-ckpt").toString
+    val outDir = tempDir("graft-ckpt-out").toString
     def run(): Unit = {
       val q = eventsStream.writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", ckpt).start()
@@ -457,7 +457,7 @@ class StreamingSpec extends SparkSpec {
       .as[Seq[Double]].collect().map(_.toSeq).toSeq
     val doubled = emb.unionAll(emb.select((col("vec_id") + 100000).as("vec_id"),
       col("embedding")))
-    val d = java.nio.file.Files.createTempDirectory("graft-semdedup")
+    val d = tempDir("graft-semdedup")
     val t0 = 1700000000000000L
     doubled.withColumn("ts", lit(t0)).repartition(1)
       .write.mode("overwrite").parquet(d.toString)
@@ -496,7 +496,7 @@ class StreamingSpec extends SparkSpec {
         |{"name":"event_id","type":"long"},{"name":"event_type","type":"string"}]}"""
         .stripMargin
     // --- "producer": 3 poll batches of Confluent-framed records on disk
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-kafka-e2e")
+    val srcDir = tempDir("graft-kafka-e2e")
     val mkEnv = (lo: Long, hi: Long) =>
       (lo until hi).map(i => (i, if (i % 3 == 0) "purchase" else "view"))
         .toDF("event_id", "event_type")
@@ -541,7 +541,7 @@ class StreamingSpec extends SparkSpec {
     assert(out.schema("topic").dataType == StringType)
     // --- "producer" out: per-epoch publish, as kafkaSink would send it
     StreamingSpec.published.clear()
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-kafka-ckpt")
+    val ckpt = tempDir("graft-kafka-ckpt")
     val q = StreamingOps.foreachBatchSink(out, ckpt.toString) { (batch, epoch) =>
       batch.collect().foreach(r =>
         StreamingSpec.published.add((epoch, r.getAs[String]("topic"),
@@ -623,7 +623,7 @@ class StreamingSpec extends SparkSpec {
     val src = Tables.load(spark, sf0, "events")
       .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
         col("value"))
-    val base = java.nio.file.Files.createTempDirectory("graft-restart")
+    val base = tempDir("graft-restart")
     val (inDir, publish) = stageOrderedQuartiles(src, "ts", base, "ev")
     val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
     def runPhase(): Unit = {
@@ -671,7 +671,7 @@ class StreamingSpec extends SparkSpec {
     val src = Tables.load(spark, sf0, "events")
       .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
         col("value"))
-    val base = java.nio.file.Files.createTempDirectory("graft-restart-sess")
+    val base = tempDir("graft-restart-sess")
     val (inDir, publish) = stageOrderedQuartiles(src, "ts", base, "ev")
     val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
     def runPhase(): Unit = {
@@ -729,7 +729,7 @@ class StreamingSpec extends SparkSpec {
     val buysB = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))
-    val base = java.nio.file.Files.createTempDirectory("graft-restart-join")
+    val base = tempDir("graft-restart-join")
     val (inC, publishClick) = stageOrderedQuartiles(clicksB, "click_ts",
       base, "click")
     val (inB, publishBuy) = stageOrderedQuartiles(buysB, "purchase_ts",
@@ -788,7 +788,7 @@ class StreamingSpec extends SparkSpec {
     val src = Tables.load(spark, sf0, "events")
       .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
         col("value"))
-    val inDir = java.nio.file.Files.createTempDirectory("graft-rocks-in")
+    val inDir = tempDir("graft-rocks-in")
     src.coalesce(2).write.mode("overwrite").parquet(inDir.toString)
     def run(provider: Option[String]): (Set[(String, String, Long)],
         Set[String]) = {
@@ -852,7 +852,7 @@ class StreamingSpec extends SparkSpec {
             pmod(xxhash64(col("ts"), col("value"), lit(seed)), lit(delta))
       }
       // stage 4 replay files split by PERTURBED position
-      val base = java.nio.file.Files.createTempDirectory("graft-disorder")
+      val base = tempDir("graft-disorder")
       val staged = src.withColumn("__q", ntile(4).over(
         org.apache.spark.sql.expressions.Window.orderBy(pos)))
       val inDir = base.resolve("in")
