@@ -175,6 +175,14 @@ object Bench {
       // join gate, line dedup, residual IVF-PQ
       "q6_forecast_revenue", "q19_discounted_revenue", "x_stream_join",
       "d_line_dedup", "s_knn_ivfpq", "s_pagerank", "x_stream_session")
+    // stderr table: per-gate streaming throughput + peak state size (the
+    // PLANS evidence row for provider/state comparisons)
+    val sm = graft.queries.StreamMetrics.summary
+    if (sm.nonEmpty) {
+      System.err.println("[bench] streaming gates: rows/sec, peak state rows, peak state bytes")
+      sm.foreach { case (n, rps, sr, sb) =>
+        System.err.println(f"[bench]   $n%-32s rps=$rps%10.1f stateRows=$sr%9d stateBytes=$sb%12d") }
+    }
     println(json(results.filter(r => headline(r._1)), "%.3f", withCold = false))
     spark.stop()
   }

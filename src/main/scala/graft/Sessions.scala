@@ -76,6 +76,13 @@ object Sessions {
         new java.io.File("target/scala-2.13/classes").getAbsolutePath)
       b = b.config("spark.executor.extraClassPath", classes)
         .config("spark.executor.extraJavaOptions", jdk17AddOpens)
+        // The Worker's in-process launcher resolves the Scala version
+        // before it finds $SPARK_HOME/jars; outside spark-class nothing
+        // exports SPARK_SCALA_VERSION, so executor launch dies with
+        // "Cannot find any build directories." — ship it through the
+        // executor Command environment (sc.executorEnvs), which the
+        // launcher's childEnv consults first.
+        .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
     }
     stateProviderClass.foreach(p =>
       b = b.config("spark.sql.streaming.stateStore.providerClass", p))

@@ -12,12 +12,17 @@ package graft.queries
   * iteration the same way the timing median does.
   */
 object StreamMetrics {
-  private final case class Acc(rows: Long, ms: Long)
+  private final case class Acc(rows: Long, ms: Long,
+                               stateRows: Long, stateBytes: Long)
   private val acc =
     new java.util.concurrent.ConcurrentHashMap[String, Acc]()
 
   /** Record a finished streaming query's progress under the GATE name
-    * (sink names arrive as `<gate>_sink` and are stripped). */
+    * (sink names arrive as `<gate>_sink` and are stripped). State sizes
+    * are the run's PEAK (max over triggers of the summed state
+    * operators) — the figure a capacity plan needs; provider-agnostic
+    * (`numRowsTotal` / `memoryUsedBytes` exist for both HDFSBacked and
+    * RocksDB providers). */
   def record(sinkName: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val name = sinkName.stripSuffix("_sink")
     val ps = q.recentProgress
@@ -25,14 +30,28 @@ object StreamMetrics {
     val ms = ps.map(p =>
       Option(p.durationMs.get("triggerExecution"))
         .map(_.longValue).getOrElse(0L)).sum
+    val peakRows =
+      if (ps.isEmpty) 0L else ps.map(_.stateOperators.map(_.numRowsTotal).sum).max
+    val peakBytes =
+      if (ps.isEmpty) 0L else ps.map(_.stateOperators.map(_.memoryUsedBytes).sum).max
     if (rows > 0 && ms > 0)
-      acc.merge(name, Acc(rows, ms),
-        (a, b) => Acc(a.rows + b.rows, a.ms + b.ms))
+      acc.merge(name, Acc(rows, ms, peakRows, peakBytes),
+        (a, b) => Acc(a.rows + b.rows, a.ms + b.ms,
+          math.max(a.stateRows, b.stateRows),
+          math.max(a.stateBytes, b.stateBytes)))
   }
 
   /** gate → rows/sec over everything recorded so far. */
   def rowsPerSec: Map[String, Double] = {
     import scala.jdk.CollectionConverters._
     acc.asScala.map { case (k, a) => k -> a.rows * 1000.0 / a.ms }.toMap
+  }
+
+  /** gate → (rows/sec, peak state rows, peak state bytes) for the
+    * stderr summary table (PLANS state-size evidence). */
+  def summary: Seq[(String, Double, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    acc.asScala.toSeq.sortBy(_._1).map { case (k, a) =>
+      (k, a.rows * 1000.0 / a.ms, a.stateRows, a.stateBytes) }
   }
 }
