@@ -669,19 +669,53 @@ object RelationalQueries {
           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"))
         .orderBy("l_returnflag")),
 
-    // Approximate percentile (KLL-style sketch) — rows-only. Scalars, not an
-    // array column: the driver's rows-only path sorts values and cannot hash
-    // numpy arrays, so project element_at into p50/p99 columns.
-    "q_approx_percentile" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)")
-          .as("ap"))
-        .select(
-          col("l_returnflag"),
+    // Approximate percentile (Greenwald–Khanna sketch) in its ESTIMATOR
+    // regime. The estimates themselves are merge-order-dependent
+    // compaction internals — not hashable across engines — so, like
+    // q_hll_sketch, the gate is a BOUNDED-ERROR contract (round 15): the
+    // returned element's rank interval [count(<v)+1, count(≤v)] must
+    // intersect the target rank ±2×n/accuracy (twice the documented
+    // 1/accuracy relative rank bound), enforced fail-fast per group and
+    // percentile. The hashed output is the per-group counts (full DuckDB
+    // oracle); the certificate is the throw-path — an estimator
+    // regression turns the cell red instead of passing rows-only.
+    "q_approx_percentile" -> ((s, dir) => {
+      import s.implicits._
+      val accuracy = 1000
+      val li = t(s, dir, "lineitem")
+      val ap = li.groupBy(col("l_returnflag"))
+        .agg(expr(
+          s"approx_percentile(l_extendedprice, array(0.5, 0.99), $accuracy)")
+          .as("ap"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
           expr("element_at(ap, 1)").as("p50"),
           expr("element_at(ap, 2)").as("p99"))
-        .orderBy("l_returnflag")),
+      // returnflag-bounded groups (3) × 2 percentiles — driver-side bounded
+      val probes = ap.collect().flatMap(r => Seq(
+          (r.getString(0), 0.5, r.getDouble(2), r.getLong(1)),
+          (r.getString(0), 0.99, r.getDouble(3), r.getLong(1))))
+        .toSeq.toDF("flag", "q", "est", "grp_n")
+      // one broadcast pass brackets every estimate's rank in its group
+      li.join(broadcast(probes), col("l_returnflag") === col("flag"))
+        .groupBy(col("flag"), col("q"), col("grp_n"))
+        .agg(
+          sum(when(col("l_extendedprice") < col("est"), 1L).otherwise(0L))
+            .as("below"),
+          sum(when(col("l_extendedprice") <= col("est"), 1L).otherwise(0L))
+            .as("at_or_below"))
+        .collect().foreach { r =>
+          val (flag, q, n) = (r.getString(0), r.getDouble(1), r.getLong(2))
+          val (below, atOrBelow) = (r.getLong(3), r.getLong(4))
+          val target = q * n
+          val eps = math.max(2.0 * n / accuracy, 1.0)
+          if (below + 1 > target + eps || atOrBelow < target - eps)
+            throw new IllegalStateException(
+              s"q_approx_percentile: p$q($flag) rank interval " +
+                s"[${below + 1}, $atOrBelow] misses target $target ± $eps " +
+                s"(n=$n, accuracy=$accuracy) — estimator regression")
+        }
+      ap.select(col("l_returnflag"), col("n")).orderBy("l_returnflag")
+    }),
 
     // approx_percentile in its EXACT regime, full hash oracle: with
     // accuracy >= the group row count, QuantileSummaries never compresses
@@ -1384,6 +1418,11 @@ object RelationalQueries {
         |  quantile_disc(l_extendedprice, 0.01) AS p01,
         |  quantile_disc(l_extendedprice, 0.5) AS p50,
         |  quantile_disc(l_extendedprice, 0.99) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // hashed output is the per-group counts; the GK estimates are
+    // certified by the query's own rank-interval fail-fast (see the query)
+    "q_approx_percentile" ->
+      """SELECT l_returnflag, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the hashed output is the exact per-group distinct count; the
     // DataSketches estimates are certified by the query's own 5%

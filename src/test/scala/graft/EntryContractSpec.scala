@@ -27,7 +27,7 @@ class EntryContractSpec extends AnyFunSuite {
   test("rows-only queries are exactly the documented justified set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val justified = Set(
-      "m_generate_uuid",     // nondeterministic uuid()
+      "m_generate_uuid")     // nondeterministic uuid()
       // d_minhash_pairs + d_simhash_pairs: UPGRADED to hash oracles in
       // round 11 — XXH64 reproduced in DuckDB SQL (XxhashOracleSql).
       // s_knn_lsh: UPGRADED in round 11 — splitmix64 hyperplanes in SQL
@@ -36,15 +36,13 @@ class EntryContractSpec extends AnyFunSuite {
       // q_approx_distinct: UPGRADED in round 12 — the HLL++ registers
       // and estimator rebuilt in DuckDB over the reproduced xxhash64,
       // constants reflected from Spark's own helper (HllOracleSql).
-      // q_hll_sketch: UPGRADED in round 15 — the hashed output is the
-      // exact per-group distinct count (full DuckDB oracle) and the
-      // DataSketches estimates are certified by an enforced 5%
-      // relative-error fail-fast inside the query (hash-equality across
-      // algorithm families stays impossible; the bound is the contract).
-      "q_approx_percentile") // KLL estimate: merge-order-dependent
-                             // compaction internals, not a pure function
-                             // of the input multiset
-
+      // q_hll_sketch + q_approx_percentile: UPGRADED in round 15 — the
+      // hashed output is exact per-group quantities (full DuckDB oracle)
+      // and the sketch estimates are certified by enforced fail-fast
+      // bounds inside the query (5% relative error for DataSketches HLL;
+      // the ±2/accuracy rank interval for Greenwald–Khanna percentiles).
+      // Hash-equality of the estimates themselves stays impossible across
+      // engines; the bound is the contract.
     assert(rowsOnly == justified,
       s"undocumented rows-only: ${rowsOnly -- justified}; " +
         s"stale justification: ${justified -- rowsOnly}")
@@ -177,18 +175,30 @@ class ApproxBoundsSpec extends SparkSpec {
     assert(got == exact, s"exact-count output diverged: $got vs $exact")
   }
 
-  test("q_approx_percentile rank error vs the exact distribution") {
-    val approx = graft.queries.RelationalQueries
-      .queries("q_approx_percentile")(spark, sf)
-      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+  test("q_approx_percentile: rank bound enforced in-query, exact counts out") {
+    // Round 15 moved the rank-error certificate INSIDE the query (the
+    // estimate's bracketing rank interval must hit the target rank
+    // ± 2n/accuracy or the query throws), mirroring an independent GK
+    // estimate check here: the raw sketch estimate still lands within a
+    // 0.01 relative-rank cushion of each target.
     val counts = li.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = graft.queries.RelationalQueries
+      .queries("q_approx_percentile")(spark, sf) // completing = bound held
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == counts, s"count output diverged: $got vs $counts")
+    // independent estimate check, not via the query under test
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)")
+        .as("ap"))
+      .select(col("l_returnflag"), expr("element_at(ap, 1)").as("p50"),
+        expr("element_at(ap, 2)").as("p99"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
     approx.foreach { case (flag, p50, p99) =>
       def rankOf(v: Double): Double =
         li.filter(col("l_returnflag") === flag &&
           col("l_extendedprice") <= v).count().toDouble / counts(flag)
-      // accuracy=1000 → relative rank error 1/1000; assert a 0.01 cushion
       val r50 = rankOf(p50)
       assert(math.abs(r50 - 0.5) <= 0.01,
         f"$flag p50 landed at rank $r50%.4f (want 0.50 +- 0.01)")
