@@ -83,6 +83,10 @@ object Sessions {
         // executor Command environment (sc.executorEnvs), which the
         // launcher's childEnv consults first.
         .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+      // the MEM_MB in local-cluster[N,C,MEM_MB] sizes the WORKER; the
+      // executor itself defaults to 1g — overridable for larger-SF runs
+      sys.env.get("SPARK_GRAFT_EXECUTOR_MEM").filter(_.nonEmpty)
+        .foreach(m => b = b.config("spark.executor.memory", m))
     }
     stateProviderClass.foreach(p =>
       b = b.config("spark.sql.streaming.stateStore.providerClass", p))

@@ -683,13 +683,14 @@ object RelationalQueries {
       import s.implicits._
       val accuracy = 1000
       val li = t(s, dir, "lineitem")
-      val ap = li.groupBy(col("l_returnflag"))
+      // cached: feeds the probe collect AND the hashed output — 3 rows
+      val ap = graft.CacheScope.cache(li.groupBy(col("l_returnflag"))
         .agg(expr(
           s"approx_percentile(l_extendedprice, array(0.5, 0.99), $accuracy)")
           .as("ap"), count(lit(1)).as("n"))
         .select(col("l_returnflag"), col("n"),
           expr("element_at(ap, 1)").as("p50"),
-          expr("element_at(ap, 2)").as("p99"))
+          expr("element_at(ap, 2)").as("p99")))
       // returnflag-bounded groups (3) × 2 percentiles — driver-side bounded
       val probes = ap.collect().flatMap(r => Seq(
           (r.getString(0), 0.5, r.getDouble(2), r.getLong(1)),
@@ -794,10 +795,12 @@ object RelationalQueries {
     // oracle); the sketch's correctness is the throw-path: an estimator
     // regression turns the cell red instead of passing rows-only.
     "q_hll_sketch" -> ((s, dir) => {
-      val both = t(s, dir, "lineitem")
+      // cached: the grouped sketch+exact relation feeds three consumers
+      // (per-group check, union check, hashed output) — group-count-sized
+      val both = graft.CacheScope.cache(t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(expr("hll_sketch_agg(l_partkey)").as("sk"),
-          countDistinct(col("l_partkey")).as("n_exact"))
+          countDistinct(col("l_partkey")).as("n_exact")))
       // groups (4) + one union row — driver-side bounded
       val perGroup = both.select(col("l_returnflag"),
         expr("hll_sketch_estimate(sk)").as("est"), col("n_exact")).collect()
