@@ -143,7 +143,14 @@ object Conform {
         val el = target.element.getOrElse(AvroType(at.elementType, at.containsNull))
         val srcEl = source.collect { case ArrayType(e, _) => e }
         transform(c, x => conformColumn(x, el, srcEl))
-      case dt => c.cast(dt)
+      // try_cast, not cast: conformance is fail-soft by contract — under
+      // Spark 4's ANSI mode a garbage string in a numeric field would
+      // abort the whole query mid-scan, where the reference warns and
+      // skips (EnrichJsonBuilder.java:172-175) and our own
+      // timestamp-millis path already nulls unparseable input. Found by
+      // ConformFuzzSpec's dispatch fuzz (random strings into int
+      // targets).
+      case dt => c.try_cast(dt)
     }
   }
 

@@ -241,6 +241,70 @@ class ConformFuzzSpec extends SparkSpec {
     }
   }
 
+  test("conformByField dispatch over random schema sets ≡ the single-schema " +
+      "path per subset; null schemas pass through null") {
+    // The chained-when dispatch (one scan, N branches) is the part worth
+    // fuzzing: for ANY set of schemas spread across rows, each row's
+    // enriched JSON must equal what a single-schema run over just that
+    // row's subset produces, and null-schema rows must yield null.
+    val sample = for {
+      k <- Gen.chooseNum(2, 4)
+      recs <- Gen.listOfN(k, genRecord(1)) // depth-2 targets
+      rows <- Gen.listOfN(10, for {
+        a <- Gen.chooseNum(-1000, 1000)
+        b <- Gen.alphaStr.map(_.take(6))
+        pick <- Gen.chooseNum(-1, k - 1) // -1 = null schema
+      } yield (a, b, pick))
+    } yield (recs, rows)
+
+    forAllSampled(sample, n = 10) { case (recs0, rows) =>
+      // overlap the payload: rename the first two PRIMITIVE-typed target
+      // fields to the payload's a/b so real values flow through the
+      // dispatch (otherwise every field null-fills and the fuzz is
+      // weak); non-primitive targets keep their names — a scalar source
+      // into an array/record target is out of conformTo's contract
+      val recs = recs0.map { r =>
+        var used = List("a", "b")
+        FRecord(r.fields.map { case (n, t, nl) => t match {
+          case FPrim(_) | FTs if used.nonEmpty =>
+            val nn = used.head; used = used.tail; (nn, t, nl)
+          case _ => (n, t, nl)
+        }})
+      }
+      val schemas = recs.map(toAvro)
+      val srcType = StructType(Seq(
+        StructField("rid", IntegerType, false),
+        StructField("a", IntegerType, true),
+        StructField("b", StringType, true),
+        StructField("sch", StringType, true)))
+      val srcRows = rows.zipWithIndex.map { case ((a, b, pick), i) =>
+        Row(i, a, b, if (pick < 0) null else schemas(pick)) }
+      val df = spark.createDataFrame(srcRows.asJava, srcType)
+      val multi = Conform.conformByField(df, "sch", keep = Seq("rid"),
+          maxSchemas = 8)
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      // per-subset single-schema runs are the reference
+      rows.zipWithIndex.foreach { case ((_, _, pick), i) =>
+        if (pick < 0)
+          assert(multi(i) == null, s"row $i: null schema must yield null")
+      }
+      schemas.zipWithIndex.foreach { case (sj, si) =>
+        val subset = srcRows.filter(r => r.getString(3) == sj)
+        if (subset.nonEmpty) {
+          val single = Conform.conformByField(
+              spark.createDataFrame(subset.asJava, srcType), "sch",
+              keep = Seq("rid"), maxSchemas = 8)
+            .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+          single.foreach { case (rid, json) =>
+            assert(multi(rid) == json,
+              s"dispatch diverged for schema #$si row $rid:\n" +
+                s" multi  ${multi(rid)}\n single $json")
+          }
+        }
+      }
+    }
+  }
+
   test("non-conforming inputs: castable type drift conforms, garbage " +
       "timestamps null out, non-nullable missing field throws the contract") {
     // int-where-long and long-as-string are the reference's coercions —
