@@ -159,7 +159,12 @@ object Hocon {
       i += 1 // '['
       ws()
       while (i < s.length && peek != ']') {
+        // progress check: an unquoted scalar stops WITHOUT consuming at
+        // '}' (it's a terminator), so `[}` would otherwise loop forever
+        // appending empty text nodes — found by HoconFuzzSpec
+        val before = i
         node.add(valueToken())
+        require(i > before, s"unexpected '${peek}' in list at offset $i")
         ws()
       }
       require(peek == ']', "unterminated list")
@@ -196,7 +201,12 @@ object Hocon {
           case "true" => F.booleanNode(true)
           case "false" => F.booleanNode(false)
           case "null" => F.nullNode()
-          case n if n.nonEmpty && n.matches("-?\\d+") => F.numberNode(n.toLong)
+          case n if n.nonEmpty && n.matches("-?\\d+") =>
+            // >19-digit literals overflow toLong with an unclean
+            // NumberFormatException (fuzz finding) — widen, don't die
+            try F.numberNode(n.toLong)
+            catch { case _: NumberFormatException =>
+              F.numberNode(new java.math.BigDecimal(n)) }
           case n if n.nonEmpty && n.matches("-?\\d*\\.\\d+([eE][+-]?\\d+)?") =>
             F.numberNode(n.toDouble)
           case other => F.textNode(other)
@@ -234,9 +244,15 @@ object Hocon {
             case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
             case 'b' => '\b'; case 'f' => '\f'
             case 'u' =>
-              val cp = Integer.parseInt(s.substring(i + 1, i + 5), 16)
+              // clean errors, not StringIndexOutOfBounds/NumberFormat
+              // from a truncated or non-hex escape (fuzz finding)
+              require(i + 5 <= s.length,
+                s"truncated \\u escape at offset $i")
+              val hex = s.substring(i + 1, i + 5)
+              require(hex.matches("[0-9a-fA-F]{4}"),
+                s"invalid \\u escape '\\u$hex' at offset $i")
               i += 4
-              cp.toChar
+              Integer.parseInt(hex, 16).toChar
             case lit => lit
           })
         } else sb.append(c)
