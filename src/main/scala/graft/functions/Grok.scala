@@ -48,7 +48,7 @@ object Grok {
     val fields = scala.collection.mutable.ArrayBuffer.empty[String]
     def go(expr: String, depth: Int): String = {
       require(depth < 20, s"grok pattern recursion too deep: $grokExpr")
-      Ref.replaceAllIn(expr, m => {
+      val out = Ref.replaceAllIn(expr, m => {
         val pat = dict.getOrElse(m.group(1),
           throw new IllegalArgumentException(s"unknown grok pattern %{${m.group(1)}}"))
         val body = go(pat, depth + 1)
@@ -58,6 +58,13 @@ object Grok {
         }
         java.util.regex.Matcher.quoteReplacement(g)
       })
+      // the depth guard alone doesn't stop a BRANCHING dictionary
+      // (A -> %{B}%{B}%{B}%{B} quadruples per level: 4^depth chars
+      // before depth 20 trips) — bound the RESULT size at every level,
+      // where the accumulation actually happens
+      require(out.length < 1000000,
+        s"grok expansion exceeds 1MB — runaway dictionary: $grokExpr")
+      out
     }
     (go(grokExpr, 0), fields.toSeq)
   }

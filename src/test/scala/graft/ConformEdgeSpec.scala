@@ -52,6 +52,20 @@ class ConformEdgeSpec extends SparkSpec {
     assert(out == "a=1 b=2")
   }
 
+  test("grok rejects cyclic and exponentially-branching dictionaries") {
+    // cycle: the depth guard must throw, not recurse forever
+    val cyclic = Grok.basePatterns + ("A" -> "%{A}")
+    val e1 = intercept[IllegalArgumentException](Grok.expand("%{A}", cyclic))
+    assert(e1.getMessage.contains("recursion too deep"))
+    // branching blowup: 4^depth characters would OOM long before the
+    // depth guard trips — the size guard must throw first
+    val branching = Grok.basePatterns ++
+      ('A' to 'M').map(c => c.toString ->
+        (s"%{${(c + 1).toChar}}" * 4)).toMap + ("N" -> "xxxxxxxxxx")
+    val e2 = intercept[IllegalArgumentException](Grok.expand("%{A}", branching))
+    assert(e2.getMessage.contains("exceeds 1MB"))
+  }
+
   test("timestamp-millis coercion: every fallback branch survives ANSI mode") {
     val target =
       """{"type":"record","name":"T","fields":[
