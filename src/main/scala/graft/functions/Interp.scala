@@ -37,7 +37,15 @@ object Interp {
           to_json(struct(cols.toSeq.sorted.map(col): _*))
         case None if name.isEmpty => lit("@{}")
         case Some(cols) if !cols.contains(name) => lit("")
-        case _ => coalesce(col(name).cast("string"), lit(""))
+        // the name is KNOWN to be a top-level column here — backtick it
+        // so a column literally called "a.b" resolves as itself, not as
+        // a nested field path (morphline field names may contain dots)
+        case Some(_) =>
+          coalesce(col(s"`${name.replace("`", "``")}`").cast("string"),
+            lit(""))
+        // available=None: caller-trusted names, dotted refs keep their
+        // nested-access meaning
+        case None => coalesce(col(name).cast("string"), lit(""))
       })
       last = m.end
     }

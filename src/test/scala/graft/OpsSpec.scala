@@ -20,6 +20,12 @@ class OpsSpec extends SparkSpec {
     val absent = RecordOps.setValues("s" -> "a@{no_such_col}b")(nulls)
       .select("s").as[String].head()
     assert(absent == "ab")
+    // a column literally named "a.b" (morphline field names may carry
+    // dots) must resolve as ITSELF through the known-column path, not as
+    // a nested field access
+    val dotted = Seq("v").toDF("a.b")
+    assert(RecordOps.setValues("s" -> "<@{a.b}>")(dotted)
+      .select("s").as[String].head() == "<v>")
     // @{} renders the whole record as JSON (logInfo args shape)
     val whole = RecordOps.setValues("s" -> "rec=@{}")(
         Seq(("x", 1)).toDF("a", "b"))
