@@ -77,16 +77,29 @@ object RecordOps {
     }
 
   /** `split`: tokenize a string field into an array of values. */
-  def splitField(field: String, separator: String, outputField: String): Op =
+  /** Kite's `split` treats the separator as a LITERAL unless isRegex is
+    * set (SplitBuilder's `isRegex` option) — Spark's split/str_to_map
+    * take regexes, so a literal separator like `|` or `.` must be
+    * Pattern.quote'd or it silently splits on the wrong boundaries. */
+  def splitField(field: String, separator: String, outputField: String,
+                 isRegex: Boolean = false): Op =
     Op("split") { df =>
-      df.withColumn(outputField, split(col(field), separator))
+      val sep =
+        if (isRegex) separator else java.util.regex.Pattern.quote(separator)
+      df.withColumn(outputField, split(col(field), sep))
     }
 
-  /** `splitKeyValue`: parse `k=v` pair strings into a map. */
+  /** `splitKeyValue`: parse `k=v` pair strings into a map. Separators are
+    * literal unless isRegex (see [[splitField]]). */
   def splitKeyValue(field: String, outputField: String,
-                    pairSep: String = ",", kvSep: String = "="): Op =
+                    pairSep: String = ",", kvSep: String = "=",
+                    isRegex: Boolean = false): Op =
     Op("splitKeyValue") { df =>
-      df.withColumn(outputField, str_to_map(col(field), lit(pairSep), lit(kvSep)))
+      val (p, k) =
+        if (isRegex) (pairSep, kvSep)
+        else (java.util.regex.Pattern.quote(pairSep),
+          java.util.regex.Pattern.quote(kvSep))
+      df.withColumn(outputField, str_to_map(col(field), lit(p), lit(k)))
     }
 
   /** `translate`: dictionary lookup with default. Small dictionaries compile

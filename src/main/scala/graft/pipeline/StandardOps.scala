@@ -83,12 +83,14 @@ object StandardOps {
     }
     r.register("split") { c =>
       RecordOps.splitField(req(c, "field"), req(c, "separator"),
-        c.getOrElse("outputField", req(c, "field")))
+        c.getOrElse("outputField", req(c, "field")),
+        isRegex = c.getOrElse("isRegex", "false").toBoolean)
     }
     r.register("splitKeyValue") { c =>
       RecordOps.splitKeyValue(req(c, "field"),
         c.getOrElse("outputField", req(c, "field")),
-        c.getOrElse("pairSeparator", ","), c.getOrElse("separator", "="))
+        c.getOrElse("pairSeparator", ","), c.getOrElse("separator", "="),
+        isRegex = c.getOrElse("isRegex", "false").toBoolean)
     }
     r.register("translate") { c =>
       val dict = req(c, "dictionary").split(",").map { kv =>

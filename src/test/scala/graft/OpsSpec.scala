@@ -91,6 +91,26 @@ class OpsSpec extends SparkSpec {
     assert(m == Map("a" -> "1", "b" -> "2"))
   }
 
+  test("split separators are literal by default (kite isRegex semantics): " +
+      "'|' and '.' split on themselves, not as regex metacharacters") {
+    val df = Seq("a|b|c").toDF("s")
+    val toks = RecordOps.splitField("s", "|", "t")(df)
+      .select("t").as[Seq[String]].head()
+    assert(toks == Seq("a", "b", "c"),
+      s"'|' split as regex alternation: $toks") // regex '|' → per-char split
+    val dots = Seq("x.y").toDF("s")
+    assert(RecordOps.splitField("s", ".", "t")(dots)
+      .select("t").as[Seq[String]].head() == Seq("x", "y"))
+    // the regex path stays available behind the kite flag
+    assert(RecordOps.splitField("s", "[.]", "t", isRegex = true)(dots)
+      .select("t").as[Seq[String]].head() == Seq("x", "y"))
+    // splitKeyValue with regex-hostile separators
+    val kv = Seq("a=1|b=2").toDF("kv")
+    assert(RecordOps.splitKeyValue("kv", "m", pairSep = "|")(kv)
+      .select("m").as[Map[String, String]].head() ==
+      Map("a" -> "1", "b" -> "2"))
+  }
+
   test("tryRules routes each record to first matching rule only") {
     val df = Seq((1, "purchase", 200.0), (2, "view", 200.0), (3, "view", 10.0))
       .toDF("id", "et", "v")
