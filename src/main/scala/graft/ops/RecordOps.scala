@@ -71,7 +71,19 @@ object RecordOps {
     Op("removeValues")(df => df.withColumn(field, array_remove(col(field), value)))
 
   /** `replaceValues` via regex within a string field = `findReplace`. */
-  def findReplace(field: String, pattern: String, replacement: String): Op =
+  /** Kite's findReplace matches the pattern LITERALLY unless isRegex is
+    * set (same convention as `split`) — in literal mode both the pattern
+    * and the replacement are quoted, so a '$' or '\' in the replacement
+    * is data, not a group reference. */
+  def findReplace(field: String, pattern: String, replacement: String,
+                  isRegex: Boolean = false): Op =
+    if (isRegex) findReplaceRegex(field, pattern, replacement)
+    else findReplaceRegex(field,
+      java.util.regex.Pattern.quote(pattern),
+      java.util.regex.Matcher.quoteReplacement(replacement))
+
+  private def findReplaceRegex(field: String, pattern: String,
+                               replacement: String): Op =
     Op("findReplace") { df =>
       df.withColumn(field, regexp_replace(col(field), pattern, replacement))
     }

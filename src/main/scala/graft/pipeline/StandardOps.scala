@@ -79,7 +79,8 @@ object StandardOps {
       RecordOps.removeFields(splitList(req(c, "fields")): _*))
     r.register("findReplace") { c =>
       RecordOps.findReplace(req(c, "field"), req(c, "pattern"),
-        req(c, "replacement"))
+        req(c, "replacement"),
+        isRegex = c.getOrElse("isRegex", "false").toBoolean)
     }
     r.register("split") { c =>
       RecordOps.splitField(req(c, "field"), req(c, "separator"),

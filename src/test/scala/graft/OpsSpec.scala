@@ -91,6 +91,15 @@ class OpsSpec extends SparkSpec {
     assert(m == Map("a" -> "1", "b" -> "2"))
   }
 
+  test("findReplace is literal by default: regex metachars in pattern AND " +
+      "$-groups in replacement are data; isRegex restores regex semantics") {
+    val df = Seq("cost: $1.50").toDF("s")
+    assert(RecordOps.findReplace("s", "$1.50", "$2.00")(df)
+      .select("s").as[String].head() == "cost: $2.00")
+    assert(RecordOps.findReplace("s", "[$]\\d[.]\\d+", "X", isRegex = true)(df)
+      .select("s").as[String].head() == "cost: X")
+  }
+
   test("split separators are literal by default (kite isRegex semantics): " +
       "'|' and '.' split on themselves, not as regex metacharacters") {
     val df = Seq("a|b|c").toDF("s")
