@@ -144,9 +144,13 @@ object AvroExprs {
     */
   def confluent_frame(payload: Column, schemaId: Column): Column = {
     import org.apache.spark.sql.functions._
+    // hex() of a negative int renders the 64-bit two's complement (16
+    // chars); the frame wants the LOW 4 bytes, so take the last 8 hex
+    // chars before padding — lpad alone keeps the PREFIX, which writes
+    // FFFFFFFF for every negative id
+    val h8 = lpad(substring(hex(schemaId.cast("int")), -8, 8), 8, "0")
     when(payload.isNull, lit(null).cast("binary")).otherwise(
-      concat(lit(Array[Byte](0)),
-        unhex(lpad(hex(schemaId.cast("int")), 8, "0")), payload))
+      concat(lit(Array[Byte](0)), unhex(h8), payload))
   }
 
   /** Inverse of [[confluent_frame]]: (schema_id, payload) from a framed
@@ -156,11 +160,21 @@ object AvroExprs {
     */
   def confluent_unframe(framed: Column): Column = {
     import org.apache.spark.sql.functions._
+    // the 4 id bytes are a SIGNED big-endian int32: reinterpret through
+    // long (conv yields the unsigned value as a string; 0..2^32-1 always
+    // fits a long) instead of casting the string to int — under ANSI
+    // mode that cast THROWS for values above Int.MaxValue, so one
+    // corrupt high-byte frame would abort the whole query in violation
+    // of the null-contract documented above (and a framed negative id
+    // would not round-trip)
+    val unsigned = conv(hex(substring(framed, 2, 4)), 16, 10).cast("long")
+    val signed = when(unsigned > Int.MaxValue.toLong,
+      unsigned - 4294967296L).otherwise(unsigned).cast("int")
     when(framed.isNull || length(framed) < 5 ||
         substring(framed, 1, 1) =!= lit(Array[Byte](0)),
       lit(null).cast("struct<schema_id:int,payload:binary>")).otherwise(
       struct(
-        conv(hex(substring(framed, 2, 4)), 16, 10).cast("int").as("schema_id"),
+        signed.as("schema_id"),
         substring(framed, 6, Int.MaxValue).as("payload")))
   }
 }

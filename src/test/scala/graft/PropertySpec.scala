@@ -524,4 +524,40 @@ class PropertySpec extends SparkSpec {
       assert(q1 == q2, s"stratified quota selection changed under layout: ${(q1 diff q2).take(3)}")
     }
   }
+
+  test("confluent frame/unframe round-trips random ids (incl. negative) and " +
+      "payloads; garbage never throws") {
+    import graft.exprs.AvroExprs
+    val idGen = Gen.frequency(
+      5 -> Gen.chooseNum(0, Int.MaxValue),
+      2 -> Gen.chooseNum(Int.MinValue, -1), // corrupt/high-byte frames
+      1 -> Gen.oneOf(0, 1, Int.MaxValue, Int.MinValue, -1))
+    val payloadGen = Gen.chooseNum(0, 32).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    forAllSampled(Gen.listOfN(8, Gen.zip(idGen, payloadGen))) { cases =>
+      if (cases.nonEmpty) {
+        val df = cases.zipWithIndex
+          .map { case ((id, p), i) => (i, id, p) }.toDF("i", "id", "p")
+        val rt = df.select(col("i"), col("id"), col("p"),
+            AvroExprs.confluent_unframe(
+              AvroExprs.confluent_frame(col("p"), col("id"))).as("u"))
+          .select(col("i"), col("id"), col("p"),
+            col("u.schema_id"), col("u.payload"))
+          .as[(Int, Int, Array[Byte], Int, Array[Byte])].collect()
+        rt.foreach { case (i, id, p, gotId, gotP) =>
+          assert(gotId == id, s"case $i: schema id $id came back as $gotId")
+          assert(gotP.toSeq == p.toSeq, s"case $i: payload diverged")
+        }
+        // garbage unframe: any byte string either nulls or parses — never
+        // throws (the ANSI int-overflow cast used to abort the query on
+        // high-byte frames)
+        val garbage = cases.map { case (id, p) =>
+          Array[Byte](0, -1, -1, -1, -1) ++ p // bad high-byte id frame
+        }.zipWithIndex.map(_.swap).toDF("i", "g")
+        garbage.select(AvroExprs.confluent_unframe(col("g")).as("u"))
+          .collect() // must not throw
+        ()
+      }
+    }
+  }
 }
