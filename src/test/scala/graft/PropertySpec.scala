@@ -560,4 +560,36 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("scan-stage text functions are total and bounded-time on adversarial " +
+      "input (broken tags, nested quotes, pathological repetition)") {
+    import graft.text.TextAnalysis
+    // the regex chains claim RE2-safe construction (no catastrophic
+    // backtracking) — feed them the classic backtracking triggers and
+    // structural garbage; every row must evaluate, and the whole batch
+    // inside a coarse wall-clock bound that a backtracking blowup would
+    // miss by orders of magnitude
+    val adversarial = Seq(
+      "<" * 2000,                                  // unterminated tags
+      "<script>" + "a" * 5000,                     // unclosed script block
+      "<a " + "x='y' " * 800 + ">",                // attribute soup
+      ("<div>" * 500) + "text" + ("</div>" * 499), // deep unbalanced nesting
+      "&amp;" * 2000,                              // entity repetition
+      "a@" + "b." * 1000 + "com",                  // PII-regex stress
+      "http://" + "a." * 1000 + "com/" + "p/" * 500 + "?q=" + "&r=s" * 500,
+      "<<<>>>\"\"''" * 500,
+      "\u0000\u0001\u0002 mixed \uFFFD controls" * 100)
+      .zipWithIndex.map(_.swap)
+    val df = adversarial.toDF("i", "t")
+    val t0 = System.nanoTime()
+    val out = df.select(col("i"),
+        length(TextAnalysis.stripHtml(col("t"))).as("h"),
+        length(TextAnalysis.redactPii(col("t"))).as("p"),
+        length(TextAnalysis.normalizeUrl(col("t"))).as("u"),
+        length(TextAnalysis.scrubSpecialTokens(col("t"))).as("s"))
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.length == adversarial.size, "rows lost")
+    assert(secs < 30, f"text chain took $secs%.1fs on adversarial input - backtracking blowup")
+  }
 }
