@@ -23,6 +23,30 @@ import org.apache.spark.sql.types._
   */
 object MorphlineQueries {
 
+  /** Fail-fast certificate for `m_generate_uuid`: every value in `field`
+    * must be canonical lowercase RFC-4122 v4 (8-4-4-4-12 hex, version
+    * nibble '4', variant nibble in [89ab]) and globally unique; one
+    * aggregate pass, throws on any violation. Extracted so the throw-path
+    * is unit-testable (EntryContractSpec) — the gate's correctness claim IS
+    * this throw.
+    */
+  private[graft] def certifyUuids(out: DataFrame, field: String): Unit = {
+    val v4 =
+      "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    val c = out.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col(field)).as("n_distinct"),
+        sum(when(col(field).rlike(v4), 1L).otherwise(0L)).as("n_valid"))
+      .head()
+    val (n, nDistinct, nValid) = (c.getLong(0), c.getLong(1), c.getLong(2))
+    if (nValid != n)
+      throw new IllegalStateException(
+        s"m_generate_uuid: ${n - nValid} of $n values are not RFC-4122 v4")
+    if (nDistinct != n)
+      throw new IllegalStateException(
+        s"m_generate_uuid: ${n - nDistinct} duplicate uuids among $n rows")
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
   private def documents(s: SparkSession, dir: String): DataFrame =
@@ -179,10 +203,26 @@ object MorphlineQueries {
         .orderBy("event_id")
     }),
 
-    // generateUUID — inherently nondeterministic: no oracle (rows-only).
+    // generateUUID — the random bits are inherently unhashable across
+    // engines, so (like q_hll_sketch / q_approx_percentile, round 15) the
+    // gate is a CERTIFIED-OUTPUT contract: one aggregate pass proves every
+    // generated value is RFC-4122 v4 (lowercase 8-4-4-4-12 hex, version
+    // nibble '4', variant nibble in [89ab]) AND globally unique
+    // (count distinct == count), throwing on any violation; the hashed
+    // output is the deterministic per-record projection (event_id, version
+    // nibble, length) under a full DuckDB oracle, so row coverage — one
+    // uuid per input record, no drops or duplicates — is hash-checked too.
     "m_generate_uuid" -> ((s, dir) => {
       val pipe = Pipeline("uuid", Seq(RecordOps.generateUUID("uuid_s")))
-      pipe(events(s, dir)).select(col("event_id"), col("uuid_s"))
+      // uuid() is nondeterministic: cache so the certification pass and the
+      // hashed projection observe the SAME generated values
+      val out = graft.CacheScope.cache(
+        pipe(events(s, dir)).select(col("event_id"), col("uuid_s")))
+      certifyUuids(out, "uuid_s")
+      out.select(col("event_id"),
+          substring(col("uuid_s"), 15, 1).as("uuid_version"),
+          length(col("uuid_s")).as("uuid_len"))
+        .orderBy("event_id")
     }),
 
     // dropRecord (testDrop semantics: matching records vanish).
@@ -623,6 +663,13 @@ object MorphlineQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     "m_sequence_key" ->
       """SELECT event_id, md5(event_type || ' ' || event_id) AS id
+        |FROM events ORDER BY event_id""".stripMargin,
+    // the certified-output projection: the random uuid bits stay out of the
+    // hash (certified by the query's own fail-fast uniqueness+format pass);
+    // what IS hashed proves per-record coverage and the deterministic
+    // version/shape invariants
+    "m_generate_uuid" ->
+      """SELECT event_id, '4' AS uuid_version, 36 AS uuid_len
         |FROM events ORDER BY event_id""".stripMargin,
     "m_drop_record" ->
       """SELECT event_id, event_type FROM events

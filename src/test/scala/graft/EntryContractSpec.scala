@@ -26,8 +26,13 @@ class EntryContractSpec extends AnyFunSuite {
 
   test("rows-only queries are exactly the documented justified set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val justified = Set(
-      "m_generate_uuid")     // nondeterministic uuid()
+    val justified = Set.empty[String]
+      // m_generate_uuid: UPGRADED in round 15 — the hashed output is the
+      // deterministic per-record projection (event_id, version nibble,
+      // length) under a full DuckDB oracle; the random uuid bits are
+      // certified by the query's own fail-fast pass (RFC-4122 v4 format
+      // AND global uniqueness, throw on violation). Same certified-output
+      // pattern as the sketch gates below.
       // d_minhash_pairs + d_simhash_pairs: UPGRADED to hash oracles in
       // round 11 — XXH64 reproduced in DuckDB SQL (XxhashOracleSql).
       // s_knn_lsh: UPGRADED in round 11 — splitmix64 hyperplanes in SQL
@@ -206,6 +211,35 @@ class ApproxBoundsSpec extends SparkSpec {
       assert(math.abs(r99 - 0.99) <= 0.01,
         f"$flag p99 landed at rank $r99%.4f (want 0.99 +- 0.01)")
     }
+  }
+
+  test("m_generate_uuid: certified projection covers every record; the " +
+      "format/uniqueness certificate throws on bad generators") {
+    import spark.implicits._
+    // the gate itself: one deterministic row per event, version '4', len 36
+    val got = graft.queries.MorphlineQueries
+      .queries("m_generate_uuid")(spark, sf).collect()
+    val nEvents = Tables.load(spark, sf, "events").count()
+    assert(got.length.toLong == nEvents, "row coverage lost")
+    assert(got.forall(r => r.getString(1) == "4" && r.getInt(2) == 36))
+    // throw-paths of the extracted certificate (the gate's actual claim)
+    def certify(vals: Seq[String]): Unit =
+      graft.queries.MorphlineQueries.certifyUuids(vals.toDF("u"), "u")
+    val ok = Seq(
+      "01234567-89ab-4cde-8f01-23456789abcd",
+      "fedcba98-7654-4321-9abc-def012345678")
+    certify(ok)                                        // valid v4 set passes
+    val dup = intercept[IllegalStateException](certify(ok :+ ok.head))
+    assert(dup.getMessage.contains("duplicate"))
+    val badVariant = intercept[IllegalStateException](
+      certify(Seq("01234567-89ab-4cde-7f01-23456789abcd"))) // variant '7'
+    assert(badVariant.getMessage.contains("not RFC-4122"))
+    val badVersion = intercept[IllegalStateException](
+      certify(Seq("01234567-89ab-5cde-8f01-23456789abcd"))) // version '5'
+    assert(badVersion.getMessage.contains("not RFC-4122"))
+    val upper = intercept[IllegalStateException](
+      certify(Seq("01234567-89AB-4CDE-8F01-23456789ABCD"))) // not canonical
+    assert(upper.getMessage.contains("not RFC-4122"))
   }
 
   test("minhash ∪ simhash candidates cover the exact Jaccard pairs at j>=0.5") {
