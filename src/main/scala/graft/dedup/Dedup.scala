@@ -356,13 +356,23 @@ object Dedup {
             transform(split(col(textCol), "[.!?]\\s+|[.!?]$"), s => trim(s)),
             s => length(s) >= minChars)).as("sent"))
         .select(col("id"), md5(lower(col("sent"))).as("h")))
-    withCrossDocFlag(sents, "h", "__xdup")
+    val scored = withCrossDocFlag(sents, "h", "__xdup")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_sent"),
         sum(when(col("__xdup"), 1L).otherwise(0L)).as("n_dup"))
       .select(col("id"),
         (col("n_dup").cast("double") / col("n_sent").cast("double"))
           .as("dup_sent_frac"))
+    // TOTALITY: docs contributing no qualifying sentence (short, null, or
+    // all-trivial text) fell out of the explode — join them back at 0.0
+    // (nothing to duplicate). A per-doc score relation that silently
+    // loses rows makes the caller's `docs JOIN scores` drop every short
+    // document from the corpus. The join-back shuffles (id, frac) scalars
+    // keyed by id — same slim-row shape as the digest join above.
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("dup_sent_frac"), lit(0.0)).as("dup_sent_frac"))
   }
 
   /** CCNet-style cross-document line/paragraph deduplication (Wenzek et

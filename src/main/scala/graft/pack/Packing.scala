@@ -46,8 +46,10 @@ object Packing {
                     capacity: Long, rangeSize: Long = 4096,
                     distributedPrefix: Boolean = false): DataFrame =
     packByLength(
+      // null text counts as zero-length (kite missing-field semantics):
+      // a null n_toks would otherwise null-poison bin/bin_off for the row
       df.select(col(idCol).as("__id"),
-        TextAnalysis.tokenCount(col(textCol)).as("__len")),
+        coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0)).as("__len")),
       "__len", "__id", capacity, rangeSize, distributedPrefix)
 
   /** [[packSequences]] over a PRECOMPUTED length column — the form a real
@@ -107,8 +109,12 @@ object Packing {
   def lengthBuckets(df: DataFrame, textCol: String, idCol: String,
                     buckets: Int = 8): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // null text counts as zero-length: a null n_toks would silently DROP
+    // the document at the equi-join back (null keys never match) — a
+    // per-doc relation must stay total or downstream joins lose rows
     val tc = df.select(col(idCol).cast("long").as("id"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_toks"))
+      coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L))
+        .as("n_toks"))
     val hist = tc.groupBy(col("n_toks")).agg(count(lit(1)).as("c"))
     val w = Window.orderBy(col("n_toks"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -150,10 +156,13 @@ object Packing {
     // cached (caller-released): tc feeds the score histogram AND the join
     // probe — uncached, the caller's (often regex-heavy) score expression
     // evaluates once per consumer. Three slim columns.
+    // null text counts as zero tokens (free under any budget); a null
+    // n_toks would null-poison cum_end and silently drop the doc
     val tc = graft.CacheScope.cache(
       df.select(col(idCol).cast("long").as("id"),
         col(scoreCol).cast("double").as("score"),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_toks")))
+        coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L))
+          .as("n_toks")))
     val rangeAgg = tc.groupBy(col("score")).agg(sum(col("n_toks")).as("rs"))
     // prefix of all STRICTLY BETTER scores (descending order)
     val prefix = rangeAgg.select(col("score"),

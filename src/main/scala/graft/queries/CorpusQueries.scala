@@ -1671,13 +1671,16 @@ object CorpusQueries {
          |th AS (SELECT grp,
          |    min(CASE WHEN cum * 3 >= n THEN avg_nll END) AS t1,
          |    min(CASE WHEN cum * 3 >= 2 * n THEN avg_nll END) AS t2
-         |  FROM cum GROUP BY grp)
-         |SELECT s.doc_id, s.grp AS source, s.avg_nll,
+         |  FROM cum GROUP BY grp),
+         |b AS (SELECT s.doc_id, s.grp, s.avg_nll,
          |  CASE WHEN s.avg_nll <= t.t1 THEN 'head'
          |       WHEN s.avg_nll <= t.t2 THEN 'middle'
          |       ELSE 'tail' END AS ppl_bucket
-         |FROM scored s JOIN th t USING (grp)
-         |ORDER BY doc_id""".stripMargin,
+         |FROM scored s JOIN th t USING (grp))
+         |SELECT d.doc_id, d.source, b.avg_nll, b.ppl_bucket
+         |FROM documents d LEFT JOIN b
+         |  ON d.doc_id = b.doc_id AND d.source = b.grp
+         |ORDER BY d.doc_id""".stripMargin,
 
     "t_nb_classify" ->
       s"""WITH toks AS (

@@ -1566,18 +1566,24 @@ object LlmQueries {
         |ORDER BY id_a, id_b""".stripMargin,
     // identical sentence split/normalize/filter on both engines; fraction
     // is a double division of exact counts, rounded after
+    // total per-doc report (r15): docs with no qualifying sentence score
+    // 0.0 instead of vanishing — LEFT JOIN back to documents, like the
+    // Spark side's totality join
     "d_dup_sentence_frac" ->
       """WITH s AS (
         |  SELECT doc_id, md5(lower(s)) AS h
         |  FROM (SELECT doc_id, trim(unnest(string_split_regex(text, '[.!?]\s+|[.!?]$'))) AS s
         |        FROM documents)
         |  WHERE length(s) >= 20),
-        |c AS (SELECT h, count(DISTINCT doc_id) AS nd FROM s GROUP BY h)
-        |SELECT s.doc_id,
+        |c AS (SELECT h, count(DISTINCT doc_id) AS nd FROM s GROUP BY h),
+        |f AS (SELECT s.doc_id,
         |  CAST(round(CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
         |       CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS dup_frac
         |FROM s JOIN c ON s.h = c.h
-        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+        |GROUP BY s.doc_id)
+        |SELECT d.doc_id, coalesce(f.dup_frac, CAST(0.0 AS DOUBLE)) AS dup_frac
+        |FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // identical capture-group boundary insertion + split on both engines
     "t_subword_count" ->
       """SELECT doc_id,

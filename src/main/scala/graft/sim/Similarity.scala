@@ -63,7 +63,21 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** NULL-safe cosine division: a zero-norm vector (failed encoder
+    * output, padding row) yields NULL cosine instead of an ANSI
+    * DIVIDE_BY_ZERO that aborts the whole job — under Spark 4's default
+    * ANSI mode even DOUBLE division by zero throws, so ONE degenerate
+    * embedding in 100 TB would kill the stage. NULL sorts last under the
+    * desc rankings used here and fails every threshold predicate, so a
+    * degenerate row can never BEAT a real neighbour; the rankers
+    * additionally filter NULL scores out (the [[knnGraph]] zero-norm
+    * exclusion contract, applied uniformly).
+    */
+  private def safeCos(d: Column, nProd: Column): Column =
+    when(nProd > 0, d / nProd)
+
+  def cosine(a: Column, b: Column): Column =
+    safeCos(dot(a, b), norm(a) * norm(b))
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
@@ -88,7 +102,8 @@ object Similarity {
         queries.select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("q"))
           .withColumn("qn", norm(col("q")))))
       .select(col("qid"), col("id"),
-        (dot(col("v"), col("q")) / (col("vn") * col("qn"))).as("cosine"))
+        safeCos(dot(col("v"), col("q")), col("vn") * col("qn")).as("cosine"))
+      .filter(col("cosine").isNotNull) // zero-norm/null rows excluded
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
@@ -145,7 +160,10 @@ object Similarity {
     val scored = c.crossJoin(broadcast(a))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("qlbl"), col("id"), col("lbl"),
-        (dot(col("v"), col("q")) / (col("vn") * col("qn"))).as("cos"))
+        safeCos(dot(col("v"), col("q")), col("vn") * col("qn")).as("cos"))
+      // a NULL cos inside the min/max structs would outrank real rows
+      // (struct ordering) — degenerate vectors are excluded, not ranked
+      .filter(col("cos").isNotNull)
     scored.groupBy(col("qid"))
       .agg(
         min(when(col("lbl") === col("qlbl"),
@@ -183,7 +201,8 @@ object Similarity {
     val scored = graft.CacheScope.cache(
       ys.crossJoin(broadcast(xs))
         .select(col("xid"), col("yid"),
-          (dot(col("xv"), col("yv")) / (col("xn") * col("yn"))).as("cos")))
+          safeCos(dot(col("xv"), col("yv")), col("xn") * col("yn")).as("cos"))
+        .filter(col("cos").isNotNull)) // zero-norm rows excluded
     val wx = Window.partitionBy(col("xid")).orderBy(col("cos").desc, col("yid"))
     val wy = Window.partitionBy(col("yid")).orderBy(col("cos").desc, col("xid"))
     val ax = scored.withColumn("r", row_number().over(wx))
@@ -249,6 +268,7 @@ object Similarity {
     // top-k window (without it row_number would rank the same id twice).
     val scored = c.join(broadcast(q), Seq("t", "bucket"))
       .select(col("qid"), col("id"), cosine(col("v"), col("q")).as("cosine"))
+      .filter(col("cosine").isNotNull) // zero-norm/null rows excluded
       .distinct()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
@@ -328,7 +348,8 @@ object Similarity {
     val tagged = e.join(sizes, Seq("blk"))
     def scorePair(): Seq[Column] = Seq(
       col("a.id").as("id_a"), col("b.id").as("id_b"),
-      (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      safeCos(dot(col("a.v"), col("b.v")), col("a.nrm") * col("b.nrm"))
+        .as("cosine"))
     val small = tagged.filter(col("__blk_n") <= maxExactBlock)
     val exact = small.alias("a").join(small.alias("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
@@ -531,7 +552,8 @@ object Similarity {
       .withColumn("cell", col("pc.cell")).drop("pc")
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .select(col("qid"), col("id"),
-        (dot(col("v"), col("q")) / (col("vn") * col("qn"))).as("cosine"))
+        safeCos(dot(col("v"), col("q")), col("vn") * col("qn")).as("cosine"))
+      .filter(col("cosine").isNotNull) // zero-norm/null rows excluded
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
@@ -715,7 +737,7 @@ object Similarity {
         .withColumnRenamed("vv", "va").drop("vid")
         .join(broadcast(vecs), col("b") === col("vid"))
         .select(col("qid"), col("a"), col("b"),
-          (dot(col("va"), col("vv")) / (norm(col("va")) * norm(col("vv"))))
+          safeCos(dot(col("va"), col("vv")), norm(col("va")) * norm(col("vv")))
             .as("sim")))
     // The greedy loop's state (the selected set) is queries×k rows — the
     // SMALL broadcast side by this op's contract — so each round's picks
@@ -785,8 +807,9 @@ object Similarity {
         queries.select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("q"))),
         Seq("qid"))
       .select(col("qid"), col("id"),
-        (dot(col("v"), col("q")) / (norm(col("v")) * norm(col("q"))))
+        safeCos(dot(col("v"), col("q")), norm(col("v")) * norm(col("q")))
           .as("cosine"))
+      .filter(col("cosine").isNotNull) // zero-norm/null rows excluded
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
@@ -829,6 +852,11 @@ object Similarity {
     // one count job sizes the teleport constant (the s_knn_lsh
     // exact-metadata-count convention — never a plan-stats estimate)
     val n = nodes.count()
+    // empty kNN graph (empty corpus, or no vector yielded an edge):
+    // PageRank of nothing is nothing — and the teleport constant below
+    // would divide by zero
+    if (n == 0L)
+      return nodes.select(col("node").as("id"), lit(0L).as("pr"))
     val r0 = 1000000000000L / n
     val teleport = (r0 * 15L) / 100L
     var pr = nodes.select(col("node"), lit(r0).as("pr"))

@@ -72,14 +72,19 @@ object CorpusStats {
   def scoreUnigramNll(lm: UnigramLm, df: DataFrame, textCol: String,
                       idCol: String): DataFrame = {
     val denom = lm.n + lm.addK * lm.v // exact in double below 2^53
+    // explode_outer + null-aware aggregate (the scoreNaiveBayes/scoreDsir
+    // totality contract): zero-token and null-text documents keep their
+    // row with n_toks = 0 and a NULL avg_nll instead of silently
+    // vanishing from the per-doc score relation
     df.select(col(idCol).cast("long").as("id"),
-        explode(TextAnalysis.asciiTokens(col(textCol))).as("tok"))
+        explode_outer(TextAnalysis.asciiTokens(col(textCol))).as("tok"))
       .join(lm.counts, Seq("tok"), "left")
       .select(col("id"),
-        (-log((coalesce(col("cnt"), lit(0L)).cast("double") + lit(lm.addK)) /
-          lit(denom))).as("nll"))
+        when(col("tok").isNotNull,
+          -log((coalesce(col("cnt"), lit(0L)).cast("double") + lit(lm.addK)) /
+            lit(denom))).as("nll"))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_toks"), round(avg(col("nll")), 6).as("avg_nll"))
+      .agg(count(col("nll")).as("n_toks"), round(avg(col("nll")), 6).as("avg_nll"))
   }
 
   def unigramNll(df: DataFrame, textCol: String, idCol: String,
@@ -465,8 +470,11 @@ object CorpusStats {
     // silently corrupt the argmax, so bound the whole run up front:
     // every pair/symbol count is ≤ the total symbol count, and the
     // score needs cnt·10^9 and sa·sb to both fit, so total ≤ √Long.Max.
+    // coalesce: sum() over an EMPTY vocab is NULL — an empty corpus must
+    // fall through to the zero-merge result, not NPE on getLong
     val totalSyms = vocab
-      .select(sum(col("wc") * size(split(col("seq"), "  "))).as("t"))
+      .select(coalesce(sum(col("wc") * size(split(col("seq"), "  "))), lit(0L))
+        .as("t"))
       .collect()(0).getLong(0)
     require(totalSyms <= 3037000499L,
       s"gate-tier Long scoring bound exceeded ($totalSyms symbols) — " +
@@ -580,11 +588,18 @@ object CorpusStats {
     val th = hist.groupBy(col("grp")).agg(
       min(when(col("cum") * 3 >= col("n"), col("avg_nll"))).as("t1"),
       min(when(col("cum") * 3 >= col("n") * 2, col("avg_nll"))).as("t2"))
-    scored.join(broadcast(th), Seq("grp"))
+    val bucketed = scored.join(broadcast(th), Seq("grp"))
       .select(col("id"), col("grp"), col("avg_nll"),
         when(col("avg_nll") <= col("t1"), lit("head"))
           .when(col("avg_nll") <= col("t2"), lit("middle"))
           .otherwise(lit("tail")).as("ppl_bucket"))
+    // TOTALITY (the per-doc score-relation contract): zero-token / null-
+    // text docs fell out of the explode — join them back with NULL
+    // avg_nll and NULL bucket ("unscorable"), so the caller's join over
+    // the report never silently drops documents. (id, grp)-keyed slim
+    // join; the DuckDB oracle carries the same LEFT JOIN.
+    df.select(col(idCol).cast("long").as("id"), col(groupCol).as("grp"))
+      .join(bucketed, Seq("id", "grp"), "left")
   }
 
   /** DSIR's selection step: Gumbel-top-k = sampling k WITHOUT replacement
