@@ -97,10 +97,21 @@ object AvroExprs {
     @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
     @transient private var decoder: BinaryDecoder = _
     override val dataType: DataType = sparkType(schemaJson)
+    // Parser null-contract (same as confluent_unframe below): corrupt or
+    // truncated bytes yield a NULL struct so bad records are filterable
+    // — an EOFException/AvroRuntimeException escaping the scan aborts
+    // the batch, where the reference's readAvro fails only the record.
+    // Trailing bytes after one complete datum are ignored (one-datum
+    // read, as the reference).
     override def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[Array[Byte]]
       decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
-      toCatalyst(reader.read(null, decoder), dataType)
+      try toCatalyst(reader.read(null, decoder), dataType)
+      catch {
+        case _: java.io.IOException => null
+        case _: org.apache.avro.AvroRuntimeException => null
+        case _: ArrayIndexOutOfBoundsException => null
+      }
     }
     override protected def withNewChildInternal(c: Expression): AvroDecode = copy(child = c)
   }

@@ -261,11 +261,16 @@ object HashExprs {
   case class Gunzip(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
-    override def nullSafeEval(input: Any): Any = {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(input.asInstanceOf[Array[Byte]]))
-      try in.readAllBytes() finally in.close()
-    }
+    // Parser null-contract: a corrupt/truncated stream yields NULL (the
+    // record is filterable) — ZipException out of the scan would abort
+    // the whole batch, where the reference's decompress fails only the
+    // record.
+    override def nullSafeEval(input: Any): Any =
+      try {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(input.asInstanceOf[Array[Byte]]))
+        try in.readAllBytes() finally in.close()
+      } catch { case _: java.io.IOException => null }
     override protected def withNewChildInternal(c: Expression): Gunzip = copy(child = c)
   }
 

@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
 object TimeFunctions {
 
   private def parseOne(c: Column, fmt: String, tz: String): Column = fmt match {
-    case "unixTimeInMillis" => timestamp_millis(c.cast("long"))
-    case "unixTimeInSeconds" => timestamp_seconds(c.cast("long"))
+    // try_cast, not cast: a format that doesn't match must fall through
+    // the coalesce (the reference tries each format per record), but
+    // ANSI cast of a non-numeric string to BIGINT aborts the whole job
+    // (CAST_INVALID_INPUT) — "notadate" with formats
+    // ["yyyy-MM-dd", "unixTimeInMillis"] killed the batch.
+    case "unixTimeInMillis" => timestamp_millis(c.try_cast("long"))
+    case "unixTimeInSeconds" => timestamp_seconds(c.try_cast("long"))
     case f =>
       // try_to_timestamp: a non-matching format yields null (so the
       // coalesce falls through) instead of an ANSI parse error.

@@ -150,8 +150,13 @@ object RecordOps {
   /** `toByteArray` / `decodeBase64` codecs. */
   def toByteArray(field: String, charset: String = "UTF-8"): Op =
     Op("toByteArray")(df => df.withColumn(field, encode(col(field), charset)))
+  // try_to_binary, not unbase64: under ANSI, unbase64 of a malformed
+  // payload throws IllegalArgumentException out of the scan and kills
+  // the batch; the reference's DecodeBase64Builder fails the RECORD
+  // (dropped / dead-lettered). Identical bytes for valid base64.
   def decodeBase64(field: String): Op =
-    Op("decodeBase64")(df => df.withColumn(field, unbase64(col(field))))
+    Op("decodeBase64")(df =>
+      df.withColumn(field, try_to_binary(col(field), lit("base64"))))
   def encodeBase64(field: String): Op =
     Op("encodeBase64")(df => df.withColumn(field, base64(col(field).cast("binary"))))
 
@@ -229,18 +234,23 @@ object RecordOps {
   def extractUriComponents(field: String, prefix: String = "uri_"): Op =
     Op("extractURIComponents") { df =>
       val u = col(field)
+      // try_parse_url, not parse_url: ANSI parse_url throws INVALID_URL
+      // on a malformed field and aborts the batch; the reference's
+      // extractURIComponents fails the RECORD on URISyntaxException.
+      // Null components keep bad records filterable.
       df.withColumn(s"${prefix}scheme",
           regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1))
-        .withColumn(s"${prefix}host", parse_url(u, lit("HOST")))
-        .withColumn(s"${prefix}path", parse_url(u, lit("PATH")))
-        .withColumn(s"${prefix}query", parse_url(u, lit("QUERY")))
-        .withColumn(s"${prefix}fragment", parse_url(u, lit("REF")))
+        .withColumn(s"${prefix}host", try_parse_url(u, lit("HOST")))
+        .withColumn(s"${prefix}path", try_parse_url(u, lit("PATH")))
+        .withColumn(s"${prefix}query", try_parse_url(u, lit("QUERY")))
+        .withColumn(s"${prefix}fragment", try_parse_url(u, lit("REF")))
     }
 
   /** `extractURIQueryParameters`: one named query parameter → column. */
   def extractUriQueryParam(field: String, param: String, out: String): Op =
     Op("extractURIQueryParameters") { df =>
-      df.withColumn(out, parse_url(col(field), lit("QUERY"), lit(param)))
+      df.withColumn(out,
+        try_parse_url(col(field), lit("QUERY"), lit(param)))
     }
 
   /** `extractJsonPaths`-style projection with rename map (path → out field).

@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.TimeFunctions
+import graft.ops.{ParserOps, RecordOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parser/codec fail-soft sweep (round 15): under Spark 4's default ANSI
+  * mode, several scan-stage codecs aborted the WHOLE BATCH on one
+  * malformed record — where the reference fails only that record
+  * (command returns false → dropped / dead-lettered). Each test here
+  * pins a job-abort found by probing: the malformed input must yield
+  * NULL (filterable), and the valid-input behavior must be unchanged.
+  */
+class ParserEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("convertTimestamp: unix pseudo-formats null on non-numeric input " +
+      "instead of an ANSI cast abort, including as coalesce fallthrough") {
+    val df = Seq("notadate", "1700000000123", "2024-01-02").toDF("v")
+    val out = df.select(col("v"), TimeFunctions.convertTimestamp(col("v"),
+        Seq("yyyy-MM-dd", "unixTimeInMillis"),
+        "yyyy-MM-dd HH:mm:ss").as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("notadate") == null) // pre-fix: CAST_INVALID_INPUT abort
+    assert(out("1700000000123") == "2023-11-14 22:13:20")
+    assert(out("2024-01-02") == "2024-01-02 00:00:00")
+  }
+
+  test("readAvro: truncated bytes -> null struct (not an EOF batch " +
+      "abort); trailing bytes after one datum are ignored") {
+    val rec = """{"type":"record","name":"r","fields":[
+      {"name":"a","type":"string"},{"name":"b","type":"long"}]}"""
+    val truncated = Seq(Array[Byte](2, 65)).toDF("v")
+      .select(graft.exprs.AvroExprs.from_avro_binary(col("v"), rec).as("r"))
+      .collect()
+    assert(truncated(0).isNullAt(0)) // pre-fix: EOFException abort
+    val trailing = Seq(Array[Byte](2, 120, 99, 99)).toDF("v")
+      .select(graft.exprs.AvroExprs
+        .from_avro_binary(col("v"), """{"type":"string"}""").as("r"))
+      .collect()
+    assert(trailing(0).getString(0) == "x")
+  }
+
+  test("gunzip: corrupt stream -> null (not a ZipException batch abort); " +
+      "valid stream round-trips") {
+    val corrupt = Seq(Array[Byte](1, 2, 3)).toDF("v")
+      .select(graft.exprs.HashExprs.gunzip(col("v")).as("g")).collect()
+    assert(corrupt(0).isNullAt(0)) // pre-fix: ZipException abort
+    val baos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(baos)
+    gz.write("payload".getBytes("UTF-8")); gz.close()
+    val ok = Seq(baos.toByteArray).toDF("v")
+      .select(graft.exprs.HashExprs.gunzip(col("v")).cast("string").as("g"))
+      .collect()
+    assert(ok(0).getString(0) == "payload")
+  }
+
+  test("decodeBase64: malformed payload -> null (not an " +
+      "IllegalArgumentException batch abort); valid payload decodes") {
+    val df = Seq("cGF5bG9hZA==", "!!!not-base64!!!").toDF("b64")
+    val out = RecordOps.decodeBase64("b64")(df)
+      .select(col("b64").cast("string").as("s")).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0)).toSet
+    assert(out == Set("payload", null)) // pre-fix: abort on row 2
+  }
+
+  test("extractURIComponents / extractURIQueryParameters: malformed URI " +
+      "-> null components (not an ANSI INVALID_URL batch abort)") {
+    val df = Seq("http://example.com:8080/a/b?x=1&y=2#frag",
+      "http://exa mple.com/a b?x=1#f").toDF("uri")
+    val comps = RecordOps.extractUriComponents("uri")(df)
+      .orderBy(length(col("uri"))).collect()
+    // valid row: full components
+    assert(comps(1).getAs[String]("uri_scheme") == "http")
+    assert(comps(1).getAs[String]("uri_host") == "example.com")
+    assert(comps(1).getAs[String]("uri_path") == "/a/b")
+    assert(comps(1).getAs[String]("uri_query") == "x=1&y=2")
+    assert(comps(1).getAs[String]("uri_fragment") == "frag")
+    // malformed row: scheme still regex-extracted, parse_url parts null
+    assert(comps(0).getAs[String]("uri_scheme") == "http")
+    assert(comps(0).getAs[String]("uri_host") == null) // pre-fix: abort
+    val qp = RecordOps.extractUriQueryParam("uri", "x", "xv")(df)
+      .orderBy(length(col("uri"))).collect()
+    assert(qp(1).getAs[String]("xv") == "1")
+    assert(qp(0).getAs[String]("xv") == null)
+  }
+
+  test("readCSV: malformed rows degrade per-field (permissive), never " +
+      "abort: bad types -> null fields, short rows -> null tail") {
+    val schema = StructType(Seq(StructField("a", IntegerType),
+      StructField("b", StringType)))
+    val out = ParserOps.readCsv("v", schema)(
+        Seq("1,ok", "notint,ok", "1").toDF("v"))
+      .select(col("csv.a"), col("csv.b")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getInt(0).toString,
+        r.getAs[String](1))).toSet
+    assert(out == Set(("1", "ok"), (null, "ok"), ("1", null)))
+  }
+}
