@@ -102,7 +102,13 @@ object RecordOps {
     }
 
   /** `splitKeyValue`: parse `k=v` pair strings into a map. Separators are
-    * literal unless isRegex (see [[splitField]]). */
+    * literal unless isRegex (see [[splitField]]). Same shape as
+    * `str_to_map` (value = remainder after the FIRST kvSep; a pair with
+    * no kvSep maps to null), but DUPLICATED keys take the LAST value
+    * instead of aborting the batch: ANSI `str_to_map`/`map_from_entries`
+    * throw DUPLICATED_MAP_KEY on input like `"a=1,a=2"`, which is legal
+    * data for the reference (its splitKeyValue appends every value to a
+    * multi-valued record field). */
   def splitKeyValue(field: String, outputField: String,
                     pairSep: String = ",", kvSep: String = "=",
                     isRegex: Boolean = false): Op =
@@ -111,7 +117,18 @@ object RecordOps {
         if (isRegex) (pairSep, kvSep)
         else (java.util.regex.Pattern.quote(pairSep),
           java.util.regex.Pattern.quote(kvSep))
-      df.withColumn(outputField, str_to_map(col(field), lit(p), lit(k)))
+      val entries = transform(split(col(field), p),
+        pair => {
+          val parts = split(pair, k, 2)
+          struct(get(parts, lit(0)).as("key"), get(parts, lit(1)).as("value"))
+        })
+      // keep the LAST occurrence of each key (at its own position): drop
+      // an entry iff a later entry carries the same key. Pairs per record
+      // are few, so the quadratic exists() stays a scan-stage lambda.
+      val lastWins = filter(entries, (e, i) =>
+        !exists(slice(entries, i + lit(2), size(entries)),
+          e2 => e2.getField("key") === e.getField("key")))
+      df.withColumn(outputField, map_from_entries(lastWins))
     }
 
   /** `translate`: dictionary lookup with default. Small dictionaries compile

@@ -86,6 +86,21 @@ class ParserEdgeSpec extends SparkSpec {
     assert(qp(0).getAs[String]("xv") == null)
   }
 
+  test("splitKeyValue: duplicated keys take the last value (not a " +
+      "DUPLICATED_MAP_KEY batch abort); str_to_map shape preserved") {
+    def kv(s: Option[String]): Seq[(String, String)] =
+      RecordOps.splitKeyValue("v", "m")(Seq(s).toDF("v"))
+        .select(explode(map_entries(col("m"))).as("e"))
+        .select(col("e.key"), col("e.value")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+    // pre-fix: ANSI DUPLICATED_MAP_KEY abort on the whole batch
+    assert(kv(Some("a=1,a=2,b=3")) == Seq(("a", "2"), ("b", "3")))
+    // str_to_map-equivalent shapes for duplicate-free input:
+    assert(kv(Some("a=1=2,b=3")) == Seq(("a", "1=2"), ("b", "3")))
+    assert(kv(Some("justtext")) == Seq(("justtext", null)))
+    assert(kv(Some("a=1,")) == Seq(("a", "1"), ("", null)))
+  }
+
   test("readCSV: malformed rows degrade per-field (permissive), never " +
       "abort: bad types -> null fields, short rows -> null tail") {
     val schema = StructType(Seq(StructField("a", IntegerType),
