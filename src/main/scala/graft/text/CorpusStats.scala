@@ -458,7 +458,14 @@ object CorpusStats {
     * relation (pair counts + symbol counts are both map-side
     * combinable), per-round lineage truncation.
     */
-  def wordpieceTrain(df: DataFrame, textCol: String, steps: Int): DataFrame = {
+  def wordpieceTrain(df: DataFrame, textCol: String, steps: Int): DataFrame =
+    wordpieceTrain(df, textCol, steps, forceDecimalTier = false)
+
+  /** As [[wordpieceTrain]]; `forceDecimalTier` pins the DECIMAL(38,0)
+    * scoring tier for parity testing (the tier engages automatically
+    * when the corpus exceeds the Long tier's √Long.Max symbol bound). */
+  def wordpieceTrain(df: DataFrame, textCol: String, steps: Int,
+                     forceDecimalTier: Boolean): DataFrame = {
     val spark = df.sparkSession
     val Scale = 1000000000L
     var vocab = graft.CacheScope.cache(
@@ -476,9 +483,21 @@ object CorpusStats {
       .select(coalesce(sum(col("wc") * size(split(col("seq"), "  "))), lit(0L))
         .as("t"))
       .collect()(0).getLong(0)
-    require(totalSyms <= 3037000499L,
-      s"gate-tier Long scoring bound exceeded ($totalSyms symbols) — " +
-        "use the DECIMAL(38,0) tier")
+    // Past √Long.Max symbols, cnt·10^9 or sa·sb no longer fit a Long —
+    // switch the two products to DECIMAL(38,0) intermediates (same
+    // truncating integer division, same argmax; the 10^19-symbol bound
+    // keeps sa·sb inside decimal(38)). Long tier stays the default:
+    // decimal arithmetic is an order of magnitude slower per row, and
+    // the score relation is vocabulary-sized, so the tier only matters
+    // for genuinely huge corpora.
+    // (A Long total is necessarily < 10^19, so sa·sb < 10^38 and the
+    // decimal(38,0) product cannot overflow — no upper require needed.)
+    val decimalTier = forceDecimalTier || totalSyms > 3037000499L
+    val scoreExpr =
+      if (decimalTier)
+        s"cast(cnt as decimal(38,0)) * $Scale div " +
+          "(cast(sa as decimal(38,0)) * cast(sb as decimal(38,0)))"
+      else s"cnt * $Scale div (sa * sb)"
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long, Long)]
     var step = 1
@@ -498,7 +517,7 @@ object CorpusStats {
         .join(symCnt.select(col("sym").as("a"), col("sc").as("sa")), Seq("a"))
         .join(symCnt.select(col("sym").as("b"), col("sc").as("sb")), Seq("b"))
         .select(col("a"), col("b"), col("cnt"),
-          expr(s"cnt * $Scale div (sa * sb)").as("score_x9"))
+          expr(scoreExpr).cast("long").as("score_x9"))
         .orderBy(col("score_x9").desc, col("a"), col("b"))
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
