@@ -228,6 +228,50 @@ object CorpusQueries {
   private def freshRestartRunDir(gate: String): java.nio.file.Path =
     RestartRuns.fresh(gate)
 
+  /** Two-phase checkpointed-restart runner shared by the restart gates:
+    * publish staged quartile files 1–2 into the run's input dir, stream
+    * them into a parquet sink with AvailableNow and terminate (the
+    * STOP), publish quartiles 3–4, and start a NEW query from the same
+    * checkpoint. Recovery must restore (a) the file-source offsets (no
+    * re-read, no double counts) and (b) the operator state, so state
+    * straddling the stop emits once with full counts — making the union
+    * of both phases' output equal the continuous run's emitted set,
+    * which is what lets every restart gate share its continuous twin's
+    * batch oracle verbatim. Checkpoint/output live in a fresh temp dir
+    * per invocation (restart state must not leak across bench
+    * iterations); `stage` is the memoized quartile staging. */
+  private def twoPhaseRestart(s: SparkSession,
+                              schema: org.apache.spark.sql.types.StructType,
+                              stage: java.nio.file.Path, runName: String,
+                              agg: DataFrame => DataFrame): DataFrame = {
+    val run = freshRestartRunDir(runName)
+    val in = run.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    def publish(q: Int): Unit = {
+      val dst = in.resolve(f"part-$q%05d.parquet")
+      java.nio.file.Files.copy(stage.resolve(f"part-$q%05d.parquet"), dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + q * 60000L))
+    }
+    def phase(): Unit = {
+      val stream = s.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(in.toString)
+      val q = startWithStreamConf(s) {
+        agg(stream).writeStream.format("parquet")
+          .option("path", run.resolve("out").toString)
+          .option("checkpointLocation", run.resolve("ckpt").toString)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      q.awaitTermination()
+    }
+    publish(1); publish(2); phase() // first half, then STOP
+    publish(3); publish(4); phase() // resume from the checkpoint
+    s.read.parquet(run.resolve("out").toString)
+  }
+
   /** State partitions for the streaming gates: 4 at gate scale (the
     * round-12 sweep's winner — see [[runToCompletion]]), overridable via
     * SPARK_GRAFT_STREAM_PARTS so ScaleBench can demonstrate the
@@ -1114,32 +1158,28 @@ object CorpusQueries {
     "x_stream_restart" -> ((s, dir) => {
       val src = eventsWm(s, dir)
       val stage = stageOrderedQuartiles(s, dir, "events_wm", src, "ts")
-      val run = freshRestartRunDir("window")
-      val in = run.resolve("in")
-      java.nio.file.Files.createDirectories(in)
-      def publish(q: Int): Unit = {
-        val dst = in.resolve(f"part-$q%05d.parquet")
-        java.nio.file.Files.copy(stage.resolve(f"part-$q%05d.parquet"), dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            1700000000000L + q * 60000L))
-      }
-      def phase(): Unit = {
-        val stream = s.readStream.schema(src.schema).format("parquet")
-          .option("maxFilesPerTrigger", "1").load(in.toString)
-        val q = startWithStreamConf(s) {
-          windowedAppendAgg(stream).writeStream.format("parquet")
-            .option("path", run.resolve("out").toString)
-            .option("checkpointLocation", run.resolve("ckpt").toString)
-            .outputMode("append")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-        }
-        q.awaitTermination()
-      }
-      publish(1); publish(2); phase() // first half, then STOP
-      publish(3); publish(4); phase() // resume from the checkpoint
-      s.read.parquet(run.resolve("out").toString)
+      twoPhaseRestart(s, src.schema, stage, "window", windowedAppendAgg)
+        .orderBy("w_start", "event_type")
+    }),
+
+    // RESTART × DISORDER — the matrix corner the two families above
+    // leave open: a checkpointed stop amid OUT-OF-ORDER arrival, the
+    // actual production recovery case (real streams are disordered
+    // within the watermark delay, and failures don't wait for order).
+    // The staged quartiles are quartiles of the PERTURBED position
+    // (90-minute disorder bound < the 2-hour delay), so rows straddle
+    // the stop out of event-time order; recovery must restore the
+    // watermark and window state such that no late-but-in-bound row is
+    // dropped and nothing double-counts. disorder < delay still bounds
+    // the emitted set (the replayAsStreamDisordered no-drop proof holds
+    // for ANY prefix of the perturbed order, hence across the restart),
+    // so the two-phase union shares windowAppendOracle verbatim.
+    "x_stream_restart_disorder" -> ((s, dir) => {
+      val src = eventsWm(s, dir)
+      val stage = stageOrderedQuartiles(s, dir, "events_wm", src, "ts",
+        90L * 60 * 1000000)
+      twoPhaseRestart(s, src.schema, stage, "window_disorder",
+          windowedAppendAgg)
         .orderBy("w_start", "event_type")
     }),
 
@@ -1189,32 +1229,7 @@ object CorpusQueries {
     "x_stream_restart_session" -> ((s, dir) => {
       val src = eventsWmSess(s, dir)
       val stage = stageOrderedQuartiles(s, dir, "events_wm_sess", src, "ts")
-      val run = freshRestartRunDir("session")
-      val in = run.resolve("in")
-      java.nio.file.Files.createDirectories(in)
-      def publish(q: Int): Unit = {
-        val dst = in.resolve(f"part-$q%05d.parquet")
-        java.nio.file.Files.copy(stage.resolve(f"part-$q%05d.parquet"), dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            1700000000000L + q * 60000L))
-      }
-      def phase(): Unit = {
-        val stream = s.readStream.schema(src.schema).format("parquet")
-          .option("maxFilesPerTrigger", "1").load(in.toString)
-        val q = startWithStreamConf(s) {
-          sessionAppendAgg(stream).writeStream.format("parquet")
-            .option("path", run.resolve("out").toString)
-            .option("checkpointLocation", run.resolve("ckpt").toString)
-            .outputMode("append")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-        }
-        q.awaitTermination()
-      }
-      publish(1); publish(2); phase() // first half, then STOP
-      publish(3); publish(4); phase() // resume from the checkpoint
-      s.read.parquet(run.resolve("out").toString)
+      twoPhaseRestart(s, src.schema, stage, "session", sessionAppendAgg)
         .orderBy("user_id", "w_start")
     }),
 
@@ -2267,6 +2282,11 @@ object CorpusQueries {
     // restart recovery emits exactly the continuous-run append set — the
     // SAME oracle as x_stream_window_append (that equality IS the gate)
     "x_stream_restart" -> windowAppendOracle,
+
+    // restart × disorder: a checkpointed stop amid out-of-order arrival
+    // still cannot change the emitted set (disorder < delay, and the
+    // no-drop bound holds across the recovery) — the SAME oracle again
+    "x_stream_restart_disorder" -> windowAppendOracle,
 
     // append+watermark sessions: batch gaps-and-islands sessions whose
     // END (last event + 30 min gap) the final watermark has passed
