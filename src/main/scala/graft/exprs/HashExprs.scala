@@ -258,20 +258,45 @@ object HashExprs {
     * hide data problems, so malformed gzip throws; pre-filter with the
     * magic-byte sniff (Multimodal.mediaStats) when tolerance is wanted.
     */
-  case class Gunzip(child: Expression)
+  case class Gunzip(child: Expression, maxBytes: Long = Gunzip.DefaultMax)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
     // Parser null-contract: a corrupt/truncated stream yields NULL (the
     // record is filterable) — ZipException out of the scan would abort
     // the whole batch, where the reference's decompress fails only the
-    // record.
+    // record. The same contract bounds DECOMPRESSED size: a zip bomb
+    // (kilobytes expanding to gigabytes) would OOM the executor before
+    // any catch could run, so inflation past `maxBytes` nulls the record
+    // instead of allocating further — at 100 TB a hostile payload is a
+    // certainty, and one bomb must cost one record, not an executor.
     override def nullSafeEval(input: Any): Any =
       try {
         val in = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(input.asInstanceOf[Array[Byte]]))
-        try in.readAllBytes() finally in.close()
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          var total = 0L
+          var bombed = false
+          while (n >= 0 && !bombed) {
+            total += n
+            if (total > maxBytes) bombed = true
+            else { out.write(buf, 0, n); n = in.read(buf) }
+          }
+          if (bombed) null else out.toByteArray
+        } finally in.close()
       } catch { case _: java.io.IOException => null }
     override protected def withNewChildInternal(c: Expression): Gunzip = copy(child = c)
+  }
+
+  object Gunzip {
+    /** Default decompressed-size cap: generous for any log/document
+      * payload (the testdata's largest bodies are kilobytes; real
+      * attachment payloads are megabytes), small enough that one
+      * hostile record cannot take a multi-GB bite out of an executor
+      * heap shared by ~8 concurrent tasks. */
+    val DefaultMax: Long = 256L * 1024 * 1024
   }
 
   /** Dot product of two double arrays in one loop. Accumulation order is
@@ -432,6 +457,11 @@ object HashExprs {
 
   def gunzip(data: Column): Column =
     GraftBridge.column(Gunzip(GraftBridge.expression(data)))
+
+  /** [[gunzip]] with an explicit decompressed-size cap (tests; callers
+    * with a tighter payload contract than the 256 MiB default). */
+  def gunzip(data: Column, maxBytes: Long): Column =
+    GraftBridge.column(Gunzip(GraftBridge.expression(data), maxBytes))
 
   def vec_dot(a: Column, b: Column): Column =
     GraftBridge.column(VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))

@@ -56,6 +56,27 @@ class ParserEdgeSpec extends SparkSpec {
     assert(ok(0).getString(0) == "payload")
   }
 
+  test("gunzip: decompressed-size cap nulls a zip bomb instead of " +
+      "inflating it into executor heap; under-cap payloads unaffected") {
+    def gz(raw: Array[Byte]): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(baos)
+      g.write(raw); g.close(); baos.toByteArray
+    }
+    // ~4 MB of zeros compresses to ~4 KB — a bomb relative to a 1 MB cap
+    val bomb = gz(new Array[Byte](4 * 1024 * 1024))
+    val small = gz("ok".getBytes("UTF-8"))
+    assert(bomb.length < 64 * 1024)
+    val out = Seq(("bomb", bomb), ("small", small)).toDF("k", "v")
+      .select(col("k"),
+        graft.exprs.HashExprs.gunzip(col("v"), 1024L * 1024).as("g"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else new String(r.getAs[Array[Byte]](1), "UTF-8")))
+      .toMap
+    assert(out("bomb") == null) // pre-cap: 4 MB allocation per such record
+    assert(out("small") == "ok")
+  }
+
   test("decodeBase64: malformed payload -> null (not an " +
       "IllegalArgumentException batch abort); valid payload decodes") {
     val df = Seq("cGF5bG9hZA==", "!!!not-base64!!!").toDF("b64")
