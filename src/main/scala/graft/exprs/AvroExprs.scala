@@ -26,6 +26,25 @@ import scala.jdk.CollectionConverters._
   */
 object AvroExprs {
 
+  /** Length-prefix-bomb defense (the CVE-2023-39410 class): an 8-byte
+    * datum can claim a 1 GB string, and GenericDatumReader allocates the
+    * array BEFORE reading data — an OutOfMemoryError no catch recovers
+    * from, killing the executor on one crafted record. Avro 1.12's
+    * OPT-IN limits make the decoder throw SystemLimitException (an
+    * AvroRuntimeException → [[AvroDecode]]'s null contract) before
+    * allocating; they are read from system properties at
+    * SystemLimitException class-load, so set generous defaults (256 MiB,
+    * the gunzip cap) iff the user hasn't chosen values. Called from the
+    * decoder's lazy init, which runs once per JVM — on executors, before
+    * the first decode. Best-effort by design: if other code loaded
+    * Avro's limits first, the user's/JVM's existing configuration wins.
+    */
+  private[exprs] def ensureAvroLimits(): Unit =
+    Seq("org.apache.avro.limits.string.maxLength",
+        "org.apache.avro.limits.bytes.maxLength")
+      .foreach(k => if (System.getProperty(k) == null)
+        System.setProperty(k, String.valueOf(256L * 1024 * 1024)))
+
   private def sparkType(schemaJson: String): DataType =
     Conform.parseAvro(schemaJson).dataType
 
@@ -94,7 +113,10 @@ object AvroExprs {
       extends UnaryExpression with CodegenFallback {
     parseValidated(schemaJson) // fail fast on unsupported unions, at plan time
     @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
-    @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+    @transient private lazy val reader = {
+      ensureAvroLimits() // once per JVM, before the first decode
+      new GenericDatumReader[GenericRecord](schema)
+    }
     @transient private var decoder: BinaryDecoder = _
     override val dataType: DataType = sparkType(schemaJson)
     // Parser null-contract (same as confluent_unframe below): corrupt or

@@ -56,6 +56,36 @@ class ParserEdgeSpec extends SparkSpec {
     assert(ok(0).getString(0) == "payload")
   }
 
+  test("readAvro: a length-prefix bomb (8 bytes claiming a 1 GB string) " +
+      "nulls the record instead of OOMing the executor at allocation") {
+    // zigzag varint length prefix for 2^30 bytes, then 3 bytes of data
+    val len = 1L << 30
+    var n = len << 1
+    val out = new java.io.ByteArrayOutputStream()
+    while ((n & ~0x7fL) != 0) { out.write(((n & 0x7f) | 0x80).toInt); n >>>= 7 }
+    out.write(n.toInt)
+    out.write(Array[Byte](65, 66, 67))
+    val bomb = out.toByteArray
+    assert(bomb.length < 16)
+    val r = Seq(bomb).toDF("v")
+      .select(graft.exprs.AvroExprs
+        .from_avro_binary(col("v"), """{"type":"string"}""").as("r"))
+      .collect()
+    // pre-limit: GenericDatumReader allocates the full claimed length
+    // before reading -> OutOfMemoryError (an Error, uncatchable-safe)
+    assert(r(0).isNullAt(0))
+    // ENGAGEMENT proof (the null alone would be vacuous on a big-heap
+    // JVM, where the 1 GB allocation succeeds and EOF nulls the row
+    // anyway): the decode above force-initialized the reader, which
+    // must have installed the limit properties, and Avro's own check
+    // must now throw BEFORE any allocation at the claimed length.
+    assert(System.getProperty("org.apache.avro.limits.string.maxLength")
+      == String.valueOf(256L * 1024 * 1024))
+    intercept[org.apache.avro.SystemLimitException] {
+      org.apache.avro.SystemLimitException.checkMaxStringLength(len)
+    }
+  }
+
   test("gunzip: decompressed-size cap nulls a zip bomb instead of " +
       "inflating it into executor heap; under-cap payloads unaffected") {
     def gz(raw: Array[Byte]): Array[Byte] = {
