@@ -39,7 +39,7 @@ object AvroExprs {
     * the first decode. Best-effort by design: if other code loaded
     * Avro's limits first, the user's/JVM's existing configuration wins.
     */
-  private[exprs] def ensureAvroLimits(): Unit =
+  private[graft] def ensureAvroLimits(): Unit =
     Seq("org.apache.avro.limits.string.maxLength",
         "org.apache.avro.limits.bytes.maxLength")
       .foreach(k => if (System.getProperty(k) == null)

@@ -29,6 +29,10 @@ object Sources {
     // points).
     val schemaJson = readerSchemaJson
     val binary = blobs.as[(String, Array[Byte])].mapPartitions { files =>
+      // length-prefix-bomb defense on this executor JVM too — this path
+      // must be safe even when AvroDecode's init never ran here (see
+      // AvroExprs.ensureAvroLimits)
+      graft.exprs.AvroExprs.ensureAvroLimits()
       files.flatMap { case (_, bytes) =>
         val reader = new org.apache.avro.generic.GenericDatumReader[
           org.apache.avro.generic.GenericRecord](
