@@ -119,6 +119,11 @@ object AvroExprs {
     }
     @transient private var decoder: BinaryDecoder = _
     override val dataType: DataType = sparkType(schemaJson)
+    // The fail-soft contracts below can produce NULL even from a
+    // non-null child — without this override Catalyst inherits the
+    // child's nullability, and a downstream codegen projection that
+    // trusts "non-nullable" NPEs (or silently mis-reads) on the nulls.
+    override def nullable: Boolean = true
     // Parser null-contract (same as confluent_unframe below): corrupt or
     // truncated bytes yield a NULL struct so bad records are filterable
     // — an EOFException/AvroRuntimeException escaping the scan aborts
@@ -150,13 +155,29 @@ object AvroExprs {
     @transient private lazy val baos = new java.io.ByteArrayOutputStream()
     @transient private var encoder: BinaryEncoder = _
     override def dataType: DataType = BinaryType
-    override def nullSafeEval(input: Any): Any = {
-      baos.reset()
-      encoder = EncoderFactory.get().binaryEncoder(baos, encoder)
-      writer.write(toAvro(input, child.dataType, schema), encoder)
-      encoder.flush()
-      baos.toByteArray
-    }
+    override def nullable: Boolean = true // fail-soft: see AvroDecode
+    // Encode-side fail-soft (poisoned-corpus sweep, r15): a record that
+    // VIOLATES the declared writer schema — e.g. a null field under a
+    // non-nullable string — made Avro throw NullPointerException out of
+    // the scan and abort the batch; the reference's toAvro fails only
+    // the record. Null output = unencodable record, filterable (callers
+    // that must not lose data count the nulls before shipping).
+    override def nullSafeEval(input: Any): Any =
+      try {
+        baos.reset()
+        encoder = EncoderFactory.get().binaryEncoder(baos, encoder)
+        writer.write(toAvro(input, child.dataType, schema), encoder)
+        encoder.flush()
+        baos.toByteArray
+      } catch {
+        // discard the reused encoder on ANY failed write: an exception
+        // mid-record leaves buffered partial bytes that would silently
+        // CORRUPT the next row's payload (observed: a null-text record
+        // poisoned the following record's frame end-to-end)
+        case _: NullPointerException => encoder = null; null
+        case _: ClassCastException => encoder = null; null
+        case _: org.apache.avro.AvroRuntimeException => encoder = null; null
+      }
     override protected def withNewChildInternal(c: Expression): AvroEncode = copy(child = c)
   }
 

@@ -261,6 +261,7 @@ object HashExprs {
   case class Gunzip(child: Expression, maxBytes: Long = Gunzip.DefaultMax)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true // fail-soft: null from non-null child
     // Parser null-contract: a corrupt/truncated stream yields NULL (the
     // record is filterable) — ZipException out of the scan would abort
     // the whole batch, where the reference's decompress fails only the

@@ -173,27 +173,37 @@ object Multimodal {
     */
   def synthesizePng(df: DataFrame, widthCol: String, heightCol: String,
                     seedCol: String): DataFrame = {
+    // media nullable: a row with null dims/seed (e.g. derived from a
+    // null-text document) synthesizes NO media rather than NPE-ing the
+    // partition — downstream decode stages already treat a null body as
+    // "no features" (poisoned-corpus sweep, r15)
     val schema = StructType(df.schema.fields :+
-      StructField("media", mediaSchema, nullable = false))
+      StructField("media", mediaSchema, nullable = true))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val w = r.getAs[Number](widthCol).intValue()
-        val h = r.getAs[Number](heightCol).intValue()
-        val seed = r.getAs[Number](seedCol).longValue()
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-        val rgb = (seed * 2654435761L & 0xFFFFFF).toInt
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-          y += 1
+        if (r.isNullAt(r.fieldIndex(widthCol)) ||
+            r.isNullAt(r.fieldIndex(heightCol)) ||
+            r.isNullAt(r.fieldIndex(seedCol)))
+          Row.fromSeq(r.toSeq :+ null)
+        else {
+          val w = r.getAs[Number](widthCol).intValue()
+          val h = r.getAs[Number](heightCol).intValue()
+          val seed = r.getAs[Number](seedCol).longValue()
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val rgb = (seed * 2654435761L & 0xFFFFFF).toInt
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          Row.fromSeq(r.toSeq :+ Row(out.toByteArray, "image/png", "binary"))
         }
-        val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", out)
-        Row.fromSeq(r.toSeq :+ Row(out.toByteArray, "image/png", "binary"))
       }
     }(enc)
   }
@@ -209,12 +219,17 @@ object Multimodal {
     */
   def synthesizePatternPng(df: DataFrame, widthCol: String, heightCol: String,
                            classCol: String, jitterCol: String): DataFrame = {
+    // media nullable on null inputs — same contract as [[synthesizePng]]
     val schema = StructType(df.schema.fields :+
-      StructField("media", mediaSchema, nullable = false))
+      StructField("media", mediaSchema, nullable = true))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
+        if (Seq(widthCol, heightCol, classCol, jitterCol)
+            .exists(c => r.isNullAt(r.fieldIndex(c)))) {
+          Row.fromSeq(r.toSeq :+ null)
+        } else {
         val w = r.getAs[Number](widthCol).intValue()
         val h = r.getAs[Number](heightCol).intValue()
         val cls = r.getAs[Number](classCol).longValue()
@@ -244,6 +259,7 @@ object Multimodal {
         val out = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", out)
         Row.fromSeq(r.toSeq :+ Row(out.toByteArray, "image/png", "binary"))
+        }
       }
     }(enc)
   }

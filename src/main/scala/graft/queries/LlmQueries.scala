@@ -1922,11 +1922,16 @@ object LlmQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the Spark side PNG-encodes then truly decodes; the oracle recomputes
     // the synthesized dimensions (and RGB channel count) arithmetically
+    // null-text docs synthesize NO media (null features end-to-end) —
+    // mirrored per column so the poisoned-corpus parity sweep holds
     "mm_decode_features" ->
       """SELECT doc_id,
-        |  CAST(1 + octet_length(encode(text)) % 64 AS INT) AS w,
-        |  CAST(1 + doc_id % 48 AS INT) AS h,
-        |  CAST(3 AS INT) AS channels
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE CAST(1 + octet_length(encode(text)) % 64 AS INT) END AS w,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE CAST(1 + doc_id % 48 AS INT) END AS h,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE CAST(3 AS INT) END AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the Spark side writes patterned PNGs, truly decodes them, and

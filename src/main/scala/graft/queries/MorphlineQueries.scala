@@ -736,9 +736,16 @@ object MorphlineQueries {
         |FROM customer ORDER BY id""".stripMargin,
     // the wire roundtrip must reproduce the source text and the declared
     // schema id; the registry frame is 5 bytes by definition
+    // a null-text doc is UNENCODABLE under the non-nullable writer
+    // schema -> encode fail-softs to null, nothing frames (tombstone
+    // contract), every derived column nulls — mirrored here so the
+    // poisoned-corpus parity sweep holds
     "m_confluent_wire" ->
-      """SELECT doc_id, CAST(doc_id % 1000 + 1 AS INTEGER) AS schema_id,
-        |  md5(text) AS text_md5, 5 AS overhead
+      """SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE CAST(doc_id % 1000 + 1 AS INTEGER) END AS schema_id,
+        |  md5(text) AS text_md5,
+        |  CASE WHEN text IS NULL THEN NULL ELSE 5 END AS overhead
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m_extract_tree" ->
       """SELECT event_id, event_type AS tree_type, user_id AS tree_user_id,

@@ -27,25 +27,35 @@ object TextAnalysis {
     size(filter(split(s3, "\\s+"), c => length(c) > 0))
   }
 
+  // Ratio contract (poisoned-corpus sweep, r15): an EMPTY text makes
+  // every denominator below zero, and ANSI division turns that into a
+  // whole-batch abort — one empty document killed t_quality_score,
+  // p_corpus_stats, p_budget_select, d_cluster_keep_best and
+  // d_domain_filter. nullif() nulls the ratio instead, which is ALSO
+  // the parity choice: DuckDB defines x/0.0 = NULL, so the oracles
+  // already score empty text this way (NULL < threshold ⇒ rule fails
+  // ⇒ 0 weight, identically on both engines).
+  private def ratio(num: Column, den: Column): Column =
+    num.cast("double") / nullif(den.cast("double"), lit(0.0))
+
   /** Characters-per-token ratio — a cheap fertility proxy. */
   def charsPerToken(text: Column): Column =
-    length(text).cast("double") / tokenCount(text).cast("double")
+    ratio(length(text), tokenCount(text))
 
   /** Punctuation ratio: punctuation chars / total chars. */
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, raw"\p{Punct}", ""))).cast("double") /
-      length(text).cast("double")
+    ratio(length(text) - length(regexp_replace(text, raw"\p{Punct}", "")),
+      length(text))
 
   /** Uppercase ratio. */
   def upperRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("double") /
-      length(text).cast("double")
+    ratio(length(text) - length(regexp_replace(text, "[A-Z]", "")),
+      length(text))
 
   /** Mean word length over whitespace tokens. */
   def meanWordLen(text: Column): Column = {
     val toks = split(trim(text), "\\s+")
-    aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
-      size(toks).cast("double")
+    ratio(aggregate(toks, lit(0L), (acc, w) => acc + length(w)), size(toks))
   }
 
   val englishStopwords: Seq[String] = Seq(
@@ -56,8 +66,7 @@ object TextAnalysis {
   def stopwordRatio(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
     val toks = split(lower(trim(text)), "\\s+")
     val sw = typedLit(stopwords)
-    size(filter(toks, t => array_contains(sw, t))).cast("double") /
-      size(toks).cast("double")
+    ratio(size(filter(toks, t => array_contains(sw, t))), size(toks))
   }
 
   /** Composite quality score in [0,1] — the Gopher-rule-style heuristic

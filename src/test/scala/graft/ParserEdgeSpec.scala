@@ -116,6 +116,26 @@ class ParserEdgeSpec extends SparkSpec {
     assert(out == Set("payload", null)) // pre-fix: abort on row 2
   }
 
+  test("toAvro: an unencodable record (null field under a non-nullable " +
+      "schema) nulls WITHOUT corrupting the next record's bytes") {
+    val schema = """{"type":"record","name":"d","fields":[
+      {"name":"id","type":"long"},{"name":"t","type":"string"}]}"""
+    // one partition, bad row FIRST: the failed write must not leave
+    // buffered partial bytes that poison the following record's payload
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "x"))
+      .toDF("id", "t").coalesce(1)
+    val out = df.select(col("id"),
+        graft.exprs.AvroExprs.from_avro_binary(
+          graft.exprs.AvroExprs.to_avro_binary(
+            struct(col("id"), col("t")), schema), schema).as("r"))
+      .select(col("id"), col("r.t").as("t2"), col("r.id").as("idRt"))
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(1)) // unencodable -> null (pre-fix: NPE abort)
+    // pre-fix (encoder reuse bug): row 2 decoded to NULL or wrong values
+    assert(out(1).getString(1) == "" && out(1).getLong(2) == 2L)
+    assert(out(2).getString(1) == "x" && out(2).getLong(2) == 3L)
+  }
+
   test("extractURIComponents / extractURIQueryParameters: malformed URI " +
       "-> null components (not an ANSI INVALID_URL batch abort)") {
     val df = Seq("http://example.com:8080/a/b?x=1&y=2#frag",
