@@ -425,10 +425,14 @@ object Dedup {
       .select(col("id"),
         size(col("lines")).cast("long").as("n_lines"),
         coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"),
-        md5(concat_ws("\n",
-          filter(col("lines"), (_, i) =>
-            !array_contains(coalesce(col("rm"),
-              array().cast("array<integer>")), i))))
+        // a null lines array (null-text doc) has no rebuilt document ->
+        // NULL digest; an array emptied BY dedup still digests md5('')
+        // (a real, now-empty document) — concat_ws would conflate the two
+        when(col("lines").isNotNull,
+          md5(concat_ws("\n",
+            filter(col("lines"), (_, i) =>
+              !array_contains(coalesce(col("rm"),
+                array().cast("array<integer>")), i)))))
           .as("clean_md5"))
   }
 

@@ -320,9 +320,13 @@ object Packing {
         n.cast("long").as("n_toks"),
         col("__f.nm").cast("long").as("n_masked"),
         col("__f.k").cast("long").as("n_spans"),
-        md5(ltrim(col("__f.inp"))).as("input_md5"),
-        md5(ltrim(concat(col("__f.tgt"), lit(" <extra_id_"),
-          col("__f.k").cast("string"), lit(">")))).as("target_md5"))
+        // drop exactly the ONE separator space the fold prefixes — ltrim
+        // also ate the separators of LEADING EMPTY TOKENS (text starting
+        // with spaces), diverging from a true ' '-join (poisoned sweep)
+        md5(substring(col("__f.inp"), 2, Int.MaxValue)).as("input_md5"),
+        md5(substring(concat(col("__f.tgt"), lit(" <extra_id_"),
+          col("__f.k").cast("string"), lit(">")), 2, Int.MaxValue))
+          .as("target_md5"))
   }
 
   /** Fill-in-the-middle transformation (Bavarian et al. 2022, "Efficient
@@ -397,7 +401,11 @@ object Packing {
       .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
         col("start").cast("long").as("start_pos"),
         least(lit(maxToks), col("n") - col("start")).cast("long").as("chunk_len"),
-        md5(array_join(slice(col("__toks"), col("start") + 1, lit(maxToks)), " "))
+        // a contentless chunk (null/empty/whitespace doc) digests to NULL,
+        // not md5('') — same empty-token-set contract as
+        // [[TextAnalysis.fingerprint]] (poisoned-corpus sweep)
+        when(size(slice(col("__toks"), col("start") + 1, lit(maxToks))) > 0,
+          md5(array_join(slice(col("__toks"), col("start") + 1, lit(maxToks)), " ")))
           .as("chunk_md5"))
   }
 }

@@ -590,7 +590,11 @@ object CorpusQueries {
         .select(col("doc_id"),
           TextAnalysis.winnowFingerprints(col("text"), k = 5, w = 4).as("fps"))
         .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
-          md5(concat_ws(",", transform(col("fps"), _.cast("string")))).as("fp_md5"))
+          // empty signature (text shorter than one k-gram) -> NULL digest,
+          // not md5('') — matches the oracle's array_to_string([]) = NULL
+          when(size(col("fps")) > 0,
+            md5(concat_ws(",", transform(col("fps"), _.cast("string")))))
+            .as("fp_md5"))
         .orderBy("doc_id")),
 
     // MOSS cross-document matching: pairs sharing >= 3 winnowing
@@ -1496,8 +1500,8 @@ object CorpusQueries {
       """SELECT id, n_toks, (cum_end - n_toks) // 2048 AS bin,
         |  (cum_end - n_toks) % 2048 AS bin_off FROM (
         |  SELECT doc_id AS id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
-        |    CAST(sum(len(string_split_regex(trim(text), '\s+')))
+        |    CAST(coalesce(len(string_split_regex(trim(text), '\s+')), 0) AS BIGINT) AS n_toks,
+        |    CAST(sum(coalesce(len(string_split_regex(trim(text), '\s+')), 0))
         |         OVER (ORDER BY doc_id) AS BIGINT) AS cum_end
         |  FROM documents)
         |ORDER BY id""".stripMargin,
@@ -1508,8 +1512,8 @@ object CorpusQueries {
       """WITH tape AS (
         |  SELECT id, n_toks, (cum_end - n_toks) % 2048 AS bin_off FROM (
         |    SELECT doc_id AS id,
-        |      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
-        |      CAST(sum(len(string_split_regex(trim(text), '\s+')))
+        |      CAST(coalesce(len(string_split_regex(trim(text), '\s+')), 0) AS BIGINT) AS n_toks,
+        |      CAST(sum(coalesce(len(string_split_regex(trim(text), '\s+')), 0))
         |           OVER (ORDER BY doc_id) AS BIGINT) AS cum_end
         |    FROM documents)),
         |agg AS (
@@ -1529,8 +1533,8 @@ object CorpusQueries {
       """SELECT id, n_toks, (cum_end - n_toks) // 2048 AS bin,
         |  (cum_end - n_toks) % 2048 AS bin_off FROM (
         |  SELECT doc_id AS id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
-        |    CAST(sum(len(string_split_regex(trim(text), '\s+')))
+        |    CAST(coalesce(len(string_split_regex(trim(text), '\s+')), 0) AS BIGINT) AS n_toks,
+        |    CAST(sum(coalesce(len(string_split_regex(trim(text), '\s+')), 0))
         |         OVER (ORDER BY doc_id) AS BIGINT) AS cum_end
         |  FROM documents)
         |ORDER BY id""".stripMargin,
@@ -1539,7 +1543,8 @@ object CorpusQueries {
     "p_length_buckets" ->
       """WITH tc AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+        |    CAST(coalesce(len(string_split_regex(trim(text), '\s+')), 0)
+        |      AS BIGINT) AS n_toks
         |  FROM documents),
         |hist AS (SELECT n_toks, count(*) AS c FROM tc GROUP BY n_toks),
         |map AS (
@@ -1917,7 +1922,7 @@ object CorpusQueries {
         |  SELECT doc_id, s1,
         |    (s1 AND row_number() OVER (
         |      PARTITION BY md5(array_to_string(list_sort(list_distinct(list_filter(
-        |        string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |        string_split_regex(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+'),
         |        x -> x <> ''))), ' '))
         |      ORDER BY (NOT s1), doc_id) = 1) AS s2
         |  FROM f1),
@@ -2114,8 +2119,10 @@ object CorpusQueries {
          |m AS (SELECT doc_id,
          |    CAST(len(toks) AS BIGINT) AS n_words,
          |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sents,
-         |    CAST(coalesce(list_sum(list_transform(toks,
-         |      x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 0) AS BIGINT) AS n_syll
+         |    CAST(CASE WHEN toks IS NULL THEN NULL
+         |      ELSE coalesce(list_sum(list_transform(toks,
+         |        x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 0)
+         |      END AS BIGINT) AS n_syll
          |  FROM t)
          |SELECT doc_id, n_words, n_sents, n_syll,
          |  CASE WHEN n_words > 0 THEN CAST(round(206.835
@@ -2202,7 +2209,10 @@ object CorpusQueries {
         |    n + 1 AS n
         |  FROM seg WHERE pos < len(tok))
         |SELECT doc_id, CAST(n AS INT) AS np FROM seg
-        |WHERE pos = len(tok) ORDER BY doc_id""".stripMargin,
+        |WHERE pos = len(tok)
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS INT) AS np FROM w WHERE tok IS NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // the batch equivalent of the stream-static enrich join — complete
     // mode makes the finished table equal this whatever the replay order
@@ -2561,15 +2571,24 @@ object CorpusQueries {
         |FROM dups WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     // utf8proc NFC (DuckDB) vs java.text.Normalizer NFC (Spark) — both
-    // implement UAX #15, so md5/length agree iff composition happened
+    // implement UAX #15, so md5/length agree iff composition happened.
+    // Normalized PIECEWISE at NUL bytes: when composition has work to do,
+    // DuckDB's nfc_normalize truncates at an embedded chr(0) (C-string
+    // path in utf8proc) where Java normalizes the full string. NUL is a
+    // starter that nothing composes across, so piecewise NFC rejoined
+    // with NUL is byte-identical to whole-string NFC.
     "t_normalize_text" ->
-      """SELECT doc_id,
-        |  CAST(length(nfc_normalize(text || ' Cafe' || chr(769) || ' No' ||
-        |    chr(776) || 'el A' || chr(778) || 'ngstro' || chr(776) || 'm')) AS BIGINT)
-        |    AS norm_len,
-        |  md5(nfc_normalize(text || ' Cafe' || chr(769) || ' No' || chr(776) ||
-        |    'el A' || chr(778) || 'ngstro' || chr(776) || 'm')) AS norm_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      string_split(text || ' Cafe' || chr(769) || ' No' || chr(776) ||
+        |        'el A' || chr(778) || 'ngstro' || chr(776) || 'm', chr(0)),
+        |      p -> nfc_normalize(p)), chr(0)) AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(norm) AS BIGINT) AS norm_len,
+        |  md5(norm) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // word-bigram jaccard: same tokenizer as duckToks, same clamped-slice
     // shingling as t_dup_ngram_ratio, set semantics via list_distinct
@@ -2593,10 +2612,13 @@ object CorpusQueries {
          |    len(sa) + len(sb) - len(list_intersect(sa, sb)) AS uni
          |  FROM sh)
          |SELECT j.doc_id,
-         |  CASE WHEN uni = 0 THEN 0.0
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       WHEN uni = 0 THEN 0.0
          |       ELSE CAST(round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS DOUBLE)
          |  END AS jac2,
-         |  md5(nfc_normalize(d.text || ' Cafe' || chr(769))) AS norm_md5
+         |  md5(array_to_string(list_transform(
+         |    string_split(d.text || ' Cafe' || chr(769), chr(0)),
+         |    p -> nfc_normalize(p)), chr(0))) AS norm_md5
          |FROM j JOIN documents d ON d.doc_id = j.doc_id
          |ORDER BY j.doc_id""".stripMargin,
 
@@ -2718,7 +2740,7 @@ object CorpusQueries {
         |        WHEN st = 1 THEN '<extra_id_' || CAST(k - 1 AS VARCHAR) || '> ' || tok
         |        WHEN m THEN tok END, ' ' ORDER BY p), '') AS tgt0
         |  FROM h GROUP BY doc_id)
-        |SELECT doc_id,
+        |SELECT t.doc_id,
         |  CAST(n_toks AS BIGINT) AS n_toks,
         |  CAST(n_masked AS BIGINT) AS n_masked,
         |  CAST(n_spans AS BIGINT) AS n_spans,
@@ -2726,7 +2748,7 @@ object CorpusQueries {
         |  md5(CASE WHEN tgt0 = '' THEN '<extra_id_' || CAST(n_spans AS VARCHAR) || '>'
         |       ELSE tgt0 || ' <extra_id_' || CAST(n_spans AS VARCHAR) || '>' END)
         |    AS target_md5
-        |FROM agg ORDER BY doc_id""".stripMargin,
+        |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // same line synthesis; the canonical occurrence of each duplicated
     // line is the min (doc_id, idx) — mirrored here by a row_number over
@@ -2759,7 +2781,7 @@ object CorpusQueries {
         |  FROM k GROUP BY doc_id)
         |SELECT l.doc_id, CAST(len(l.lines) AS BIGINT) AS n_lines,
         |  CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed, a.clean_md5
-        |FROM l JOIN agg a USING (doc_id)
+        |FROM l LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // tf·ln(N/df), rank ties broken by term — integer tf/df/N so the only

@@ -764,13 +764,18 @@ object LlmQueries {
     // quantized vector (list hashing across engines is brittle; the sum
     // pins every element's rounding).
     "s_embed_quant" -> ((s, dir) => {
+      // the working scale column is named apart from the rounded DISPLAY
+      // column: lateral column alias resolution binds a same-name
+      // col("scale") inside the aggregate to the ROUNDED sibling alias,
+      // silently quantizing with a 6-dp scale (observed: a 1e30 vector
+      // quantized with round(1.27e-28, 6) = 0.0 → qsum 0, not 8128)
       val e = emb(s, dir)
         .select(col("vec_id"),
           transform(col("embedding"), _.cast("double")).as("v"))
-        .withColumn("scale", Similarity.int8Scale(col("v")))
+        .withColumn("__scale", Similarity.int8Scale(col("v")))
       e.select(col("vec_id"),
-          round(col("scale"), 6).as("scale"),
-          aggregate(Similarity.quantizeInt8(col("v"), col("scale")),
+          round(col("__scale"), 6).as("scale"),
+          aggregate(Similarity.quantizeInt8(col("v"), col("__scale")),
             lit(0L), (acc, q) => acc + q.cast("long")).as("qsum"))
         .orderBy("vec_id")
     }),
@@ -1044,12 +1049,17 @@ object LlmQueries {
     "t_quality_score" ->
       s"""SELECT doc_id, $duckQuality AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
-    // Spark soundex replicated as a DuckDB automaton: translate letters to
-    // the US-English code string (H/W = '7'), then fold char-by-char with
-    // list_reduce carrying (lastCode | accumulated digits) — '7' is
-    // transparent (lastCode survives), '0' (vowels AND non-letters) resets,
-    // repeats of lastCode collapse. A token whose first char is not an
-    // ASCII letter passes through unchanged, like UTF8String.soundex.
+    // Spark soundex replicated in DuckDB: translate letters to the
+    // US-English code string (H/W = '7'), then (1) strip '7' (H/W are
+    // transparent — letters across them still collapse), (2) collapse
+    // ADJACENT equal codes with an index lambda, (3) strip '0' (vowels
+    // separate, emitting nothing), (4) keep 3 digits after the first
+    // letter, zero-padded. A token whose first char is not an ASCII
+    // letter passes through unchanged, like UTF8String.soundex.
+    // Deliberately NOT a list_reduce fold: DuckDB 1.0's list_reduce has a
+    // cross-row state-aliasing bug when a row's lambda returns the
+    // accumulator unchanged at the last step (an all-same-letter token
+    // inherited a NEIGHBOR row's digits — poisoned-corpus sweep).
     "t_phonetic_key" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -1057,25 +1067,26 @@ object LlmQueries {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, tok,
-        |    translate(regexp_replace(upper(tok), '[^A-Z]', 'A', 'g'),
-        |      'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202') AS codes
-        |  FROM t)
+        |    string_split(substr(translate(regexp_replace(upper(tok), '[^A-Z]', 'A', 'g'),
+        |      'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202'), 1, 1) ||
+        |      replace(substr(translate(regexp_replace(upper(tok), '[^A-Z]', 'A', 'g'),
+        |      'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202'), 2),
+        |      '7', ''), '') AS cs
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, tok,
+        |    list_filter(list_filter(cs, (x, i) -> i = 1 OR x <> cs[i-1])[2:],
+        |      x -> x <> '0' AND x <> '') AS digits
+        |  FROM c)
         |SELECT doc_id,
         |  CASE
         |    WHEN tok IS NULL THEN NULL
         |    WHEN tok = '' THEN ''
         |    WHEN NOT regexp_matches(substr(tok,1,1), '^[A-Za-z]$') THEN tok
-        |    ELSE upper(substr(tok,1,1)) || substr(
-        |      substr(list_reduce(
-        |        list_prepend(substr(codes, 1, 1),
-        |          list_filter(string_split(substr(codes, 2), ''), x -> x <> '')),
-        |        (s, x) -> CASE
-        |          WHEN x = '7' THEN s
-        |          WHEN x = '0' THEN '0' || substr(s, 2)
-        |          WHEN x = substr(s, 1, 1) THEN s
-        |          ELSE x || substr(s, 2) || x END), 2) || '000', 1, 3)
+        |    ELSE upper(substr(tok,1,1)) ||
+        |      substr(coalesce(array_to_string(digits, ''), '') || '000', 1, 3)
         |  END AS pk
-        |FROM c ORDER BY doc_id""".stripMargin,
+        |FROM f ORDER BY doc_id""".stripMargin,
     "t_lang_id" ->
       """WITH sc AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
@@ -1096,7 +1107,7 @@ object LlmQueries {
     "t_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(list_filter(
-        |    string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |    string_split_regex(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+'),
         |    x -> x <> ''))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t_redact_pii" ->
@@ -1118,7 +1129,7 @@ object LlmQueries {
         |      x -> x <> '') AS toks
         |  FROM documents)
         |SELECT doc_id,
-        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |  CASE WHEN toks IS NULL OR len(toks) = 0 THEN 0.0
         |  ELSE CAST(round(1.0 -
         |    CAST(len(list_distinct(list_transform(
         |      range(1, greatest(len(toks) - 2, 0) + 2),
@@ -1296,11 +1307,15 @@ object LlmQueries {
         |           (CAST(e.embedding[s.m * 8 + j] AS DOUBLE) - CAST(cb.cv[s.m * 8 + j] AS DOUBLE)))) AS d2
         |  FROM embeddings e CROSS JOIN cb CROSS JOIN sub s),
         |code AS (
-        |  SELECT vec_id, m, c FROM (
-        |    SELECT vec_id, m, c,
+        |  SELECT vec_id, m,
+        |    CASE WHEN d2 IS NULL THEN NULL ELSE c END AS c
+        |  FROM (
+        |    SELECT vec_id, m, c, d2,
         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
         |    FROM d) WHERE rn = 1)
-        |SELECT vec_id, CAST(sum(c << (2 * m)) AS BIGINT) AS pq_word
+        |SELECT vec_id,
+        |  CASE WHEN bool_and(c IS NOT NULL) THEN CAST(sum(c << (2 * m)) AS BIGINT)
+        |       ELSE NULL END AS pq_word
         |FROM code GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // ADC: per-query subspace distance table joined to the codes; the
     // per-candidate sum folds in fixed subspace order (list ORDER BY m)
@@ -1316,9 +1331,9 @@ object LlmQueries {
         |  FROM embeddings e CROSS JOIN cb CROSS JOIN sub s),
         |code AS (
         |  SELECT vec_id, m, c FROM (
-        |    SELECT vec_id, m, c,
+        |    SELECT vec_id, m, c, d2,
         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
-        |    FROM d) WHERE rn = 1),
+        |    FROM d) WHERE rn = 1 AND d2 IS NOT NULL),
         |qt AS (
         |  SELECT q.vec_id AS qid, s.m, cb.c,
         |    list_sum(list_transform(range(1, 9),
@@ -1351,9 +1366,9 @@ object LlmQueries {
         |  FROM embeddings e CROSS JOIN cb CROSS JOIN sub s),
         |code AS (
         |  SELECT vec_id, m, c FROM (
-        |    SELECT vec_id, m, c,
+        |    SELECT vec_id, m, c, d2,
         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
-        |    FROM d) WHERE rn = 1),
+        |    FROM d) WHERE rn = 1 AND d2 IS NOT NULL),
         |qt AS (
         |  SELECT q.vec_id AS qid, s.m, cb.c,
         |    list_sum(list_transform(range(1, 9),
@@ -1480,13 +1495,38 @@ object LlmQueries {
         |  CAST(round(sc, 6) AS DOUBLE) AS scale,
         |  CAST(list_sum(list_transform(vd, x -> CAST(round(x * sc, 0) AS BIGINT))) AS BIGINT) AS qsum
         |FROM s ORDER BY vec_id""".stripMargin,
+    // NOT DuckDB's levenshtein(): that one counts BYTE edits (é=2, 😀=4)
+    // where Spark's counts CODEPOINT edits — the units diverge on any
+    // non-ascii text. The DP is replayed exactly over string_split(s,'')
+    // codepoint lists, one recursive-CTE level per row of the matrix
+    // (strings are capped at 60 codepoints, so depth ≤ 60).
     "t_edit_distance" ->
-      """WITH g AS (
+      """WITH RECURSIVE g AS (
         |  SELECT doc_id, substr(text, 1, 60) AS t60,
         |    lag(substr(text, 1, 60)) OVER (PARTITION BY source ORDER BY doc_id) AS prev
-        |  FROM documents)
-        |SELECT doc_id, levenshtein(t60, prev) AS dist
-        |FROM g WHERE prev IS NOT NULL ORDER BY doc_id""".stripMargin,
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, string_split(t60, '') AS a, string_split(prev, '') AS b
+        |  FROM g WHERE prev IS NOT NULL),
+        |lev(doc_id, i, row) AS (
+        |  SELECT doc_id, 0, list_transform(range(0, len(b) + 1), j -> CAST(j AS BIGINT))
+        |  FROM p WHERE a IS NOT NULL
+        |  UNION ALL
+        |  SELECT l.doc_id, l.i + 1,
+        |    list_reduce(
+        |      list_prepend(CAST([l.i + 1] AS BIGINT[]),
+        |        list_transform(range(1, len(p.b) + 1), j -> CAST([j] AS BIGINT[]))),
+        |      (s, e) -> list_append(s, least(
+        |          l.row[len(s) + 1] + 1,
+        |          s[-1] + 1,
+        |          l.row[len(s)] +
+        |            CASE WHEN p.a[l.i + 1] = p.b[len(s)] THEN 0 ELSE 1 END)))
+        |  FROM lev l JOIN p USING (doc_id) WHERE l.i < len(p.a))
+        |SELECT l.doc_id, CAST(l.row[-1] AS INT) AS dist
+        |FROM lev l JOIN p USING (doc_id) WHERE l.i = len(p.a)
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS INT) AS dist FROM p WHERE a IS NULL
+        |ORDER BY doc_id""".stripMargin,
     "d_dedup_exact" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -1519,7 +1559,7 @@ object LlmQueries {
       """SELECT doc_id FROM (
         |  SELECT doc_id, row_number() OVER (
         |    PARTITION BY md5(array_to_string(list_sort(list_distinct(list_filter(
-        |      string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |      string_split_regex(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+'),
         |      x -> x <> ''))), ' '))
         |    ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
@@ -1596,15 +1636,19 @@ object LlmQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // portable polynomial hash: pure BIGINT arithmetic over codepoints,
     // identical fold order both sides (list_prepend(0, ...) = init-0 fold)
+    // null text -> NULL hash (Spark's aggregate over a null array): guard
+    // explicitly, because DuckDB's list_prepend(0, NULL) = [0] would fold
+    // a null doc to 0 — a REAL hash value — instead of propagating null
     "t_rolling_hash" ->
       """SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN NULL ELSE
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
         |    string_split_regex(trim(text), '\s+'),
         |    w -> list_reduce(
         |      list_prepend(CAST(0 AS BIGINT),
         |        list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
         |      (a, c) -> (a * 131 + c) % 1000000007))),
-        |    (acc, h) -> (acc * 31 + h) % 1000000007) AS rh
+        |    (acc, h) -> (acc * 31 + h) % 1000000007) END AS rh
         |FROM documents ORDER BY doc_id""".stripMargin,
     // same pair generation as d_ngram_jaccard, then transitive closure via
     // recursive CTE; canonical = smallest reachable doc_id (incl. self)
@@ -1775,10 +1819,13 @@ object LlmQueries {
 
     // same shingle construction as d_decontaminate at n=3; novelty is a
     // double division of exact distinct counts, rounded after
+    // tokenizer mirrors WordShingles' Character.isLetterOrDigit — unicode
+    // letter/digit classes, NOT the ascii duckToks (a combining mark or
+    // emoji separates; CJK letters are kept)
     "t_ngram_novelty" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(
-        |    string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+        |    string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}]+', ' ', 'g')), ' '),
         |    x -> x <> '') AS t
         |  FROM documents),
         |sh AS (
@@ -1886,8 +1933,11 @@ object LlmQueries {
         |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
         |           (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))) AS d2
         |  FROM embeddings e CROSS JOIN c)
-        |SELECT vec_id, CAST(cid AS INT) AS cell FROM (
-        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |SELECT vec_id,
+        |  CASE WHEN d2 IS NULL THEN NULL ELSE CAST(cid AS INT) END AS cell
+        |FROM (
+        |  SELECT vec_id, cid, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         |  FROM d) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // waveform formula recomputation — no byte parsing; equality with
     // the Spark side's decoded-bytes path proves the PCM roundtrip

@@ -621,7 +621,7 @@ object MorphlineQueries {
         |  CAST(length(lower(text)) -
         |    length(replace(replace(replace(replace(replace(lower(text),
         |      'a',''),'e',''),'i',''),'o',''),'u','')) AS BIGINT) AS vowels,
-        |  lang || '-graded' AS grade
+        |  coalesce(lang, '') || '-graded' AS grade
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m_convert_timestamp" ->
       """SELECT o_orderkey,

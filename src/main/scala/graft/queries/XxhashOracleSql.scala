@@ -323,9 +323,11 @@ private[graft] object XxhashOracleSql {
     * Dedup.simhashPairs(maxHamming = 8): WordShingles 2-grams (NOTE the
     * different range bound — count = len(toks) − 1, not len − 2) →
     * per-DISTINCT-shingle XXH64 → ±1 votes per bit, bit set iff
-    * 2·ones > n (ties vote 0, matching `votes(b) > 0`) → a doc with no
-    * tokens gets signature 0 (Spark computes SimHash for EVERY row, no
-    * size guard — the LEFT JOIN keeps that semantics) → 16-bit
+    * 2·ones > n (ties vote 0, matching `votes(b) > 0`) → a NON-NULL doc
+    * with no tokens gets signature 0 (Spark computes SimHash for every
+    * non-null row, no size guard — the LEFT JOIN keeps that semantics),
+    * while a NULL text gets a NULL signature and so, like Spark's
+    * null-propagating expression, never blocks or pairs → 16-bit
     * pigeonhole blocks → OR-of-blocks candidate join → hamming ≤ 8 via
     * per-half bit_count over the xor. All on the unsigned HUGEINT
     * representation; Spark's arithmetic `shiftright` + 0xFFFF mask
@@ -362,7 +364,9 @@ private[graft] object XxhashOracleSql {
        |sg0 AS (
        |  SELECT doc_id, ($sigterms) AS sig FROM vt),
        |sigs AS (
-       |  SELECT d.doc_id, coalesce(s.sig, 0::HUGEINT) AS sig
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.text IS NULL THEN NULL
+       |         ELSE coalesce(s.sig, 0::HUGEINT) END AS sig
        |  FROM documents d LEFT JOIN sg0 s USING (doc_id)),
        |bk AS (
        |  SELECT doc_id, sig, $blocks FROM sigs),

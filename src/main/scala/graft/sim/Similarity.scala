@@ -651,6 +651,11 @@ object Similarity {
         col("codes").getItem(mi) + lit(1))).reduce(_ + _)
     val scored = codes.crossJoin(broadcast(qt))
       .select(col("qid"), col("id"), adc.as("adc"))
+      // a null-embedding corpus vector has NULL codes -> NULL adc; exclude
+      // it from ranking (ascending sort is NULLS FIRST, so it would
+      // otherwise take rank 1) — the module's uniform null-scored-row
+      // exclusion contract (see knnGraph)
+      .filter(col("adc").isNotNull)
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

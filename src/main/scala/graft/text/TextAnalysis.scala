@@ -141,11 +141,15 @@ object TextAnalysis {
     * strip punctuation, dedupe+sort tokens, hash. Stable doc identity for
     * fuzzy exact-dedup.
     */
-  def fingerprint(text: Column): Column =
-    md5(concat_ws(" ",
-      array_sort(array_distinct(
-        filter(split(lower(regexp_replace(text, raw"[^\p{L}\p{N}\s]", " ")), "\\s+"),
-          t => length(t) > 0)))))
+  def fingerprint(text: Column): Column = {
+    val toks = array_sort(array_distinct(
+      filter(split(lower(regexp_replace(text, raw"[^\p{L}\p{N}\s]", " ")), "\\s+"),
+        t => length(t) > 0)))
+    // No tokens (null/empty/whitespace text) -> NULL, not md5('') —
+    // concat_ws would silently hash every contentless doc to the SAME
+    // key, fusing them into one dedup cluster (poisoned-corpus sweep).
+    when(size(toks) > 0, md5(concat_ws(" ", toks)))
+  }
 
   /** Rolling-hash document fingerprint: polynomial hash over tokens, each
     * token itself a polynomial hash of its character codepoints, mod a

@@ -376,6 +376,62 @@ class DegenerateInputSpec extends SparkSpec {
     }
   }
 
+  test("pqKnn excludes a null-embedding corpus vector from ranking") {
+    afterEach {
+      import graft.sim.Similarity
+      // 4-dim, m=2 -> 2 subspaces of 2; codebook of 2 centroids
+      val cb = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 1.0))
+      val corpus = embOf(
+        Row(1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+        Row(2L, null), // ascending ADC sort is NULLS FIRST: pre-fix rank 1
+        Row(3L, Seq(0.0f, 1.0f, 0.0f, 1.0f)))
+      val q = embOf(Row(1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      val out = Similarity.pqKnn(corpus, "id", "vec", q, "id", "vec",
+        cb, m = 2, k = 3).collect()
+      assert(out.forall(!_.isNullAt(2)), "null-adc row must not rank")
+      assert(out.map(_.getLong(1)).toSet == Set(1L, 3L))
+      assert(out.find(_.getInt(3) == 1).get.getLong(1) == 1L)
+    }
+  }
+
+  test("empty token sets digest to NULL, not md5('')") {
+    afterEach {
+      import graft.text.TextAnalysis
+      import graft.dedup.Dedup
+      import graft.pack.Packing
+      // fingerprint: null/empty/whitespace -> NULL; contentful -> defined
+      val fp = nullDocs
+        .withColumn("t2", when(col("doc_id") === 2, lit("   ")).otherwise(col("text")))
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("t2")).as("fp"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+      assert(fp(1L) == null && fp(2L) == null && fp(3L) == null)
+      // chunkDocs: the empty doc's single chunk digests NULL
+      val ch = Packing.chunkDocs(
+        docsOf(Row(1L, "", null, "web")), "text", "doc_id").collect()
+      assert(ch.length == 1 && ch(0).isNullAt(4))
+      // lineDedup: null lines -> NULL rebuilt digest; real empty line kept
+      val staged = docsOf(Row(1L, null, null, "web"))
+        .select(col("doc_id"), lit(null).cast("array<string>").as("lines"))
+      val ld = Dedup.lineDedup(staged, "lines", "doc_id").collect()
+      assert(ld.length == 1 && ld(0).isNullAt(3))
+    }
+  }
+
+  test("spanCorrupt input digest preserves leading empty tokens (true join)") {
+    afterEach {
+      import graft.pack.Packing
+      // '  a b' splits to ['','','a','b'] on ' ' — the rebuilt input must
+      // keep the two separator positions, like ' '-joining the tokens
+      val df = docsOf(Row(977L, "  a b", null, "web")) // seed: no masks at 977
+      val out = Packing.spanCorrupt(df, "text", "doc_id").collect()(0)
+      if (out.getLong(2) == 0) { // n_masked == 0 -> input == original text
+        val expect = java.security.MessageDigest.getInstance("MD5")
+          .digest("  a b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(out.getString(4) == expect, "ltrim ate leading empty-token separators")
+      }
+    }
+  }
+
   // ----------------------------------------------------------- multimodal
 
   test("Multimodal feature extraction is total on empty media frames") {
