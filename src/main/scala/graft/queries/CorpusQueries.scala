@@ -1928,7 +1928,7 @@ object CorpusQueries {
         |  FROM f1),
         |toks AS (
         |  SELECT doc_id, list_filter(
-        |    string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+        |    string_split(lower(regexp_replace(text, '[^\p{L}\p{N}]+', ' ', 'g')), ' '),
         |    x -> x <> '') AS t
         |  FROM documents),
         |sh AS (
@@ -2592,11 +2592,15 @@ object CorpusQueries {
 
     // word-bigram jaccard: same tokenizer as duckToks, same clamped-slice
     // shingling as t_dup_ngram_ratio, set semantics via list_distinct
+    // tokenizer mirrors graft_word_shingles' Character.isLetterOrDigit —
+    // unicode classes, NOT duckToks (which mirrors asciiTokens)
     "x_sql_surface" ->
       s"""WITH t AS (
-         |  SELECT doc_id, $duckToks AS ta,
+         |  SELECT doc_id,
+         |    list_filter(string_split(lower(regexp_replace(text,
+         |      '[^\\p{L}\\p{N}]+', ' ', 'g')), ' '), x -> x != '') AS ta,
          |    list_filter(string_split(lower(regexp_replace(substr(text, 1, 120),
-         |      '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x != '') AS tb
+         |      '[^\\p{L}\\p{N}]+', ' ', 'g')), ' '), x -> x != '') AS tb
          |  FROM documents),
          |sh AS (
          |  SELECT doc_id,

@@ -1567,12 +1567,12 @@ object LlmQueries {
       """WITH sh AS (
         |  SELECT doc_id, source, lang,
         |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' ')) - 1, 2)),
+        |      range(1, greatest(len(string_split(lower(regexp_replace(text, '[^\p{L}\p{N} ]', ' ', 'g')), ' ')) - 1, 2)),
         |      i -> array_to_string(
-        |        (list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '), x -> x <> ''))[i:i+2],
+        |        (list_filter(string_split(lower(regexp_replace(text, '[^\p{L}\p{N} ]', ' ', 'g')), ' '), x -> x <> ''))[i:i+2],
         |        ' '))) AS sh
         |  FROM documents
-        |  WHERE len(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '),
+        |  WHERE len(list_filter(string_split(lower(regexp_replace(text, '[^\p{L}\p{N} ]', ' ', 'g')), ' '),
         |            x -> x <> '')) > 0),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1589,12 +1589,12 @@ object LlmQueries {
       """WITH sh AS (
         |  SELECT doc_id, source, lang,
         |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' ')) - 1, 2)),
+        |      range(1, greatest(len(string_split(lower(regexp_replace(text, '[^\p{L}\p{N} ]', ' ', 'g')), ' ')) - 1, 2)),
         |      i -> array_to_string(
-        |        (list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '), x -> x <> ''))[i:i+2],
+        |        (list_filter(string_split(lower(regexp_replace(text, '[^\p{L}\p{N} ]', ' ', 'g')), ' '), x -> x <> ''))[i:i+2],
         |        ' '))) AS sh
         |  FROM documents
-        |  WHERE len(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '),
+        |  WHERE len(list_filter(string_split(lower(regexp_replace(text, '[^\p{L}\p{N} ]', ' ', 'g')), ' '),
         |            x -> x <> '')) > 0),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1656,12 +1656,12 @@ object LlmQueries {
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, source, lang,
         |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' ')) - 1, 2)),
+        |      range(1, greatest(len(string_split(lower(regexp_replace(text, '[^\p{L}\p{N} ]', ' ', 'g')), ' ')) - 1, 2)),
         |      i -> array_to_string(
-        |        (list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '), x -> x <> ''))[i:i+2],
+        |        (list_filter(string_split(lower(regexp_replace(text, '[^\p{L}\p{N} ]', ' ', 'g')), ' '), x -> x <> ''))[i:i+2],
         |        ' '))) AS sh
         |  FROM documents
-        |  WHERE len(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '),
+        |  WHERE len(list_filter(string_split(lower(regexp_replace(text, '[^\p{L}\p{N} ]', ' ', 'g')), ' '),
         |            x -> x <> '')) > 0),
         |pf AS (
         |  SELECT id_a, id_b FROM (
@@ -1690,12 +1690,12 @@ object LlmQueries {
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, source, lang,
         |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' ')) - 1, 2)),
+        |      range(1, greatest(len(string_split(lower(regexp_replace(text, '[^\p{L}\p{N} ]', ' ', 'g')), ' ')) - 1, 2)),
         |      i -> array_to_string(
-        |        (list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '), x -> x <> ''))[i:i+2],
+        |        (list_filter(string_split(lower(regexp_replace(text, '[^\p{L}\p{N} ]', ' ', 'g')), ' '), x -> x <> ''))[i:i+2],
         |        ' '))) AS sh
         |  FROM documents
-        |  WHERE len(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '),
+        |  WHERE len(list_filter(string_split(lower(regexp_replace(text, '[^\p{L}\p{N} ]', ' ', 'g')), ' '),
         |            x -> x <> '')) > 0),
         |pf AS (
         |  SELECT id_a, id_b FROM (
@@ -1731,12 +1731,12 @@ object LlmQueries {
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, source, lang,
         |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' ')) - 1, 2)),
+        |      range(1, greatest(len(string_split(lower(regexp_replace(text, '[^\p{L}\p{N} ]', ' ', 'g')), ' ')) - 1, 2)),
         |      i -> array_to_string(
-        |        (list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '), x -> x <> ''))[i:i+2],
+        |        (list_filter(string_split(lower(regexp_replace(text, '[^\p{L}\p{N} ]', ' ', 'g')), ' '), x -> x <> ''))[i:i+2],
         |        ' '))) AS sh
         |  FROM documents
-        |  WHERE len(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '),
+        |  WHERE len(list_filter(string_split(lower(regexp_replace(text, '[^\p{L}\p{N} ]', ' ', 'g')), ' '),
         |            x -> x <> '')) > 0),
         |pf AS (
         |  SELECT id_a, id_b FROM (
@@ -1780,7 +1780,7 @@ object LlmQueries {
     "d_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(
-        |    string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+        |    string_split(lower(regexp_replace(text, '[^\p{L}\p{N}]+', ' ', 'g')), ' '),
         |    x -> x <> '') AS t
         |  FROM documents),
         |sh AS (
@@ -1801,7 +1801,7 @@ object LlmQueries {
     "d_eval_overlap" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(
-        |    string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+        |    string_split(lower(regexp_replace(text, '[^\p{L}\p{N}]+', ' ', 'g')), ' '),
         |    x -> x <> '') AS t
         |  FROM documents),
         |sh AS (
@@ -1847,7 +1847,7 @@ object LlmQueries {
     "d_bloom_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(
-        |    string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+        |    string_split(lower(regexp_replace(text, '[^\p{L}\p{N}]+', ' ', 'g')), ' '),
         |    x -> x <> '') AS t
         |  FROM documents),
         |sh AS (

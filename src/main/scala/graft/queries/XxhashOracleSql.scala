@@ -75,17 +75,31 @@ private[graft] object XxhashOracleSql {
 
     def xor(a: String, b: String): String = s"xor($a::HUGEINT, $b::HUGEINT)"
 
-    /** Little-endian 8-byte word at word index `wi` (0-based) of ASCII
-      * string `s` — char == byte == codepoint for the shingle alphabet.
+    /** The UTF-8 byte values of VARCHAR expression `s` as an INT list —
+      * Spark hashes the raw UTF-8 BYTES, while DuckDB's substr/ord walk
+      * CODEPOINTS, so multibyte text (é, CJK, emoji) must be expanded to
+      * its encoding explicitly (1–4 bytes per codepoint by range).
       */
-    def word8(s: String, wi: String): String =
+    def utf8bytes(s: String): String =
+      s"flatten(list_transform(" +
+        s"list_filter(string_split($s, ''), ch -> ch <> ''), ch -> " +
+        "list_transform([ord(ch)], cp -> CASE " +
+        "WHEN cp < 128 THEN [cp] " +
+        "WHEN cp < 2048 THEN [192 + cp//64, 128 + cp%64] " +
+        "WHEN cp < 65536 THEN [224 + cp//4096, 128 + (cp//64)%64, 128 + cp%64] " +
+        "ELSE [240 + cp//262144, 128 + (cp//4096)%64, 128 + (cp//64)%64, " +
+        "128 + cp%64] END)[1]))"
+
+    /** Little-endian 8-byte word at word index `wi` (0-based) of byte
+      * list `bl`. */
+    def word8(bl: String, wi: String): String =
       (0 until 8).map(j =>
-        s"ord(substr($s, CAST(($wi)*8+${j + 1} AS INTEGER), 1))::HUGEINT*${BigInt(1) << (8 * j)}::HUGEINT")
+        s"$bl[CAST(($wi)*8+${j + 1} AS INTEGER)]::HUGEINT*${BigInt(1) << (8 * j)}::HUGEINT")
         .mkString("(", " + ", ")")
 
-    def int4(s: String, pos: String): String =
+    def int4(bl: String, pos: String): String =
       (0 until 4).map(j =>
-        s"ord(substr($s, CAST(($pos)+${j + 1} AS INTEGER), 1))::HUGEINT*${BigInt(1) << (8 * j)}::HUGEINT")
+        s"$bl[CAST(($pos)+${j + 1} AS INTEGER)]::HUGEINT*${BigInt(1) << (8 * j)}::HUGEINT")
         .mkString("(", " + ", ")")
 
     /** XXH64 accumulator round: rotl(v + w*P2, 31) * P1. */
@@ -118,14 +132,15 @@ private[graft] object XxhashOracleSql {
             let(xor(h, k2))(hx =>
               s"(${mulc(hx, P1)} + $P4::HUGEINT)%$M"))))
 
-    /** Full XxHash64Function.hashUnsafeBytes(s, seed=42) for an ASCII
-      * VARCHAR expression; yields unsigned HUGEINT in [0, 2^64).
+    /** Full XxHash64Function.hashUnsafeBytes(s, seed=42) for a VARCHAR
+      * expression (any unicode content — hashed over its UTF-8 bytes,
+      * exactly like Spark); yields unsigned HUGEINT in [0, 2^64).
       * Matches Spark on every length class: >=32-byte 4-accumulator
       * blocks, trailing 8-byte words, a 4-byte chunk, single bytes.
       */
     def xxh64(sexpr: String, seed: Int = 42): String = {
-      let(sexpr) { s =>
-        let(s"length($s)::BIGINT") { len =>
+      let(utf8bytes(sexpr)) { s =>
+        let(s"len($s)::BIGINT") { len =>
           val v10 = (seed + P1 + P2) % M
           val v20 = (seed + P2) % M
           val v30 = BigInt(seed) % M
@@ -163,7 +178,7 @@ private[graft] object XxhashOracleSql {
                 let(h4) { h4v =>
                   val bstart = s"($p4off + CASE WHEN $len - $p4off >= 4 THEN 4 ELSE 0 END)"
                   val bts = s"list_transform(range($bstart+1, $len+1), bi -> " +
-                    s"ord(substr($s, CAST(bi AS INTEGER), 1))::HUGEINT)"
+                    s"$s[CAST(bi AS INTEGER)]::HUGEINT)"
                   val hb = s"list_reduce(list_prepend($h4v, $bts), (hh, bb) -> ${bytestep("hh", "bb")})"
                   let(hb)(fmix)
                 }
@@ -267,7 +282,7 @@ private[graft] object XxhashOracleSql {
   def minhashPairsSql: String = {
     val g = new Gen
     val toks = "list_filter(string_split(lower(regexp_replace(text, " +
-      "'[^a-zA-Z0-9 ]', ' ', 'g')), ' '), x -> x <> '')"
+      "'[^\\p{L}\\p{N} ]', ' ', 'g')), ' '), x -> x <> '')"
     val sh = "list_distinct(list_transform(" +
       "range(1, greatest(len(toks) - 1, 2)), " +
       "i -> array_to_string(toks[i:i+2], ' ')))"
@@ -336,7 +351,7 @@ private[graft] object XxhashOracleSql {
   def simhashPairsSql: String = {
     val g = new Gen
     val toks = "list_filter(string_split(lower(regexp_replace(text, " +
-      "'[^a-zA-Z0-9 ]', ' ', 'g')), ' '), x -> x <> '')"
+      "'[^\\p{L}\\p{N} ]', ' ', 'g')), ' '), x -> x <> '')"
     val sh = "list_distinct(list_transform(" +
       "range(1, greatest(len(toks), 2)), " +
       "i -> array_to_string(toks[i:i+1], ' ')))"
