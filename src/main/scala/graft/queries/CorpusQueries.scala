@@ -2228,11 +2228,14 @@ object CorpusQueries {
     // batch gaps-and-islands with session_window's >= gap boundary; the
     // running island sum mirrors session identity, min(ts) the window
     // start
+    // ts IS NOT NULL: a null-event-time row never reaches the streaming
+    // session operator (dropped at the watermark), so the batch oracle
+    // must not sessionize it either (events poisoned-corpus sweep)
     "x_stream_session" ->
       """WITH g AS (
         |  SELECT user_id, ts, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |s AS (
         |  SELECT user_id, ts, value,
         |    sum(CASE WHEN prev IS NULL
@@ -2274,7 +2277,8 @@ object CorpusQueries {
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start, event_type,
         |  count(*) AS n,
         |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     // append+watermark: the emitted set is the batch aggregate restricted
     // to windows the final watermark (max ts − 2h) has closed

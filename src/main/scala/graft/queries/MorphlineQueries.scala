@@ -403,7 +403,10 @@ object MorphlineQueries {
     "m_conform_schema" -> ((s, dir) => {
       val parsed = events(s, dir)
         .select(col("event_id"), col("event_type"),
-          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+          // try_cast: $.k can be a NESTED OBJECT in hostile props, and an
+          // ANSI cast of its json text to INT aborts the batch where the
+          // reference's coercion fails only the record
+          get_json_object(col("props"), "$.k").try_cast(IntegerType).as("k"))
       val target =
         """{"type":"record","name":"E","fields":[
           |{"name":"event_id","type":"long"},
@@ -571,7 +574,11 @@ object MorphlineQueries {
     // the reference's schemaless Map payloads (Records.java:47-69).
     "m_variant_json" -> ((s, dir) =>
       events(s, dir)
-        .withColumn("v", parse_json(col("props")))
+        // try_parse_json, not parse_json: one malformed props string is a
+        // dropped-record condition in the reference, not a batch abort
+        // (MALFORMED_RECORD_IN_PARSING killed the whole scan — events
+        // poisoned-corpus sweep)
+        .withColumn("v", try_parse_json(col("props")))
         .select(col("event_id"),
           try_variant_get(col("v"), "$.k", "int").as("k"),
           try_variant_get(col("v"), "$.missing", "string").as("missing"))
@@ -603,16 +610,24 @@ object MorphlineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // json_valid guard + TRY_CAST: DuckDB's json functions ABORT on
+    // malformed json and an object-valued $.k fails the INT cast, where
+    // Spark's from_json nulls the record (events poisoned-corpus sweep)
     "m_read_json" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      """SELECT event_id,
+        |  CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+        |    ELSE TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k
         |FROM events ORDER BY event_id""".stripMargin,
     "m_extract_paths" ->
       """SELECT event_id,
-        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_renamed
+        |  CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+        |    ELSE TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k_renamed
         |FROM events ORDER BY event_id""".stripMargin,
+    // @{field} of a missing/null field renders '' (kite Notations), so
+    // null event_type still produces '-avro', not NULL
     "m_set_values" ->
-      """SELECT event_id, event_type || '-avro' AS topic,
-        |  event_type || '-value' AS subject
+      """SELECT event_id, coalesce(event_type, '') || '-avro' AS topic,
+        |  coalesce(event_type, '') || '-value' AS subject
         |FROM events ORDER BY event_id""".stripMargin,
     // vowel count via pure nested replace (no regexp — engine-identical
     // greedy scans), mirroring the user UDF's toLowerCase + count
@@ -640,9 +655,14 @@ object MorphlineQueries {
       """SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
         |  string_split(text, ' ')[1] AS first_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the staged kv string is concat(type, user): a null in EITHER nulls
+    // the whole string (Spark concat), so both extracted values null
     "m_split_kv" ->
-      """SELECT event_id, event_type AS type_v,
-        |  CAST(user_id AS VARCHAR) AS user_v
+      """SELECT event_id,
+        |  CASE WHEN event_type IS NULL OR user_id IS NULL THEN NULL
+        |       ELSE event_type END AS type_v,
+        |  CASE WHEN event_type IS NULL OR user_id IS NULL THEN NULL
+        |       ELSE CAST(user_id AS VARCHAR) END AS user_v
         |FROM events ORDER BY event_id""".stripMargin,
     "m_translate" ->
       """SELECT n_nationkey, n_name,
@@ -650,9 +670,16 @@ object MorphlineQueries {
         |    WHEN 'FRANCE' THEN 'FR' WHEN 'CHINA' THEN 'CN' WHEN 'JAPAN' THEN 'JP'
         |    ELSE 'other' END AS code
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // the staged log line concats user_id and event_type: either null
+    // nulls the line, grok of a null line extracts nothing (row kept)
     "m_grok" ->
-      """SELECT event_id, 'INFO' AS level, CAST(user_id AS VARCHAR) AS uid,
-        |  event_type AS etype
+      """SELECT event_id,
+        |  CASE WHEN event_type IS NULL OR user_id IS NULL THEN NULL
+        |       ELSE 'INFO' END AS level,
+        |  CASE WHEN event_type IS NULL OR user_id IS NULL THEN NULL
+        |       ELSE CAST(user_id AS VARCHAR) END AS uid,
+        |  CASE WHEN event_type IS NULL OR user_id IS NULL THEN NULL
+        |       ELSE event_type END AS etype
         |FROM events ORDER BY event_id""".stripMargin,
     "m_to_string_trim" ->
       """SELECT c_custkey, trim('  ' || c_name || '  ') AS trimmed
@@ -661,8 +688,11 @@ object MorphlineQueries {
       """SELECT event_id, to_base64(encode(event_type)) AS b64,
         |  event_type AS roundtrip
         |FROM events ORDER BY event_id""".stripMargin,
+    // concat_ws both sides: a null event_type is SKIPPED (key degrades
+    // to the id), never a NULL key — doc-keyed sinks need a key per row
     "m_sequence_key" ->
-      """SELECT event_id, md5(event_type || ' ' || event_id) AS id
+      """SELECT event_id,
+        |  md5(concat_ws(' ', event_type, CAST(event_id AS VARCHAR))) AS id
         |FROM events ORDER BY event_id""".stripMargin,
     // the certified-output projection: the random uuid bits stay out of the
     // hash (certified by the query's own fail-fast uniqueness+format pass);
@@ -671,9 +701,12 @@ object MorphlineQueries {
     "m_generate_uuid" ->
       """SELECT event_id, '4' AS uuid_version, 36 AS uuid_len
         |FROM events ORDER BY event_id""".stripMargin,
+    // kite equals-on-missing fails => dropRecord's guard does NOT match a
+    // null type; the record SURVIVES (unlike SQL's null-dropping <>)
     "m_drop_record" ->
       """SELECT event_id, event_type FROM events
-        |WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
+        |WHERE event_type <> 'error' OR event_type IS NULL
+        |ORDER BY event_id""".stripMargin,
     // `not` keeps rows whose nested predicate is null (kite: nested miss →
     // not succeeds) — hence the explicit IS NULL arm, unlike SQL NOT IN
     "m_kite_filters" ->
@@ -692,9 +725,9 @@ object MorphlineQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     "m_pipe_nested" ->
       """SELECT event_id, 'parent' AS stage,
-        |  event_type || '-in' AS child_tag,
-        |  event_type || '-inner' AS deep_tag,
-        |  event_type || '-inner-out' AS out_tag
+        |  coalesce(event_type, '') || '-in' AS child_tag,
+        |  coalesce(event_type, '') || '-inner' AS deep_tag,
+        |  coalesce(event_type, '') || '-inner-out' AS out_tag
         |FROM events ORDER BY event_id""".stripMargin,
     "m_dead_letter" ->
       """SELECT event_id,
@@ -716,7 +749,9 @@ object MorphlineQueries {
       """SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
         |FROM customer ORDER BY id""".stripMargin,
     "m_conform_schema" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      """SELECT event_id,
+        |  CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+        |    ELSE TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k,
         |  event_type, CAST(NULL AS VARCHAR) AS missing
         |FROM events ORDER BY event_id""".stripMargin,
     "m_conform_file" ->
@@ -751,8 +786,11 @@ object MorphlineQueries {
       """SELECT event_id, event_type AS tree_type, user_id AS tree_user_id,
         |  value AS tree_user_v
         |FROM events ORDER BY event_id""".stripMargin,
+    // concat_ws over the value list skips a null event_type
     "m_multivalue" ->
-      """SELECT event_id, event_type || ',all' AS tags
+      """SELECT event_id,
+        |  CASE WHEN event_type IS NULL THEN 'all'
+        |       ELSE event_type || ',all' END AS tags
         |FROM events ORDER BY event_id""".stripMargin,
     "m_remove_fields" ->
       """SELECT event_id, user_id, event_type
@@ -767,17 +805,32 @@ object MorphlineQueries {
       """SELECT event_id, event_type FROM events
         |WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
     "m_variant_json" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
-        |  json_extract_string(props, '$.missing') AS missing
+      """SELECT event_id,
+        |  CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+        |    ELSE TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k,
+        |  CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+        |    ELSE json_extract_string(props, '$.missing') END AS missing
         |FROM events ORDER BY event_id""".stripMargin,
+    // the staged url concats event_type and user_id: either null nulls
+    // the url, and every parsed component with it
     "m_extract_uri" ->
-      """SELECT event_id, 'https' AS uri_scheme, 'example.com' AS uri_host,
-        |  '/ev/' || event_type AS uri_path,
-        |  CAST(user_id AS VARCHAR) AS user_param
+      """SELECT event_id,
+        |  CASE WHEN event_type IS NULL OR user_id IS NULL THEN NULL
+        |       ELSE 'https' END AS uri_scheme,
+        |  CASE WHEN event_type IS NULL OR user_id IS NULL THEN NULL
+        |       ELSE 'example.com' END AS uri_host,
+        |  CASE WHEN event_type IS NULL OR user_id IS NULL THEN NULL
+        |       ELSE '/ev/' || event_type END AS uri_path,
+        |  CASE WHEN event_type IS NULL OR user_id IS NULL THEN NULL
+        |       ELSE CAST(user_id AS VARCHAR) END AS user_param
         |FROM events ORDER BY event_id""".stripMargin,
+    // to_json omits null fields entirely (reference writeJson too)
     "m_write_json" ->
       """SELECT event_id,
-        |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS value
+        |  CASE WHEN event_type IS NULL
+        |    THEN '{"event_id":' || event_id || '}'
+        |    ELSE '{"event_id":' || event_id || ',"event_type":"' ||
+        |      event_type || '"}' END AS value
         |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -645,6 +645,11 @@ object RelationalQueries {
     // maintains incrementally.
     "q_session_count" -> ((s, dir) => {
       val e = t(s, dir, "events")
+        // an event without event time cannot be sessionized — excluded
+        // EXPLICITLY (the streaming session gates drop it at the
+        // watermark; window-lag order would otherwise place it
+        // engine-dependently: Spark sorts nulls first, DuckDB last)
+        .filter(col("ts").isNotNull)
         .select(col("user_id"), col("ts"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       e.withColumn("prev", lag(col("ts"), 1).over(w))
@@ -1402,7 +1407,7 @@ object RelationalQueries {
       """WITH g AS (
         |  SELECT user_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-        |  FROM events)
+        |  FROM events WHERE ts IS NOT NULL)
         |SELECT user_id,
         |  CAST(sum(CASE WHEN prev IS NULL
         |           OR epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1 ELSE 0 END)

@@ -70,6 +70,33 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch(writer)
 
+  /** Event-time sanity predicate: `tsCol` is non-null and inside
+    * [lo, hi]. The watermark is `max(event time) − delay` with NO
+    * upper-bound defense in Spark itself, so ONE corrupt future
+    * timestamp (a 2200-01-01 from a broken producer) instantly
+    * advances the watermark past all real traffic and every
+    * subsequent legitimate event is silently dropped as late — at
+    * 100 TB/day a certainty, and the failure mode is invisible
+    * (output just stops growing). Null event times never enter a
+    * window/session operator either (dropped at the watermark), so
+    * they fail the predicate too and can be routed to a dead letter
+    * instead of vanishing. Negate for the dead-letter branch.
+    */
+  def eventTimeSane(tsCol: String, lo: java.time.Instant,
+                    hi: java.time.Instant): Column =
+    col(tsCol).isNotNull &&
+      col(tsCol) >= lit(java.sql.Timestamp.from(lo)) &&
+      col(tsCol) <= lit(java.sql.Timestamp.from(hi))
+
+  /** Keep only sane-event-time rows (see [[eventTimeSane]]) — apply
+    * BEFORE `withWatermark` so a poison timestamp can never touch the
+    * watermark clock.
+    */
+  def eventTimeSanityFilter(stream: DataFrame, tsCol: String,
+                            lo: java.time.Instant,
+                            hi: java.time.Instant): DataFrame =
+    stream.filter(eventTimeSane(tsCol, lo, hi))
+
   /** Event-time windowed aggregation with watermark — the streaming-native
     * capability layer beyond the reference (SURVEY.md §2.E): tumbling or
     * sliding windows over an event-time column with late-data bound.

@@ -146,6 +146,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("eventTimeSanityFilter: one future timestamp silently drops all " +
+      "later real data; the guard prevents it") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch1 = Seq(
+      (1L, ts("2200-01-01 00:30:00"), 5L, "click", 1.0), // poison producer
+      (2L, ts("2024-01-15 12:05:00"), 6L, "click", 2.0))
+    val batch2 = Seq(
+      (3L, ts("2024-01-15 12:20:00"), 7L, "click", 3.0),
+      (4L, ts("2024-01-15 13:30:00"), 8L, "click", 4.0)) // closes 12:00
+    // append emits a closed window on the NEXT trigger — batch3 exists
+    // only to run that trigger (its own row stays in open state)
+    val batch3 = Seq(
+      (5L, ts("2024-01-15 14:45:00"), 9L, "click", 5.0))
+    def run(name: String, guard: Boolean): Map[String, Long] = {
+      val d = tempDir(s"graft-poison-ts-$name")
+      batch1.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(d.toString)
+      val schema = spark.read.parquet(d.toString).schema
+      val raw = StreamingOps.fileSource(spark, schema, d.toString,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      val src = if (guard)
+        StreamingOps.eventTimeSanityFilter(raw, "ts",
+          java.time.Instant.parse("2020-01-01T00:00:00Z"),
+          java.time.Instant.parse("2030-01-01T00:00:00Z"))
+      else raw
+      val agg = StreamingOps.windowedCounts(src, "ts",
+        watermark = "1 hour", windowLen = "1 hour")
+      val q = agg.select(col("window.start").cast("string").as("w"), col("n"))
+        .writeStream.format("memory").queryName(s"poison_ts_$name")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        batch2.toDF("event_id", "ts", "user_id", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(d.toString)
+        q.processAllAvailable()
+        batch3.toDF("event_id", "ts", "user_id", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(d.toString)
+        q.processAllAvailable()
+        spark.sql(s"SELECT w, n FROM poison_ts_$name")
+          .as[(String, Long)].collect().toMap
+      } finally q.stop()
+    }
+    val unguarded = run("raw", guard = false)
+    val guarded = run("guarded", guard = true)
+    // poisoned watermark (2200 − 1h) classed rows 3 and 4 as late: the
+    // 12:00 window closed with ONLY row 2 — silent data loss
+    assert(unguarded.get("2024-01-15 12:00:00") == Some(1L), s"$unguarded")
+    // guarded: the poison row is filtered before the watermark clock, so
+    // rows 2 and 3 both land in the 12:00 window, closed by row 4
+    assert(guarded.get("2024-01-15 12:00:00") == Some(2L), s"$guarded")
+  }
+
   test("streaming near-dup dedup collapses whitespace/word-order variants in-stream") {
     val d = tempDir("graft-neardup")
     val schema = new StructType()
