@@ -199,7 +199,7 @@ object CorpusQueries {
     stream.withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast("decimal(18,4)")), 2)
+        round(sum(col("value").try_cast("decimal(18,4)")), 2)
           .cast("double").as("sum_value"))
       .select(col("window.start").cast("string").as("w_start"),
         col("event_type"), col("n"), col("sum_value"))
@@ -218,7 +218,7 @@ object CorpusQueries {
     stream.withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast("decimal(18,4)")), 2)
+        round(sum(col("value").try_cast("decimal(18,4)")), 2)
           .cast("double").as("sum_value"))
       .select(
         date_format(col("session_window.start"),
@@ -963,7 +963,7 @@ object CorpusQueries {
       val agg = stream
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value").cast("decimal(18,4)")), 2)
+          round(sum(col("value").try_cast("decimal(18,4)")), 2)
             .cast("double").as("sum_value"))
       runToCompletion(s, agg, "x_stream_window_sink")
         .select(col("window.start").cast("string").as("w_start"),
@@ -990,7 +990,7 @@ object CorpusQueries {
       val agg = stream.join(broadcast(users), Seq("user_id"), "left")
         .groupBy(col("segment"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value").cast("decimal(18,4)")), 2)
+          round(sum(col("value").try_cast("decimal(18,4)")), 2)
             .cast("double").as("sum_value"))
       runToCompletion(s, agg, "x_stream_enrich_sink")
         .select(col("segment"), col("event_type"), col("n"), col("sum_value"))
@@ -1016,7 +1016,7 @@ object CorpusQueries {
       val agg = stream
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value").cast("decimal(18,4)")), 2)
+          round(sum(col("value").try_cast("decimal(18,4)")), 2)
             .cast("double").as("sum_value"))
       runToCompletion(s, agg, "x_stream_session_sink")
         .select(
@@ -1460,7 +1460,7 @@ object CorpusQueries {
         |  SELECT date_trunc('milliseconds', max(ts)) AS mx FROM events)
         |SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start, event_type,
         |  count(*) AS n,
-        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |  CAST(ROUND(sum(TRY_CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events, m
         |GROUP BY date_trunc('hour', ts), event_type, mx
         |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
@@ -1488,7 +1488,7 @@ object CorpusQueries {
         |  FROM g)
         |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS w_start,
         |  user_id, count(*) AS n,
-        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
         |    AS sum_value
         |FROM s, m
         |GROUP BY user_id, sid, mx
@@ -2246,7 +2246,7 @@ object CorpusQueries {
         |  FROM g)
         |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS w_start,
         |  user_id, count(*) AS n,
-        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
         |    AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin,
 
@@ -2276,7 +2276,7 @@ object CorpusQueries {
     "x_stream_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start, event_type,
         |  count(*) AS n,
-        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |  CAST(ROUND(sum(TRY_CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events WHERE ts IS NOT NULL
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 

@@ -98,7 +98,7 @@ private[graft] object HllOracleSql {
     s"""WITH hs AS (
        |  SELECT DISTINCT l_returnflag,
        |    ${XxhashOracleSql.xxh64LongSql("l_partkey")} AS h
-       |  FROM lineitem),
+       |  FROM lineitem WHERE l_partkey IS NOT NULL),
        |rg AS (
        |  SELECT l_returnflag,
        |    CAST(h // ${(BigInt(1) << idxShift).toString} AS BIGINT) AS idx,
@@ -118,7 +118,8 @@ private[graft] object HllOracleSql {
        |  FROM grp g
        |  CROSS JOIN (SELECT unnest(range(0, $m)) AS idx) i
        |  LEFT JOIN regs r
-       |    ON r.l_returnflag = g.l_returnflag AND r.idx = i.idx),
+       |    ON r.l_returnflag IS NOT DISTINCT FROM g.l_returnflag
+       |    AND r.idx = i.idx),
        |ag AS (
        |  SELECT l_returnflag,
        |    list_sum(list_transform(list(reg ORDER BY idx),

@@ -741,12 +741,20 @@ object MorphlineQueries {
     "m_sample" ->
       """SELECT event_id, event_type FROM events
         |WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin,
+    // concat_ws staging skips a null field: one line survives, the row
+    // is never lost (|| would null the payload and drop the customer)
     "m_read_line" ->
       """SELECT c_custkey,
-        |  unnest(string_split(c_name || chr(10) || c_mktsegment, chr(10))) AS line
+        |  unnest(string_split(concat_ws(chr(10), c_name, c_mktsegment),
+        |    chr(10))) AS line
         |FROM customer ORDER BY c_custkey, line""".stripMargin,
+    // concat_ws staging DROPS a null field from the delimited line, so
+    // the remaining fields SHIFT LEFT at parse time — the classic CSV
+    // null hazard, mirrored faithfully rather than papered over
     "m_read_csv" ->
-      """SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+      """SELECT c_custkey AS id,
+        |  coalesce(c_name, c_mktsegment) AS name,
+        |  CASE WHEN c_name IS NULL THEN NULL ELSE c_mktsegment END AS segment
         |FROM customer ORDER BY id""".stripMargin,
     "m_conform_schema" ->
       """SELECT event_id,
@@ -766,8 +774,14 @@ object MorphlineQueries {
         |    ELSE '{"event_id":' || event_id || ',"user_id":' || user_id || '}'
         |  END AS enriched
         |FROM events ORDER BY event_id""".stripMargin,
+    // name is union-null in the writer schema (nullable survives the
+    // roundtrip) but segment is NOT: a null segment makes the record
+    // unencodable -> encode fail-softs to a whole-record tombstone
     "m_avro_roundtrip" ->
-      """SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+      """SELECT
+        |  CASE WHEN c_mktsegment IS NULL THEN NULL ELSE c_custkey END AS id,
+        |  CASE WHEN c_mktsegment IS NULL THEN NULL ELSE c_name END AS name,
+        |  c_mktsegment AS segment
         |FROM customer ORDER BY id""".stripMargin,
     // the wire roundtrip must reproduce the source text and the declared
     // schema id; the registry frame is 5 bytes by definition

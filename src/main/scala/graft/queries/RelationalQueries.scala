@@ -22,7 +22,13 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  private def dec(c: String) = col(c).cast("decimal(18,4)")
+  // try_cast, not cast: the DECIMAL(18,4) parity arithmetic must DEGRADE
+  // on an out-of-domain numeric (a corrupt 1e308 price overflow-aborted
+  // ten queries under ANSI — relational poisoned-corpus sweep); a NULL
+  // term drops the corrupt row from the sum on BOTH engines (the oracles
+  // use TRY_CAST identically).
+  private def dec(c: String) =
+    col(c).try_cast(org.apache.spark.sql.types.DecimalType(18, 4))
 
   /** Derived deterministic `partsupp` — the testdata ships no partsupp
     * table (TESTDATA.md), so the six remaining TPC-H shapes
@@ -398,6 +404,10 @@ object RelationalQueries {
       t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           graft.pack.Packing.stableDraw(col("l_partkey"), seed = 42).as("hv"))
+        // a NULL key has no draw and contributes nothing to the sketch —
+        // and the tuple encoder's primitive Long would otherwise throw
+        // NOT_NULL_ASSERT_VIOLATION on it (relational poisoned sweep)
+        .filter(col("hv").isNotNull)
         .as[(String, Long)]
         .groupByKey(_._1)
         .mapValues(_._2)
@@ -775,7 +785,12 @@ object RelationalQueries {
           round(sum(dec("l_quantity") * dec("l_quantity")), 2).cast("double").as("s2"))
         .select(col("l_returnflag"), col("n"),
           round(col("s1") / col("n"), 6).as("mean"),
-          round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 6)
+          // a single-row group has no sample variance: NULL, not an ANSI
+          // DIVIDE_BY_ZERO batch abort on (n-1)=0 (poisoned sweep — any
+          // real corpus has singleton groups after a tight filter)
+          when(col("n") > 1,
+            round((col("s2") - col("s1") * col("s1") / col("n")) /
+              (col("n") - 1), 6))
             .as("variance"))
         .orderBy("l_returnflag")),
 
@@ -1087,10 +1102,10 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
-        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
-        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |    AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
@@ -1099,8 +1114,8 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |    AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -1111,8 +1126,8 @@ object RelationalQueries {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |    AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -1125,8 +1140,8 @@ object RelationalQueries {
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  strftime(l_shipdate, '%Y') AS l_year,
-        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |    AS revenue
         |FROM lineitem, orders, supplier, customer, nation n1, nation n2
         |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
@@ -1138,8 +1153,8 @@ object RelationalQueries {
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, n_name,
-        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |    AS revenue
         |FROM lineitem, orders, customer, nation
         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
@@ -1150,9 +1165,9 @@ object RelationalQueries {
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey,
-        |    CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+        |    CAST(ROUND(sum(TRY_CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
         |  FROM lineitem GROUP BY 1 HAVING
-        |    CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) > 200.0)
+        |    CAST(ROUND(sum(TRY_CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) > 200.0)
         |SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
         |  o_totalprice, sum_qty
@@ -1168,8 +1183,8 @@ object RelationalQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT
-        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           TRY_CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1197,8 +1212,8 @@ object RelationalQueries {
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q19_discounted_revenue" ->
       """SELECT
-        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |    AS revenue,
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -1228,7 +1243,7 @@ object RelationalQueries {
       """WITH h AS (
         |  SELECT DISTINCT l_returnflag,
         |    CAST(('0x' || substr(md5('42|' || CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
-        |  FROM lineitem),
+        |  FROM lineitem WHERE l_partkey IS NOT NULL),
         |r AS (
         |  SELECT l_returnflag, hv,
         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
@@ -1243,8 +1258,8 @@ object RelationalQueries {
     "q15_top_supplier" ->
       """WITH revenue AS (
         |  SELECT l_suppkey,
-        |    CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |             (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |    CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |             (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |      AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1261,15 +1276,15 @@ object RelationalQueries {
         |  WHERE p_brand = 'Brand#23'),
         |stats AS (
         |  SELECT l_partkey AS pk,
-        |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS qsum,
+        |    sum(TRY_CAST(l_quantity AS DECIMAL(18,4))) AS qsum,
         |    count(*) AS qcnt
         |  FROM li GROUP BY l_partkey)
         |SELECT
-        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
         |    / CAST(7 AS DOUBLE) AS avg_yearly,
         |  count(*) AS n
         |FROM li JOIN stats ON l_partkey = pk
-        |WHERE CAST(l_quantity AS DECIMAL(18,4)) * CAST(5 AS DECIMAL(2,0))
+        |WHERE TRY_CAST(l_quantity AS DECIMAL(18,4)) * CAST(5 AS DECIMAL(2,0))
         |      * CAST(qcnt AS DECIMAL(12,0)) < qsum""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, rnk FROM (
@@ -1280,7 +1295,7 @@ object RelationalQueries {
         |ORDER BY o_custkey, rnk""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |  CAST(ROUND(sum(TRY_CAST(o_totalprice AS DECIMAL(18,4))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
         |    AS running_spend
@@ -1288,11 +1303,11 @@ object RelationalQueries {
     "q14_promo_revenue" ->
       """SELECT
         |  CAST(ROUND(sum(CASE WHEN p_type LIKE 'PROMO%'
-        |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |         (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |    THEN TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |         (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(l_discount AS DECIMAL(18,4)))
         |    ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS promo_revenue,
-        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |       (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |    AS total_revenue,
         |  count(*) AS n
         |FROM lineitem, part
@@ -1307,7 +1322,7 @@ object RelationalQueries {
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_window_range" ->
       """SELECT event_id,
-        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))) OVER (
+        |  CAST(ROUND(sum(TRY_CAST(value AS DECIMAL(18,4))) OVER (
         |    PARTITION BY user_id ORDER BY epoch_ms(ts)
         |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
         |    AS trailing_1h
@@ -1359,7 +1374,7 @@ object RelationalQueries {
     "q_approx_distinct" -> HllOracleSql.approxDistinctSql,
     "q_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-        |  CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |  CAST(ROUND(sum(TRY_CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "q_cube" ->
@@ -1382,7 +1397,7 @@ object RelationalQueries {
         |ORDER BY p.event_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag,
-        |  CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(sum(TRY_CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_custom_topk_agg" ->
@@ -1443,12 +1458,13 @@ object RelationalQueries {
     "q_stats_moments" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,
-        |    CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS s1,
-        |    CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(18,4)) *
-        |             CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS s2
+        |    CAST(ROUND(sum(TRY_CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS s1,
+        |    CAST(ROUND(sum(TRY_CAST(l_quantity AS DECIMAL(18,4)) *
+        |             TRY_CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS s2
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n, round(s1 / n, 6) AS mean,
-        |  round((s2 - s1 * s1 / n) / (n - 1), 6) AS variance
+        |  CASE WHEN n > 1
+        |    THEN round((s2 - s1 * s1 / n) / (n - 1), 6) END AS variance
         |FROM s ORDER BY l_returnflag""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bin, count(*) AS n
@@ -1456,7 +1472,7 @@ object RelationalQueries {
     "q_time_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
         |  count(*) AS n,
-        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |  CAST(ROUND(sum(TRY_CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q_event_enrich" ->
       """WITH users AS (
@@ -1469,22 +1485,22 @@ object RelationalQueries {
     "q_pivot" ->
       """SELECT user_id,
         |  CAST(ROUND(sum(CASE WHEN event_type = 'click'
-        |    THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS click,
+        |    THEN TRY_CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS click,
         |  CAST(ROUND(sum(CASE WHEN event_type = 'error'
-        |    THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS error,
+        |    THEN TRY_CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS error,
         |  CAST(ROUND(sum(CASE WHEN event_type = 'purchase'
-        |    THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS purchase,
+        |    THEN TRY_CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS purchase,
         |  CAST(ROUND(sum(CASE WHEN event_type = 'signup'
-        |    THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS signup,
+        |    THEN TRY_CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS signup,
         |  CAST(ROUND(sum(CASE WHEN event_type = 'view'
-        |    THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS view
+        |    THEN TRY_CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_unpivot" ->
       """WITH w AS (
         |  SELECT l_returnflag,
-        |    CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty,
-        |    CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS price,
-        |    CAST(ROUND(sum(CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS disc
+        |    CAST(ROUND(sum(TRY_CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty,
+        |    CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS price,
+        |    CAST(ROUND(sum(TRY_CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS disc
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, metric, amount FROM (
         |  SELECT l_returnflag, 'qty' AS metric, qty AS amount FROM w
@@ -1556,7 +1572,7 @@ object RelationalQueries {
       s"""WITH $partsuppCte,
         |shipped AS (
         |  SELECT l_partkey, l_suppkey,
-        |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS qsum
+        |    sum(TRY_CAST(l_quantity AS DECIMAL(18,4))) AS qsum
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
