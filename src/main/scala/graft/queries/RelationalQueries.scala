@@ -402,12 +402,14 @@ object RelationalQueries {
     "q_kmv_distinct" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem")
-        .select(col("l_returnflag"),
-          graft.pack.Packing.stableDraw(col("l_partkey"), seed = 42).as("hv"))
         // a NULL key has no draw and contributes nothing to the sketch —
         // and the tuple encoder's primitive Long would otherwise throw
-        // NOT_NULL_ASSERT_VIOLATION on it (relational poisoned sweep)
-        .filter(col("hv").isNotNull)
+        // NOT_NULL_ASSERT_VIOLATION on it (relational poisoned sweep).
+        // Filter the SOURCE column, not the computed draw: the predicate
+        // pushes to the parquet scan and the md5 draw evaluates once.
+        .filter(col("l_partkey").isNotNull)
+        .select(col("l_returnflag"),
+          graft.pack.Packing.stableDraw(col("l_partkey"), seed = 42).as("hv"))
         .as[(String, Long)]
         .groupByKey(_._1)
         .mapValues(_._2)

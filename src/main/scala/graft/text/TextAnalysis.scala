@@ -148,7 +148,12 @@ object TextAnalysis {
     // No tokens (null/empty/whitespace text) -> NULL, not md5('') —
     // concat_ws would silently hash every contentless doc to the SAME
     // key, fusing them into one dedup cluster (poisoned-corpus sweep).
-    when(size(toks) > 0, md5(concat_ws(" ", toks)))
+    // nullif on the known empty digest rather than when(size(toks)>0, …):
+    // the guard form evaluates the whole tokenizer pipeline TWICE per row
+    // (no CSE inside conditional branches). concat_ws('') occurs exactly
+    // when the array is empty or null — every kept token is non-empty.
+    nullif(md5(concat_ws(" ", toks)),
+      lit("d41d8cd98f00b204e9800998ecf8427e"))
   }
 
   /** Rolling-hash document fingerprint: polynomial hash over tokens, each
