@@ -1460,7 +1460,7 @@ object CorpusQueries {
         |  SELECT date_trunc('milliseconds', max(ts)) AS mx FROM events)
         |SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start, event_type,
         |  count(*) AS n,
-        |  CAST(ROUND(sum(TRY_CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events, m
         |GROUP BY date_trunc('hour', ts), event_type, mx
         |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
@@ -1488,7 +1488,7 @@ object CorpusQueries {
         |  FROM g)
         |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS w_start,
         |  user_id, count(*) AS n,
-        |  CAST(ROUND(sum(TRY_CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,4))), 2) AS DOUBLE)
         |    AS sum_value
         |FROM s, m
         |GROUP BY user_id, sid, mx
@@ -2221,7 +2221,7 @@ object CorpusQueries {
         |  SELECT c_custkey % 50 AS user_id, min(c_mktsegment) AS segment
         |  FROM customer GROUP BY 1)
         |SELECT u.segment, e.event_type, count(*) AS n,
-        |  CAST(ROUND(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(e.value) THEN NULL ELSE e.value END AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events e LEFT JOIN users u USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -2246,7 +2246,7 @@ object CorpusQueries {
         |  FROM g)
         |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS w_start,
         |  user_id, count(*) AS n,
-        |  CAST(ROUND(sum(TRY_CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,4))), 2) AS DOUBLE)
         |    AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin,
 
@@ -2276,7 +2276,7 @@ object CorpusQueries {
     "x_stream_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start, event_type,
         |  count(*) AS n,
-        |  CAST(ROUND(sum(TRY_CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events WHERE ts IS NOT NULL
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
@@ -2540,7 +2540,7 @@ object CorpusQueries {
     "d_semantic_dedup" ->
       """WITH base AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
+        |  FROM embeddings WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)) OR NOT isfinite(CAST(x AS DOUBLE)))) = 0),
         |corp AS (
         |  SELECT vec_id, v FROM base
         |  UNION ALL

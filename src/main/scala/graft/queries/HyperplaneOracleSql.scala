@@ -95,7 +95,8 @@ private[graft] object HyperplaneOracleSql {
        |ranked AS (
        |  SELECT qid, id, round(cosine, 6) AS cos,
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
-       |  FROM sc)
+       |  FROM sc
+       |  WHERE cosine IS NOT NULL AND NOT isnan(cosine) AND isfinite(cosine))
        |SELECT qid, id, cos, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 

@@ -1146,7 +1146,7 @@ object LlmQueries {
         |    list_sum(list_transform(range(1, 65),
         |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
         |           (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))) AS d2
-        |  FROM embeddings e CROSS JOIN c),
+        |  FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)) OR NOT isfinite(CAST(x AS DOUBLE)))) = 0) e CROSS JOIN c),
         |assign AS (
         |  SELECT vec_id, cid AS cell FROM (
         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
@@ -1178,7 +1178,8 @@ object LlmQueries {
     "s_bitext_margin" ->
       """WITH x AS (SELECT vec_id AS xid, embedding AS xv FROM embeddings
         |  WHERE label = 0 AND vec_id < 100),
-        |y AS (SELECT vec_id AS yid, embedding AS yv FROM embeddings WHERE label = 1),
+        |y AS (SELECT vec_id AS yid, embedding AS yv FROM embeddings
+        |  WHERE label = 1 AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)) OR NOT isfinite(CAST(x AS DOUBLE)))) = 0),
         |sc AS (
         |  SELECT x.xid, y.yid,
         |    list_sum(list_transform(range(1, 65),
@@ -1268,7 +1269,8 @@ object LlmQueries {
         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
         |     sqrt(list_sum(list_transform(range(1, 65),
         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))) AS cos
-        |  FROM embeddings e CROSS JOIN embeddings q
+        |  FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)) OR NOT isfinite(CAST(x AS DOUBLE)))) = 0) e
+        |    CROSS JOIN (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)) OR NOT isfinite(CAST(x AS DOUBLE)))) = 0) q
         |  WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id),
         |hp AS (SELECT qid, id AS pos_id, round(cos, 6) AS pos_cos FROM (
         |  SELECT qid, id, cos,
@@ -1363,7 +1365,7 @@ object LlmQueries {
         |    list_sum(list_transform(range(1, 9),
         |      j -> (CAST(e.embedding[s.m * 8 + j] AS DOUBLE) - CAST(cb.cv[s.m * 8 + j] AS DOUBLE)) *
         |           (CAST(e.embedding[s.m * 8 + j] AS DOUBLE) - CAST(cb.cv[s.m * 8 + j] AS DOUBLE)))) AS d2
-        |  FROM embeddings e CROSS JOIN cb CROSS JOIN sub s),
+        |  FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)) OR NOT isfinite(CAST(x AS DOUBLE)))) = 0) e CROSS JOIN cb CROSS JOIN sub s),
         |code AS (
         |  SELECT vec_id, m, c FROM (
         |    SELECT vec_id, m, c, d2,
@@ -1409,7 +1411,7 @@ object LlmQueries {
     "s_mmr_rerank" -> (s"""WITH vecs AS (
         |  SELECT vec_id AS id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
+        |  FROM embeddings WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)) OR NOT isfinite(CAST(x AS DOUBLE)))) = 0),
         |rel AS (
         |  SELECT q.id AS qid, c.id,
         |    list_sum(list_transform(range(1, 65), i -> c.v[i] * q.v[i])) /
@@ -1493,7 +1495,11 @@ object LlmQueries {
         |  FROM v)
         |SELECT vec_id,
         |  CAST(round(sc, 6) AS DOUBLE) AS scale,
-        |  CAST(list_sum(list_transform(vd, x -> CAST(round(x * sc, 0) AS BIGINT))) AS BIGINT) AS qsum
+        |  CAST(CASE WHEN len(list_filter(
+        |      list_transform(vd, x -> TRY_CAST(round(x * sc, 0) AS BIGINT)),
+        |      q -> q IS NULL)) > 0 THEN NULL
+        |    ELSE list_sum(list_transform(vd,
+        |      x -> TRY_CAST(round(x * sc, 0) AS BIGINT))) END AS BIGINT) AS qsum
         |FROM s ORDER BY vec_id""".stripMargin,
     // NOT DuckDB's levenshtein(): that one counts BYTE edits (é=2, 😀=4)
     // where Spark's counts CODEPOINT edits — the units diverge on any
@@ -1889,7 +1895,7 @@ object LlmQueries {
       """WITH e AS (
         |  SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings)
+        |  FROM embeddings WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)) OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(
         |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
@@ -1913,7 +1919,7 @@ object LlmQueries {
         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
         |     sqrt(list_sum(list_transform(range(1, 65),
         |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) AS cosine
-        |  FROM embeddings e CROSS JOIN q),
+        |  FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)) OR NOT isfinite(CAST(x AS DOUBLE)))) = 0) e CROSS JOIN q),
         |ranked AS (
         |  SELECT qid, id, round(cosine, 6) AS cos,
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank

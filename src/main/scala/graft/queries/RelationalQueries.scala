@@ -799,7 +799,13 @@ object RelationalQueries {
     // Histogram: fixed-width value binning + counts (the profiling shape).
     "q_histogram" -> ((s, dir) =>
       t(s, dir, "events")
-        .groupBy((floor(col("value") / 50) * 50).cast("long").as("bin"))
+        // a non-finite measure has no bin: explicit guard, because Spark's
+        // floor(double) returns LONG — floor(Inf) saturates to Long.Max and
+        // the *50 then ARITHMETIC_OVERFLOW-aborts, while floor(NaN) would
+        // silently bin at 0 (ieee-specials poisoned sweep)
+        .groupBy(when(!isnan(col("value")) &&
+            abs(col("value")) =!= lit(Double.PositiveInfinity),
+            (floor(col("value") / 50) * 50).cast("long")).as("bin"))
         .agg(count(lit(1)).as("n"))
         .orderBy("bin")),
 
@@ -1104,10 +1110,10 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(ROUND(sum(TRY_CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
-        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
-        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |    AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
@@ -1116,8 +1122,8 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |    AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -1128,8 +1134,8 @@ object RelationalQueries {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |    AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -1142,8 +1148,8 @@ object RelationalQueries {
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  strftime(l_shipdate, '%Y') AS l_year,
-        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |    AS revenue
         |FROM lineitem, orders, supplier, customer, nation n1, nation n2
         |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
@@ -1155,8 +1161,8 @@ object RelationalQueries {
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, n_name,
-        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |    AS revenue
         |FROM lineitem, orders, customer, nation
         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
@@ -1167,9 +1173,9 @@ object RelationalQueries {
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey,
-        |    CAST(ROUND(sum(TRY_CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+        |    CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
         |  FROM lineitem GROUP BY 1 HAVING
-        |    CAST(ROUND(sum(TRY_CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) > 200.0)
+        |    CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,4))), 2) AS DOUBLE) > 200.0)
         |SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
         |  o_totalprice, sum_qty
@@ -1185,8 +1191,8 @@ object RelationalQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT
-        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           TRY_CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,4)) *
+        |           TRY_CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1214,8 +1220,8 @@ object RelationalQueries {
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q19_discounted_revenue" ->
       """SELECT
-        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |    AS revenue,
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -1260,8 +1266,8 @@ object RelationalQueries {
     "q15_top_supplier" ->
       """WITH revenue AS (
         |  SELECT l_suppkey,
-        |    CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |             (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |    CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,4)) *
+        |             (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |      AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1278,15 +1284,15 @@ object RelationalQueries {
         |  WHERE p_brand = 'Brand#23'),
         |stats AS (
         |  SELECT l_partkey AS pk,
-        |    sum(TRY_CAST(l_quantity AS DECIMAL(18,4))) AS qsum,
+        |    sum(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,4))) AS qsum,
         |    count(*) AS qcnt
         |  FROM li GROUP BY l_partkey)
         |SELECT
-        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,4))), 2) AS DOUBLE)
         |    / CAST(7 AS DOUBLE) AS avg_yearly,
         |  count(*) AS n
         |FROM li JOIN stats ON l_partkey = pk
-        |WHERE TRY_CAST(l_quantity AS DECIMAL(18,4)) * CAST(5 AS DECIMAL(2,0))
+        |WHERE TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,4)) * CAST(5 AS DECIMAL(2,0))
         |      * CAST(qcnt AS DECIMAL(12,0)) < qsum""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, rnk FROM (
@@ -1297,7 +1303,7 @@ object RelationalQueries {
         |ORDER BY o_custkey, rnk""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(ROUND(sum(TRY_CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END AS DECIMAL(18,4))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
         |    AS running_spend
@@ -1305,11 +1311,11 @@ object RelationalQueries {
     "q14_promo_revenue" ->
       """SELECT
         |  CAST(ROUND(sum(CASE WHEN p_type LIKE 'PROMO%'
-        |    THEN TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |         (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(l_discount AS DECIMAL(18,4)))
+        |    THEN TRY_CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,4)) *
+        |         (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,4)))
         |    ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS promo_revenue,
-        |  CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |       (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,4)) *
+        |       (CAST(1 AS DECIMAL(18,4)) - TRY_CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,4)))), 2) AS DOUBLE)
         |    AS total_revenue,
         |  count(*) AS n
         |FROM lineitem, part
@@ -1324,7 +1330,7 @@ object RelationalQueries {
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_window_range" ->
       """SELECT event_id,
-        |  CAST(ROUND(sum(TRY_CAST(value AS DECIMAL(18,4))) OVER (
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,4))) OVER (
         |    PARTITION BY user_id ORDER BY epoch_ms(ts)
         |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
         |    AS trailing_1h
@@ -1376,7 +1382,7 @@ object RelationalQueries {
     "q_approx_distinct" -> HllOracleSql.approxDistinctSql,
     "q_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-        |  CAST(ROUND(sum(TRY_CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "q_cube" ->
@@ -1399,7 +1405,7 @@ object RelationalQueries {
         |ORDER BY p.event_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag,
-        |  CAST(ROUND(sum(TRY_CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_custom_topk_agg" ->
@@ -1460,49 +1466,49 @@ object RelationalQueries {
     "q_stats_moments" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,
-        |    CAST(ROUND(sum(TRY_CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS s1,
-        |    CAST(ROUND(sum(TRY_CAST(l_quantity AS DECIMAL(18,4)) *
-        |             TRY_CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS s2
+        |    CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,4))), 2) AS DOUBLE) AS s1,
+        |    CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,4)) *
+        |             TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,4))), 2) AS DOUBLE) AS s2
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n, round(s1 / n, 6) AS mean,
         |  CASE WHEN n > 1
         |    THEN round((s2 - s1 * s1 / n) / (n - 1), 6) END AS variance
         |FROM s ORDER BY l_returnflag""".stripMargin,
     "q_histogram" ->
-      """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bin, count(*) AS n
+      """SELECT TRY_CAST(floor(value / 50) * 50 AS BIGINT) AS bin, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_time_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
         |  count(*) AS n,
-        |  CAST(ROUND(sum(TRY_CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q_event_enrich" ->
       """WITH users AS (
         |  SELECT c_custkey % 50 AS user_id, min(c_mktsegment) AS segment
         |  FROM customer GROUP BY 1)
         |SELECT u.segment, count(*) AS n,
-        |  CAST(ROUND(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
+        |  CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(e.value) THEN NULL ELSE e.value END AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
         |FROM events e LEFT JOIN users u USING (user_id)
         |GROUP BY u.segment ORDER BY u.segment NULLS FIRST""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  CAST(ROUND(sum(CASE WHEN event_type = 'click'
-        |    THEN TRY_CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS click,
+        |    THEN TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS click,
         |  CAST(ROUND(sum(CASE WHEN event_type = 'error'
-        |    THEN TRY_CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS error,
+        |    THEN TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS error,
         |  CAST(ROUND(sum(CASE WHEN event_type = 'purchase'
-        |    THEN TRY_CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS purchase,
+        |    THEN TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS purchase,
         |  CAST(ROUND(sum(CASE WHEN event_type = 'signup'
-        |    THEN TRY_CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS signup,
+        |    THEN TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS signup,
         |  CAST(ROUND(sum(CASE WHEN event_type = 'view'
-        |    THEN TRY_CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS view
+        |    THEN TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_unpivot" ->
       """WITH w AS (
         |  SELECT l_returnflag,
-        |    CAST(ROUND(sum(TRY_CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty,
-        |    CAST(ROUND(sum(TRY_CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS price,
-        |    CAST(ROUND(sum(TRY_CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS disc
+        |    CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty,
+        |    CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,4))), 2) AS DOUBLE) AS price,
+        |    CAST(ROUND(sum(TRY_CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,4))), 2) AS DOUBLE) AS disc
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, metric, amount FROM (
         |  SELECT l_returnflag, 'qty' AS metric, qty AS amount FROM w
@@ -1574,7 +1580,7 @@ object RelationalQueries {
       s"""WITH $partsuppCte,
         |shipped AS (
         |  SELECT l_partkey, l_suppkey,
-        |    sum(TRY_CAST(l_quantity AS DECIMAL(18,4))) AS qsum
+        |    sum(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,4))) AS qsum
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'

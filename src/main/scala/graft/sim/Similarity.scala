@@ -73,8 +73,14 @@ object Similarity {
     * additionally filter NULL scores out (the [[knnGraph]] zero-norm
     * exclusion contract, applied uniformly).
     */
+  // NULL on zero-norm AND on non-finite inputs: an Inf-component vector
+  // has nProd = Inf (so Inf > 0 passes) and a NaN dot — either would put
+  // a non-finite score into rankings, where descending sort treats NaN
+  // as LARGEST (rank 1!). |dot| ≤ nProd for finite inputs, so the kept
+  // quotient is always a finite [-1, 1] (ieee-specials poisoned sweep).
   private def safeCos(d: Column, nProd: Column): Column =
-    when(nProd > 0, d / nProd)
+    when(nProd > 0 && !isnan(d) &&
+      nProd =!= lit(Double.PositiveInfinity), d / nProd)
 
   def cosine(a: Column, b: Column): Column =
     safeCos(dot(a, b), norm(a) * norm(b))
@@ -422,7 +428,10 @@ object Similarity {
     * (round-half-away-from-zero, matching SQL ROUND semantics).
     */
   def quantizeInt8(vec: Column, scale: Column): Column =
-    transform(vec, x => round(x * scale, 0).cast("int"))
+    // try_cast: a NaN component (or an Infinity one, whose 0.0 scale makes
+    // Inf*0 = NaN) quantizes to NULL instead of CAST_OVERFLOW-aborting the
+    // batch — callers' aggregates then null the whole signature
+    transform(vec, x => round(x * scale, 0).try_cast("int"))
 
   /** Train IVF centroids: Lloyd's k-means on a driver-side bounded sample —
     * the 100 TB pattern (model small, data never collected: the `.collect()`

@@ -376,6 +376,24 @@ class DegenerateInputSpec extends SparkSpec {
     }
   }
 
+  test("cosine is NULL for non-finite vectors (NaN/Inf never rank)") {
+    afterEach {
+      import graft.sim.Similarity
+      val df = embOf(
+        Row(1L, Seq(Float.PositiveInfinity, 0.0f, 0.0f, 0.0f)),
+        Row(2L, Seq(Float.NaN, Float.NaN, Float.NaN, Float.NaN)),
+        Row(3L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+        .withColumn("q", typedLit(Seq(1.0, 2.0, 3.0, 4.0)))
+      val out = df.select(col("id"),
+        Similarity.cosine(transform(col("vec"), _.cast("double")),
+          col("q")).as("cos")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.get(1))).toMap
+      // descending sort treats NaN as LARGEST: a NaN score would take
+      // rank 1 in every knn/margin ranking — must be NULL instead
+      assert(out(1L) == null && out(2L) == null && out(3L) != null)
+    }
+  }
+
   test("pqKnn excludes a null-embedding corpus vector from ranking") {
     afterEach {
       import graft.sim.Similarity

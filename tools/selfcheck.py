@@ -33,6 +33,11 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 def norm(v):
+    # NaN compares unequal to itself, but the driver's hash canonicalizes
+    # via repr ('nan' == 'nan') — mirror that so an intentionally-NaN cell
+    # (ieee-specials corpus) doesn't false-fail the local gate
+    if isinstance(v, float) and v != v:
+        return "__nan__"
     if not EXACT and isinstance(v, float):
         return round(v, 9)
     return v
