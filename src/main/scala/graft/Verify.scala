@@ -11,7 +11,7 @@ object Verify {
     // two args, so the default empty prefix keeps everything).
     val prefixes =
       (if (args.length > 2) args(2) else "").split(",").toSeq
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // match the driver (r15 VERDICT)
     val spark = Sessions.build(cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -39,11 +39,47 @@ object AvroExprs {
     * the first decode. Best-effort by design: if other code loaded
     * Avro's limits first, the user's/JVM's existing configuration wins.
     */
-  private[graft] def ensureAvroLimits(): Unit =
-    Seq("org.apache.avro.limits.string.maxLength",
+  private val avroLimitsChecked = new java.util.concurrent.atomic.AtomicBoolean
+  private[graft] def ensureAvroLimits(): Unit = {
+    val cap = 256L * 1024 * 1024
+    val weSet = Seq("org.apache.avro.limits.string.maxLength",
         "org.apache.avro.limits.bytes.maxLength")
-      .foreach(k => if (System.getProperty(k) == null)
-        System.setProperty(k, String.valueOf(256L * 1024 * 1024)))
+      .map { k =>
+        val unset = System.getProperty(k) == null
+        if (unset) System.setProperty(k, String.valueOf(cap))
+        unset
+      }.exists(identity)
+    // Engagement probe (r15 ADVICE): the properties are read ONCE at
+    // SystemLimitException class-load, so if any co-resident library
+    // touched Avro decoding before this ran, the defaults above silently
+    // never engage. checkMaxStringLength(2·cap) throws iff a limit ≤ 2·cap
+    // is live — probe once and make the degraded-defense state visible
+    // instead of invisible. Skipped when the user configured their own
+    // limits (their values win by contract, whatever they are).
+    if (weSet && avroLimitsChecked.compareAndSet(false, true)) {
+      val engaged =
+        try { org.apache.avro.SystemLimitException.checkMaxStringLength(cap * 2); false }
+        catch { case _: org.apache.avro.SystemLimitException => true }
+      if (!engaged)
+        System.err.println("[graft.avro] WARNING: Avro decode limits are " +
+          "NOT in effect (SystemLimitException was class-loaded before " +
+          "graft set org.apache.avro.limits.*); the length-prefix-bomb " +
+          "defense is degraded to the pre-existing JVM configuration")
+    }
+  }
+
+  /** Per-JVM count of encode-side fail-soft nulls, by site. The first
+    * few (and every 10,000th) are logged with the exception class, so a
+    * conversion-layer regression that nulls every record is visible in
+    * executor stderr rather than reading as hostile input. */
+  private[graft] val encodeFailSoftCount =
+    new java.util.concurrent.atomic.AtomicLong
+  private def failSoft(site: String, e: Throwable): Unit = {
+    val n = encodeFailSoftCount.incrementAndGet()
+    if (n <= 5 || n % 10000 == 0)
+      System.err.println(s"[graft.avro] encode fail-soft null #$n at " +
+        s"$site: ${e.getClass.getName}: ${e.getMessage}")
+  }
 
   private def sparkType(schemaJson: String): DataType =
     Conform.parseAvro(schemaJson).dataType
@@ -162,22 +198,38 @@ object AvroExprs {
     // the scan and abort the batch; the reference's toAvro fails only
     // the record. Null output = unencodable record, filterable (callers
     // that must not lose data count the nulls before shipping).
-    override def nullSafeEval(input: Any): Any =
+    // The conversion (graft's own toAvro layer) and the Avro write are
+    // caught SEPARATELY (r15 ADVICE): a bare NPE/CCE from toAvro is as
+    // likely a graft conversion-layer bug as a hostile record, so those
+    // nulls are counted and the first few logged with their site —
+    // a conversion-layer regression shows up as a labelled count instead
+    // of silent per-record data loss indistinguishable from poison.
+    override def nullSafeEval(input: Any): Any = {
+      val datum =
+        try toAvro(input, child.dataType, schema)
+        catch {
+          case e @ (_: NullPointerException | _: ClassCastException |
+                    _: org.apache.avro.AvroRuntimeException) =>
+            failSoft("toAvro-convert", e); return null
+        }
       try {
         baos.reset()
         encoder = EncoderFactory.get().binaryEncoder(baos, encoder)
-        writer.write(toAvro(input, child.dataType, schema), encoder)
+        writer.write(datum, encoder)
         encoder.flush()
         baos.toByteArray
       } catch {
         // discard the reused encoder on ANY failed write: an exception
         // mid-record leaves buffered partial bytes that would silently
         // CORRUPT the next row's payload (observed: a null-text record
-        // poisoned the following record's frame end-to-end)
-        case _: NullPointerException => encoder = null; null
-        case _: ClassCastException => encoder = null; null
-        case _: org.apache.avro.AvroRuntimeException => encoder = null; null
+        // poisoned the following record's frame end-to-end). NPE/CCE here
+        // come out of Avro's writer frames on schema-violating records
+        // (e.g. null under a non-nullable field) — the fail-soft contract.
+        case e @ (_: NullPointerException | _: ClassCastException |
+                  _: org.apache.avro.AvroRuntimeException) =>
+          encoder = null; failSoft("avro-write", e); null
       }
+    }
     override protected def withNewChildInternal(c: Expression): AvroEncode = copy(child = c)
   }
 

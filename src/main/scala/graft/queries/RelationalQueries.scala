@@ -799,12 +799,18 @@ object RelationalQueries {
     // Histogram: fixed-width value binning + counts (the profiling shape).
     "q_histogram" -> ((s, dir) =>
       t(s, dir, "events")
-        // a non-finite measure has no bin: explicit guard, because Spark's
-        // floor(double) returns LONG — floor(Inf) saturates to Long.Max and
-        // the *50 then ARITHMETIC_OVERFLOW-aborts, while floor(NaN) would
-        // silently bin at 0 (ieee-specials poisoned sweep)
-        .groupBy(when(!isnan(col("value")) &&
-            abs(col("value")) =!= lit(Double.PositiveInfinity),
+        // An unbinnable measure maps to the explicit NULL bucket. That is
+        // (a) non-finite: Spark's floor(double) returns LONG — floor(Inf)
+        // saturates to Long.Max and the *50 then ARITHMETIC_OVERFLOW-aborts
+        // under ANSI, while floor(NaN) would silently bin at 0; and
+        // (b) finite but too large to bin EXACTLY: above ~9e15 (2^53·50/50)
+        // Spark's exact long bin arithmetic and the oracle's double-domain
+        // floor(v/50)*50 diverge by rounding, and above 9.2e18 the long
+        // multiply overflow-aborts (the poison004 1e19..1e308 class, r15
+        // ADVICE). abs(value) < 9.0e15 rejects NaN/±Inf too (comparisons
+        // with NaN are false), and below it both engines are bit-exact —
+        // the guard is mirrored verbatim in the DuckDB oracle.
+        .groupBy(when(abs(col("value")) < lit(9.0e15),
             (floor(col("value") / 50) * 50).cast("long")).as("bin"))
         .agg(count(lit(1)).as("n"))
         .orderBy("bin")),
@@ -1475,7 +1481,9 @@ object RelationalQueries {
         |    THEN round((s2 - s1 * s1 / n) / (n - 1), 6) END AS variance
         |FROM s ORDER BY l_returnflag""".stripMargin,
     "q_histogram" ->
-      """SELECT TRY_CAST(floor(value / 50) * 50 AS BIGINT) AS bin, count(*) AS n
+      """SELECT CASE WHEN abs(value) < 9.0e15
+        |  THEN TRY_CAST(floor(value / 50) * 50 AS BIGINT) END AS bin,
+        |  count(*) AS n
         |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_time_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,

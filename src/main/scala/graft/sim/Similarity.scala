@@ -73,14 +73,46 @@ object Similarity {
     * additionally filter NULL scores out (the [[knnGraph]] zero-norm
     * exclusion contract, applied uniformly).
     */
-  // NULL on zero-norm AND on non-finite inputs: an Inf-component vector
-  // has nProd = Inf (so Inf > 0 passes) and a NaN dot — either would put
-  // a non-finite score into rankings, where descending sort treats NaN
-  // as LARGEST (rank 1!). |dot| ≤ nProd for finite inputs, so the kept
-  // quotient is always a finite [-1, 1] (ieee-specials poisoned sweep).
+  // NULL on zero-norm AND on non-finite norm product: an Inf- or
+  // NaN-component vector has nProd = Inf/NaN, so it never reaches the
+  // division. The heavy O(dim) dot `d` is referenced exactly ONCE (the
+  // division) — the previous shape also tested !isnan(d) in the
+  // predicate, and Spark's codegen does no CSE between a conditional's
+  // predicate and its branches (the b2979ff digest finding), so the dot
+  // could evaluate twice per pair on the quadratic paths. The residual
+  // escape — d overflowing to ±Inf/NaN while nProd rounds to a finite
+  // value near Double.MaxValue — makes the QUOTIENT non-finite; that is
+  // closed by [[finiteScore]] at the consuming filter, where the score
+  // is a resolved attribute (evaluated once in the projection, tested
+  // as a variable — single-eval by operator boundary, not by CSE luck).
+  // !isnan(nProd) is load-bearing: Spark compares NaN under a TOTAL ORDER
+  // where NaN is largest, so `NaN > 0` is TRUE — a NaN-component vector
+  // (nProd = NaN) would otherwise reach the division and emit NaN.
   private def safeCos(d: Column, nProd: Column): Column =
-    when(nProd > 0 && !isnan(d) &&
+    when(nProd > 0 && !isnan(nProd) &&
       nProd =!= lit(Double.PositiveInfinity), d / nProd)
+
+  /** Keep-predicate for a computed score: non-NULL (zero-norm /
+    * non-finite-vector rows, nulled by [[safeCos]]) and finite — NaN/±Inf
+    * quotients from the dot-overflow edge can never rank (descending sort
+    * treats NaN as LARGEST, and both Spark and DuckDB evaluate
+    * `NaN >= threshold` as TRUE, so a threshold filter alone keeps them).
+    * Together with [[safeCos]] this makes "every kept score is finite"
+    * hold by construction.
+    *
+    * The predicate references `c` exactly ONCE — load-bearing for cost,
+    * not style: the optimizer collapses Project+Filter and substitutes
+    * the FULL score expression (containing the O(dim) dot) into the
+    * filter condition once per reference, and neither FilterExec nor
+    * cross-operator codegen eliminates the copies (measured with
+    * [[graft.tools.CodegenAudit]]: an `isNotNull && !isnan && abs=!=Inf`
+    * spelling inlines the dot loop 3× in the filter + 1× in the project).
+    * `abs(c) <= Double.MaxValue` is a TOTAL finiteness test under Spark's
+    * NaN-is-largest comparison order: NULL → NULL (dropped), NaN → false
+    * (NaN is greater than every value), +Inf → false, -Inf → abs → +Inf
+    * → false, finite → true. One reference = one substituted copy. */
+  private def finiteScore(c: Column): Column =
+    abs(c) <= lit(Double.MaxValue)
 
   def cosine(a: Column, b: Column): Column =
     safeCos(dot(a, b), norm(a) * norm(b))
@@ -109,7 +141,7 @@ object Similarity {
           .withColumn("qn", norm(col("q")))))
       .select(col("qid"), col("id"),
         safeCos(dot(col("v"), col("q")), col("vn") * col("qn")).as("cosine"))
-      .filter(col("cosine").isNotNull) // zero-norm/null rows excluded
+      .filter(finiteScore(col("cosine"))) // zero-norm/non-finite excluded
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
@@ -169,7 +201,7 @@ object Similarity {
         safeCos(dot(col("v"), col("q")), col("vn") * col("qn")).as("cos"))
       // a NULL cos inside the min/max structs would outrank real rows
       // (struct ordering) — degenerate vectors are excluded, not ranked
-      .filter(col("cos").isNotNull)
+      .filter(finiteScore(col("cos")))
     scored.groupBy(col("qid"))
       .agg(
         min(when(col("lbl") === col("qlbl"),
@@ -208,7 +240,7 @@ object Similarity {
       ys.crossJoin(broadcast(xs))
         .select(col("xid"), col("yid"),
           safeCos(dot(col("xv"), col("yv")), col("xn") * col("yn")).as("cos"))
-        .filter(col("cos").isNotNull)) // zero-norm rows excluded
+        .filter(finiteScore(col("cos")))) // zero-norm rows excluded
     val wx = Window.partitionBy(col("xid")).orderBy(col("cos").desc, col("yid"))
     val wy = Window.partitionBy(col("yid")).orderBy(col("cos").desc, col("xid"))
     val ax = scored.withColumn("r", row_number().over(wx))
@@ -274,7 +306,7 @@ object Similarity {
     // top-k window (without it row_number would rank the same id twice).
     val scored = c.join(broadcast(q), Seq("t", "bucket"))
       .select(col("qid"), col("id"), cosine(col("v"), col("q")).as("cosine"))
-      .filter(col("cosine").isNotNull) // zero-norm/null rows excluded
+      .filter(finiteScore(col("cosine"))) // zero-norm/non-finite excluded
       .distinct()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
@@ -373,7 +405,11 @@ object Similarity {
         col("a.id") < col("b.id"))
       .select(scorePair(): _*)
       .distinct() // same pair via several probes: identical cosine bits
-    exact.unionAll(approx).filter(col("cosine") >= tEff)
+    // finiteScore, not just the threshold: NaN >= tEff is TRUE under
+    // Spark's total ordering, so a dot-overflow pair would survive the
+    // threshold alone
+    exact.unionAll(approx)
+      .filter(finiteScore(col("cosine")) && col("cosine") >= tEff)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -562,7 +598,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .select(col("qid"), col("id"),
         safeCos(dot(col("v"), col("q")), col("vn") * col("qn")).as("cosine"))
-      .filter(col("cosine").isNotNull) // zero-norm/null rows excluded
+      .filter(finiteScore(col("cosine"))) // zero-norm/non-finite excluded
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
@@ -752,7 +788,8 @@ object Similarity {
         .join(broadcast(vecs), col("b") === col("vid"))
         .select(col("qid"), col("a"), col("b"),
           safeCos(dot(col("va"), col("vv")), norm(col("va")) * norm(col("vv")))
-            .as("sim")))
+            .as("sim"))
+        .filter(finiteScore(col("sim")))) // a NaN pair-sim would poison max-sim
     // The greedy loop's state (the selected set) is queries×k rows — the
     // SMALL broadcast side by this op's contract — so each round's picks
     // are collected and re-planted as a local relation. This is the
@@ -823,7 +860,7 @@ object Similarity {
       .select(col("qid"), col("id"),
         safeCos(dot(col("v"), col("q")), norm(col("v")) * norm(col("q")))
           .as("cosine"))
-      .filter(col("cosine").isNotNull) // zero-norm/null rows excluded
+      .filter(finiteScore(col("cosine"))) // zero-norm/non-finite excluded
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
