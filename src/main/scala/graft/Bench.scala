@@ -7,6 +7,75 @@ import org.apache.spark.sql.SparkSession
   * Per-query progress goes to stderr so a hung/slow query is identifiable.
   */
 object Bench {
+
+  /** The headline subset reported on stdout (the driver's per-round
+    * BENCH_r{N}.json) — also the coverage set for PlanFingerprintSpec's
+    * physical-plan regression gate. */
+  val headline: Set[String] = Set(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q14_promo_revenue", "q_window_rank", "q_range_join", "q_asof_join",
+    "q_custom_topk_agg", "d_dedup_exact", "d_minhash_pairs",
+    "d_ngram_jaccard", "d_embed_neardup", "s_knn_brute", "s_knn_lsh",
+    "m_avro_roundtrip", "m_grok", "t_quality_score", "mm_media_stats",
+    "d_remove_dup_spans", "t_lm_score", "t_bm25_topk", "p_pack_sequences",
+    "t_nb_classify", "t_dsir_weight", "s_knn_pq", "d_bloom_decontaminate",
+    "x_stream_window", "x_stream_dedup", "t_bpe_train", "t_ppl_buckets",
+    "mm_phash_dedup", "t_tfidf_topk",
+    // the expensive tail (r10 VERDICT #3): the four most costly ops
+    // belong under the official metric, cold included
+    "d_cluster_keep_best", "d_dedup_clusters", "s_knn_graph",
+    "p_pack_bpe", "t_wordpiece_train", "t_wordpiece_encode",
+    // round-11 second-half additions: TPC-H breadth, the stream-stream
+    // join gate, line dedup, residual IVF-PQ
+    "q6_forecast_revenue", "q19_discounted_revenue", "x_stream_join",
+    "d_line_dedup", "s_knn_ivfpq", "s_pagerank", "x_stream_session")
+
+  /** Fixed synthetic calibration probe (r15 VERDICT item 1): a pinned-size
+    * generated sort/agg/shuffle with NO parquet and NO code under test —
+    * 4M generated rows, 32 input partitions, one hash-agg shuffle to ~10k
+    * groups, global top-100 sort. Timed at bench start AND end, it
+    * measures the HOST (CPU contention, JIT, scheduler), so per-query
+    * seconds can be reported both raw and probe-normalized: host drift of
+    * 1.3-4x between sessions swamped the 2x regression criterion in
+    * rounds 12/13/15 and forced worktree A/Bs each time. Normalized units
+    * are multiples-of-probe (unitless), comparable across sessions on any
+    * host. Median of 3 runs.
+    */
+  def probeSeconds(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val n = spark.range(0L, 4L * 1000 * 1000, 1L, 32)
+        .select(col("id"), pmod(xxhash64(col("id")), lit(9973L)).as("k"),
+          (pmod(xxhash64(col("id") + 1), lit(100000L)).cast("double") / 7.0)
+            .as("v"))
+        .groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+        .orderBy(col("s").desc)
+        .limit(100).count()
+      require(n == 100, s"probe returned $n rows")
+      (System.nanoTime() - t0) / 1e9
+    }
+    times.sorted.apply(1)
+  }
+
+  /** Best-effort read of a per-query double map field from a previous
+    * BENCH.out.json — seeds the rolling min-of-sessions. Any parse
+    * failure (missing file, older schema) yields empty: the roll
+    * restarts rather than aborting the bench. */
+  private def readPrevMap(path: java.nio.file.Path,
+                          fields: Seq[String]): Map[String, Double] =
+    try {
+      if (!java.nio.file.Files.exists(path)) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(path.toFile)
+        import scala.jdk.CollectionConverters._
+        fields.iterator.flatMap(f => Option(root.get(f))).map { n =>
+          n.properties().asScala.map(e => e.getKey -> e.getValue.asDouble).toMap
+        }.nextOption().getOrElse(Map.empty)
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // match the driver (r15 VERDICT)
@@ -33,6 +102,8 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
+    val probeStart = probeSeconds(spark)
+    System.err.println(f"[bench] calibration probe (start): $probeStart%.3fs")
     // Optional arg: only run queries whose name starts with the prefix
     // (focused timing runs while iterating).
     val prefix = args.headOption.getOrElse("")
@@ -119,6 +190,11 @@ object Bench {
         f"[bench] $name%-24s median=$median%8.2fs min=$tMin%8.2fs max=$tMax%8.2fs cold=$cold%8.2fs rows=${times.head._2} cached=$liveBefore sess=${CacheScope.sessionLiveCount} heapMB=$heapMb")
       (name, median, if (failed) -1.0 else cold, tMin, tMax)
     }
+    val probeEnd = probeSeconds(spark)
+    System.err.println(f"[bench] calibration probe (end): $probeEnd%.3fs")
+    // mean of start/end: queries run between the two probes, so the mean
+    // is the best single estimate of host speed during the measured span
+    val probeMean = (probeStart + probeEnd) / 2
     val failedNames = results.collect { case (n, m, _, _, _) if m < 0 => n }
     if (failedNames.nonEmpty)
       System.err.println(s"[bench] FAILED queries: ${failedNames.mkString(", ")}")
@@ -126,7 +202,8 @@ object Bench {
     def fmt(prec: String, v: Double): String =
       String.format(java.util.Locale.ROOT, prec, Double.box(v))
     def json(rs: Seq[(String, Double, Double, Double, Double)], prec: String,
-             withCold: Boolean, allRps: Boolean = true): String = {
+             withCold: Boolean, allRps: Boolean = true,
+             extraJson: String = ""): String = {
       val qs = rs.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(prec, v) }
         .mkString("{", ",", "}")
       def extra(label: String, pick: ((String, Double, Double, Double, Double)) => Double) =
@@ -154,35 +231,44 @@ object Bench {
           "\"" + k + "\":" + fmt(if (allRps) "%.1f" else "%.0f", v) }
       val rpsJson =
         if (rps.isEmpty) "" else rps.mkString(",\"stream_rps\":{", ",", "}")
-      s"""{"metric":"total","value":${fmt(prec, total)},"unit":"sec","iters":$iters,"queries":$qs$cold$failedJson$rpsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(prec, total)},"unit":"sec","iters":$iters,"queries":$qs$cold$failedJson$rpsJson$extraJson,"sf":"$sfDir"}"""
     }
+    // Probe-normalized timings (unitless multiples-of-probe) + rolling
+    // min-of-sessions, both raw and normalized. The roll seeds from the
+    // PREVIOUS BENCH.out.json (rollmin if present, else that session's
+    // warm min), so over rounds each query accumulates its
+    // best-ever-observed time — the stable signal host drift can't fake.
+    // Queries not run this session (prefix runs) keep their prior roll.
+    def mapJson(label: String, m: Seq[(String, Double)]): String =
+      if (m.isEmpty) ""
+      else m.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt("%.6f", v) }
+        .mkString(s""","$label":{""", ",", "}")
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json"))
+    val normalized = results.map { case (n, med, _, _, _) =>
+      n -> (if (med < 0 || probeMean <= 0) -1.0 else med / probeMean) }
+    val prevRoll = readPrevMap(outFile, Seq("rollmin", "min"))
+    val prevRollN = readPrevMap(outFile, Seq("rollmin_norm"))
+    val curMin = results.collect { case (n, _, _, mn, _) if mn >= 0 => n -> mn }.toMap
+    val rollmin = (prevRoll.keySet ++ curMin.keySet).toSeq.map { k =>
+      k -> math.min(prevRoll.getOrElse(k, Double.MaxValue),
+        curMin.getOrElse(k, Double.MaxValue)) }
+    val curMinN = curMin.map { case (k, v) => k -> v / probeMean }
+    val rollminN = (prevRollN.keySet ++ curMinN.keySet).toSeq.map { k =>
+      k -> math.min(prevRollN.getOrElse(k, Double.MaxValue),
+        curMinN.getOrElse(k, Double.MaxValue)) }
+    val probeJson =
+      s""","probe_s":{"start":${fmt("%.4f", probeStart)},"end":${fmt("%.4f", probeEnd)}}"""
+    val fileExtra = probeJson + mapJson("normalized", normalized) +
+      mapJson("rollmin", rollmin) + mapJson("rollmin_norm", rollminN)
     // Full per-query timings go to a file: the driver's stdout capture keeps
     // only a ~2k-char tail, which truncated the 90-query JSON line from the
     // front in rounds 1-2 ("parsed": null). The file is the machine-readable
     // record; stdout carries a compact headline subset that fits the tail.
-    val outFile = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json"))
     java.nio.file.Files.write(outFile,
-      json(results, "%.6f", withCold = true).getBytes("UTF-8"))
+      json(results, "%.6f", withCold = true,
+        extraJson = fileExtra).getBytes("UTF-8"))
     System.err.println(s"[bench] full timings -> ${outFile.toAbsolutePath}")
-    val headline = Set(
-      "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-      "q14_promo_revenue", "q_window_rank", "q_range_join", "q_asof_join",
-      "q_custom_topk_agg", "d_dedup_exact", "d_minhash_pairs",
-      "d_ngram_jaccard", "d_embed_neardup", "s_knn_brute", "s_knn_lsh",
-      "m_avro_roundtrip", "m_grok", "t_quality_score", "mm_media_stats",
-      "d_remove_dup_spans", "t_lm_score", "t_bm25_topk", "p_pack_sequences",
-      "t_nb_classify", "t_dsir_weight", "s_knn_pq", "d_bloom_decontaminate",
-      "x_stream_window", "x_stream_dedup", "t_bpe_train", "t_ppl_buckets",
-      "mm_phash_dedup", "t_tfidf_topk",
-      // the expensive tail (r10 VERDICT #3): the four most costly ops
-      // belong under the official metric, cold included
-      "d_cluster_keep_best", "d_dedup_clusters", "s_knn_graph",
-      "p_pack_bpe", "t_wordpiece_train", "t_wordpiece_encode",
-      // round-11 second-half additions: TPC-H breadth, the stream-stream
-      // join gate, line dedup, residual IVF-PQ
-      "q6_forecast_revenue", "q19_discounted_revenue", "x_stream_join",
-      "d_line_dedup", "s_knn_ivfpq", "s_pagerank", "x_stream_session")
     // stderr table: per-gate streaming throughput + peak state size (the
     // PLANS evidence row for provider/state comparisons)
     val sm = graft.queries.StreamMetrics.summary
@@ -191,8 +277,10 @@ object Bench {
       sm.foreach { case (n, rps, sr, sb) =>
         System.err.println(f"[bench]   $n%-32s rps=$rps%10.1f stateRows=$sr%9d stateBytes=$sb%12d") }
     }
+    // probe_s rides on the stdout headline too (16 chars — the judge can
+    // normalize the driver-recorded BENCH_r{N}.json without the file)
     println(json(results.filter(r => headline(r._1)), "%.3f",
-      withCold = false, allRps = false))
+      withCold = false, allRps = false, extraJson = probeJson))
     spark.stop()
   }
 }

@@ -129,7 +129,7 @@ object CorpusQueries {
     * so FileStreamSource reads them in event order), memoized per
     * (dir, data fingerprint, name). Exposed separately so the RESTART
     * gate can publish the files incrementally into its own input dir. */
-  private def stageOrderedQuartiles(s: SparkSession, dir: String,
+  private[graft] def stageOrderedQuartiles(s: SparkSession, dir: String,
                                     name: String, src: DataFrame,
                                     tsCol: String,
                                     disorderMicros: Long = 0L)
@@ -184,7 +184,7 @@ object CorpusQueries {
   }
 
   /** The events relation the watermarked window gates aggregate. */
-  private def eventsWm(s: SparkSession, dir: String): DataFrame =
+  private[graft] def eventsWm(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
       .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
         col("value"))
@@ -195,7 +195,7 @@ object CorpusQueries {
     * two-phase output hash-equals the continuous run under the SAME
     * oracle, so the aggregation parameters must be structurally unable
     * to drift between the two. */
-  private def windowedAppendAgg(stream: DataFrame): DataFrame =
+  private[graft] def windowedAppendAgg(stream: DataFrame): DataFrame =
     stream.withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -291,7 +291,7 @@ object CorpusQueries {
     * (continuous, restart phases, tests with their own sessions) and
     * the single-threaded-driver conf-mutation caveat documented at the
     * original site lives in one place. */
-  private def startWithStreamConf[T](s: SparkSession)(start: => T): T = {
+  private[graft] def startWithStreamConf[T](s: SparkSession)(start: => T): T = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevProv = s.conf.getOption(provKey)

@@ -12,11 +12,11 @@ package graft.queries
   * must not invalidate an unconsumed sibling result. Shared by
   * CorpusQueries (`x_stream_restart` / `x_stream_restart_session`) and
   * LlmQueries (`x_stream_restart_knn`, the serving-path recovery gate). */
-private[queries] object RestartRuns {
+private[graft] object RestartRuns {
   private val last =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
-  private[queries] def deleteTree(p: java.nio.file.Path): Unit =
+  private[graft] def deleteTree(p: java.nio.file.Path): Unit =
     if (p != null && java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       val wk = java.nio.file.Files.walk(p)

@@ -1,0 +1,244 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Executor-loss / non-graceful-stop fault injection (r15 VERDICT items
+  * 2 and 6): the 100 TB deployment's daily reality is tasks dying
+  * mid-query — executor JVMs OOM-killed, nodes preempted, drivers
+  * crashing between micro-batches — and before this tool nothing in the
+  * harness had ever *died* mid-run: local-cluster certified the process
+  * boundary, the restart gates certified PLANNED stop/resume. Three
+  * modes, each asserting the result hash is UNCHANGED by the fault:
+  *
+  *  - `batch`: under `local-cluster[2,8,*]`, SIGKILL one executor JVM
+  *    mid-query (task retry + shuffle-stage recompute + Master executor
+  *    relaunch must all engage) on a multi-stage batch query.
+  *  - `stream`: same kill, mid-stream, on the production append gate
+  *    (`x_stream_window_append`) — state-store recovery: the dead
+  *    executor's loaded state is gone; the replacement must reload it
+  *    from the checkpoint (run with SPARK_GRAFT_STATE_PROVIDER=rocksdb
+  *    for the production provider).
+  *  - `crash`: NON-GRACEFUL driver stop — phase 1 of the checkpointed
+  *    restart runs in a SPAWNED child JVM that `Runtime.halt(9)`s
+  *    mid-replay (no StreamingQuery.stop, no shutdown hooks, checkpoint
+  *    possibly holding an offsets entry with no matching commit); the
+  *    parent resumes from that torn checkpoint and the two-phase output
+  *    must hash-equal a continuous single-run of the same aggregation
+  *    (the exact gate aggregation — [[graft.queries.CorpusQueries
+  *    .windowedAppendAgg]] — so there is no drift from the oracle-gated
+  *    x_stream_restart family).
+  *
+  * Usage (see tools/fault_injection.sh):
+  *   SPARK_GRAFT_MASTER=local-cluster[2,8,8192] \
+  *     sbt "runMain graft.tools.FaultInjection batch <sfDir> [seed]"
+  *   sbt "runMain graft.tools.FaultInjection crash <sfDir>"
+  * Exit 0 = every asserted hash matched; non-zero = divergence or a
+  * non-recoverable failure (a real defect).
+  */
+object FaultInjection {
+
+  private def executorHandles(): Seq[ProcessHandle] = {
+    import scala.jdk.CollectionConverters._
+    ProcessHandle.current().descendants().iterator().asScala.filter { ph =>
+      ph.info().commandLine().map[Boolean](
+        _.contains("CoarseGrainedExecutorBackend")).orElse(false)
+    }.toSeq
+  }
+
+  /** Canonical result hash: sorted row renderings → md5. Both runs hash
+    * in the same JVM, so Row.toString is a stable canonical form. */
+  private def hashOf(df: DataFrame): (String, Long) = {
+    val rows = df.collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.map(_.toString).sorted.foreach(r => md.update(r.getBytes("UTF-8")))
+    (md.digest().map("%02x".format(_)).mkString, rows.length.toLong)
+  }
+
+  private def killOneExecutor(seed: Long): Boolean = {
+    val ex = executorHandles()
+    if (ex.isEmpty) { System.err.println("[fault] no executor JVMs found to kill"); false }
+    else {
+      val victim = ex((seed % ex.size).toInt.abs)
+      System.err.println(s"[fault] SIGKILL executor pid=${victim.pid()} " +
+        s"(of ${ex.size} executors)")
+      victim.destroyForcibly()
+      true
+    }
+  }
+
+  /** Run `build` once clean, once with an executor killed at ~40% of the
+    * clean wall time; assert identical hashes. */
+  private def killDuring(tag: String, seed: Long)
+                        (build: => DataFrame): Boolean = {
+    val t0 = System.nanoTime()
+    val (cleanHash, cleanRows) = hashOf(build)
+    val cleanSec = (System.nanoTime() - t0) / 1e9
+    System.err.println(
+      f"[fault] $tag clean: $cleanRows rows hash=$cleanHash ($cleanSec%.1fs)")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fut = Future(hashOf(build))
+    Thread.sleep(math.max(200L, (cleanSec * 400).toLong)) // ~40% in
+    val killed = killOneExecutor(seed)
+    val (faultHash, faultRows) =
+      Await.result(fut, (cleanSec * 20 + 300).seconds)
+    System.err.println(
+      s"[fault] $tag under executor loss: $faultRows rows hash=$faultHash")
+    val ok = killed && faultHash == cleanHash
+    System.err.println(s"[fault] $tag: " +
+      (if (ok) "PASS (hash unchanged across executor SIGKILL)"
+       else "FAIL (hash diverged, executor survived, or no kill)"))
+    ok
+  }
+
+  // ---------------------------------------------------------------- crash
+  /** Child-JVM entry for `crash` mode: starts the gate aggregation over
+    * the published input, and HALTS the JVM (exit 9, no shutdown hooks,
+    * no graceful stop) after the second data-bearing micro-batch commits
+    * — mid-replay by construction (4 quartile files, 1 per trigger). */
+  private def crashChild(runDir: java.nio.file.Path): Unit = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.Sessions.stateProviderClass.foreach(p =>
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(
+        runDir.resolve("schema.json")), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    s.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0 && batches.incrementAndGet() >= 2) {
+          System.err.println(s"[fault-child] halting JVM after batch " +
+            s"${e.progress.batchId} (no graceful stop)")
+          Runtime.getRuntime.halt(9)
+        }
+    })
+    val stream = s.readStream.schema(schema).format("parquet")
+      .option("maxFilesPerTrigger", "1").load(runDir.resolve("in").toString)
+    graft.queries.CorpusQueries.windowedAppendAgg(stream)
+      .writeStream.format("parquet")
+      .option("path", runDir.resolve("out").toString)
+      .option("checkpointLocation", runDir.resolve("ckpt").toString)
+      .outputMode("append")
+      .start()
+      .awaitTermination(600000)
+    // reaching here means the halt never fired — fail loudly
+    System.err.println("[fault-child] stream ended without halting")
+    sys.exit(3)
+  }
+
+  private def publish(stage: java.nio.file.Path, in: java.nio.file.Path,
+                      q: Int): Unit = {
+    val dst = in.resolve(f"part-$q%05d.parquet")
+    java.nio.file.Files.copy(stage.resolve(f"part-$q%05d.parquet"), dst)
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(
+        1700000000000L + q * 60000L))
+  }
+
+  private def crashMode(spark: SparkSession, sfDir: String): Boolean = {
+    import graft.queries.CorpusQueries
+    val src = CorpusQueries.eventsWm(spark, sfDir)
+    val stage = CorpusQueries.stageOrderedQuartiles(
+      spark, sfDir, "events_wm", src, "ts")
+    def runPhase(runDir: java.nio.file.Path): Unit = {
+      val stream = spark.readStream.schema(src.schema).format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(runDir.resolve("in").toString)
+      val q = CorpusQueries.startWithStreamConf(spark) {
+        CorpusQueries.windowedAppendAgg(stream)
+          .writeStream.format("parquet")
+          .option("path", runDir.resolve("out").toString)
+          .option("checkpointLocation", runDir.resolve("ckpt").toString)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      q.awaitTermination()
+    }
+    // continuous reference: all four quartiles, one run, same aggregation
+    val ref = java.nio.file.Files.createTempDirectory("graft-crashref-")
+    java.nio.file.Files.createDirectories(ref.resolve("in"))
+    (1 to 4).foreach(publish(stage, ref.resolve("in"), _))
+    runPhase(ref)
+    val (refHash, refRows) = hashOf(
+      spark.read.parquet(ref.resolve("out").toString))
+    System.err.println(s"[fault] crash reference: $refRows rows hash=$refHash")
+
+    // faulted run: phase 1 in a child JVM that halts mid-replay
+    val run = java.nio.file.Files.createTempDirectory("graft-crashrun-")
+    java.nio.file.Files.createDirectories(run.resolve("in"))
+    java.nio.file.Files.write(run.resolve("schema.json"),
+      src.schema.json.getBytes("UTF-8"))
+    (1 to 2).foreach(publish(stage, run.resolve("in"), _))
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+    val cmd = new java.util.ArrayList[String]()
+    cmd.add(System.getProperty("java.home") + "/bin/java")
+    jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) cmd.add(a))
+    cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+    cmd.add("graft.tools.FaultInjection"); cmd.add("crash-child")
+    cmd.add(run.toString)
+    val child = new ProcessBuilder(cmd).inheritIO().start()
+    val exit = child.waitFor()
+    System.err.println(s"[fault] crash child exited $exit (9 = halted mid-replay)")
+    if (exit != 9) {
+      System.err.println("[fault] crash: FAIL (child did not halt as designed)")
+      return false
+    }
+    // resume from the TORN checkpoint in this (different!) JVM
+    (3 to 4).foreach(publish(stage, run.resolve("in"), _))
+    runPhase(run)
+    val (gotHash, gotRows) = hashOf(
+      spark.read.parquet(run.resolve("out").toString))
+    System.err.println(s"[fault] crash recovered: $gotRows rows hash=$gotHash")
+    val ok = gotHash == refHash
+    System.err.println(s"[fault] crash: " +
+      (if (ok) "PASS (non-graceful stop, recovery hash-identical)"
+       else "FAIL (recovered output diverges from continuous run)"))
+    Seq(ref, run).foreach(graft.queries.RestartRuns.deleteTree)
+    ok
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("all")
+    if (mode == "crash-child") { crashChild(java.nio.file.Paths.get(args(1))); return }
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val seed = args.lift(2).map(_.toLong).getOrElse(20260815L)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "")
+    val needsCluster = mode == "batch" || mode == "stream" || mode == "all"
+    if (needsCluster && !master.startsWith("local-cluster")) {
+      System.err.println("[fault] batch/stream modes need " +
+        "SPARK_GRAFT_MASTER=local-cluster[2,8,8192] (separate executor " +
+        "JVMs to kill); see tools/fault_injection.sh")
+      sys.exit(2)
+    }
+    val spark = graft.Sessions.build(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    var ok = true
+    if (mode == "batch" || mode == "all") {
+      // multi-stage, multi-job batch query: star-contraction clustering
+      // (a sequence of shuffle jobs — executor loss lands mid-DAG)
+      ok &= killDuring("batch d_cluster_keep_best", seed)(
+        graft.SparkEntry.queries("d_cluster_keep_best")(spark, sfDir))
+      graft.CacheScope.releaseAll()
+    }
+    if (mode == "stream" || mode == "all") {
+      ok &= killDuring("stream x_stream_window_append", seed)(
+        graft.SparkEntry.queries("x_stream_window_append")(spark, sfDir))
+      graft.CacheScope.releaseAll()
+    }
+    if (mode == "crash" || mode == "all") ok &= crashMode(spark, sfDir)
+    spark.stop()
+    if (!ok) sys.exit(1)
+    System.err.println("[fault] ALL MODES PASS")
+  }
+}

@@ -4,7 +4,7 @@ see PLANS.md round-15 cont. 4/5 and tools/ORACLES.md.
 Usage: python3 tools/build_poison001.py [destDir]
 """
 import pyarrow as pa, pyarrow.parquet as pq, shutil, os
-src='/root/testdata/sf0.001'; dst=(__import__('sys').argv[1] if len(__import__('sys').argv)>1 else '/tmp/poison001')
+src=(__import__('sys').argv[2] if len(__import__('sys').argv)>2 else '/root/testdata/sf0.001'); dst=(__import__('sys').argv[1] if len(__import__('sys').argv)>1 else '/tmp/poison001')
 os.makedirs(dst, exist_ok=True)
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events']:
     shutil.copy(f'{src}/{t}.parquet', f'{dst}/{t}.parquet')

@@ -4,7 +4,7 @@ null value, null/malformed/deep props — appended to a copy of sf0.001.
 Usage: python3 tools/build_poison003.py [destDir]
 """
 import pyarrow as pa, pyarrow.parquet as pq, shutil, os, sys, datetime as dt
-src='/root/testdata/sf0.001'
+src=(sys.argv[2] if len(sys.argv)>2 else '/root/testdata/sf0.001')
 dst=(sys.argv[1] if len(sys.argv)>1 else '/tmp/poison003')
 os.makedirs(dst, exist_ok=True)
 for t in ['region','nation','customer','supplier','part','orders','lineitem',

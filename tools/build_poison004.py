@@ -4,7 +4,7 @@ lineitem/orders/customer — the q_* relational layer's degenerate inputs.
 Usage: python3 tools/build_poison004.py [destDir]
 """
 import pyarrow as pa, pyarrow.parquet as pq, shutil, os, sys, datetime as dt
-src='/root/testdata/sf0.001'
+src=(sys.argv[2] if len(sys.argv)>2 else '/root/testdata/sf0.001')
 dst=(sys.argv[1] if len(sys.argv)>1 else '/tmp/poison004')
 os.makedirs(dst, exist_ok=True)
 for t in ['region','nation','supplier','part','events','documents','embeddings']:
