@@ -28,7 +28,12 @@ print(f"duckdb={duckdb.__version__} mode={'exact' if EXACT else 'approx(round 9d
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    # <t>.parquet may be a single file OR a Spark-written directory of part
+    # files (the ScaleBench blow-up corpora) — glob the parts in that case
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 
