@@ -76,12 +76,13 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // match the driver (r15 VERDICT)
-    val spark = Sessions.build(cpus)
-    // Warm up codegen/scan paths so the alphabetically-first query doesn't
-    // absorb JVM+session startup in its timing.
+  /** Warm up codegen/scan paths so the alphabetically-first query doesn't
+    * absorb JVM+session startup in its timing. Shared with ScaleBench —
+    * its 1× column was paying exactly this warmup in whichever query ran
+    * first, inflating cross-session comparisons of absolute 1× times
+    * (observed in the round-16 poison-at-scale sweeps).
+    */
+  def warmup(spark: SparkSession, sfDir: String): Unit =
     try {
       Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
       // Also warm the shared physical-operator + expression JIT paths by
@@ -102,11 +103,18 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // match the driver (r15 VERDICT)
+    val spark = Sessions.build(cpus)
+    warmup(spark, sfDir)
     val probeStart = probeSeconds(spark)
     System.err.println(f"[bench] calibration probe (start): $probeStart%.3fs")
     // Optional arg: only run queries whose name starts with the prefix
     // (focused timing runs while iterating).
-    val prefix = args.headOption.getOrElse("")
+    // comma-separated prefixes, same contract as Verify's third arg
+    val prefixes = args.headOption.getOrElse("").split(",").toSeq
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // Each query runs `iters` times; the reported number is the MEDIAN (the
     // single-iteration timings of rounds 1-4 swung 2-4x on sub-second
@@ -122,7 +130,7 @@ object Bench {
     // heap telemetry per query make any future drift visible in stderr.
     val rt = Runtime.getRuntime
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(_._1.startsWith(prefix)).map { case (name, fn) =>
+      .filter(kv => prefixes.exists(kv._1.startsWith)).map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count()

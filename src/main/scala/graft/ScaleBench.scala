@@ -189,6 +189,10 @@ object ScaleBench {
     // inline local[k] builder here would silently re-measure scaling in
     // single-JVM mode when the user asked for local-cluster.
     val spark = Sessions.build(cpus)
+    // same warmup as Bench: without it, the 1× column of whichever query
+    // runs first absorbs JVM/codegen startup, polluting cross-session
+    // comparisons of absolute 1× times (round-16 poison sweeps)
+    Bench.warmup(spark, sfDir)
 
     val tag = if (skew) "skew" else "scale"
     val dirs = factors.map(f => f -> s"/tmp/graft-$tag$f")
