@@ -109,6 +109,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // match the driver (r15 VERDICT)
     val spark = Sessions.build(cpus)
     warmup(spark, sfDir)
+    // discarded probe: the FIRST probe execution pays its own codegen/JIT
+    // (measured ~1.5x on the start checkpoint), which would deflate the
+    // normalized values of every query before the second checkpoint
+    probeSeconds(spark)
     val probeStart = probeSeconds(spark)
     System.err.println(f"[bench] calibration probe (start): $probeStart%.3fs")
     // Optional arg: only run queries whose name starts with the prefix
@@ -129,8 +133,24 @@ object Bench {
     // warm-per-query and the total reproducible under load. liveCount and
     // heap telemetry per query make any future drift visible in stderr.
     val rt = Runtime.getRuntime
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(kv => prefixes.exists(kv._1.startsWith)).map { case (name, fn) =>
+    // Interleaved probe checkpoints (every `probeEvery` queries): a probe
+    // only at the run edges is blind to a transient stall INSIDE the run —
+    // demonstrated on two same-commit sessions 70 min apart where a
+    // contiguous q_* stretch ran 4-5x slower while the edge probes read
+    // FASTER (PLANS round 16). Each query normalizes against the probe
+    // value linearly interpolated at its run position; ~7 extra probe
+    // runs cost ~3 s on a 219-query run.
+    val probeEvery = 32
+    val probeSeries = scala.collection.mutable.ArrayBuffer[(Int, Double)](
+      0 -> probeStart)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => prefixes.exists(kv._1.startsWith))
+    val results = selected.zipWithIndex.map { case ((name, fn), qIdx) =>
+      if (qIdx > 0 && qIdx % probeEvery == 0) {
+        val p = probeSeconds(spark)
+        probeSeries += qIdx -> p
+        System.err.println(f"[bench] calibration probe (@$qIdx): $p%.3fs")
+      }
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count()
@@ -200,9 +220,18 @@ object Bench {
     }
     val probeEnd = probeSeconds(spark)
     System.err.println(f"[bench] calibration probe (end): $probeEnd%.3fs")
-    // mean of start/end: queries run between the two probes, so the mean
-    // is the best single estimate of host speed during the measured span
-    val probeMean = (probeStart + probeEnd) / 2
+    probeSeries += selected.size -> probeEnd
+    // host speed at a query's run position: linear interpolation between
+    // the surrounding probe checkpoints (a stall localized to one stretch
+    // of the run then inflates only that stretch's normalizer)
+    def probeAt(i: Int): Double = {
+      val (loIdx, loV) = probeSeries.filter(_._1 <= i).last
+      probeSeries.find(_._1 > i) match {
+        case Some((hiIdx, hiV)) =>
+          loV + (hiV - loV) * (i - loIdx).toDouble / (hiIdx - loIdx)
+        case None => loV
+      }
+    }
     val failedNames = results.collect { case (n, m, _, _, _) if m < 0 => n }
     if (failedNames.nonEmpty)
       System.err.println(s"[bench] FAILED queries: ${failedNames.mkString(", ")}")
@@ -253,21 +282,29 @@ object Bench {
         .mkString(s""","$label":{""", ",", "}")
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json"))
-    val normalized = results.map { case (n, med, _, _, _) =>
-      n -> (if (med < 0 || probeMean <= 0) -1.0 else med / probeMean) }
+    val normalized = results.zipWithIndex.map { case ((n, med, _, _, _), i) =>
+      n -> (if (med < 0 || probeAt(i) <= 0) -1.0 else med / probeAt(i)) }
     val prevRoll = readPrevMap(outFile, Seq("rollmin", "min"))
     val prevRollN = readPrevMap(outFile, Seq("rollmin_norm"))
     val curMin = results.collect { case (n, _, _, mn, _) if mn >= 0 => n -> mn }.toMap
     val rollmin = (prevRoll.keySet ++ curMin.keySet).toSeq.map { k =>
       k -> math.min(prevRoll.getOrElse(k, Double.MaxValue),
         curMin.getOrElse(k, Double.MaxValue)) }
-    val curMinN = curMin.map { case (k, v) => k -> v / probeMean }
+    val curMinN = results.zipWithIndex.collect {
+      case ((n, _, _, mn, _), i) if mn >= 0 && probeAt(i) > 0 =>
+        n -> mn / probeAt(i) }.toMap
     val rollminN = (prevRollN.keySet ++ curMinN.keySet).toSeq.map { k =>
       k -> math.min(prevRollN.getOrElse(k, Double.MaxValue),
         curMinN.getOrElse(k, Double.MaxValue)) }
+    // stdout headline carries only start/end (the ~2k stdout tail budget);
+    // the file record gets the full checkpoint series
     val probeJson =
       s""","probe_s":{"start":${fmt("%.4f", probeStart)},"end":${fmt("%.4f", probeEnd)}}"""
-    val fileExtra = probeJson + mapJson("normalized", normalized) +
+    val probeSeriesJson =
+      probeSeries.map { case (i, v) => "\"" + i + "\":" + fmt("%.4f", v) }
+        .mkString(""","probe_series":{""", ",", "}")
+    val fileExtra = probeJson + probeSeriesJson +
+      mapJson("normalized", normalized) +
       mapJson("rollmin", rollmin) + mapJson("rollmin_norm", rollminN)
     // Full per-query timings go to a file: the driver's stdout capture keeps
     // only a ~2k-char tail, which truncated the 90-query JSON line from the
