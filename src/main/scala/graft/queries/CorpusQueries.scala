@@ -205,7 +205,7 @@ object CorpusQueries {
         col("event_type"), col("n"), col("sum_value"))
 
   /** The events relation the watermarked session gates aggregate. */
-  private def eventsWmSess(s: SparkSession, dir: String): DataFrame =
+  private[graft] def eventsWmSess(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
       .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
         col("value"))
@@ -214,7 +214,7 @@ object CorpusQueries {
     * `x_stream_session_append` and `x_stream_restart_session` (the
     * [[windowedAppendAgg]] rationale: shared oracle ⇒ shared
     * aggregation, structurally). */
-  private def sessionAppendAgg(stream: DataFrame): DataFrame =
+  private[graft] def sessionAppendAgg(stream: DataFrame): DataFrame =
     stream.withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"),

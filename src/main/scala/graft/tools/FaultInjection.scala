@@ -18,6 +18,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    executor's loaded state is gone; the replacement must reload it
   *    from the checkpoint (run with SPARK_GRAFT_STATE_PROVIDER=rocksdb
   *    for the production provider).
+  *  - `stream-total`: SIGKILL EVERY executor at once mid-stream (node
+  *    preemption / spot reclaim): zero survivors carry loaded state, the
+  *    app must finish on Master-relaunched executors — exercised on the
+  *    merging session gate, the stateful family's hardest member.
   *  - `crash`: NON-GRACEFUL driver stop — phase 1 of the checkpointed
   *    restart runs in a SPAWNED child JVM that `Runtime.halt(9)`s
   *    mid-replay (no StreamingQuery.stop, no shutdown hooks, checkpoint
@@ -25,8 +29,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    parent resumes from that torn checkpoint and the two-phase output
   *    must hash-equal a continuous single-run of the same aggregation
   *    (the exact gate aggregation — [[graft.queries.CorpusQueries
-  *    .windowedAppendAgg]] — so there is no drift from the oracle-gated
-  *    x_stream_restart family).
+  *    .windowedAppendAgg]] / [[graft.queries.CorpusQueries
+  *    .sessionAppendAgg]] — so there is no drift from the oracle-gated
+  *    x_stream_restart family). Variants: `crash-early` halts after the
+  *    FIRST data batch (the earliest possible torn checkpoint);
+  *    `crash-session` recovers MERGING session-window state.
   *
   * Usage (see tools/fault_injection.sh):
   *   SPARK_GRAFT_MASTER=local-cluster[2,8,8192] \
@@ -66,9 +73,23 @@ object FaultInjection {
     }
   }
 
-  /** Run `build` once clean, once with an executor killed at ~40% of the
+  /** TOTAL executor loss: SIGKILL every executor JVM at once — the
+    * whole-node-preempted / spot-reclaim case. The app must survive on
+    * Master-relaunched executors with zero survivors carrying state. */
+  private def killAllExecutors(): Boolean = {
+    val ex = executorHandles()
+    if (ex.isEmpty) { System.err.println("[fault] no executor JVMs found to kill"); false }
+    else {
+      System.err.println(s"[fault] SIGKILL ALL ${ex.size} executors " +
+        s"(pids ${ex.map(_.pid()).mkString(",")})")
+      ex.foreach(_.destroyForcibly())
+      true
+    }
+  }
+
+  /** Run `build` once clean, once with executor(s) killed at ~40% of the
     * clean wall time; assert identical hashes. */
-  private def killDuring(tag: String, seed: Long)
+  private def killDuring(tag: String, seed: Long, killAll: Boolean = false)
                         (build: => DataFrame): Boolean = {
     val t0 = System.nanoTime()
     val (cleanHash, cleanRows) = hashOf(build)
@@ -80,7 +101,7 @@ object FaultInjection {
     import scala.concurrent.duration._
     val fut = Future(hashOf(build))
     Thread.sleep(math.max(200L, (cleanSec * 400).toLong)) // ~40% in
-    val killed = killOneExecutor(seed)
+    val killed = if (killAll) killAllExecutors() else killOneExecutor(seed)
     val (faultHash, faultRows) =
       Await.result(fut, (cleanSec * 20 + 300).seconds)
     System.err.println(
@@ -97,6 +118,11 @@ object FaultInjection {
     * the published input, and HALTS the JVM (exit 9, no shutdown hooks,
     * no graceful stop) after the second data-bearing micro-batch commits
     * — mid-replay by construction (4 quartile files, 1 per trigger). */
+  private def aggFor(kind: String): DataFrame => DataFrame = kind match {
+    case "session" => graft.queries.CorpusQueries.sessionAppendAgg
+    case _ => graft.queries.CorpusQueries.windowedAppendAgg
+  }
+
   private def crashChild(runDir: java.nio.file.Path): Unit = {
     val s = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -110,20 +136,23 @@ object FaultInjection {
       new String(java.nio.file.Files.readAllBytes(
         runDir.resolve("schema.json")), "UTF-8"))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val conf = new String(java.nio.file.Files.readAllBytes(
+      runDir.resolve("crash.conf")), "UTF-8").trim.split(":")
+    val (aggKind, haltAfter) = (conf(0), conf(1).toInt)
     val batches = new java.util.concurrent.atomic.AtomicInteger
     s.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-        if (e.progress.numInputRows > 0 && batches.incrementAndGet() >= 2) {
+        if (e.progress.numInputRows > 0 && batches.incrementAndGet() >= haltAfter) {
           System.err.println(s"[fault-child] halting JVM after batch " +
-            s"${e.progress.batchId} (no graceful stop)")
+            s"${e.progress.batchId} ($aggKind, haltAfter=$haltAfter, no graceful stop)")
           Runtime.getRuntime.halt(9)
         }
     })
     val stream = s.readStream.schema(schema).format("parquet")
       .option("maxFilesPerTrigger", "1").load(runDir.resolve("in").toString)
-    graft.queries.CorpusQueries.windowedAppendAgg(stream)
+    aggFor(aggKind)(stream)
       .writeStream.format("parquet")
       .option("path", runDir.resolve("out").toString)
       .option("checkpointLocation", runDir.resolve("ckpt").toString)
@@ -144,17 +173,22 @@ object FaultInjection {
         1700000000000L + q * 60000L))
   }
 
-  private def crashMode(spark: SparkSession, sfDir: String): Boolean = {
+  private def crashMode(spark: SparkSession, sfDir: String,
+                        aggKind: String = "window",
+                        haltAfter: Int = 2): Boolean = {
     import graft.queries.CorpusQueries
-    val src = CorpusQueries.eventsWm(spark, sfDir)
+    val (src, stageName) =
+      if (aggKind == "session")
+        (CorpusQueries.eventsWmSess(spark, sfDir), "events_wm_sess")
+      else (CorpusQueries.eventsWm(spark, sfDir), "events_wm")
     val stage = CorpusQueries.stageOrderedQuartiles(
-      spark, sfDir, "events_wm", src, "ts")
+      spark, sfDir, stageName, src, "ts")
     def runPhase(runDir: java.nio.file.Path): Unit = {
       val stream = spark.readStream.schema(src.schema).format("parquet")
         .option("maxFilesPerTrigger", "1")
         .load(runDir.resolve("in").toString)
       val q = CorpusQueries.startWithStreamConf(spark) {
-        CorpusQueries.windowedAppendAgg(stream)
+        aggFor(aggKind)(stream)
           .writeStream.format("parquet")
           .option("path", runDir.resolve("out").toString)
           .option("checkpointLocation", runDir.resolve("ckpt").toString)
@@ -171,13 +205,15 @@ object FaultInjection {
     runPhase(ref)
     val (refHash, refRows) = hashOf(
       spark.read.parquet(ref.resolve("out").toString))
-    System.err.println(s"[fault] crash reference: $refRows rows hash=$refHash")
+    System.err.println(s"[fault] crash($aggKind,halt=$haltAfter) reference: $refRows rows hash=$refHash")
 
     // faulted run: phase 1 in a child JVM that halts mid-replay
     val run = java.nio.file.Files.createTempDirectory("graft-crashrun-")
     java.nio.file.Files.createDirectories(run.resolve("in"))
     java.nio.file.Files.write(run.resolve("schema.json"),
       src.schema.json.getBytes("UTF-8"))
+    java.nio.file.Files.write(run.resolve("crash.conf"),
+      s"$aggKind:$haltAfter".getBytes("UTF-8"))
     (1 to 2).foreach(publish(stage, run.resolve("in"), _))
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments
@@ -189,7 +225,7 @@ object FaultInjection {
     cmd.add(run.toString)
     val child = new ProcessBuilder(cmd).inheritIO().start()
     val exit = child.waitFor()
-    System.err.println(s"[fault] crash child exited $exit (9 = halted mid-replay)")
+    System.err.println(s"[fault] crash($aggKind,halt=$haltAfter) child exited $exit (9 = halted mid-replay)")
     if (exit != 9) {
       System.err.println("[fault] crash: FAIL (child did not halt as designed)")
       return false
@@ -199,9 +235,9 @@ object FaultInjection {
     runPhase(run)
     val (gotHash, gotRows) = hashOf(
       spark.read.parquet(run.resolve("out").toString))
-    System.err.println(s"[fault] crash recovered: $gotRows rows hash=$gotHash")
+    System.err.println(s"[fault] crash($aggKind,halt=$haltAfter) recovered: $gotRows rows hash=$gotHash")
     val ok = gotHash == refHash
-    System.err.println(s"[fault] crash: " +
+    System.err.println(s"[fault] crash($aggKind,halt=$haltAfter): " +
       (if (ok) "PASS (non-graceful stop, recovery hash-identical)"
        else "FAIL (recovered output diverges from continuous run)"))
     Seq(ref, run).foreach(graft.queries.RestartRuns.deleteTree)
@@ -214,7 +250,8 @@ object FaultInjection {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
     val seed = args.lift(2).map(_.toLong).getOrElse(20260815L)
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "")
-    val needsCluster = mode == "batch" || mode == "stream" || mode == "all"
+    val needsCluster =
+      Set("batch", "stream", "stream-total", "all")(mode)
     if (needsCluster && !master.startsWith("local-cluster")) {
       System.err.println("[fault] batch/stream modes need " +
         "SPARK_GRAFT_MASTER=local-cluster[2,8,8192] (separate executor " +
@@ -236,7 +273,23 @@ object FaultInjection {
         graft.SparkEntry.queries("x_stream_window_append")(spark, sfDir))
       graft.CacheScope.releaseAll()
     }
+    if (mode == "stream-total" || mode == "all") {
+      // TOTAL executor loss mid-stream: zero survivors hold any loaded
+      // state store; the app runs on Master-relaunched executors only
+      ok &= killDuring("stream-total x_stream_session_append", seed,
+        killAll = true)(
+        graft.SparkEntry.queries("x_stream_session_append")(spark, sfDir))
+      graft.CacheScope.releaseAll()
+    }
     if (mode == "crash" || mode == "all") ok &= crashMode(spark, sfDir)
+    // torn checkpoint at its earliest: halt after the FIRST data batch
+    // (offsets for batch 1 may exist with no commit at all)
+    if (mode == "crash-early" || mode == "all")
+      ok &= crashMode(spark, sfDir, "window", haltAfter = 1)
+    // merging session-window state across a non-graceful stop — the
+    // restart family's hardest member, now also under the torn variant
+    if (mode == "crash-session" || mode == "all")
+      ok &= crashMode(spark, sfDir, "session", haltAfter = 2)
     spark.stop()
     if (!ok) sys.exit(1)
     System.err.println("[fault] ALL MODES PASS")

@@ -20,9 +20,16 @@ sbt -batch "runMain graft.tools.FaultInjection batch $SF $SEED"
 SPARK_GRAFT_MASTER='local-cluster[2,8,8192]' \
 SPARK_GRAFT_STATE_PROVIDER=rocksdb \
 sbt -batch "runMain graft.tools.FaultInjection stream $SF $SEED"
+SPARK_GRAFT_MASTER='local-cluster[2,8,8192]' \
+SPARK_GRAFT_STATE_PROVIDER=rocksdb \
+sbt -batch "runMain graft.tools.FaultInjection stream-total $SF $SEED"
 
 echo "== non-graceful driver halt + checkpoint recovery (RocksDB) =="
 SPARK_GRAFT_STATE_PROVIDER=rocksdb \
 sbt -batch "runMain graft.tools.FaultInjection crash $SF"
+SPARK_GRAFT_STATE_PROVIDER=rocksdb \
+sbt -batch "runMain graft.tools.FaultInjection crash-early $SF"
+SPARK_GRAFT_STATE_PROVIDER=rocksdb \
+sbt -batch "runMain graft.tools.FaultInjection crash-session $SF"
 
 echo "fault injection: ALL PASS"
