@@ -61,7 +61,12 @@ object Bench {
   /** Best-effort read of a per-query double map field from a previous
     * BENCH.out.json — seeds the rolling min-of-sessions. Any parse
     * failure (missing file, older schema) yields empty: the roll
-    * restarts rather than aborting the bench. */
+    * restarts rather than aborting the bench. Non-positive entries are
+    * DROPPED: the "min" map carries -1.0 sentinels for failed queries
+    * and for every query in a 1-iteration run, and a sentinel that
+    * enters the roll wins every math.min forever after — the roll would
+    * silently read "-1" (fastest ever!) for that query in all future
+    * sessions (advice r16). */
   private def readPrevMap(path: java.nio.file.Path,
                           fields: Seq[String]): Map[String, Double] =
     try {
@@ -71,7 +76,8 @@ object Bench {
         val root = om.readTree(path.toFile)
         import scala.jdk.CollectionConverters._
         fields.iterator.flatMap(f => Option(root.get(f))).map { n =>
-          n.properties().asScala.map(e => e.getKey -> e.getValue.asDouble).toMap
+          n.properties().asScala.map(e => e.getKey -> e.getValue.asDouble)
+            .filter(_._2 > 0.0).toMap
         }.nextOption().getOrElse(Map.empty)
       }
     } catch { case _: Throwable => Map.empty }
@@ -220,7 +226,12 @@ object Bench {
     }
     val probeEnd = probeSeconds(spark)
     System.err.println(f"[bench] calibration probe (end): $probeEnd%.3fs")
-    probeSeries += selected.size -> probeEnd
+    // A zero-query run (prefix matched nothing) would append the end
+    // checkpoint under the SAME key (0) as the start one — the JSON
+    // object then carries a duplicate "0" key and last-wins parsing
+    // silently drops the start checkpoint (advice r16). Skip it: with
+    // no queries there is no run interior to interpolate over.
+    if (selected.nonEmpty) probeSeries += selected.size -> probeEnd
     // host speed at a query's run position: linear interpolation between
     // the surrounding probe checkpoints (a stall localized to one stretch
     // of the run then inflates only that stretch's normalizer)
