@@ -123,8 +123,14 @@ object Bench {
     System.err.println(f"[bench] calibration probe (start): $probeStart%.3fs")
     // Optional arg: only run queries whose name starts with the prefix
     // (focused timing runs while iterating).
-    // comma-separated prefixes, same contract as Verify's third arg
-    val prefixes = args.headOption.getOrElse("").split(",").toSeq
+    // comma-separated prefixes, same contract as Verify's third arg.
+    // `--strict` (or SPARK_GRAFT_BENCH_STRICT) exits non-zero when the
+    // suspects list below is non-empty — the machine-applied regression
+    // gate (r16 verdict item 5).
+    val strict = args.contains("--strict") ||
+      sys.env.contains("SPARK_GRAFT_BENCH_STRICT")
+    val prefixes = args.filterNot(_ == "--strict")
+      .headOption.getOrElse("").split(",").toSeq
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // Each query runs `iters` times; the reported number is the MEDIAN (the
     // single-iteration timings of rounds 1-4 swung 2-4x on sub-second
@@ -307,6 +313,18 @@ object Bench {
     val rollminN = (prevRollN.keySet ++ curMinN.keySet).toSeq.map { k =>
       k -> math.min(prevRollN.getOrElse(k, Double.MaxValue),
         curMinN.getOrElse(k, Double.MaxValue)) }
+    // Machine-applied reading rule (r16 verdict item 5): round 16
+    // established "regression ⇔ rollmin_norm moved" but a human still had
+    // to apply it. A SUSPECT is a query whose SESSION min, in
+    // probe-normalized units (host drift already divided out, per run
+    // position), exceeds 1.3× its prior rolling minimum — i.e. the min
+    // itself moved while the probe stayed flat, the one signature drift
+    // cannot fake. First-ever-run queries have no prior roll and cannot be
+    // suspects. Values are the ratio session-min-norm / prior-rollmin-norm.
+    val suspectFactor = 1.3
+    val suspects = curMinN.toSeq.flatMap { case (k, v) =>
+      prevRollN.get(k).collect { case r if v > r * suspectFactor =>
+        k -> v / r } }.sortBy(-_._2)
     // stdout headline carries only start/end (the ~2k stdout tail budget);
     // the file record gets the full checkpoint series
     val probeJson =
@@ -316,7 +334,8 @@ object Bench {
         .mkString(""","probe_series":{""", ",", "}")
     val fileExtra = probeJson + probeSeriesJson +
       mapJson("normalized", normalized) +
-      mapJson("rollmin", rollmin) + mapJson("rollmin_norm", rollminN)
+      mapJson("rollmin", rollmin) + mapJson("rollmin_norm", rollminN) +
+      mapJson("suspects", suspects)
     // Full per-query timings go to a file: the driver's stdout capture keeps
     // only a ~2k-char tail, which truncated the 90-query JSON line from the
     // front in rounds 1-2 ("parsed": null). The file is the machine-readable
@@ -335,8 +354,20 @@ object Bench {
     }
     // probe_s rides on the stdout headline too (16 chars — the judge can
     // normalize the driver-recorded BENCH_r{N}.json without the file)
+    if (suspects.nonEmpty) {
+      System.err.println(s"[bench] SUSPECTS — session min-norm > " +
+        f"${suspectFactor}%.1fx prior rolling min-norm (probe drift already " +
+        "normalized away; these moved beyond what drift explains):")
+      suspects.foreach { case (k, r) =>
+        System.err.println(f"[bench]   $k%-28s $r%.2fx") }
+    }
     println(json(results.filter(r => headline(r._1)), "%.3f",
       withCold = false, allRps = false, extraJson = probeJson))
     spark.stop()
+    if (strict && suspects.nonEmpty) {
+      System.err.println(s"[bench] --strict: exiting 4 " +
+        s"(${suspects.size} suspect(s))")
+      sys.exit(4)
+    }
   }
 }
