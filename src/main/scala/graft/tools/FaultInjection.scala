@@ -52,14 +52,9 @@ object FaultInjection {
     }.toSeq
   }
 
-  /** Canonical result hash: sorted row renderings → md5. Both runs hash
-    * in the same JVM, so Row.toString is a stable canonical form. */
-  private def hashOf(df: DataFrame): (String, Long) = {
-    val rows = df.collect()
-    val md = java.security.MessageDigest.getInstance("MD5")
-    rows.map(_.toString).sorted.foreach(r => md.update(r.getBytes("UTF-8")))
-    (md.digest().map("%02x".format(_)).mkString, rows.length.toLong)
-  }
+  /** Canonical result hash: sorted row renderings → md5 (shared
+    * [[ResultHash]] canonical form). */
+  private def hashOf(df: DataFrame): (String, Long) = ResultHash.of(df)
 
   private def killOneExecutor(seed: Long): Boolean = {
     val ex = executorHandles()
@@ -87,30 +82,63 @@ object FaultInjection {
     }
   }
 
-  /** Run `build` once clean, once with executor(s) killed at ~40% of the
-    * clean wall time; assert identical hashes. */
+  /** Run `build` once clean, once with executor(s) killed mid-run; assert
+    * identical hashes. The kill must demonstrably land MID-RUN (advice
+    * r16): a JIT-warm faulted run coasting on the clean run's CacheScope
+    * caches can finish before the sleep elapses, in which case the SIGKILL
+    * lands after the result is collected and the hash comparison asserts
+    * nothing about recovery. Guards: (a) operator-internal caches are
+    * released between the clean and faulted runs, so the faulted run
+    * recomputes; (b) `fut.isCompleted` is checked BEFORE the kill — a
+    * completed run is discarded and retried with an earlier kill point
+    * (40% → 20% → 8% of clean wall time); if no attempt lands mid-run the
+    * configuration FAILS loudly instead of passing vacuously. */
   private def killDuring(tag: String, seed: Long, killAll: Boolean = false)
                         (build: => DataFrame): Boolean = {
     val t0 = System.nanoTime()
-    val (cleanHash, cleanRows) = hashOf(build)
+    val cleanDf = build
+    val spark = cleanDf.sparkSession
+    val (cleanHash, cleanRows) = hashOf(cleanDf)
     val cleanSec = (System.nanoTime() - t0) / 1e9
     System.err.println(
       f"[fault] $tag clean: $cleanRows rows hash=$cleanHash ($cleanSec%.1fs)")
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
-    val fut = Future(hashOf(build))
-    Thread.sleep(math.max(200L, (cleanSec * 400).toLong)) // ~40% in
-    val killed = if (killAll) killAllExecutors() else killOneExecutor(seed)
-    val (faultHash, faultRows) =
-      Await.result(fut, (cleanSec * 20 + 300).seconds)
-    System.err.println(
-      s"[fault] $tag under executor loss: $faultRows rows hash=$faultHash")
-    val ok = killed && faultHash == cleanHash
-    System.err.println(s"[fault] $tag: " +
-      (if (ok) "PASS (hash unchanged across executor SIGKILL)"
-       else "FAIL (hash diverged, executor survived, or no kill)"))
-    ok
+    var result: Option[(String, Long)] = None
+    var killed = false
+    val fracs = Seq(0.4, 0.2, 0.08)
+    for (frac <- fracs if result.isEmpty) {
+      // the faulted run must recompute, not read the clean run's caches
+      graft.CacheScope.releaseAll()
+      spark.sharedState.cacheManager.clearCache()
+      val fut = Future(hashOf(build))
+      Thread.sleep(math.max(100L, (cleanSec * 1000 * frac).toLong))
+      if (fut.isCompleted) {
+        System.err.println(
+          f"[fault] $tag: faulted run finished BEFORE the ${frac * 100}%.0f%% " +
+            "kill point (warm rerun outran the clean timing) — discarding " +
+            "and retrying with an earlier kill, a post-completion kill " +
+            "asserts nothing")
+      } else {
+        killed = if (killAll) killAllExecutors() else killOneExecutor(seed)
+        result = Some(Await.result(fut, (cleanSec * 20 + 300).seconds))
+      }
+    }
+    result match {
+      case None =>
+        System.err.println(s"[fault] $tag: FAIL (no kill landed mid-run " +
+          s"after ${fracs.size} attempts — vacuous-pass guard)")
+        false
+      case Some((faultHash, faultRows)) =>
+        System.err.println(
+          s"[fault] $tag under executor loss: $faultRows rows hash=$faultHash")
+        val ok = killed && faultHash == cleanHash
+        System.err.println(s"[fault] $tag: " +
+          (if (ok) "PASS (hash unchanged across mid-run executor SIGKILL)"
+           else "FAIL (hash diverged, executor survived, or no kill)"))
+        ok
+    }
   }
 
   // ---------------------------------------------------------------- crash
@@ -215,16 +243,7 @@ object FaultInjection {
     java.nio.file.Files.write(run.resolve("crash.conf"),
       s"$aggKind:$haltAfter".getBytes("UTF-8"))
     (1 to 2).foreach(publish(stage, run.resolve("in"), _))
-    val jvmArgs = java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getInputArguments
-    val cmd = new java.util.ArrayList[String]()
-    cmd.add(System.getProperty("java.home") + "/bin/java")
-    jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) cmd.add(a))
-    cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
-    cmd.add("graft.tools.FaultInjection"); cmd.add("crash-child")
-    cmd.add(run.toString)
-    val child = new ProcessBuilder(cmd).inheritIO().start()
-    val exit = child.waitFor()
+    val exit = childJvm(Seq("crash-child", run.toString)).start().waitFor()
     System.err.println(s"[fault] crash($aggKind,halt=$haltAfter) child exited $exit (9 = halted mid-replay)")
     if (exit != 9) {
       System.err.println("[fault] crash: FAIL (child did not halt as designed)")
@@ -244,9 +263,186 @@ object FaultInjection {
     ok
   }
 
+  // ----------------------------------------------------------- batch-write
+  /** Deterministic bulk frame for the batch-write tear: the full lineitem
+    * slice a materialization stage would persist (numeric measures + the
+    * low-cardinality partition key used by the partitioned variant). */
+  private def batchWriteDf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"), col("l_shipdate"))
+      .repartition(8)
+  }
+
+  /** Count part-files anywhere under `dest` — committed task outputs AND
+    * in-progress attempt files inside `_temporary` both match, so
+    * haltAfter=1 tears at the earliest staged byte and haltAfter=3 tears
+    * mid-job (some tasks committed, most still running on local[2]). */
+  private def stagedPartFiles(dest: java.nio.file.Path): Int = {
+    if (!java.nio.file.Files.exists(dest)) return 0
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(dest)
+    try s.iterator().asScala.count { p =>
+      java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.startsWith("part-")
+    } finally s.close()
+  }
+
+  /** Data files a READER would see: part-files whose path contains no
+    * staging segment (`_temporary` / `.spark-staging-*`). The
+    * FileOutputCommitter contract says a torn job must leave ZERO of
+    * these. */
+  private def visiblePartFiles(dest: java.nio.file.Path): Seq[String] = {
+    if (!java.nio.file.Files.exists(dest)) return Nil
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(dest)
+    try s.iterator().asScala.filter { p =>
+      java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.startsWith("part-") &&
+        !dest.relativize(p).iterator().asScala.exists { seg =>
+          val n = seg.toString
+          n == "_temporary" || n.startsWith(".spark-staging")
+        }
+    }.map(dest.relativize(_).toString).toList
+    finally s.close()
+  }
+
+  /** Child-JVM entry for batch-write: starts the write, and a daemon
+    * watcher `Runtime.halt(9)`s the JVM (no shutdown hooks, no committer
+    * cleanup) the moment `haltAfter` part-files have been staged —
+    * mid-write by construction. */
+  private def batchWriteChild(runDir: java.nio.file.Path): Unit = {
+    val conf = new String(java.nio.file.Files.readAllBytes(
+      runDir.resolve("bw.conf")), "UTF-8").trim.split(":")
+    val (sfDir, variant, haltAfter) = (conf(0), conf(1), conf(2).toInt)
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        runDir.resolve("warehouse").toUri.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dest = if (variant == "bucketed")
+      runDir.resolve("warehouse").resolve("fault_bw")
+    else runDir.resolve("dest")
+    val watcher = new Thread(() => {
+      while (true) {
+        val n = stagedPartFiles(dest)
+        if (n >= haltAfter) {
+          System.err.println(s"[fault-child] halting JVM: $n part-file(s) " +
+            s"staged (variant=$variant, haltAfter=$haltAfter)")
+          Runtime.getRuntime.halt(9)
+        }
+        Thread.sleep(5)
+      }
+    })
+    watcher.setDaemon(true)
+    watcher.start()
+    val df = batchWriteDf(spark, sfDir)
+    variant match {
+      case "partitioned" =>
+        graft.io.Sinks.parquetSink(df, dest.toString, Seq("l_returnflag"))
+      case "bucketed" =>
+        graft.io.Sinks.writeBucketed(df, "fault_bw", 8, Seq("l_orderkey"),
+          Seq("l_orderkey"))
+      case _ => graft.io.Sinks.parquetSink(df, dest.toString)
+    }
+    // reaching here means the write outran the watcher — fail loudly
+    System.err.println("[fault-child] write completed without halting")
+    sys.exit(3)
+  }
+
+  /** Build the child-JVM command line: this JVM's args (minus any debug
+    * agent) + classpath + the FaultInjection entry with `childArgs`. */
+  private def childJvm(childArgs: Seq[String]): ProcessBuilder = {
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+    val cmd = new java.util.ArrayList[String]()
+    cmd.add(System.getProperty("java.home") + "/bin/java")
+    jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) cmd.add(a))
+    cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+    cmd.add("graft.tools.FaultInjection")
+    childArgs.foreach(cmd.add)
+    new ProcessBuilder(cmd).inheritIO()
+  }
+
+  /** Batch-write crash atomicity (r16 VERDICT item 2): a writer JVM
+    * `halt(9)`s mid-`df.write.parquet`; the destination must be invisible
+    * to readers (zero part-files outside staging, no `_SUCCESS` — the
+    * FileOutputCommitter contract), and a retried write over the torn
+    * destination must produce the exact reference content. Variants:
+    * `plain` (flat parquet), `partitioned` (dynamic partition dirs —
+    * a different commit layout), `bucketed` (bucket spec via
+    * saveAsTable). haltAfter=1 tears at the first staged byte;
+    * haltAfter=3 tears mid-job with task outputs already committed. */
+  private def batchWriteMode(spark: SparkSession, sfDir: String,
+                             variant: String, haltAfter: Int): Boolean = {
+    val tag = s"batch-write($variant,halt=$haltAfter)"
+    val df = batchWriteDf(spark, sfDir)
+    val (refHash, refRows) = hashOf(df)
+    System.err.println(s"[fault] $tag reference: $refRows rows hash=$refHash")
+    val runDir = java.nio.file.Files.createTempDirectory("graft-bw-")
+    java.nio.file.Files.write(runDir.resolve("bw.conf"),
+      s"$sfDir:$variant:$haltAfter".getBytes("UTF-8"))
+    val exit = childJvm(Seq("batch-write-child", runDir.toString))
+      .start().waitFor()
+    System.err.println(s"[fault] $tag child exited $exit (9 = halted mid-write)")
+    if (exit != 9) {
+      System.err.println(s"[fault] $tag: FAIL (child did not halt mid-write " +
+        "— tear never landed, nothing was asserted)")
+      return false
+    }
+    val dest = if (variant == "bucketed")
+      runDir.resolve("warehouse").resolve("fault_bw")
+    else runDir.resolve("dest")
+    val vis = visiblePartFiles(dest)
+    val success = java.nio.file.Files.exists(dest.resolve("_SUCCESS"))
+    if (vis.nonEmpty || success) {
+      System.err.println(s"[fault] $tag: FAIL (torn write left reader-" +
+        s"visible output: ${vis.size} part-file(s), _SUCCESS=$success — " +
+        s"first: ${vis.take(3).mkString(", ")})")
+      return false
+    }
+    System.err.println(s"[fault] $tag: torn destination invisible to " +
+      s"readers (0 committed part-files, no _SUCCESS; " +
+      s"${stagedPartFiles(dest)} file(s) stranded in staging)")
+    // retried job: overwrite the torn destination, then read back and hash
+    val reread = variant match {
+      case "bucketed" =>
+        // same writer path (bucket spec + saveAsTable); the parent session
+        // has its own warehouse, so recovery writes the table fresh there —
+        // the retry-over-torn-staging case is covered by the other variants
+        spark.sql("DROP TABLE IF EXISTS fault_bw_recover")
+        graft.io.Sinks.writeBucketed(df, "fault_bw_recover", 8,
+          Seq("l_orderkey"), Seq("l_orderkey"))
+        spark.table("fault_bw_recover")
+      case "partitioned" =>
+        graft.io.Sinks.parquetSink(df, dest.toString, Seq("l_returnflag"))
+        spark.read.parquet(dest.toString)
+          .select(df.columns.map(org.apache.spark.sql.functions.col): _*)
+      case _ =>
+        graft.io.Sinks.parquetSink(df, dest.toString)
+        spark.read.parquet(dest.toString)
+    }
+    val (gotHash, gotRows) = hashOf(reread)
+    val ok = gotHash == refHash && gotRows == refRows
+    System.err.println(s"[fault] $tag recovered: $gotRows rows hash=$gotHash")
+    System.err.println(s"[fault] $tag: " +
+      (if (ok) "PASS (torn write invisible; retried write hash-identical)"
+       else "FAIL (retried write diverges from reference)"))
+    graft.queries.RestartRuns.deleteTree(runDir)
+    ok
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
     if (mode == "crash-child") { crashChild(java.nio.file.Paths.get(args(1))); return }
+    if (mode == "batch-write-child") {
+      batchWriteChild(java.nio.file.Paths.get(args(1))); return
+    }
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
     val seed = args.lift(2).map(_.toLong).getOrElse(20260815L)
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "")
@@ -282,6 +478,14 @@ object FaultInjection {
       graft.CacheScope.releaseAll()
     }
     if (mode == "crash" || mode == "all") ok &= crashMode(spark, sfDir)
+    // batch-write tear: writer JVM halts mid-df.write.parquet — the torn
+    // destination must be reader-invisible and the retried write exact
+    if (mode == "batch-write" || mode == "all") {
+      ok &= batchWriteMode(spark, sfDir, "plain", 3)
+      ok &= batchWriteMode(spark, sfDir, "plain", 1)
+      ok &= batchWriteMode(spark, sfDir, "partitioned", 3)
+      ok &= batchWriteMode(spark, sfDir, "bucketed", 3)
+    }
     // torn checkpoint at its earliest: halt after the FIRST data batch
     // (offsets for batch 1 may exist with no commit at all)
     if (mode == "crash-early" || mode == "all")

@@ -32,4 +32,7 @@ sbt -batch "runMain graft.tools.FaultInjection crash-early $SF"
 SPARK_GRAFT_STATE_PROVIDER=rocksdb \
 sbt -batch "runMain graft.tools.FaultInjection crash-session $SF"
 
+echo "== batch-write tear: writer JVM halt(9) mid-df.write.parquet =="
+sbt -batch "runMain graft.tools.FaultInjection batch-write $SF"
+
 echo "fault injection: ALL PASS"
