@@ -42,7 +42,9 @@ object ScaleBench {
     * dir fingerprint) is reused — for re-measuring one knob (e.g. the
     * streaming state-partition count) without paying the build again. */
   private def buildBlowup(spark: SparkSession, sfDir: String, factor: Int,
-                          bigDir: String, skew: Boolean): Unit = {
+                          bigDir: String, skew: Boolean,
+                          reuseOk: Boolean =
+                            sys.env.contains("SPARK_GRAFT_SCALE_REUSE")): Unit = {
     // The reuse marker records WHAT was built (base dir + its data
     // fingerprint + factor + skew), not just that something was: reusing
     // a blow-up built from a different base would silently measure
@@ -50,7 +52,7 @@ object ScaleBench {
     val provenance =
       s"$sfDir|${Tables.dirFingerprint(sfDir)}|$factor|skew=$skew"
     val marker = java.nio.file.Paths.get(s"$bigDir/_BLOWUP_SRC")
-    if (sys.env.contains("SPARK_GRAFT_SCALE_REUSE") &&
+    if (reuseOk &&
         java.nio.file.Files.exists(marker) &&
         java.nio.file.Files.readString(marker) == provenance) {
       System.err.println(s"[scale] reusing existing blow-up at $bigDir")
@@ -177,6 +179,18 @@ object ScaleBench {
         (if (skew) " (skewed documents)" else ""))
   }
 
+  /** Ensure the CLEAN `factor`× all-tables blow-up exists at the standard
+    * location (`/tmp/graft-scale<factor>`) and return its path. Provenance
+    * is always checked (base dir + data fingerprint + factor), so a stale
+    * or foreign build is replaced rather than silently reused — tools
+    * (SpillCertify, the iterative-oracle dumps) share the expensive build
+    * with ScaleBench runs instead of re-materializing it. */
+  def ensureBlowup(spark: SparkSession, sfDir: String, factor: Int): String = {
+    val dir = s"/tmp/graft-scale$factor"
+    buildBlowup(spark, sfDir, factor, dir, skew = false, reuseOk = true)
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -203,12 +217,33 @@ object ScaleBench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => prefixes.exists(n.startsWith))
+    // iteration count: 100× streaming replays take minutes per iteration,
+    // so the state-at-volume runs use 1 (the state PEAK is deterministic
+    // per corpus; only the rps figure benefits from a median)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "3").toInt
     val hdr = dirs.map { case (f, _) => f"${s"t${f}x"}%8s" }.mkString(" ")
     println(f"${"query"}%-24s ${"t1x"}%8s $hdr  segment-exponents")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      def median(dir: String): Double =
-        (1 to 3).map(_ => time(fn(spark, dir).count())).sorted.apply(1)
+      // streaming gates: capture per-scale-point state telemetry — peak
+      // state rows/bytes must grow with the WATERMARK HORIZON (sublinear
+      // in total input), not with total input; a linear-in-input state
+      // row is an unbounded-state defect at 100 TB (r16 verdict item 4)
+      val isStream = name.startsWith("x_stream")
+      val stateAt = scala.collection.mutable.ArrayBuffer[(Int, Double, Long, Long)]()
+      def median(dir: String): Double = {
+        if (isStream) graft.queries.StreamMetrics.reset()
+        val t = (1 to iters).map(_ => time(fn(spark, dir).count()))
+          .sorted.apply(iters / 2)
+        if (isStream)
+          graft.queries.StreamMetrics.summary.find(_._1 == name).foreach {
+            case (_, rps, sr, sb) =>
+              val f = if (dir == sfDir) 1
+                      else dirs.find(_._2 == dir).map(_._1).getOrElse(-1)
+              stateAt += ((f, rps, sr, sb))
+          }
+        t
+      }
       // per-query isolation: a failure must SKIP, not kill the sweep —
       // the blow-up materializes every table, so a failure here is a
       // REAL query defect at scale (or an enforced-contract throw like
@@ -227,6 +262,18 @@ object ScaleBench {
         }.mkString(" ")
         val cols = tNs.map(t => f"$t%8.2f").mkString(" ")
         println(f"$name%-24s $t1%8.2f $cols  $exps")
+        if (isStream && stateAt.size >= 2) {
+          def sExp(pick: ((Int, Double, Long, Long)) => Double): String =
+            stateAt.sliding(2).map { case scala.collection.Seq(a, b) =>
+              val e = math.log(math.max(pick(b), 1.0) / math.max(pick(a), 1.0)) /
+                math.log(b._1.toDouble / a._1)
+              f"${a._1}x->${b._1}x:$e%5.2f"
+            }.mkString(" ")
+          val sCols = stateAt.map { case (f, rps, sr, sb) =>
+            f"${f}x[rps=$rps%.0f rows=$sr b=$sb]" }.mkString(" ")
+          println(s"  state $name $sCols  rows-exp: ${sExp(_._3.toDouble)}" +
+            s"  bytes-exp: ${sExp(_._4.toDouble)}")
+        }
       } catch { case e: Exception =>
         CacheScope.releaseAll()
         println(f"$name%-24s SKIP (${e.getClass.getSimpleName}: " +

@@ -135,8 +135,38 @@ object CorpusQueries {
                                     disorderMicros: Long = 0L)
       : java.nio.file.Path = {
     import scala.jdk.CollectionConverters._
+    // Replay file count (default 4 — the gates' published shape). The
+    // state-at-volume sweeps (ScaleBench × SPARK_GRAFT_STREAM_FILES)
+    // scale it with the corpus so each micro-batch covers a CONSTANT
+    // event-time slice: with a fixed file count, per-batch volume grows
+    // linearly with input and the measured "peak state" measures batch
+    // size (the watermark only advances between batches), not the
+    // engine's state retention. Ordered-replay APPEND output is
+    // file-count-invariant (same final watermark ⇒ same emitted set),
+    // which the 10× hash-equal staging cross-check in PLANS r17 records.
+    // "span:<seconds>" sizes the replay by EVENT-TIME slice, identical
+    // for every source regardless of row count — the only alignment that
+    // is safe for multi-source (stream-stream join) gates: a row-count
+    // split gives the sides different files-per-span, one side's
+    // watermark then lags the global minimum and the measured "state"
+    // is the inter-source lag, not retention (measured: join_append 10×
+    // peak 100k rows under a count-based split). The events corpus spans
+    // 30 days at any factor base, so span:648000 (7.5 d — the base
+    // quartile) stages 4 files at 1×, ~40 at 10×, ~400 at 100×.
+    val nFiles = sys.env.get("SPARK_GRAFT_STREAM_FILES") match {
+      case Some(v) if v.startsWith("span:") =>
+        val slice = v.stripPrefix("span:").toLong // seconds per file
+        val mm = src.agg(
+          expr(s"unix_micros(cast(min($tsCol) AS timestamp))"),
+          expr(s"unix_micros(cast(max($tsCol) AS timestamp))")).head()
+        val spanSec = (mm.getLong(1) - mm.getLong(0)) / 1000000L
+        math.max(4L, (spanSec + slice - 1) / slice).toInt
+      case Some(v) => math.max(1, v.toInt)
+      case None => 4
+    }
     val mode =
-      if (disorderMicros == 0L) "ordered" else s"disorder$disorderMicros"
+      (if (disorderMicros == 0L) "ordered" else s"disorder$disorderMicros") +
+        (if (nFiles == 4) "" else s"|files$nFiles")
     val stage = java.nio.file.Paths.get("/tmp/graft-streamstage-" +
       java.util.UUID.nameUUIDFromBytes(
         s"$dir|${Tables.dirFingerprint(dir)}|$name|$mode"
@@ -151,12 +181,12 @@ object CorpusQueries {
           pmod(xxhash64(src.columns.map(col): _*), lit(disorderMicros))
       // cache the global sort: the four quartile filters would otherwise
       // re-run the single-partition window sort once each
-      val ranked = src.withColumn("__q", ntile(4).over(
+      val ranked = src.withColumn("__q", ntile(nFiles).over(
         org.apache.spark.sql.expressions.Window.orderBy(orderCol)))
         .cache()
       java.nio.file.Files.createDirectories(stage)
       try {
-        for (q <- 1 to 4) {
+        for (q <- 1 to nFiles) {
           val sub = stage.resolve(s"__build$q")
           ranked.filter(col("__q") === q).drop("__q")
             .coalesce(1).write.mode("overwrite").parquet(sub.toString)

@@ -54,4 +54,10 @@ object StreamMetrics {
     acc.asScala.toSeq.sortBy(_._1).map { case (k, a) =>
       (k, a.rows * 1000.0 / a.ms, a.stateRows, a.stateBytes) }
   }
+
+  /** Drop everything recorded so far. ScaleBench calls this between
+    * scale points so a gate's peak-state figure is attributable to ONE
+    * corpus size — the accumulator otherwise maxes across sizes and the
+    * growth exponent would read as flat. */
+  def reset(): Unit = acc.clear()
 }
