@@ -1,0 +1,111 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Concurrent-serving certification (r16 VERDICT item 7): every gate on
+  * the board runs queries SERIALLY, but a production engine serves
+  * overlapping queries from one session — and the harness's own
+  * per-query `CacheScope.releaseAll` discipline is exactly the kind of
+  * global state that concurrency breaks (one query's release dropping a
+  * cache another query is mid-way through reading, temp-view name
+  * collisions, non-thread-safe shared builders).
+  *
+  * Protocol: run a diverse batch subset serially (reference hashes), then
+  * run the SAME queries concurrently — every query on its own thread in
+  * its own FAIR scheduler pool, interleaving at the task level — and
+  * assert each concurrent hash equals its serial hash. Caches are
+  * released only AFTER the whole concurrent wave completes (the serving
+  * pattern: release between corpora, not between in-flight queries). Two
+  * waves run by default: wave 2 starts from the warm/cached state wave 1
+  * left behind, covering the cache-reuse-under-concurrency path too.
+  *
+  * Usage: sbt "runMain graft.tools.ConcurrentServe [sfDir]"
+  * Exit 0 = all hashes identical in both waves; 1 = divergence (a
+  * shared-state defect) or a query error under concurrency.
+  */
+object ConcurrentServe {
+
+  /** Diverse batch subset: TPC-H joins/aggs, window sort, as-of join,
+    * dedup pair-gen + clustering, sketches, text scoring, similarity
+    * search, packing — the shapes most likely to share internal state
+    * (CacheScope-persisted pair graphs, broadcast dims, codegen cache). */
+  val serveQueries: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q_window_rank",
+    "q_asof_join", "d_dedup_exact", "d_minhash_pairs", "t_quality_score",
+    "s_knn_lsh")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    System.err.println(s"[serve] serial reference pass over $sfDir")
+    val ref = serveQueries.map { n =>
+      val (h, rows) = ResultHash.of(graft.SparkEntry.queries(n)(spark, sfDir))
+      graft.CacheScope.releaseAll()
+      System.err.println(s"[serve]   $n rows=$rows hash=$h")
+      n -> (h, rows)
+    }.toMap
+    spark.sharedState.cacheManager.clearCache()
+
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      serveQueries.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+
+    def wave(i: Int): Boolean = {
+      System.err.println(s"[serve] concurrent wave $i: " +
+        s"${serveQueries.size} queries in FAIR pools")
+      val t0 = System.nanoTime()
+      val futs = serveQueries.map { n =>
+        Future {
+          // per-thread FAIR pool: queries interleave at task granularity,
+          // the closest local approximation of a multi-tenant driver
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", n)
+          try {
+            val (h, rows) =
+              ResultHash.of(graft.SparkEntry.queries(n)(spark, sfDir))
+            n -> Right((h, rows))
+          } catch { case e: Throwable => n -> Left(e) }
+        }
+      }
+      val results = Await.result(Future.sequence(futs), 1800.seconds)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // release only after the whole wave lands — the serving contract
+      graft.CacheScope.releaseAll()
+      var ok = true
+      results.foreach {
+        case (n, Right((h, rows))) =>
+          val (refH, refRows) = ref(n)
+          val same = h == refH && rows == refRows
+          ok &&= same
+          System.err.println(f"[serve]   wave$i $n%-22s rows=$rows%8d " +
+            (if (same) "EQUAL" else s"DIFF! (serial $refRows rows $refH)"))
+        case (n, Left(e)) =>
+          ok = false
+          System.err.println(s"[serve]   wave$i $n FAILED under " +
+            s"concurrency: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+      System.err.println(f"[serve] wave $i: $sec%.1fs, " +
+        (if (ok) "all hashes equal serial run" else "DIVERGENCE"))
+      ok
+    }
+
+    // wave 1 cold, wave 2 over whatever shared state wave 1 left warm
+    val ok = wave(1) && wave(2)
+    pool.shutdown()
+    System.err.println("[serve] " + (if (ok)
+      "CERTIFIED: concurrent results identical to serial across both waves"
+    else "FAIL: concurrency changed a result — shared-state defect"))
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
