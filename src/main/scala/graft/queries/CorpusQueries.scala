@@ -132,7 +132,8 @@ object CorpusQueries {
   private[graft] def stageOrderedQuartiles(s: SparkSession, dir: String,
                                     name: String, src: DataFrame,
                                     tsCol: String,
-                                    disorderMicros: Long = 0L)
+                                    disorderMicros: Long = 0L,
+                                    nFilesOverride: Int = 0)
       : java.nio.file.Path = {
     import scala.jdk.CollectionConverters._
     // Replay file count (default 4 — the gates' published shape). The
@@ -153,7 +154,13 @@ object CorpusQueries {
     // peak 100k rows under a count-based split). The events corpus spans
     // 30 days at any factor base, so span:648000 (7.5 d — the base
     // quartile) stages 4 files at 1×, ~40 at 10×, ~400 at 100×.
-    val nFiles = sys.env.get("SPARK_GRAFT_STREAM_FILES") match {
+    // Callers that PUBLISH staged files by index (the restart gates and
+    // the crash harness copy part-00001..4 into their own input dirs)
+    // pin nFilesOverride=4: with an env-scaled staging they would replay
+    // only the first 4 of N files — measured as the 16-file selfcheck
+    // failing exactly the three restart gates at 1/4 of the rows.
+    val nFiles = if (nFilesOverride > 0) nFilesOverride
+    else sys.env.get("SPARK_GRAFT_STREAM_FILES") match {
       case Some(v) if v.startsWith("span:") =>
         val slice = v.stripPrefix("span:").toLong // seconds per file
         val mm = src.agg(
@@ -1191,7 +1198,8 @@ object CorpusQueries {
     // memoized shared one.
     "x_stream_restart" -> ((s, dir) => {
       val src = eventsWm(s, dir)
-      val stage = stageOrderedQuartiles(s, dir, "events_wm", src, "ts")
+      val stage = stageOrderedQuartiles(s, dir, "events_wm", src, "ts",
+        nFilesOverride = 4)
       twoPhaseRestart(s, src.schema, stage, "window", windowedAppendAgg)
         .orderBy("w_start", "event_type")
     }),
@@ -1211,7 +1219,7 @@ object CorpusQueries {
     "x_stream_restart_disorder" -> ((s, dir) => {
       val src = eventsWm(s, dir)
       val stage = stageOrderedQuartiles(s, dir, "events_wm", src, "ts",
-        90L * 60 * 1000000)
+        90L * 60 * 1000000, nFilesOverride = 4)
       twoPhaseRestart(s, src.schema, stage, "window_disorder",
           windowedAppendAgg)
         .orderBy("w_start", "event_type")
@@ -1262,7 +1270,8 @@ object CorpusQueries {
     // drift impossible).
     "x_stream_restart_session" -> ((s, dir) => {
       val src = eventsWmSess(s, dir)
-      val stage = stageOrderedQuartiles(s, dir, "events_wm_sess", src, "ts")
+      val stage = stageOrderedQuartiles(s, dir, "events_wm_sess", src, "ts",
+        nFilesOverride = 4)
       twoPhaseRestart(s, src.schema, stage, "session", sessionAppendAgg)
         .orderBy("user_id", "w_start")
     }),

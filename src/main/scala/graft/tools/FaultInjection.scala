@@ -210,7 +210,7 @@ object FaultInjection {
         (CorpusQueries.eventsWmSess(spark, sfDir), "events_wm_sess")
       else (CorpusQueries.eventsWm(spark, sfDir), "events_wm")
     val stage = CorpusQueries.stageOrderedQuartiles(
-      spark, sfDir, stageName, src, "ts")
+      spark, sfDir, stageName, src, "ts", nFilesOverride = 4)
     def runPhase(runDir: java.nio.file.Path): Unit = {
       val stream = spark.readStream.schema(src.schema).format("parquet")
         .option("maxFilesPerTrigger", "1")
