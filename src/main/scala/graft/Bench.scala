@@ -316,15 +316,30 @@ object Bench {
     // Machine-applied reading rule (r16 verdict item 5): round 16
     // established "regression ⇔ rollmin_norm moved" but a human still had
     // to apply it. A SUSPECT is a query whose SESSION min, in
-    // probe-normalized units (host drift already divided out, per run
-    // position), exceeds 1.3× its prior rolling minimum — i.e. the min
-    // itself moved while the probe stayed flat, the one signature drift
-    // cannot fake. First-ever-run queries have no prior roll and cannot be
-    // suspects. Values are the ratio session-min-norm / prior-rollmin-norm.
+    // probe-normalized units, moved beyond its prior rolling minimum by
+    // more than the SESSION'S OWN global shift explains. Two corrections
+    // learned from the first live run (which flagged 125/219 at median
+    // ratio 1.65 — a host whose probe ran atypically fast relative to
+    // query workloads, not 125 regressions):
+    //  - ratios are divided by the session MEDIAN ratio (a whole-board
+    //    multiplicative shift is a contention-profile artifact; a REAL
+    //    global regression persists across sessions and shows as
+    //    `global_shift` > 1 with a flat probe, session after session);
+    //  - sub-0.5 s queries are exempt: their rolling min accumulates the
+    //    luckiest scheduler quantum ever observed (t_fingerprint
+    //    best-ever 42 ms), so ratio-vs-best-ever gates noise there.
+    // First-ever-run queries have no prior roll and cannot be suspects.
+    // Values are shift-corrected ratios.
     val suspectFactor = 1.3
-    val suspects = curMinN.toSeq.flatMap { case (k, v) =>
-      prevRollN.get(k).collect { case r if v > r * suspectFactor =>
-        k -> v / r } }.sortBy(-_._2)
+    val ratios = curMinN.toSeq.flatMap { case (k, v) =>
+      prevRollN.get(k).map(r => (k, v / r)) }
+    val globalShift = if (ratios.isEmpty) 1.0
+      else ratios.map(_._2).sorted.apply(ratios.size / 2)
+    val shiftBase = math.max(globalShift, 1.0)
+    val suspects = ratios.collect {
+      case (k, ratio) if ratio / shiftBase > suspectFactor &&
+        curMin.getOrElse(k, 0.0) >= 0.5 => k -> ratio / shiftBase
+    }.sortBy(-_._2)
     // stdout headline carries only start/end (the ~2k stdout tail budget);
     // the file record gets the full checkpoint series
     val probeJson =
@@ -335,7 +350,8 @@ object Bench {
     val fileExtra = probeJson + probeSeriesJson +
       mapJson("normalized", normalized) +
       mapJson("rollmin", rollmin) + mapJson("rollmin_norm", rollminN) +
-      mapJson("suspects", suspects)
+      mapJson("suspects", suspects) +
+      s""","global_shift":${fmt("%.4f", globalShift)}"""
     // Full per-query timings go to a file: the driver's stdout capture keeps
     // only a ~2k-char tail, which truncated the 90-query JSON line from the
     // front in rounds 1-2 ("parsed": null). The file is the machine-readable
@@ -354,10 +370,14 @@ object Bench {
     }
     // probe_s rides on the stdout headline too (16 chars — the judge can
     // normalize the driver-recorded BENCH_r{N}.json without the file)
+    System.err.println(f"[bench] global_shift (median min-norm vs rolling " +
+      f"min-norm): $globalShift%.2fx" +
+      (if (globalShift > 1.3) " — whole-board shift; if it persists across" +
+        " sessions with a flat probe, investigate globally" else ""))
     if (suspects.nonEmpty) {
       System.err.println(s"[bench] SUSPECTS — session min-norm > " +
-        f"${suspectFactor}%.1fx prior rolling min-norm (probe drift already " +
-        "normalized away; these moved beyond what drift explains):")
+        f"${suspectFactor}%.1fx prior rolling min-norm AFTER dividing out " +
+        "the session's global shift (≥0.5s queries only):")
       suspects.foreach { case (k, r) =>
         System.err.println(f"[bench]   $k%-28s $r%.2fx") }
     }
