@@ -58,6 +58,32 @@ object Bench {
     times.sorted.apply(1)
   }
 
+  /** Second calibration flavor (r16 VERDICT item 8, armed by the r17
+    * suspects calibration: the residual suspects clustered in workload
+    * classes — sketch hashing, broadcast pair scoring, BNL scans — that
+    * contend differently from probe 1's sort/agg/shuffle): a pinned
+    * 2M-row generated scan broadcast-joined to a 10k dim with an
+    * expression-heavy projection and NO shuffle. Telemetry-only for now
+    * (`probe2_s` in BENCH.out.json, start/end): when adjudicating a
+    * suspect, probe2 moving while probe1 stayed flat documents a
+    * scan/broadcast-class host shift without a worktree A/B. */
+  def probeSeconds2(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val dim = spark.range(0L, 10000L)
+        .select(col("id").as("k"), xxhash64(col("id")).as("dv"))
+      val n = spark.range(0L, 2L * 1000 * 1000, 1L, 32)
+        .select(col("id"), pmod(xxhash64(col("id")), lit(10000L)).as("k"))
+        .join(broadcast(dim), "k")
+        .select(pmod(xxhash64(col("id"), col("dv")), lit(97L)).as("h"))
+        .filter(col("h") === 0).count()
+      require(n > 0, s"probe2 returned $n rows")
+      (System.nanoTime() - t0) / 1e9
+    }
+    times.sorted.apply(1)
+  }
+
   /** Best-effort read of a per-query double map field from a previous
     * BENCH.out.json — seeds the rolling min-of-sessions. Any parse
     * failure (missing file, older schema) yields empty: the roll
@@ -121,6 +147,10 @@ object Bench {
     probeSeconds(spark)
     val probeStart = probeSeconds(spark)
     System.err.println(f"[bench] calibration probe (start): $probeStart%.3fs")
+    probeSeconds2(spark) // discard first (codegen/JIT), same as probe 1
+    val probe2Start = probeSeconds2(spark)
+    System.err.println(
+      f"[bench] calibration probe2/scan-broadcast (start): $probe2Start%.3fs")
     // Optional arg: only run queries whose name starts with the prefix
     // (focused timing runs while iterating).
     // comma-separated prefixes, same contract as Verify's third arg.
@@ -232,6 +262,9 @@ object Bench {
     }
     val probeEnd = probeSeconds(spark)
     System.err.println(f"[bench] calibration probe (end): $probeEnd%.3fs")
+    val probe2End = probeSeconds2(spark)
+    System.err.println(
+      f"[bench] calibration probe2/scan-broadcast (end): $probe2End%.3fs")
     // A zero-query run (prefix matched nothing) would append the end
     // checkpoint under the SAME key (0) as the start one — the JSON
     // object then carries a duplicate "0" key and last-wins parsing
@@ -347,7 +380,9 @@ object Bench {
     val probeSeriesJson =
       probeSeries.map { case (i, v) => "\"" + i + "\":" + fmt("%.4f", v) }
         .mkString(""","probe_series":{""", ",", "}")
-    val fileExtra = probeJson + probeSeriesJson +
+    val probe2Json =
+      s""","probe2_s":{"start":${fmt("%.4f", probe2Start)},"end":${fmt("%.4f", probe2End)}}"""
+    val fileExtra = probeJson + probe2Json + probeSeriesJson +
       mapJson("normalized", normalized) +
       mapJson("rollmin", rollmin) + mapJson("rollmin_norm", rollminN) +
       mapJson("suspects", suspects) +

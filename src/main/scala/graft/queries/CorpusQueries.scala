@@ -330,16 +330,32 @@ object CorpusQueries {
     * original site lives in one place. */
   private[graft] def startWithStreamConf[T](s: SparkSession)(start: => T): T = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
+    // RocksDB changelog checkpointing (env-gated, for the state-at-volume
+    // sweeps): the default RocksDB checkpoint uploads a FULL snapshot per
+    // commit, a fixed per-batch cost that dominated the 400-micro-batch
+    // 100× replay (session gate 621 s vs 190 s on HDFSBacked, wall
+    // exponent 1.21 vs 0.92 — measured r17); changelog mode writes only
+    // the per-batch delta, the production setting for high-frequency
+    // triggers over large state.
+    val clKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val wantCl = sys.env.contains("SPARK_GRAFT_ROCKSDB_CHANGELOG")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevProv = s.conf.getOption(provKey)
+    val prevCl = s.conf.getOption(clKey)
     s.conf.set("spark.sql.shuffle.partitions", streamParts)
     graft.Sessions.stateProviderClass.foreach(s.conf.set(provKey, _))
+    if (wantCl) s.conf.set(clKey, "true")
     try start
     finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       if (graft.Sessions.stateProviderClass.isDefined) prevProv match {
         case Some(p) => s.conf.set(provKey, p)
         case None => s.conf.unset(provKey)
+      }
+      if (wantCl) prevCl match {
+        case Some(p) => s.conf.set(clKey, p)
+        case None => s.conf.unset(clKey)
       }
     }
   }
