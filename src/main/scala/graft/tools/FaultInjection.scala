@@ -414,8 +414,18 @@ object FaultInjection {
       case "bucketed" =>
         // same writer path (bucket spec + saveAsTable); the parent session
         // has its own warehouse, so recovery writes the table fresh there —
-        // the retry-over-torn-staging case is covered by the other variants
+        // the retry-over-torn-staging case is covered by the other variants.
+        // A PREVIOUS run's table location can survive in the warehouse dir
+        // while the fresh JVM's in-memory catalog has no table entry: DROP
+        // is then a no-op and saveAsTable's CREATE path refuses the
+        // existing location (locationAlreadyExists — caught by the first
+        // back-to-back full fault_injection.sh sweep). Clear both.
         spark.sql("DROP TABLE IF EXISTS fault_bw_recover")
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val whDir = if (wh.startsWith("file:"))
+          java.nio.file.Paths.get(java.net.URI.create(wh))
+        else java.nio.file.Paths.get(wh)
+        graft.queries.RestartRuns.deleteTree(whDir.resolve("fault_bw_recover"))
         graft.io.Sinks.writeBucketed(df, "fault_bw_recover", 8,
           Seq("l_orderkey"), Seq("l_orderkey"))
         spark.table("fault_bw_recover")
