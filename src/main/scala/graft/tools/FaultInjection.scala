@@ -160,6 +160,14 @@ object FaultInjection {
     s.sparkContext.setLogLevel("WARN")
     graft.Sessions.stateProviderClass.foreach(p =>
       s.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+    // honor the changelog-checkpointing knob in the CHILD too: without
+    // this the child's phase 1 writes snapshot-mode checkpoints and the
+    // parent's resume runs changelog-mode — a useful conf-migration
+    // recovery case (kept green in PLANS r17), but not the pure
+    // changelog-crash certification this env requests
+    if (sys.env.contains("SPARK_GRAFT_ROCKSDB_CHANGELOG"))
+      s.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+        ".changelogCheckpointing.enabled", "true")
     val schema = org.apache.spark.sql.types.DataType.fromJson(
       new String(java.nio.file.Files.readAllBytes(
         runDir.resolve("schema.json")), "UTF-8"))
