@@ -84,6 +84,38 @@ object Bench {
     times.sorted.apply(1)
   }
 
+  /** Physical-plan probe-class detector (r17 VERDICT item 3 "dual-probe
+    * classes"): queries whose plan contains a shuffle-implying operator
+    * normalize against probe 1 (sort/agg/shuffle); pure
+    * scan/broadcast/generate plans — the class the r17 calibration showed
+    * probe 1 cannot see (sketch hashing, broadcast pair scoring, BNL
+    * scans contend differently from a shuffle) — normalize against
+    * probe 2. Derived from the same pre-AQE `sparkPlan` the plan
+    * fingerprints use (exchanges are not yet inserted there, so membership
+    * is keyed on the operators that REQUIRE a shuffle, not on
+    * ShuffleExchangeExec itself). Streaming gates are pinned to the
+    * shuffle class: their returned frame is a memory-sink scan but their
+    * cost is the stateful shuffle inside the run. */
+  private val shuffleImplying = Set(
+    "SortMergeJoinExec", "ShuffledHashJoinExec", "SortExec", "WindowExec",
+    "WindowGroupLimitExec", "HashAggregateExec", "ObjectHashAggregateExec",
+    "SortAggregateExec", "ExpandExec")
+
+  def scanBroadcastClass(name: String,
+                         df: org.apache.spark.sql.DataFrame): Boolean =
+    !name.startsWith("x_stream") && {
+      try {
+        var scan = true
+        def visit(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+          if (shuffleImplying(p.getClass.getSimpleName)) scan = false
+          p.children.foreach(visit)
+          p.subqueries.foreach(visit)
+        }
+        visit(df.queryExecution.sparkPlan)
+        scan
+      } catch { case _: Throwable => false }
+    }
+
   /** Best-effort read of a per-query double map field from a previous
     * BENCH.out.json — seeds the rolling min-of-sessions. Any parse
     * failure (missing file, older schema) yields empty: the roll
@@ -107,6 +139,19 @@ object Bench {
         }.nextOption().getOrElse(Map.empty)
       }
     } catch { case _: Throwable => Map.empty }
+
+  /** Best-effort read of a scalar double field from a previous
+    * BENCH.out.json (e.g. the prior session's global_shift, for the
+    * persists-across-sessions board-wide-regression gate). */
+  private def readPrevDouble(path: java.nio.file.Path,
+                             field: String): Option[Double] =
+    try {
+      if (!java.nio.file.Files.exists(path)) None
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        Option(om.readTree(path.toFile).get(field)).map(_.asDouble)
+      }
+    } catch { case _: Throwable => None }
 
   /** Warm up codegen/scan paths so the alphabetically-first query doesn't
     * absorb JVM+session startup in its timing. Shared with ScaleBench —
@@ -185,21 +230,35 @@ object Bench {
     val probeEvery = 32
     val probeSeries = scala.collection.mutable.ArrayBuffer[(Int, Double)](
       0 -> probeStart)
+    val probe2Series = scala.collection.mutable.ArrayBuffer[(Int, Double)](
+      0 -> probe2Start)
+    // name -> true when the query normalizes against probe 2 (pure
+    // scan/broadcast plan — see scanBroadcastClass); populated from the
+    // plan of the query's own frame, outside the timing window
+    val scanCls = scala.collection.mutable.Map.empty[String, Boolean]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => prefixes.exists(kv._1.startsWith))
     val results = selected.zipWithIndex.map { case ((name, fn), qIdx) =>
       if (qIdx > 0 && qIdx % probeEvery == 0) {
         val p = probeSeconds(spark)
         probeSeries += qIdx -> p
-        System.err.println(f"[bench] calibration probe (@$qIdx): $p%.3fs")
+        val p2 = probeSeconds2(spark)
+        probe2Series += qIdx -> p2
+        System.err.println(
+          f"[bench] calibration probe (@$qIdx): $p%.3fs probe2: $p2%.3fs")
       }
+      var lastDf: org.apache.spark.sql.DataFrame = null
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count()
+        val n = try { val df = fn(spark, sfDir); lastDf = df; df.count() }
                  catch { case e: Throwable =>
                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
         ((System.nanoTime() - t0) / 1e9, n)
       }
+      // probe class from the as-run plan (cached relations included), so
+      // classify BEFORE the cache release below; planning is memoized in
+      // the frame's QueryExecution and costs ~ms outside the timed region
+      if (lastDf != null) scanCls(name) = scanBroadcastClass(name, lastDf)
       val cold = times.head._1
       // A failed iteration (rows == -1) must not masquerade as a timing:
       // time-to-exception is typically tiny, so recording it would make a
@@ -270,18 +329,26 @@ object Bench {
     // object then carries a duplicate "0" key and last-wins parsing
     // silently drops the start checkpoint (advice r16). Skip it: with
     // no queries there is no run interior to interpolate over.
-    if (selected.nonEmpty) probeSeries += selected.size -> probeEnd
+    if (selected.nonEmpty) {
+      probeSeries += selected.size -> probeEnd
+      probe2Series += selected.size -> probe2End
+    }
     // host speed at a query's run position: linear interpolation between
     // the surrounding probe checkpoints (a stall localized to one stretch
     // of the run then inflates only that stretch's normalizer)
-    def probeAt(i: Int): Double = {
-      val (loIdx, loV) = probeSeries.filter(_._1 <= i).last
-      probeSeries.find(_._1 > i) match {
+    def interpAt(series: Seq[(Int, Double)], i: Int): Double = {
+      val (loIdx, loV) = series.filter(_._1 <= i).last
+      series.find(_._1 > i) match {
         case Some((hiIdx, hiV)) =>
           loV + (hiV - loV) * (i - loIdx).toDouble / (hiIdx - loIdx)
         case None => loV
       }
     }
+    def probeAt(i: Int): Double = interpAt(probeSeries.toSeq, i)
+    def probe2At(i: Int): Double = interpAt(probe2Series.toSeq, i)
+    // the normalizer for a query = the probe of ITS class at its position
+    def classProbeAt(name: String, i: Int): Double =
+      if (scanCls.getOrElse(name, false)) probe2At(i) else probeAt(i)
     val failedNames = results.collect { case (n, m, _, _, _) if m < 0 => n }
     if (failedNames.nonEmpty)
       System.err.println(s"[bench] FAILED queries: ${failedNames.mkString(", ")}")
@@ -363,16 +430,58 @@ object Bench {
     //    best-ever 42 ms), so ratio-vs-best-ever gates noise there.
     // First-ever-run queries have no prior roll and cannot be suspects.
     // Values are shift-corrected ratios.
+    //
+    // Round-18 (verdict item 3): the gate runs in CLASS-NORMALIZED units
+    // — each query divided by the probe of its own contention class
+    // (shuffle → probe 1, scan/broadcast → probe 2). For shuffle-class
+    // queries the values are numerically identical to the old
+    // probe-1-only rollmin_norm, so their roll history carries over;
+    // scan-class queries seed a fresh `rollmin_norm_c` this session (one
+    // session of suspect-blindness for that minority beats gating them
+    // against a wrong-basis best-ever forever).
+    val normalizedC = results.zipWithIndex.map { case ((n, med, _, _, _), i) =>
+      val p = classProbeAt(n, i)
+      n -> (if (med < 0 || p <= 0) -1.0 else med / p) }
+    val curMinC = results.zipWithIndex.collect {
+      case ((n, _, _, mn, _), i) if mn >= 0 && classProbeAt(n, i) > 0 =>
+        n -> mn / classProbeAt(n, i) }.toMap
+    val prevRollC = readPrevMap(outFile, Seq("rollmin_norm_c"))
+    def priorC(k: String): Option[Double] = prevRollC.get(k)
+      .orElse(if (scanCls.getOrElse(k, false)) None else prevRollN.get(k))
+    val rollminC = (prevRollC.keySet ++ curMinC.keySet).toSeq.map { k =>
+      k -> math.min(priorC(k).getOrElse(Double.MaxValue),
+        curMinC.getOrElse(k, Double.MaxValue)) }
     val suspectFactor = 1.3
-    val ratios = curMinN.toSeq.flatMap { case (k, v) =>
-      prevRollN.get(k).map(r => (k, v / r)) }
+    val ratios = curMinC.toSeq.flatMap { case (k, v) =>
+      priorC(k).map(r => (k, v / r)) }
     val globalShift = if (ratios.isEmpty) 1.0
       else ratios.map(_._2).sorted.apply(ratios.size / 2)
-    val shiftBase = math.max(globalShift, 1.0)
+    // Small ratio samples get NO shift correction (r17 ADVICE): on a
+    // focused prefix run the median IS the regressed query's own ratio,
+    // so dividing by it would launder any single-query regression into
+    // "global shift" and strict would pass a 2x slowdown.
+    val shiftBase =
+      if (ratios.size < 10) 1.0 else math.max(globalShift, 1.0)
     val suspects = ratios.collect {
       case (k, ratio) if ratio / shiftBase > suspectFactor &&
         curMin.getOrElse(k, 0.0) >= 0.5 => k -> ratio / shiftBase
     }.sortBy(-_._2)
+    // Streaming-throughput regression gate (r17 verdict item 6): rps is
+    // recorded per gate but nothing gated it — the r17 10-15% dip was
+    // only caught by a manual diff. Keep a rolling MAX of each
+    // append/disorder gate's session rps; a session whose
+    // shift-corrected rps falls below 0.7x its rolling max is an rps
+    // suspect (corrected UP by shiftBase: a slow host depresses rps for
+    // host reasons the same way it inflates seconds).
+    val rpsNow = graft.queries.StreamMetrics.rowsPerSec.filter { case (k, _) =>
+      k.contains("append") || k.contains("disorder") }
+    val prevRpsRoll = readPrevMap(outFile, Seq("stream_rps_roll"))
+    val rpsRoll = (prevRpsRoll.keySet ++ rpsNow.keySet).toSeq.map { k =>
+      k -> math.max(prevRpsRoll.getOrElse(k, 0.0),
+        rpsNow.getOrElse(k, 0.0)) }
+    val rpsSuspects = rpsNow.toSeq.flatMap { case (k, v) =>
+      prevRpsRoll.get(k).filter(roll => v * shiftBase < 0.7 * roll)
+        .map(roll => k -> v * shiftBase / roll) }.sortBy(_._2)
     // stdout headline carries only start/end (the ~2k stdout tail budget);
     // the file record gets the full checkpoint series
     val probeJson =
@@ -380,12 +489,25 @@ object Bench {
     val probeSeriesJson =
       probeSeries.map { case (i, v) => "\"" + i + "\":" + fmt("%.4f", v) }
         .mkString(""","probe_series":{""", ",", "}")
+    val probe2SeriesJson =
+      probe2Series.map { case (i, v) => "\"" + i + "\":" + fmt("%.4f", v) }
+        .mkString(""","probe2_series":{""", ",", "}")
     val probe2Json =
       s""","probe2_s":{"start":${fmt("%.4f", probe2Start)},"end":${fmt("%.4f", probe2End)}}"""
+    val probeClassJson =
+      if (scanCls.isEmpty) ""
+      else scanCls.toSeq.sortBy(_._1).map { case (k, s) =>
+        "\"" + k + "\":\"" + (if (s) "scan" else "shuffle") + "\"" }
+        .mkString(""","probe_class":{""", ",", "}")
     val fileExtra = probeJson + probe2Json + probeSeriesJson +
+      probe2SeriesJson + probeClassJson +
       mapJson("normalized", normalized) +
+      mapJson("normalized_c", normalizedC) +
       mapJson("rollmin", rollmin) + mapJson("rollmin_norm", rollminN) +
+      mapJson("rollmin_norm_c", rollminC) +
       mapJson("suspects", suspects) +
+      mapJson("stream_rps_roll", rpsRoll) +
+      mapJson("rps_suspects", rpsSuspects) +
       s""","global_shift":${fmt("%.4f", globalShift)}"""
     // Full per-query timings go to a file: the driver's stdout capture keeps
     // only a ~2k-char tail, which truncated the 90-query JSON line from the
@@ -416,13 +538,51 @@ object Bench {
       suspects.foreach { case (k, r) =>
         System.err.println(f"[bench]   $k%-28s $r%.2fx") }
     }
+    if (rpsSuspects.nonEmpty) {
+      System.err.println("[bench] RPS SUSPECTS — shift-corrected session " +
+        "rps < 0.7x rolling max:")
+      rpsSuspects.foreach { case (k, r) =>
+        System.err.println(f"[bench]   $k%-32s ${r * 100}%.0f%% of rolling max") }
+    }
+    // Board-wide-regression arm of the strict gate (r17 ADVICE): a REAL
+    // global regression is fully absorbed by the shift division above, so
+    // --strict additionally fails when the shift itself is large, the
+    // session's own probe checkpoints were flat (not a transient stall),
+    // and the PREVIOUS session already showed the same shift — the
+    // "persists across sessions with a flat probe" reading rule, applied
+    // mechanically. Board runs only (small samples have shiftBase=1 and
+    // their regressions surface as per-query suspects).
+    val prevShift = readPrevDouble(outFile, "global_shift").getOrElse(1.0)
+    val probeVals = probeSeries.map(_._2)
+    val probeFlat =
+      probeVals.nonEmpty && probeVals.max / probeVals.min < 1.3
+    val boardShift =
+      ratios.size >= 10 && globalShift > 1.5 && prevShift > 1.5 && probeFlat
+    if (boardShift)
+      System.err.println(f"[bench] BOARD-WIDE SHIFT: global_shift " +
+        f"$globalShift%.2fx after $prevShift%.2fx last session, with flat " +
+        "in-session probes — a persisting whole-board regression, not a " +
+        "contention artifact")
     println(json(results.filter(r => headline(r._1)), "%.3f",
       withCold = false, allRps = false, extraJson = probeJson))
     spark.stop()
-    if (strict && suspects.nonEmpty) {
-      System.err.println(s"[bench] --strict: exiting 4 " +
-        s"(${suspects.size} suspect(s))")
-      sys.exit(4)
+    if (strict) {
+      if (boardShift) {
+        System.err.println("[bench] --strict: exiting 5 (persisting " +
+          "board-wide shift — rerun on a quiet host to confirm, then " +
+          "bisect the board)")
+        sys.exit(5)
+      }
+      if (suspects.nonEmpty) {
+        System.err.println(s"[bench] --strict: exiting 4 " +
+          s"(${suspects.size} suspect(s))")
+        sys.exit(4)
+      }
+      if (rpsSuspects.nonEmpty) {
+        System.err.println(s"[bench] --strict: exiting 6 " +
+          s"(${rpsSuspects.size} rps suspect(s))")
+        sys.exit(6)
+      }
     }
   }
 }

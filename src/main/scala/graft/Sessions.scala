@@ -42,6 +42,19 @@ object Sessions {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
 
+  /** RocksDB changelog checkpointing — DEFAULT ON (round-18 flip of the
+    * round-17 opt-in). The default RocksDB checkpoint uploads a FULL
+    * snapshot per commit, a fixed per-batch cost that made the session
+    * gate superlinear at 400 micro-batches (wall exponent 1.21, fixed to
+    * 0.98 by changelog mode — measured r17); changelog is the production
+    * setting for high-frequency triggers over large state, so it is now
+    * the tested default. Snapshot mode stays reachable for A/B via
+    * `SPARK_GRAFT_ROCKSDB_CHANGELOG=0|off|false|snapshot`. */
+  def rocksdbChangelogEnabled: Boolean =
+    !Set("0", "off", "false", "snapshot").contains(
+      sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "1")
+        .trim.toLowerCase)
+
   /** Resolved state-store provider FQCN from SPARK_GRAFT_STATE_PROVIDER,
     * if any. */
   def stateProviderClass: Option[String] =

@@ -162,12 +162,30 @@ object CorpusQueries {
     val nFiles = if (nFilesOverride > 0) nFilesOverride
     else sys.env.get("SPARK_GRAFT_STREAM_FILES") match {
       case Some(v) if v.startsWith("span:") =>
-        val slice = v.stripPrefix("span:").toLong // seconds per file
-        val mm = src.agg(
-          expr(s"unix_micros(cast(min($tsCol) AS timestamp))"),
-          expr(s"unix_micros(cast(max($tsCol) AS timestamp))")).head()
-        val spanSec = (mm.getLong(1) - mm.getLong(0)) / 1000000L
-        math.max(4L, (spanSec + slice - 1) / slice).toInt
+        // Memoize the span→file-count resolution in a marker file keyed
+        // like the stage itself (corpus dir + data fingerprint + query +
+        // ts column + raw spec): the min/max full-corpus aggregation
+        // otherwise re-ran on EVERY stageOrderedQuartiles call — for an
+        // already-staged corpus that is a pure extra full scan INSIDE
+        // ScaleBench's timed region, inflating span-mode wall times and
+        // exponents at large factors (r17 ADVICE).
+        val marker = java.nio.file.Paths.get("/tmp/graft-streamspan-" +
+          java.util.UUID.nameUUIDFromBytes(
+            s"$dir|${Tables.dirFingerprint(dir)}|$name|$tsCol|$v"
+              .getBytes("UTF-8")).toString)
+        if (java.nio.file.Files.exists(marker))
+          new String(java.nio.file.Files.readAllBytes(marker),
+            "UTF-8").trim.toInt
+        else {
+          val slice = v.stripPrefix("span:").toLong // seconds per file
+          val mm = src.agg(
+            expr(s"unix_micros(cast(min($tsCol) AS timestamp))"),
+            expr(s"unix_micros(cast(max($tsCol) AS timestamp))")).head()
+          val spanSec = (mm.getLong(1) - mm.getLong(0)) / 1000000L
+          val n = math.max(4L, (spanSec + slice - 1) / slice).toInt
+          java.nio.file.Files.write(marker, n.toString.getBytes("UTF-8"))
+          n
+        }
       case Some(v) => math.max(1, v.toInt)
       case None => 4
     }
@@ -330,22 +348,20 @@ object CorpusQueries {
     * original site lives in one place. */
   private[graft] def startWithStreamConf[T](s: SparkSession)(start: => T): T = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
-    // RocksDB changelog checkpointing (env-gated, for the state-at-volume
-    // sweeps): the default RocksDB checkpoint uploads a FULL snapshot per
-    // commit, a fixed per-batch cost that dominated the 400-micro-batch
-    // 100× replay (session gate 621 s vs 190 s on HDFSBacked, wall
-    // exponent 1.21 vs 0.92 — measured r17); changelog mode writes only
-    // the per-batch delta, the production setting for high-frequency
-    // triggers over large state.
+    // RocksDB changelog checkpointing — DEFAULT ON since round 18 (see
+    // Sessions.rocksdbChangelogEnabled for the r17 measurement that
+    // motivated the flip; snapshot mode reachable via
+    // SPARK_GRAFT_ROCKSDB_CHANGELOG=snapshot). Set EXPLICITLY both ways
+    // so the gates' mode never depends on the Spark build's default.
     val clKey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    val wantCl = sys.env.contains("SPARK_GRAFT_ROCKSDB_CHANGELOG")
+    val wantCl = graft.Sessions.rocksdbChangelogEnabled
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevProv = s.conf.getOption(provKey)
     val prevCl = s.conf.getOption(clKey)
     s.conf.set("spark.sql.shuffle.partitions", streamParts)
     graft.Sessions.stateProviderClass.foreach(s.conf.set(provKey, _))
-    if (wantCl) s.conf.set(clKey, "true")
+    s.conf.set(clKey, wantCl.toString)
     try start
     finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -353,7 +369,7 @@ object CorpusQueries {
         case Some(p) => s.conf.set(provKey, p)
         case None => s.conf.unset(provKey)
       }
-      if (wantCl) prevCl match {
+      prevCl match {
         case Some(p) => s.conf.set(clKey, p)
         case None => s.conf.unset(clKey)
       }

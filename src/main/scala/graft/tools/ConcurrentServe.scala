@@ -14,10 +14,10 @@ import org.apache.spark.sql.SparkSession
   * run the SAME queries concurrently — every query on its own thread in
   * its own FAIR scheduler pool, interleaving at the task level — and
   * assert each concurrent hash equals its serial hash. Caches are
-  * released only AFTER the whole concurrent wave completes (the serving
-  * pattern: release between corpora, not between in-flight queries). Two
-  * waves run by default: wave 2 starts from the warm/cached state wave 1
-  * left behind, covering the cache-reuse-under-concurrency path too.
+  * released only AFTER the FINAL wave (the serving pattern: release
+  * between corpora, not between in-flight queries). Two waves run by
+  * default: wave 2 starts from the warm operator caches wave 1 left
+  * behind, covering the cache-reuse-under-concurrency path too.
   *
   * Usage: sbt "runMain graft.tools.ConcurrentServe [sfDir]"
   * Exit 0 = all hashes identical in both waves; 1 = divergence (a
@@ -79,8 +79,6 @@ object ConcurrentServe {
       }
       val results = Await.result(Future.sequence(futs), 1800.seconds)
       val sec = (System.nanoTime() - t0) / 1e9
-      // release only after the whole wave lands — the serving contract
-      graft.CacheScope.releaseAll()
       var ok = true
       results.foreach {
         case (n, Right((h, rows))) =>
@@ -99,8 +97,14 @@ object ConcurrentServe {
       ok
     }
 
-    // wave 1 cold, wave 2 over whatever shared state wave 1 left warm
+    // wave 1 cold, wave 2 over the operator caches wave 1 left warm —
+    // caches are released only BETWEEN CORPORA (here: after both waves),
+    // the serving pattern, so wave 2 genuinely exercises concurrent
+    // REUSE of wave-1 CacheScope persists (r17 ADVICE: the old
+    // per-wave releaseAll meant wave 2 restarted cold and the claimed
+    // cache-reuse path was never actually covered)
     val ok = wave(1) && wave(2)
+    graft.CacheScope.releaseAll()
     pool.shutdown()
     System.err.println("[serve] " + (if (ok)
       "CERTIFIED: concurrent results identical to serial across both waves"

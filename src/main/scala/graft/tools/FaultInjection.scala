@@ -160,14 +160,15 @@ object FaultInjection {
     s.sparkContext.setLogLevel("WARN")
     graft.Sessions.stateProviderClass.foreach(p =>
       s.conf.set("spark.sql.streaming.stateStore.providerClass", p))
-    // honor the changelog-checkpointing knob in the CHILD too: without
-    // this the child's phase 1 writes snapshot-mode checkpoints and the
+    // mirror the changelog-checkpointing mode in the CHILD too (default
+    // ON since r18 — Sessions.rocksdbChangelogEnabled): without this the
+    // child's phase 1 would write snapshot-mode checkpoints while the
     // parent's resume runs changelog-mode — a useful conf-migration
-    // recovery case (kept green in PLANS r17), but not the pure
-    // changelog-crash certification this env requests
-    if (sys.env.contains("SPARK_GRAFT_ROCKSDB_CHANGELOG"))
-      s.conf.set("spark.sql.streaming.stateStore.rocksdb" +
-        ".changelogCheckpointing.enabled", "true")
+    // recovery case (kept green in PLANS r17) but not the pure
+    // same-mode crash certification the default run asserts
+    s.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+      ".changelogCheckpointing.enabled",
+      graft.Sessions.rocksdbChangelogEnabled.toString)
     val schema = org.apache.spark.sql.types.DataType.fromJson(
       new String(java.nio.file.Files.readAllBytes(
         runDir.resolve("schema.json")), "UTF-8"))
@@ -339,9 +340,19 @@ object FaultInjection {
     val watcher = new Thread(() => {
       while (true) {
         val n = stagedPartFiles(dest)
-        if (n >= haltAfter) {
+        // Halt only while NOTHING is reader-visible yet: once
+        // FileOutputCommitter's (non-atomic) job commit starts renaming
+        // task outputs out of _temporary, a halt would land mid-commit —
+        // visible part-files with no _SUCCESS is within the committer's
+        // contract (readers gate on _SUCCESS), so the parent's stricter
+        // zero-visible-part-files assertion would false-FAIL. Guarding on
+        // visiblePartFiles.isEmpty pins the tear provably pre-commit;
+        // commit outrunning every 5 ms poll still exits 3 (loud, caught
+        // by the parent).
+        if (n >= haltAfter && visiblePartFiles(dest).isEmpty) {
           System.err.println(s"[fault-child] halting JVM: $n part-file(s) " +
-            s"staged (variant=$variant, haltAfter=$haltAfter)")
+            s"staged, none committed (variant=$variant, " +
+            s"haltAfter=$haltAfter)")
           Runtime.getRuntime.halt(9)
         }
         Thread.sleep(5)

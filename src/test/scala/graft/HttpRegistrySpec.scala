@@ -77,6 +77,38 @@ class HttpRegistrySpec extends AnyFunSuite {
       java.time.Duration.ofMillis(500)).latest("s").isEmpty)
   }
 
+  test("response timeout degrades to warn-and-skip, not an exception") {
+    // flaky registry (r17 VERDICT item 7): the server ACCEPTS the request
+    // but never answers within the client timeout — the case connection-
+    // refused cannot cover. Plan-time enrichment must warn-and-skip
+    // (None) exactly like the reference's fetchAvroSchemaFromSchemaRegistry
+    // catch-all (EnrichJsonBuilder.java:195-199), never hang or throw.
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    val hits = new java.util.concurrent.atomic.AtomicInteger
+    server.createContext("/", (x: HttpExchange) => {
+      hits.incrementAndGet()
+      Thread.sleep(1500) // past the client's 300 ms request timeout
+      try {
+        x.sendResponseHeaders(200, 2)
+        x.getResponseBody.write("{}".getBytes("UTF-8"))
+      } catch { case _: java.io.IOException => () }
+      finally x.close()
+    })
+    server.start()
+    try {
+      val c = new HttpRegistryClient(
+        s"http://127.0.0.1:${server.getAddress.getPort}",
+        java.time.Duration.ofMillis(300))
+      val t0 = System.nanoTime()
+      assert(c.latest("s").isEmpty)
+      assert((System.nanoTime() - t0) / 1e9 < 5.0,
+        "timeout must be bounded by the configured duration")
+      assert(hits.get() == 1, "no blind plan-time retry of a hung registry")
+    } finally server.stop(0)
+  }
+
   test("cached() fetches each subject once — the reference's LRU-100 shape") {
     withStub(Map("s" -> person)) { (url, hits) =>
       val c = HttpRegistryClient.cached(url)

@@ -120,6 +120,92 @@ class HttpSinkSpec extends AnyFunSuite {
     }
   }
 
+  /** Stall-capable stub (r17 VERDICT item 7 — kill/timeout injection for
+    * the HTTP senders): each planned response is (delayMs, status, body);
+    * a delay past the client's request timeout simulates a hung/flaky
+    * server, the case the connection-refused test cannot cover (the
+    * socket IS accepted, the response never comes).
+    */
+  private def withFlakyStub(plan: Seq[(Int, Int, String)])(
+      body: (String, java.util.List[Hit]) => Unit): Unit = {
+    val hits = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Hit]())
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.createContext("/", (x: HttpExchange) => {
+      val reqBody = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+      hits.add(Hit(x.getRequestURI.toString,
+        Option(x.getRequestHeaders.getFirst("Content-Type")).getOrElse(""),
+        reqBody))
+      val (delay, status, resp) =
+        plan(math.min(n.getAndIncrement(), plan.size - 1))
+      if (delay > 0) Thread.sleep(delay)
+      try {
+        val bytes = resp.getBytes("UTF-8")
+        x.sendResponseHeaders(status, bytes.length)
+        x.getResponseBody.write(bytes)
+      } catch { case _: java.io.IOException => () } // client gave up — fine
+      finally x.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}", hits)
+    finally server.stop(0)
+  }
+
+  test("rest proxy: response timeout is retriable; the replayed epoch lands") {
+    // server hangs past the client timeout on request 1, recovers on 2 —
+    // the flaky-broker case: the sender must surface RETRIABLE (Connect
+    // redelivers the epoch) after exactly ONE request (a timeout is not
+    // the 50003 path — no blind in-sender retry of a maybe-committed
+    // batch), and the replay must resend the identical payload
+    withFlakyStub(Seq((1500, 200, "{}"), (0, 200, "{}"))) { (url, hits) =>
+      val send = HttpSenders.restProxyKafkaSender(
+        url, java.time.Duration.ofMillis(300))
+      val batch = Seq(("t", "k".getBytes, "v".getBytes))
+      intercept[HttpSenders.RetriableSinkException] { send(batch) }
+      assert(hits.size == 1, "a timeout must not retry inside the sender")
+      send(batch) // the epoch replay
+      assert(hits.size == 2)
+      assert(hits.get(0).body == hits.get(1).body,
+        "replay must resend the identical batch")
+    }
+  }
+
+  test("rest proxy: flaky server — timeout, then 50003, then recovery") {
+    // composite flake across two delivery attempts: attempt 1 times out
+    // (retriable, 1 request); the replay hits a transient 50003, the
+    // sender's single in-sender retry lands it (2 more requests). Exactly
+    // 3 identical requests total — no retry storm, no lost batch.
+    withFlakyStub(Seq(
+      (1500, 200, "{}"),
+      (0, 500, """{"error_code":50003,"message":"transient"}"""),
+      (0, 200, "{}"))) { (url, hits) =>
+      val send = HttpSenders.restProxyKafkaSender(
+        url, java.time.Duration.ofMillis(300))
+      val batch = Seq(("t", null, "v".getBytes))
+      intercept[HttpSenders.RetriableSinkException] { send(batch) }
+      send(batch)
+      assert(hits.size == 3, s"expected timeout + 50003 + success, got ${hits.size}")
+      assert(hits.asScala.map(_.body).distinct.size == 1,
+        "every attempt must carry the same batch")
+    }
+  }
+
+  test("solr: response timeout is retriable so the epoch replays") {
+    withFlakyStub(Seq((1500, 200, "{}"), (0, 200, "{}"))) { (url, hits) =>
+      val send = HttpSenders.solrHttpSender(
+        url, timeout = java.time.Duration.ofMillis(300))
+      intercept[HttpSenders.RetriableSinkException] {
+        send("c", Seq(Map("id" -> "x")))
+      }
+      assert(hits.size == 1)
+      send("c", Seq(Map("id" -> "x"))) // recovered server: replay lands
+      assert(hits.size == 2)
+    }
+  }
+
   test("solr: documents arrive as a JSON array on the collection update path") {
     withStub(Seq((200, """{"responseHeader":{"status":0}}"""))) { (url, hits) =>
       val send = HttpSenders.solrHttpSender(url, commitWithinMs = 5000)

@@ -1,0 +1,51 @@
+#!/usr/bin/env bash
+# One-command certification sweep (r17 VERDICT item 4): folds the four
+# round-17 certification entry points into a single gate so a regression
+# in the recovery / spill / concurrency / iterative-exactness paths is
+# caught mechanically, not by re-reading PLANS:
+#
+#   1. fault_injection.sh       — 13 fault configurations (executor
+#                                 SIGKILL batch/stream/stream-total under
+#                                 local-cluster+RocksDB, driver halt ×3
+#                                 kinds, batch-write tear ×4 variants)
+#   2. SpillCertify             — 12/12 hash-identical under real spill
+#                                 (100× blow-up, 1500m child heap,
+#                                 local[4]: ≥300 MB per task slot — 8
+#                                 slots at 1500m OOMs q5, measured r17)
+#   3. ConcurrentServe          — 8 queries × 2 waves concurrent == serial
+#                                 at sf0.01 AND sf0.1
+#   4. iterative_oracle.py      — exact union-find / kNN / PageRank
+#                                 oracles over a fresh Verify dump of the
+#                                 four iterative queries
+#
+#   tools/certify.sh [sfDir]        (default /root/testdata/sf0.01)
+#
+# Exit 0 = every stage green; first failing stage aborts (set -e) with
+# its own diagnostics on stderr. Runtime ~45-60 min cold (the 100×
+# blow-up builds once into /tmp/graft-scale100 and is reused).
+# NOTE: stages launch sbt runMain children that lazy-load classes from
+# target/scala-2.13/classes — do not recompile while this runs.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.01}
+
+echo "=== certify 1/4: fault-injection matrix (13 configurations) ==="
+tools/fault_injection.sh "$SF"
+
+echo "=== certify 2/4: spill certification (100x blow-up, 1500m child) ==="
+SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SPILL_BASE:-/root/testdata/sf0.1} \
+SPARK_GRAFT_SPILL_FACTOR=100 \
+SPARK_GRAFT_SPILL_CPUS=4 \
+sbt -batch "runMain graft.tools.SpillCertify"
+
+echo "=== certify 3/4: concurrent serving (sf0.01 + sf0.1) ==="
+sbt -batch "runMain graft.tools.ConcurrentServe $SF"
+sbt -batch "runMain graft.tools.ConcurrentServe /root/testdata/sf0.1"
+
+echo "=== certify 4/4: exact iterative oracles (union-find / kNN / PageRank) ==="
+ITER_OUT=$(mktemp -d /tmp/graft-certify-iter-XXXX)
+sbt -batch "runMain graft.Verify $SF $ITER_OUT d_dedup_clusters,d_cluster_keep_best,s_knn_graph,s_pagerank"
+python3 tools/iterative_oracle.py "$SF" "$ITER_OUT"
+rm -rf "$ITER_OUT"
+
+echo "certify: ALL STAGES GREEN (fault 13/13, spill 12/12, concurrent 2 corpora, iterative 4/4)"

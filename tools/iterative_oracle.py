@@ -176,7 +176,20 @@ def exact_knn(corpus_dir, k):
             i = s0 + r
             row = C[r].copy()
             row[i] = -np.inf  # exclude self
-            cand = np.argpartition(-row, CAND - 1)[:CAND]
+            # Deterministic nomination (r17 ADVICE): argpartition breaks
+            # ties arbitrarily, so >=CAND tied approximate scores (e.g.
+            # duplicate embeddings, cosine exactly 1.0 — plausible in a
+            # dedup corpus) could cut away the engine's winners under its
+            # (cosine desc, id asc) ordering and spuriously FAIL correct
+            # output. Nominate by (approx cosine desc, id asc) instead,
+            # and widen the cut while the boundary scores are within
+            # float tolerance of the CAND-th.
+            order = np.lexsort((ids, -row))
+            cut = CAND
+            thresh = row[order[CAND - 1]] - 1e-9
+            while cut < len(row) and row[order[cut]] >= thresh:
+                cut += 1
+            cand = order[:cut]
             # exact cosines for the candidates, engine sum order
             dots = seq_dot(np.broadcast_to(V[i], (len(cand), V.shape[1])),
                            V[cand])
