@@ -44,7 +44,10 @@ sbt -batch "runMain graft.tools.ConcurrentServe /root/testdata/sf0.1"
 
 echo "=== certify 4/4: exact iterative oracles (union-find / kNN / PageRank) ==="
 ITER_OUT=$(mktemp -d /tmp/graft-certify-iter-XXXX)
-sbt -batch "runMain graft.Verify $SF $ITER_OUT d_dedup_clusters,d_cluster_keep_best,s_knn_graph,s_pagerank"
+# the oracle consumes the four iterative dumps PLUS their inputs: the
+# ngram pair graph (union-find edges) and the quality scores
+# (keep-best tie-break key) — see iterative_oracle.py dump_path reads
+sbt -batch "runMain graft.Verify $SF $ITER_OUT d_dedup_clusters,d_cluster_keep_best,s_knn_graph,s_pagerank,d_ngram_jaccard,t_quality_score"
 python3 tools/iterative_oracle.py "$SF" "$ITER_OUT"
 rm -rf "$ITER_OUT"
 
