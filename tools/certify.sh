@@ -29,6 +29,20 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.01}
 
+echo "=== certify 0/4: full oracle board under local-cluster (multi-JVM) ==="
+# Every closure serializes and every broadcast actually transfers in
+# this mode (separate executor JVMs) — the one regime local[32] can
+# never exercise. 219/219 hash-green first certified r18; standing
+# stage so a driver-heap-sharing bug can't creep back in.
+LC_OUT=$(mktemp -d /tmp/graft-certify-lc-XXXX)
+SPARK_GRAFT_MASTER='local-cluster[2,8,8192]' \
+SPARK_GRAFT_EXECUTOR_MEM=6g \
+sbt -batch "runMain graft.Verify $SF $LC_OUT"
+python3 tools/selfcheck.py "$SF" "$LC_OUT" --exact | tail -1 \
+  | tee /dev/stderr | grep -q " 0 fail," \
+  || { echo "certify: local-cluster board has failures"; exit 1; }
+rm -rf "$LC_OUT"
+
 echo "=== certify 1/4: fault-injection matrix (13 configurations) ==="
 tools/fault_injection.sh "$SF"
 
@@ -51,4 +65,4 @@ sbt -batch "runMain graft.Verify $SF $ITER_OUT d_dedup_clusters,d_cluster_keep_b
 python3 tools/iterative_oracle.py "$SF" "$ITER_OUT"
 rm -rf "$ITER_OUT"
 
-echo "certify: ALL STAGES GREEN (fault 13/13, spill 12/12, concurrent 2 corpora, iterative 4/4)"
+echo "certify: ALL STAGES GREEN (local-cluster board, fault 13/13, spill 12/12, concurrent 2 corpora, iterative 4/4)"
