@@ -67,6 +67,35 @@ object Sessions {
         case fqcn => fqcn
       }
 
+  /** Executor-JVM wiring a `local-cluster[...]` master needs when the
+    * driver was not launched by spark-submit. Executor JVMs are spawned
+    * by the in-process Worker from SPARK_HOME/jars; they additionally
+    * need this project's compiled classes (the closures they deserialize
+    * reference graft.* classes) and the JDK-17 opens. sbt runs from the
+    * project root, so the relative classes dir resolves; an explicit
+    * override is available for running from elsewhere. Shared by
+    * [[build]] and by harness tools that construct their own
+    * local-cluster child sessions (SpillCertify's multi-JVM mode). */
+  private[graft] def wireLocalCluster(b0: SparkSession.Builder,
+                                      executorMem: Option[String])
+      : SparkSession.Builder = {
+    val classes = sys.env.getOrElse("SPARK_GRAFT_CLASSES",
+      new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+    var b = b0.config("spark.executor.extraClassPath", classes)
+      .config("spark.executor.extraJavaOptions", jdk17AddOpens)
+      // The Worker's in-process launcher resolves the Scala version
+      // before it finds $SPARK_HOME/jars; outside spark-class nothing
+      // exports SPARK_SCALA_VERSION, so executor launch dies with
+      // "Cannot find any build directories." — ship it through the
+      // executor Command environment (sc.executorEnvs), which the
+      // launcher's childEnv consults first.
+      .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+    // the MEM_MB in local-cluster[N,C,MEM_MB] sizes the WORKER; the
+    // executor itself defaults to 1g — overridable per run
+    executorMem.foreach(m => b = b.config("spark.executor.memory", m))
+    b
+  }
+
   /** Build the standard harness session: `cpus` threads (or the
     * SPARK_GRAFT_MASTER override), `cpus` shuffle partitions, AQE, UTC,
     * no UI. */
@@ -78,29 +107,9 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-    if (master.startsWith("local-cluster")) {
-      // Executor JVMs are spawned by the Worker from SPARK_HOME/jars;
-      // they additionally need this project's compiled classes (the
-      // closures they deserialize reference graft.* classes) and the
-      // JDK-17 opens. sbt runs from the project root, so the relative
-      // classes dir resolves; an explicit override is available for
-      // running from elsewhere.
-      val classes = sys.env.getOrElse("SPARK_GRAFT_CLASSES",
-        new java.io.File("target/scala-2.13/classes").getAbsolutePath)
-      b = b.config("spark.executor.extraClassPath", classes)
-        .config("spark.executor.extraJavaOptions", jdk17AddOpens)
-        // The Worker's in-process launcher resolves the Scala version
-        // before it finds $SPARK_HOME/jars; outside spark-class nothing
-        // exports SPARK_SCALA_VERSION, so executor launch dies with
-        // "Cannot find any build directories." — ship it through the
-        // executor Command environment (sc.executorEnvs), which the
-        // launcher's childEnv consults first.
-        .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
-      // the MEM_MB in local-cluster[N,C,MEM_MB] sizes the WORKER; the
-      // executor itself defaults to 1g — overridable for larger-SF runs
-      sys.env.get("SPARK_GRAFT_EXECUTOR_MEM").filter(_.nonEmpty)
-        .foreach(m => b = b.config("spark.executor.memory", m))
-    }
+    if (master.startsWith("local-cluster"))
+      b = wireLocalCluster(b,
+        sys.env.get("SPARK_GRAFT_EXECUTOR_MEM").filter(_.nonEmpty))
     stateProviderClass.foreach(p =>
       b = b.config("spark.sql.streaming.stateStore.providerClass", p))
     val s = b.getOrCreate()

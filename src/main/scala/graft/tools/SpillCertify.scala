@@ -110,12 +110,22 @@ object SpillCertify {
       runDir.resolve("spill.conf")), "UTF-8").trim.split("\n")
     val (sfDir, cpus, parts) = (conf(0), conf(1), conf(2))
     val names = conf(3).split(",").toSeq
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    // multi-JVM mode (r18): line 5 may carry a local-cluster master +
+    // executor memory — spill then engages inside SEPARATE executor
+    // processes, with shuffle blocks fetched across JVMs, the closest
+    // local approximation of a memory-starved production executor.
+    val master = if (conf.length > 4 && conf(4).nonEmpty) conf(4)
+                 else s"local[$cpus]"
+    val execMem = if (conf.length > 5) Some(conf(5)).filter(_.nonEmpty)
+                  else None
+    var b = SparkSession.builder().master(master)
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      b = graft.Sessions.wireLocalCluster(b, execMem)
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val rs = runAll(spark, sfDir, names, "spill-child")
     val out = rs.map { case (n, h, r, m, d, s) =>
@@ -146,10 +156,20 @@ object SpillCertify {
     val ref = runAll(spark, dir, names, "spill-ref")
     val refSpill = ref.map(r => r._4 + r._5).sum
 
+    // optional multi-JVM child: SPARK_GRAFT_SPILL_MASTER (e.g.
+    // 'local-cluster[2,2,4096]') + SPARK_GRAFT_SPILL_EXEC_MEM (e.g.
+    // '1500m') starve the EXECUTOR processes instead of the child
+    // driver; the -Xmx child heap then only bounds the driver side
+    val childMaster = sys.env.getOrElse("SPARK_GRAFT_SPILL_MASTER", "")
+    val childExecMem = sys.env.getOrElse("SPARK_GRAFT_SPILL_EXEC_MEM", "")
+    if (childMaster.nonEmpty)
+      System.err.println(s"[spill] child master: $childMaster" +
+        (if (childExecMem.nonEmpty) s", executor memory $childExecMem"
+         else ""))
     val runDir = java.nio.file.Files.createTempDirectory("graft-spill-")
     java.nio.file.Files.write(runDir.resolve("spill.conf"),
-      s"$dir\n$childCpus\n$childParts\n${names.mkString(",")}\n"
-        .getBytes("UTF-8"))
+      (s"$dir\n$childCpus\n$childParts\n${names.mkString(",")}\n" +
+        s"$childMaster\n$childExecMem\n").getBytes("UTF-8"))
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments
     val cmd = new java.util.ArrayList[String]()
