@@ -37,13 +37,22 @@ object ConcurrentServe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER is honored here too (r18): under
+    // 'local-cluster[N,C,MEM]' the FAIR pools schedule overlapping
+    // queries onto SEPARATE executor JVMs — concurrency composed with
+    // real process boundaries (cross-JVM shuffle while another tenant's
+    // stages interleave on the same executors).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    var b = SparkSession.builder().master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      b = graft.Sessions.wireLocalCluster(b,
+        sys.env.get("SPARK_GRAFT_EXECUTOR_MEM").filter(_.nonEmpty))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     System.err.println(s"[serve] serial reference pass over $sfDir")
