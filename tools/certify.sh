@@ -52,6 +52,19 @@ SPARK_GRAFT_SPILL_FACTOR=100 \
 SPARK_GRAFT_SPILL_CPUS=4 \
 sbt -batch "runMain graft.tools.SpillCertify"
 
+# Opt-in (+~14 min): the same spill certification with the pressured
+# side running as SEPARATE 1500m executor JVMs under local-cluster —
+# spill + cross-process shuffle fetch composed (certified r18).
+if [ "${CERTIFY_SPILL_LC:-0}" = "1" ]; then
+  echo "=== certify 2b/4: spill inside separate executor JVMs ==="
+  SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SPILL_BASE:-/root/testdata/sf0.1} \
+  SPARK_GRAFT_SPILL_FACTOR=100 \
+  SPARK_GRAFT_SPILL_CPUS=4 \
+  SPARK_GRAFT_SPILL_MASTER='local-cluster[2,2,4096]' \
+  SPARK_GRAFT_SPILL_EXEC_MEM=1500m \
+  sbt -batch "runMain graft.tools.SpillCertify"
+fi
+
 echo "=== certify 3/4: concurrent serving (sf0.01 + sf0.1) ==="
 sbt -batch "runMain graft.tools.ConcurrentServe $SF"
 sbt -batch "runMain graft.tools.ConcurrentServe /root/testdata/sf0.1"
