@@ -153,6 +153,155 @@ object Bench {
       }
     } catch { case _: Throwable => None }
 
+  /** Measured probe-class listener (r18 VERDICT item 2): the static
+    * plan-shape rule (`scanBroadcastClass`) classifies only 2/219 queries
+    * scan-class while the residual suspect noise clusters in
+    * expression-heavy scans that probe 1 (sort/agg/shuffle) cannot see.
+    * This listener measures, per query, the fraction of executor task
+    * run time spent in SCAN-SHAPED tasks — tasks that read no shuffle
+    * data and write at most a TOKEN amount of it (parquet scan →
+    * project/filter, the probe side of a broadcast join, a BNL scan).
+    * The token-write allowance (64 KB/task) exists because the bench
+    * drives every query through `df.count()`: its partial-count map
+    * tasks each emit one shuffle record, and the map side of a
+    * low-cardinality agg emits a few — tasks whose runtime genuinely
+    * lives in the scan+expression work, which is exactly the contention
+    * class probe 2 measures. Real shuffle map tasks (sort/range
+    * partitioning, joins, wide aggs — probe 1's own 10k-group map tasks
+    * write ~0.5 MB) blow straight past the allowance. Attribution is by
+    * the query name current when the task-end event is processed; the
+    * listener bus is async, but each query is followed by cache release
+    * + System.gc (>100 ms) which drains the few-ms event lag, and the
+    * classifier only consumes a coarse 0.5 dominance threshold, so a
+    * stray tail event cannot flip a class. */
+  class ScanTimeListener extends org.apache.spark.scheduler.SparkListener {
+    @volatile var current: String = ""
+    private val scanMs = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]
+    private val totalMs = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]
+    private def add(m: java.util.concurrent.ConcurrentHashMap[
+        String, java.util.concurrent.atomic.AtomicLong], k: String, v: Long): Unit =
+      m.computeIfAbsent(k,
+        _ => new java.util.concurrent.atomic.AtomicLong).addAndGet(v)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val q = current
+      val m = te.taskMetrics
+      if (q.nonEmpty && m != null) {
+        val isScan = m.shuffleReadMetrics.recordsRead == 0 &&
+          m.shuffleWriteMetrics.bytesWritten <= 64L * 1024
+        add(totalMs, q, m.executorRunTime)
+        if (isScan) add(scanMs, q, m.executorRunTime)
+      }
+    }
+    /** Fraction of this query's executor run time in scan-shaped tasks;
+      * None when no task time was observed (fully cached / constant-folded
+      * / all events attributed elsewhere). */
+    def scanFraction(name: String): Option[Double] = {
+      val t = Option(totalMs.get(name)).map(_.get).getOrElse(0L)
+      if (t <= 0L) None
+      else Some(Option(scanMs.get(name)).map(_.get).getOrElse(0L).toDouble / t)
+    }
+  }
+
+  /** One full-board bench execution, as recorded in BENCH.out.json's
+    * `samples` list (r18 VERDICT item 1, "self-adjudicating record"):
+    * enough context that a reader of any single round record can tell a
+    * contended-host sample from a regression without archaeology. */
+  case class Sample(commit: String, total: Double, shift: Double,
+                    flat: Boolean, probeMin: Double, probeMax: Double)
+
+  private[graft] def sampleJson(s: Sample): String =
+    s"""{"commit":"${s.commit}","total":${f"${s.total}%.3f"},""" +
+      s""""shift":${f"${s.shift}%.4f"},"flat":${s.flat},""" +
+      s""""probe_min":${f"${s.probeMin}%.4f"},"probe_max":${f"${s.probeMax}%.4f"}}"""
+
+  private[graft] def readPrevSamples(path: java.nio.file.Path): Seq[Sample] =
+    try {
+      if (!java.nio.file.Files.exists(path)) Nil
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = om.readTree(path.toFile).get("samples")
+        if (node == null || !node.isArray) Nil
+        else {
+          import scala.jdk.CollectionConverters._
+          node.elements().asScala.flatMap { s =>
+            for {
+              c <- Option(s.get("commit")).map(_.asText)
+              t <- Option(s.get("total")).map(_.asDouble)
+              sh <- Option(s.get("shift")).map(_.asDouble)
+              fl <- Option(s.get("flat")).map(_.asBoolean)
+            } yield Sample(c, t, sh, fl,
+              Option(s.get("probe_min")).map(_.asDouble).getOrElse(-1.0),
+              Option(s.get("probe_max")).map(_.asDouble).getOrElse(-1.0))
+          }.toSeq
+        }
+      }
+    } catch { case _: Throwable => Nil }
+
+  /** Best same-commit full-board total among QUIET samples (flat probes,
+    * no whole-board shift) — the number a contended sample's verdict
+    * points at; -1 when no quiet same-commit sample exists yet. */
+  private[graft] def quietBestTotal(samples: Seq[Sample],
+                                    commit: String): Double = {
+    val q = samples.filter(s =>
+      s.commit == commit && s.flat && s.shift <= 1.3 && s.total > 0)
+    if (q.isEmpty) -1.0 else q.map(_.total).min
+  }
+
+  /** The one-line adjudication a future reader needs (r18's 141 s record
+    * took the judge an hour of PLANS/commit archaeology to classify as a
+    * host event; this field is that hour, mechanized). */
+  private[graft] def verdictLine(fullBoard: Boolean, nQueries: Int,
+                                 cfgDefault: Boolean, flat: Boolean,
+                                 shift: Double, probeMin: Double,
+                                 probeMax: Double,
+                                 quietBest: Double): String =
+    if (!cfgDefault) s"non-default execution config ($nQueries queries; rolls frozen, gates informational)"
+    else if (!fullBoard) s"partial run ($nQueries queries; not a board sample)"
+    else if (flat && shift <= 1.3) "clean sample"
+    else {
+      val why =
+        if (!flat) f"probe $probeMin%.2f-$probeMax%.2fs within the run"
+        else f"global_shift $shift%.2fx with flat probes"
+      val qb =
+        if (quietBest > 0) f"; quiet same-commit best $quietBest%.1fs"
+        else "; no quiet same-commit sample yet"
+      s"contended-host sample ($why)$qb"
+    }
+
+  /** max/min spread gate shared by both probe series (ADVICE r18: the
+    * flatness arm previously inspected only probe 1, so a probe2-only
+    * stall could masquerade as a persisting board regression). */
+  private[graft] def seriesFlat(vals: Seq[Double]): Boolean =
+    vals.nonEmpty && vals.min > 0 && vals.max / vals.min < 1.3
+
+  private def gitCommit: String =
+    try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0 && out.nonEmpty && !out.contains(" ")) out
+      else "unknown"
+    } catch { case _: Throwable => "unknown" }
+
+  /** Rolling records (rollmin, probe pairs, stream_rps_roll) and the
+    * ratio gates only make sense when the execution configuration matches
+    * the one that set the rolls (ADVICE r18: one run under a
+    * throughput-favorable stream config permanently raises
+    * stream_rps_roll, after which default runs fail --strict forever; a
+    * local-cluster bench would likewise pollute the batch rolls — e.g.
+    * s_pagerank measured FASTER under local-cluster in r18). Any
+    * execution-shaping env knob ⇒ rolls frozen and gates informational. */
+  private[graft] def rollEligibleConfig(env: Map[String, String]): Boolean =
+    !env.contains("SPARK_GRAFT_MASTER") &&
+      env.getOrElse("SPARK_GRAFT_CPUS", "32") == "32" &&
+      !env.contains("SPARK_GRAFT_STREAM_FILES") &&
+      !env.contains("SPARK_GRAFT_STATE_PROVIDER") &&
+      !Set("0", "off", "false", "snapshot").contains(
+        env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "1").trim.toLowerCase)
+
   /** Warm up codegen/scan paths so the alphabetically-first query doesn't
     * absorb JVM+session startup in its timing. Shared with ScaleBench —
     * its 1× column was paying exactly this warmup in whichever query ran
@@ -185,6 +334,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // match the driver (r15 VERDICT)
     val spark = Sessions.build(cpus)
+    // measured probe-class telemetry (r18 VERDICT item 2): registered
+    // before warmup but attributing only while `current` names a query
+    val scanLis = new ScanTimeListener
+    spark.sparkContext.addSparkListener(scanLis)
     warmup(spark, sfDir)
     // discarded probe: the FIRST probe execution pays its own codegen/JIT
     // (measured ~1.5x on the start checkpoint), which would deflate the
@@ -248,6 +401,7 @@ object Bench {
           f"[bench] calibration probe (@$qIdx): $p%.3fs probe2: $p2%.3fs")
       }
       var lastDf: org.apache.spark.sql.DataFrame = null
+      scanLis.current = name
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val n = try { val df = fn(spark, sfDir); lastDf = df; df.count() }
@@ -255,6 +409,7 @@ object Bench {
                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
         ((System.nanoTime() - t0) / 1e9, n)
       }
+      scanLis.current = ""
       // probe class from the as-run plan (cached relations included), so
       // classify BEFORE the cache release below; planning is memoized in
       // the frame's QueryExecution and costs ~ms outside the timed region
@@ -346,9 +501,23 @@ object Bench {
     }
     def probeAt(i: Int): Double = interpAt(probeSeries.toSeq, i)
     def probe2At(i: Int): Double = interpAt(probe2Series.toSeq, i)
+    // Final probe class (r18 VERDICT item 2, "measured classification"):
+    // measured dominance when observed — >50% of the query's executor
+    // task run time in scan-shaped tasks (no shuffle records read or
+    // written) — else the static plan shape. The static rule captures
+    // plan SHAPE, not cost dominance: it classified 2/219 scan-class
+    // while the residual suspect noise clustered in expression-heavy
+    // scans (sketch hashing, broadcast pair scoring) whose plans carry a
+    // token shuffle but whose runtime lives in the scan stages.
+    // x_stream stays pinned to the shuffle class (the returned frame is
+    // a memory-sink scan; the cost is the stateful shuffle in the run).
+    def finalScanClass(name: String): Boolean =
+      !name.startsWith("x_stream") &&
+        scanLis.scanFraction(name).map(_ > 0.5)
+          .getOrElse(scanCls.getOrElse(name, false))
     // the normalizer for a query = the probe of ITS class at its position
     def classProbeAt(name: String, i: Int): Double =
-      if (scanCls.getOrElse(name, false)) probe2At(i) else probeAt(i)
+      if (finalScanClass(name)) probe2At(i) else probeAt(i)
     val failedNames = results.collect { case (n, m, _, _, _) if m < 0 => n }
     if (failedNames.nonEmpty)
       System.err.println(s"[bench] FAILED queries: ${failedNames.mkString(", ")}")
@@ -401,18 +570,45 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json"))
     val normalized = results.zipWithIndex.map { case ((n, med, _, _, _), i) =>
       n -> (if (med < 0 || probeAt(i) <= 0) -1.0 else med / probeAt(i)) }
+    // Read EVERYTHING consumed from the previous record BEFORE the write
+    // below overwrites it (ADVICE r18 high: prevShift was read back AFTER
+    // Files.write, so the board-shift persistence arm compared the
+    // session with itself and could exit 5 on the FIRST contended run).
     val prevRoll = readPrevMap(outFile, Seq("rollmin", "min"))
     val prevRollN = readPrevMap(outFile, Seq("rollmin_norm"))
+    val prevRollC = readPrevMap(outFile, Seq("rollmin_norm_c"))
+    val prevRollP1 = readPrevMap(outFile, Seq("roll_probe1"))
+    val prevRollP2 = readPrevMap(outFile, Seq("roll_probe2"))
+    val prevRpsRoll = readPrevMap(outFile, Seq("stream_rps_roll"))
+    val prevSamples = readPrevSamples(outFile)
+    // persistence basis for the board-shift arm: the last FULL-BOARD
+    // sample's shift (a focused run's shift is its own queries' median,
+    // not a board statement); scalar fallback covers pre-samples records
+    val prevShift = prevSamples.lastOption.map(_.shift)
+      .orElse(readPrevDouble(outFile, "global_shift")).getOrElse(1.0)
+    // Rolls are frozen and ratio gates informational under any
+    // execution-shaping env knob (ADVICE r18: a stream-config run
+    // permanently raised stream_rps_roll; a local-cluster run can set
+    // batch rolls local[32] can't match — s_pagerank ran FASTER there).
+    val cfgEligible = rollEligibleConfig(sys.env.toMap)
+    if (!cfgEligible)
+      System.err.println("[bench] non-default execution config " +
+        "(SPARK_GRAFT_MASTER/CPUS/STREAM_FILES/STATE_PROVIDER/" +
+        "ROCKSDB_CHANGELOG set): rolling records frozen, ratio gates off")
     val curMin = results.collect { case (n, _, _, mn, _) if mn >= 0 => n -> mn }.toMap
-    val rollmin = (prevRoll.keySet ++ curMin.keySet).toSeq.map { k =>
-      k -> math.min(prevRoll.getOrElse(k, Double.MaxValue),
-        curMin.getOrElse(k, Double.MaxValue)) }
+    val rollmin =
+      if (!cfgEligible) prevRoll.toSeq
+      else (prevRoll.keySet ++ curMin.keySet).toSeq.map { k =>
+        k -> math.min(prevRoll.getOrElse(k, Double.MaxValue),
+          curMin.getOrElse(k, Double.MaxValue)) }
     val curMinN = results.zipWithIndex.collect {
       case ((n, _, _, mn, _), i) if mn >= 0 && probeAt(i) > 0 =>
         n -> mn / probeAt(i) }.toMap
-    val rollminN = (prevRollN.keySet ++ curMinN.keySet).toSeq.map { k =>
-      k -> math.min(prevRollN.getOrElse(k, Double.MaxValue),
-        curMinN.getOrElse(k, Double.MaxValue)) }
+    val rollminN =
+      if (!cfgEligible) prevRollN.toSeq
+      else (prevRollN.keySet ++ curMinN.keySet).toSeq.map { k =>
+        k -> math.min(prevRollN.getOrElse(k, Double.MaxValue),
+          curMinN.getOrElse(k, Double.MaxValue)) }
     // Machine-applied reading rule (r16 verdict item 5): round 16
     // established "regression ⇔ rollmin_norm moved" but a human still had
     // to apply it. A SUSPECT is a query whose SESSION min, in
@@ -445,12 +641,53 @@ object Bench {
     val curMinC = results.zipWithIndex.collect {
       case ((n, _, _, mn, _), i) if mn >= 0 && classProbeAt(n, i) > 0 =>
         n -> mn / classProbeAt(n, i) }.toMap
-    val prevRollC = readPrevMap(outFile, Seq("rollmin_norm_c"))
     def priorC(k: String): Option[Double] = prevRollC.get(k)
-      .orElse(if (scanCls.getOrElse(k, false)) None else prevRollN.get(k))
-    val rollminC = (prevRollC.keySet ++ curMinC.keySet).toSeq.map { k =>
-      k -> math.min(priorC(k).getOrElse(Double.MaxValue),
-        curMinC.getOrElse(k, Double.MaxValue)) }
+      .orElse(if (finalScanClass(k)) None else prevRollN.get(k))
+    // rollmin_norm / rollmin_norm_c are TELEMETRY ONLY since round 19
+    // (history continuity); the suspect gate runs on the pair basis below
+    val rollminC =
+      if (!cfgEligible) prevRollC.toSeq
+      else (prevRollC.keySet ++ curMinC.keySet).toSeq.map { k =>
+        k -> math.min(priorC(k).getOrElse(Double.MaxValue),
+          curMinC.getOrElse(k, Double.MaxValue)) }
+    // Pair-basis roll (r18 VERDICT item 3): rollmin keeps the raw
+    // best-ever seconds, and roll_probe1/roll_probe2 keep BOTH probes as
+    // interpolated at the run position where that raw best was set. A
+    // later session then compares SAME-BASIS ratios:
+    //   ratio = (session_min / session_class_probe)
+    //         / (rollmin   / roll_class_probe)
+    // The old basis — min over history of normalized values — paired the
+    // fastest query sample ever with the slowest probe ever, a
+    // combination no honest later session can match once the probe
+    // speeds up (r18: 1.3-2.4x normalized flags while raw minima sat at
+    // 1.0-1.2x of best; documented as a "reading rule", now structural).
+    // Storing BOTH probes makes the basis class-flip-proof: if measured
+    // classification later moves a query between classes, the stored
+    // probe of the NEW class still dates from the roll-setting session.
+    // Migration: queries with a rollmin but no stored pair seed the pair
+    // from THIS session's probes, making their first ratio raw-vs-raw
+    // (exactly the manual triage rule: "read RAW min vs rollmin first").
+    val posByName = results.zipWithIndex.map {
+      case ((n, _, _, _, _), i) => n -> i }.toMap
+    val rollminMap = rollmin.toMap
+    def rollPair(prev: Map[String, Double],
+                 probeF: Int => Double): Seq[(String, Double)] =
+      if (!cfgEligible) prev.toSeq
+      else rollmin.flatMap { case (k, rm) =>
+        val newBest = curMin.get(k).exists(_ <= rm + 1e-12)
+        val v = if (newBest) posByName.get(k).map(probeF)
+                else prev.get(k).orElse(posByName.get(k).map(probeF))
+        v.filter(_ > 0).map(k -> _)
+      }
+    val rollProbe1 = rollPair(prevRollP1, probeAt)
+    val rollProbe2 = rollPair(prevRollP2, probe2At)
+    val rollP1Map = rollProbe1.toMap
+    val rollP2Map = rollProbe2.toMap
+    def pairBasis(k: String): Option[Double] = {
+      val p = if (finalScanClass(k)) rollP2Map.get(k) else rollP1Map.get(k)
+      for { rm <- rollminMap.get(k) if rm > 0; pp <- p if pp > 0 }
+        yield rm / pp
+    }
     // Streaming gates are EXEMPT from the probe-normalized ratio gate:
     // their wall time is dominated by per-micro-batch fixed overheads
     // (trigger scheduling, state commit IO) that do not scale with host
@@ -460,9 +697,11 @@ object Bench {
     // regression signal is the rps gate below (rows/sec from the
     // queries' own progress — host-shared AND corpus-size-independent).
     val suspectFactor = 1.3
-    val ratios = curMinC.toSeq.flatMap { case (k, v) =>
-      if (k.startsWith("x_stream")) None
-      else priorC(k).map(r => (k, v / r)) }
+    val ratios =
+      if (!cfgEligible) Nil
+      else curMinC.toSeq.flatMap { case (k, v) =>
+        if (k.startsWith("x_stream")) None
+        else pairBasis(k).map(b => (k, v / b)) }
     val globalShift = if (ratios.isEmpty) 1.0
       else ratios.map(_._2).sorted.apply(ratios.size / 2)
     // Small ratio samples get NO shift correction (r17 ADVICE): on a
@@ -483,21 +722,25 @@ object Bench {
     // suspect (corrected UP by shiftBase: a slow host depresses rps for
     // host reasons the same way it inflates seconds).
     val rpsAll = graft.queries.StreamMetrics.rowsPerSec
-    val prevRpsRoll = readPrevMap(outFile, Seq("stream_rps_roll"))
     // roll records EVERY gate (telemetry); the suspect gate fires only on
     // the append/disorder family — the production paths, whose rps is
     // high enough that 0.7x is signal, not scheduler noise (x_stream_knn
-    // runs at ~4 rows/sec where one slow trigger flips the ratio)
-    val rpsRoll = (prevRpsRoll.keySet ++ rpsAll.keySet).toSeq.map { k =>
-      k -> math.max(prevRpsRoll.getOrElse(k, 0.0),
-        rpsAll.getOrElse(k, 0.0)) }
+    // runs at ~4 rows/sec where one slow trigger flips the ratio).
+    // Under a non-default execution config the roll is FROZEN (ADVICE
+    // r18: one run under a throughput-favorable stream config would
+    // permanently raise the max, failing default runs forever after).
+    val rpsRoll =
+      if (!cfgEligible) prevRpsRoll.toSeq
+      else (prevRpsRoll.keySet ++ rpsAll.keySet).toSeq.map { k =>
+        k -> math.max(prevRpsRoll.getOrElse(k, 0.0),
+          rpsAll.getOrElse(k, 0.0)) }
     // Board-sized runs only (same >=10 rule as shiftBase): the roll is
     // set in full-board context where 200 prior queries warmed the JIT;
     // a fresh-JVM focused run measures ~2/3 of that rps from cold-code
     // context alone (measured r18: window_append 38.4k vs 58.3k roll),
     // which is the run's context, not a regression.
     val rpsSuspects =
-      if (ratios.size < 10) Nil
+      if (!cfgEligible || ratios.size < 10) Nil
       else rpsAll.toSeq.flatMap { case (k, v) =>
         if (!(k.contains("append") || k.contains("disorder"))) None
         else prevRpsRoll.get(k).filter(roll => v * shiftBase < 0.7 * roll)
@@ -514,21 +757,64 @@ object Bench {
         .mkString(""","probe2_series":{""", ",", "}")
     val probe2Json =
       s""","probe2_s":{"start":${fmt("%.4f", probe2Start)},"end":${fmt("%.4f", probe2End)}}"""
+    // probe_class records the FINAL classification (measured dominance
+    // when observed, else static plan shape); scan_frac carries the raw
+    // measured fractions so "measured vs static" is auditable per query
+    val classNames = results.collect {
+      case (n, m, _, _, _) if m >= 0 => n }
     val probeClassJson =
-      if (scanCls.isEmpty) ""
-      else scanCls.toSeq.sortBy(_._1).map { case (k, s) =>
-        "\"" + k + "\":\"" + (if (s) "scan" else "shuffle") + "\"" }
+      if (classNames.isEmpty) ""
+      else classNames.sorted.map { k =>
+        "\"" + k + "\":\"" +
+          (if (finalScanClass(k)) "scan" else "shuffle") + "\"" }
         .mkString(""","probe_class":{""", ",", "}")
+    val scanFracs = classNames.flatMap(k =>
+      scanLis.scanFraction(k).map(k -> _))
+    // ---- self-adjudicating record (r18 VERDICT item 1): everything a
+    // reader needs to classify THIS sample rides in the record itself —
+    // global shift, probe flatness (BOTH series: ADVICE r18), the best
+    // quiet same-commit board total, and a one-line verdict. Full-board
+    // eligible runs also append to a rolling `samples` list so later
+    // sessions can name the quiet best without archaeology.
+    val probe1Vals = probeSeries.map(_._2).toSeq
+    val probe2Vals = probe2Series.map(_._2).toSeq
+    val probeFlat = seriesFlat(probe1Vals) && seriesFlat(probe2Vals)
+    val probeMin = probe1Vals.min
+    val probeMax = probe1Vals.max
+    val fullBoard = selected.size >= 200
+    val commit = gitCommit
+    val sample = Sample(commit, total, globalShift, probeFlat,
+      probeMin, probeMax)
+    val samplesAll =
+      if (fullBoard && cfgEligible) (prevSamples :+ sample).takeRight(16)
+      else prevSamples
+    val quietBest = quietBestTotal(samplesAll, commit)
+    val verdict = verdictLine(fullBoard, selected.size, cfgEligible,
+      probeFlat, globalShift, probeMin, probeMax, quietBest)
+    val boardShift = cfgEligible && ratios.size >= 10 &&
+      globalShift > 1.5 && prevShift > 1.5 && probeFlat
+    val adjJson =
+      s""","adjudication":{"commit":"$commit","global_shift":${fmt("%.4f", globalShift)},""" +
+        s""""probe_flat":$probeFlat,"probe_min":${fmt("%.4f", probeMin)},""" +
+        s""""probe_max":${fmt("%.4f", probeMax)},"quiet_best_total":${fmt("%.3f", quietBest)},""" +
+        s""""verdict":"$verdict"}"""
+    val samplesJson =
+      if (samplesAll.isEmpty) ""
+      else samplesAll.map(sampleJson).mkString(""","samples":[""", ",", "]")
     val fileExtra = probeJson + probe2Json + probeSeriesJson +
       probe2SeriesJson + probeClassJson +
+      mapJson("scan_frac", scanFracs) +
       mapJson("normalized", normalized) +
       mapJson("normalized_c", normalizedC) +
       mapJson("rollmin", rollmin) + mapJson("rollmin_norm", rollminN) +
       mapJson("rollmin_norm_c", rollminC) +
+      mapJson("roll_probe1", rollProbe1) +
+      mapJson("roll_probe2", rollProbe2) +
       mapJson("suspects", suspects) +
       mapJson("stream_rps_roll", rpsRoll) +
       mapJson("rps_suspects", rpsSuspects) +
-      s""","global_shift":${fmt("%.4f", globalShift)}"""
+      s""","global_shift":${fmt("%.4f", globalShift)}""" +
+      adjJson + samplesJson
     // Full per-query timings go to a file: the driver's stdout capture keeps
     // only a ~2k-char tail, which truncated the 90-query JSON line from the
     // front in rounds 1-2 ("parsed": null). The file is the machine-readable
@@ -567,24 +853,19 @@ object Bench {
     // Board-wide-regression arm of the strict gate (r17 ADVICE): a REAL
     // global regression is fully absorbed by the shift division above, so
     // --strict additionally fails when the shift itself is large, the
-    // session's own probe checkpoints were flat (not a transient stall),
-    // and the PREVIOUS session already showed the same shift — the
-    // "persists across sessions with a flat probe" reading rule, applied
-    // mechanically. Board runs only (small samples have shiftBase=1 and
-    // their regressions surface as per-query suspects).
-    val prevShift = readPrevDouble(outFile, "global_shift").getOrElse(1.0)
-    val probeVals = probeSeries.map(_._2)
-    val probeFlat =
-      probeVals.nonEmpty && probeVals.max / probeVals.min < 1.3
-    val boardShift =
-      ratios.size >= 10 && globalShift > 1.5 && prevShift > 1.5 && probeFlat
+    // session's own probe checkpoints (BOTH series) were flat (not a
+    // transient stall), and the PREVIOUS board sample already showed the
+    // same shift — the "persists across sessions with a flat probe"
+    // reading rule, applied mechanically. Board runs only (small samples
+    // have shiftBase=1; their regressions surface as per-query suspects).
     if (boardShift)
       System.err.println(f"[bench] BOARD-WIDE SHIFT: global_shift " +
-        f"$globalShift%.2fx after $prevShift%.2fx last session, with flat " +
-        "in-session probes — a persisting whole-board regression, not a " +
-        "contention artifact")
+        f"$globalShift%.2fx after $prevShift%.2fx last board sample, with " +
+        "flat in-session probes — a persisting whole-board regression, " +
+        "not a contention artifact")
+    System.err.println(s"[bench] verdict: $verdict")
     println(json(results.filter(r => headline(r._1)), "%.3f",
-      withCold = false, allRps = false, extraJson = probeJson))
+      withCold = false, allRps = false, extraJson = probeJson + adjJson))
     spark.stop()
     if (strict) {
       if (boardShift) {

@@ -169,23 +169,42 @@ object CorpusQueries {
         // already-staged corpus that is a pure extra full scan INSIDE
         // ScaleBench's timed region, inflating span-mode wall times and
         // exponents at large factors (r17 ADVICE).
+        // The key carries a formula version token so a future change to
+        // the nFiles computation can't silently serve stale counts from
+        // old markers (ADVICE r18).
         val marker = java.nio.file.Paths.get("/tmp/graft-streamspan-" +
           java.util.UUID.nameUUIDFromBytes(
-            s"$dir|${Tables.dirFingerprint(dir)}|$name|$tsCol|$v"
+            s"spanfiles-v2|$dir|${Tables.dirFingerprint(dir)}|$name|$tsCol|$v"
               .getBytes("UTF-8")).toString)
-        if (java.nio.file.Files.exists(marker))
-          new String(java.nio.file.Files.readAllBytes(marker),
-            "UTF-8").trim.toInt
-        else {
+        def computeAndRecord(): Int = {
           val slice = v.stripPrefix("span:").toLong // seconds per file
           val mm = src.agg(
             expr(s"unix_micros(cast(min($tsCol) AS timestamp))"),
             expr(s"unix_micros(cast(max($tsCol) AS timestamp))")).head()
           val spanSec = (mm.getLong(1) - mm.getLong(0)) / 1000000L
           val n = math.max(4L, (spanSec + slice - 1) / slice).toInt
-          java.nio.file.Files.write(marker, n.toString.getBytes("UTF-8"))
+          // temp-write + ATOMIC_MOVE: a concurrent reader (SpillCertify /
+          // ConcurrentServe child JVMs staging the same corpus) must
+          // never observe a partially-written marker (ADVICE r18)
+          val tmp = java.nio.file.Files.createTempFile(
+            marker.getParent, marker.getFileName.toString, ".tmp")
+          java.nio.file.Files.write(tmp, n.toString.getBytes("UTF-8"))
+          try java.nio.file.Files.move(tmp, marker,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          catch { case _: Throwable => // lost a race: another JVM moved
+            java.nio.file.Files.deleteIfExists(tmp)                // first
+          }
           n
         }
+        if (java.nio.file.Files.exists(marker))
+          // fall back to recompute (and rewrite) on any parse failure —
+          // an empty/garbled marker must degrade to the slow path, not
+          // fail the query
+          try new String(java.nio.file.Files.readAllBytes(marker),
+            "UTF-8").trim.toInt
+          catch { case _: NumberFormatException => computeAndRecord() }
+        else computeAndRecord()
       case Some(v) => math.max(1, v.toInt)
       case None => 4
     }
