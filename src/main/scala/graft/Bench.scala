@@ -39,7 +39,11 @@ object Bench {
     * 1.3-4x between sessions swamped the 2x regression criterion in
     * rounds 12/13/15 and forced worktree A/Bs each time. Normalized units
     * are multiples-of-probe (unitless), comparable across sessions on any
-    * host. Median of 3 runs.
+    * host. MIN of 3 runs since probe v3: the suspect gate compares the
+    * session MIN of each query's iterations, so the matching probe
+    * statistic is the min — and min-of-3 sheds additive host stalls
+    * (one stalled sample inflated a median checkpoint 2.4x in r19's
+    * contended sessions) that the median passes straight through.
     */
   def probeSeconds(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
@@ -55,7 +59,7 @@ object Bench {
       require(n == 100, s"probe returned $n rows")
       (System.nanoTime() - t0) / 1e9
     }
-    times.sorted.apply(1)
+    times.min
   }
 
   /** Second calibration flavor (r16 VERDICT item 8, armed by the r17
@@ -66,14 +70,23 @@ object Bench {
     * expression-heavy projection and NO shuffle. Telemetry-only for now
     * (`probe2_s` in BENCH.out.json, start/end): when adjudicating a
     * suspect, probe2 moving while probe1 stayed flat documents a
-    * scan/broadcast-class host shift without a worktree A/B. */
+    * scan/broadcast-class host shift without a worktree A/B.
+    *
+    * Sized 24M rows since probe v3 (round 19): at the original 2M the
+    * median-of-3 read ~0.15 s — scheduler-quantum territory — and swung
+    * 2.3x WITHIN a board run while probe 1 swung 1.4x; with measured
+    * classification normalizing ~190/219 queries against probe 2, that
+    * jitter alone manufactured a recurring suspect family (mm_*,
+    * q_kmv_distinct, m_generate_uuid — solo A/B'd at 1.02-1.31x raw of
+    * their all-time bests, i.e. noise). ~0.4-0.5 s is the same
+    * measurement scale as probe 1. */
   def probeSeconds2(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
     val times = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       val dim = spark.range(0L, 10000L)
         .select(col("id").as("k"), xxhash64(col("id")).as("dv"))
-      val n = spark.range(0L, 2L * 1000 * 1000, 1L, 32)
+      val n = spark.range(0L, 24L * 1000 * 1000, 1L, 32)
         .select(col("id"), pmod(xxhash64(col("id")), lit(10000L)).as("k"))
         .join(broadcast(dim), "k")
         .select(pmod(xxhash64(col("id"), col("dv")), lit(97L)).as("h"))
@@ -81,8 +94,22 @@ object Bench {
       require(n > 0, s"probe2 returned $n rows")
       (System.nanoTime() - t0) / 1e9
     }
-    times.sorted.apply(1)
+    times.min
   }
+
+  /** Bumped whenever a probe workload changes: stored probe-denominated
+    * state (roll_probe1/roll_probe2 pairs, rollmin_norm/rollmin_norm_c
+    * telemetry) is only comparable within one probe version, so a
+    * mismatch discards it and reseeds this session — WITHOUT touching
+    * `rollmin`, whose raw seconds are probe-independent. v3 = probe 2
+    * enlarged 2M → 24M rows (round 19: at 2M the probe was ~70% fixed
+    * scheduling overhead — tripling rows moved the quiet median only
+    * 0.15 → 0.17 s — and host stalls are ADDITIVE), and both probes
+    * report MIN-of-3 instead of median-of-3: the gate's numerator is
+    * the session min of a query's iterations, so the denominator must
+    * be the probe's min for the statistics to match, and min-of-3
+    * sheds one-sample stalls a median inherits. */
+  val probeVersion = 3
 
   /** Physical-plan probe-class detector (r17 VERDICT item 3 "dual-probe
     * classes"): queries whose plan contains a shuffle-implying operator
@@ -575,10 +602,21 @@ object Bench {
     // Files.write, so the board-shift persistence arm compared the
     // session with itself and could exit 5 on the FIRST contended run).
     val prevRoll = readPrevMap(outFile, Seq("rollmin", "min"))
-    val prevRollN = readPrevMap(outFile, Seq("rollmin_norm"))
-    val prevRollC = readPrevMap(outFile, Seq("rollmin_norm_c"))
-    val prevRollP1 = readPrevMap(outFile, Seq("roll_probe1"))
-    val prevRollP2 = readPrevMap(outFile, Seq("roll_probe2"))
+    // probe-denominated state is version-gated: a probe workload change
+    // makes old normalized values / stored probe pairs a wrong basis
+    // (an enlarged probe2 would bias every scan-class ratio low — a
+    // BLIND gate, worse than a noisy one), so they reseed this session
+    val sameProbeVer = readPrevDouble(outFile, "probe_version")
+      .getOrElse(1.0) == probeVersion.toDouble
+    if (!sameProbeVer)
+      System.err.println(s"[bench] probe version changed -> $probeVersion: " +
+        "reseeding probe pairs and normalized rolls (raw rollmin kept)")
+    def ifSameVer(m: Map[String, Double]): Map[String, Double] =
+      if (sameProbeVer) m else Map.empty
+    val prevRollN = ifSameVer(readPrevMap(outFile, Seq("rollmin_norm")))
+    val prevRollC = ifSameVer(readPrevMap(outFile, Seq("rollmin_norm_c")))
+    val prevRollP1 = ifSameVer(readPrevMap(outFile, Seq("roll_probe1")))
+    val prevRollP2 = ifSameVer(readPrevMap(outFile, Seq("roll_probe2")))
     val prevRpsRoll = readPrevMap(outFile, Seq("stream_rps_roll"))
     val prevSamples = readPrevSamples(outFile)
     // persistence basis for the board-shift arm: the last FULL-BOARD
@@ -814,6 +852,7 @@ object Bench {
       mapJson("stream_rps_roll", rpsRoll) +
       mapJson("rps_suspects", rpsSuspects) +
       s""","global_shift":${fmt("%.4f", globalShift)}""" +
+      s""","probe_version":$probeVersion""" +
       adjJson + samplesJson
     // Full per-query timings go to a file: the driver's stdout capture keeps
     // only a ~2k-char tail, which truncated the 90-query JSON line from the
