@@ -36,7 +36,7 @@
 #
 # runs the multi-JVM board at sf0.001, a 3-config fault smoke (executor
 # kill batch + stream, batch-write tear), and the exact iterative
-# oracles (~8 min), skipping the 100× spill builds and the sf0.1
+# oracles (~8-16 min by host load), skipping the 100× spill builds and the sf0.1
 # concurrency stage.
 #
 # Exit 0 = every stage green; first failing stage aborts (set -e) with
