@@ -304,14 +304,23 @@ object Bench {
   private[graft] def seriesFlat(vals: Seq[Double]): Boolean =
     vals.nonEmpty && vals.min > 0 && vals.max / vals.min < 1.3
 
-  private def gitCommit: String =
-    try {
-      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
-        .redirectErrorStream(true).start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
-      if (p.waitFor() == 0 && out.nonEmpty && !out.contains(" ")) out
-      else "unknown"
-    } catch { case _: Throwable => "unknown" }
+  /** The sample identity is the last commit that touched SOURCE (src/ or
+    * build.sbt), not HEAD: doc-only commits (PLANS/README/record syncs)
+    * would otherwise split same-binary samples across "commits" and
+    * break quiet_best_total's same-commit matching — observed live in
+    * r19, where a wrap commit relabeled an unchanged binary. */
+  private def gitCommit: String = {
+    def run(cmd: String*): Option[String] =
+      try {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0 && out.nonEmpty && !out.contains(" ")) Some(out)
+        else None
+      } catch { case _: Throwable => None }
+    run("git", "log", "-1", "--format=%h", "--", "src", "build.sbt")
+      .orElse(run("git", "rev-parse", "--short", "HEAD"))
+      .getOrElse("unknown")
+  }
 
   /** Rolling records (rollmin, probe pairs, stream_rps_roll) and the
     * ratio gates only make sense when the execution configuration matches
