@@ -197,10 +197,15 @@ object Bench {
     * partitioning, joins, wide aggs — probe 1's own 10k-group map tasks
     * write ~0.5 MB) blow straight past the allowance. Attribution is by
     * the query name current when the task-end event is processed; the
-    * listener bus is async, but each query is followed by cache release
-    * + System.gc (>100 ms) which drains the few-ms event lag, and the
-    * classifier only consumes a coarse 0.5 dominance threshold, so a
-    * stray tail event cannot flip a class. */
+    * listener bus is async, so `current` stays set through the per-query
+    * cache release + System.gc (>100 ms) that FOLLOW the timed loop —
+    * that window drains the few-ms event lag (ADVICE r19: clearing
+    * `current` immediately after the loop dropped the last wave of a
+    * shuffle query's reduce-task events, biasing scanFraction upward
+    * near the 0.5 boundary), and the release/GC work itself launches no
+    * tasks, so nothing false is attributed during the drain. Probe
+    * checkpoints run while `current` is empty, so probe tasks are never
+    * attributed to a query. */
   class ScanTimeListener extends org.apache.spark.scheduler.SparkListener {
     @volatile var current: String = ""
     private val scanMs = new java.util.concurrent.ConcurrentHashMap[
@@ -235,14 +240,31 @@ object Bench {
   /** One full-board bench execution, as recorded in BENCH.out.json's
     * `samples` list (r18 VERDICT item 1, "self-adjudicating record"):
     * enough context that a reader of any single round record can tell a
-    * contended-host sample from a regression without archaeology. */
+    * contended-host sample from a regression without archaeology.
+    * Standalone since r20 (r19 VERDICT item 2): each entry also carries
+    * its own verdict line, the probe workload version, the corpus, probe
+    * 2's spread, and the production stream-rps summary — previously a
+    * sample's probe-version caveat lived only in PLANS prose. */
   case class Sample(commit: String, total: Double, shift: Double,
-                    flat: Boolean, probeMin: Double, probeMax: Double)
+                    flat: Boolean, probeMin: Double, probeMax: Double,
+                    probe2Min: Double = -1.0, probe2Max: Double = -1.0,
+                    probeVer: Int = 0, sf: String = "",
+                    verdict: String = "",
+                    streamRps: Map[String, Double] = Map.empty)
 
-  private[graft] def sampleJson(s: Sample): String =
+  private[graft] def sampleJson(s: Sample): String = {
+    val rps =
+      if (s.streamRps.isEmpty) ""
+      else s.streamRps.toSeq.sorted
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
+        .mkString(""","stream_rps":{""", ",", "}")
     s"""{"commit":"${s.commit}","total":${f"${s.total}%.3f"},""" +
       s""""shift":${f"${s.shift}%.4f"},"flat":${s.flat},""" +
-      s""""probe_min":${f"${s.probeMin}%.4f"},"probe_max":${f"${s.probeMax}%.4f"}}"""
+      s""""probe_min":${f"${s.probeMin}%.4f"},"probe_max":${f"${s.probeMax}%.4f"},""" +
+      s""""probe2_min":${f"${s.probe2Min}%.4f"},"probe2_max":${f"${s.probe2Max}%.4f"},""" +
+      s""""probe_version":${s.probeVer},"sf":"${s.sf}",""" +
+      s""""verdict":"${s.verdict}"$rps}"""
+  }
 
   private[graft] def readPrevSamples(path: java.nio.file.Path): Seq[Sample] =
     try {
@@ -261,7 +283,17 @@ object Bench {
               fl <- Option(s.get("flat")).map(_.asBoolean)
             } yield Sample(c, t, sh, fl,
               Option(s.get("probe_min")).map(_.asDouble).getOrElse(-1.0),
-              Option(s.get("probe_max")).map(_.asDouble).getOrElse(-1.0))
+              Option(s.get("probe_max")).map(_.asDouble).getOrElse(-1.0),
+              // pre-r20 entries lack these: defaults mark them legacy
+              Option(s.get("probe2_min")).map(_.asDouble).getOrElse(-1.0),
+              Option(s.get("probe2_max")).map(_.asDouble).getOrElse(-1.0),
+              Option(s.get("probe_version")).map(_.asInt).getOrElse(0),
+              Option(s.get("sf")).map(_.asText).getOrElse(""),
+              Option(s.get("verdict")).map(_.asText).getOrElse(""),
+              Option(s.get("stream_rps")).filter(_.isObject).map { n =>
+                n.properties().asScala
+                  .map(e => e.getKey -> e.getValue.asDouble).toMap
+              }.getOrElse(Map.empty))
           }.toSeq
         }
       }
@@ -279,24 +311,38 @@ object Bench {
 
   /** The one-line adjudication a future reader needs (r18's 141 s record
     * took the judge an hour of PLANS/commit archaeology to classify as a
-    * host event; this field is that hour, mechanized). */
+    * host event; this field is that hour, mechanized). Takes both probe
+    * series' spreads and NAMES the series that actually swung (ADVICE
+    * r19: a probe2-only stall previously cited a flat-looking probe-1
+    * range — observed live, probe_flat false with the cited probe-1 span
+    * at 1.30x). Flatness is derived here from the same min/max the
+    * sample records, so the verdict and the fields can't disagree. */
   private[graft] def verdictLine(fullBoard: Boolean, nQueries: Int,
-                                 cfgDefault: Boolean, flat: Boolean,
-                                 shift: Double, probeMin: Double,
-                                 probeMax: Double,
-                                 quietBest: Double): String =
+                                 cfgDefault: Boolean, shift: Double,
+                                 probeMin: Double, probeMax: Double,
+                                 probe2Min: Double, probe2Max: Double,
+                                 quietBest: Double): String = {
+    val p1Flat = seriesFlat(Seq(probeMin, probeMax))
+    val p2Flat = seriesFlat(Seq(probe2Min, probe2Max))
+    val flat = p1Flat && p2Flat
     if (!cfgDefault) s"non-default execution config ($nQueries queries; rolls frozen, gates informational)"
     else if (!fullBoard) s"partial run ($nQueries queries; not a board sample)"
     else if (flat && shift <= 1.3) "clean sample"
     else {
       val why =
-        if (!flat) f"probe $probeMin%.2f-$probeMax%.2fs within the run"
-        else f"global_shift $shift%.2fx with flat probes"
+        if (!flat) {
+          val swung = Seq(
+            if (p1Flat) None else Some(f"probe $probeMin%.2f-$probeMax%.2fs"),
+            if (p2Flat) None
+            else Some(f"probe2 $probe2Min%.2f-$probe2Max%.2fs")).flatten
+          swung.mkString(", ") + " within the run"
+        } else f"global_shift $shift%.2fx with flat probes"
       val qb =
         if (quietBest > 0) f"; quiet same-commit best $quietBest%.1fs"
         else "; no quiet same-commit sample yet"
       s"contended-host sample ($why)$qb"
     }
+  }
 
   /** max/min spread gate shared by both probe series (ADVICE r18: the
     * flatness arm previously inspected only probe 1, so a probe2-only
@@ -334,6 +380,16 @@ object Bench {
     !env.contains("SPARK_GRAFT_MASTER") &&
       env.getOrElse("SPARK_GRAFT_CPUS", "32") == "32" &&
       !env.contains("SPARK_GRAFT_STREAM_FILES") &&
+      // ADVICE r19 (medium): the remaining execution-shaping knobs.
+      // A bench against a smaller corpus sets raw rollmin / rps values
+      // no default sf0.1 run can ever match (--strict would fail
+      // forever after); the state-partition count directly changes
+      // stream rps (the STREAM_FILES poisoning class); a non-default
+      // iteration count skews every min-of-N roll.
+      env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.1") == "/root/testdata/sf0.1" &&
+      !env.contains("SPARK_GRAFT_STREAM_PARTS") &&
+      env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3") == "3" &&
       !env.contains("SPARK_GRAFT_STATE_PROVIDER") &&
       !Set("0", "off", "false", "snapshot").contains(
         env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "1").trim.toLowerCase)
@@ -445,7 +501,9 @@ object Bench {
                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      scanLis.current = ""
+      // `current` is NOT cleared yet: late async task-end events from the
+      // timed loop drain into this query's tally during the cache-release
+      // + GC below (see ScanTimeListener doc)
       // probe class from the as-run plan (cached relations included), so
       // classify BEFORE the cache release below; planning is memoized in
       // the frame's QueryExecution and costs ~ms outside the timed region
@@ -498,6 +556,7 @@ object Bench {
       if (name.startsWith("x_stream"))
         org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       System.gc()
+      scanLis.current = "" // listener-bus drain window over (see doc)
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
       if (heapMb > 2000) {
         System.err.println(
@@ -828,22 +887,35 @@ object Bench {
     val probeFlat = seriesFlat(probe1Vals) && seriesFlat(probe2Vals)
     val probeMin = probe1Vals.min
     val probeMax = probe1Vals.max
+    val probe2Min = probe2Vals.min
+    val probe2Max = probe2Vals.max
     val fullBoard = selected.size >= 200
     val commit = gitCommit
-    val sample = Sample(commit, total, globalShift, probeFlat,
-      probeMin, probeMax)
+    // the production stream-rps summary rides in the sample so the
+    // 16-entry history is standalone (r19 VERDICT item 2)
+    val rpsSummary = rpsAll.toMap.filter { case (k, _) =>
+      k.contains("append") || k.contains("disorder") }
+    val sampleBase = Sample(commit, total, globalShift, probeFlat,
+      probeMin, probeMax, probe2Min, probe2Max, probeVersion, sfDir, "",
+      rpsSummary)
+    val samplesForQuiet =
+      if (fullBoard && cfgEligible) prevSamples :+ sampleBase
+      else prevSamples
+    val quietBest = quietBestTotal(samplesForQuiet, commit)
+    val verdict = verdictLine(fullBoard, selected.size, cfgEligible,
+      globalShift, probeMin, probeMax, probe2Min, probe2Max, quietBest)
+    val sample = sampleBase.copy(verdict = verdict)
     val samplesAll =
       if (fullBoard && cfgEligible) (prevSamples :+ sample).takeRight(16)
       else prevSamples
-    val quietBest = quietBestTotal(samplesAll, commit)
-    val verdict = verdictLine(fullBoard, selected.size, cfgEligible,
-      probeFlat, globalShift, probeMin, probeMax, quietBest)
     val boardShift = cfgEligible && ratios.size >= 10 &&
       globalShift > 1.5 && prevShift > 1.5 && probeFlat
     val adjJson =
       s""","adjudication":{"commit":"$commit","global_shift":${fmt("%.4f", globalShift)},""" +
         s""""probe_flat":$probeFlat,"probe_min":${fmt("%.4f", probeMin)},""" +
-        s""""probe_max":${fmt("%.4f", probeMax)},"quiet_best_total":${fmt("%.3f", quietBest)},""" +
+        s""""probe_max":${fmt("%.4f", probeMax)},"probe2_min":${fmt("%.4f", probe2Min)},""" +
+        s""""probe2_max":${fmt("%.4f", probe2Max)},"probe_version":$probeVersion,""" +
+        s""""quiet_best_total":${fmt("%.3f", quietBest)},""" +
         s""""verdict":"$verdict"}"""
     val samplesJson =
       if (samplesAll.isEmpty) ""

@@ -198,12 +198,16 @@ object CorpusQueries {
           n
         }
         if (java.nio.file.Files.exists(marker))
-          // fall back to recompute (and rewrite) on any parse failure —
-          // an empty/garbled marker must degrade to the slow path, not
-          // fail the query
+          // fall back to recompute (and rewrite) on ANY read/parse
+          // failure — an empty/garbled marker, or one deleted by a
+          // racing JVM / /tmp cleaner between the exists() check and
+          // the read (ADVICE r19: a propagating IOException here
+          // failed the query instead of degrading to the slow path)
           try new String(java.nio.file.Files.readAllBytes(marker),
             "UTF-8").trim.toInt
-          catch { case _: NumberFormatException => computeAndRecord() }
+          catch {
+            case scala.util.control.NonFatal(_) => computeAndRecord()
+          }
         else computeAndRecord()
       case Some(v) => math.max(1, v.toInt)
       case None => 4

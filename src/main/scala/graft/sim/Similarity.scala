@@ -984,7 +984,20 @@ object Similarity {
   def ivfPqKnn(corpus: DataFrame, idCol: String, vecCol: String,
                queries: DataFrame, qidCol: String, qvecCol: String,
                centroids: Seq[Seq[Double]], codebook: Seq[Seq[Double]],
-               m: Int, nProbe: Int, k: Int): DataFrame = {
+               m: Int, nProbe: Int, k: Int): DataFrame =
+    ivfPqServe(ivfPqEncode(corpus, idCol, vecCol, centroids, codebook, m),
+      queries, qidCol, qvecCol, centroids, codebook, m, nProbe, k)
+
+  /** The INDEX-BUILD half of [[ivfPqKnn]]: coarse cell assignment +
+    * m-subspace PQ codes of the residual v − centroid(cell), as
+    * `(id, cell, codes)`. Split out (r19 VERDICT item 6) so an online
+    * serving loop encodes the corpus ONCE — cached or persisted — and
+    * each query micro-batch pays only [[ivfPqServe]]'s query-side work;
+    * the fused [[ivfPqKnn]] plan re-encoded the full corpus per batch,
+    * which at sf0.1 was ~90% of x_stream_knn's per-batch cost. */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: Seq[Seq[Double]], codebook: Seq[Seq[Double]],
+                  m: Int): DataFrame = {
     val dim = codebook.head.length
     val sub = dim / m
     require(m * sub == dim, s"m=$m must divide dim=$dim")
@@ -1000,7 +1013,22 @@ object Similarity {
         slice(col("r"), mi * sub + 1, sub),
         codebook.map(_.slice(mi * sub, (mi + 1) * sub))).cast("int")
     }
-    val enc = resid.select(col("id"), col("cell"), array(codes: _*).as("codes"))
+    resid.select(col("id"), col("cell"), array(codes: _*).as("codes"))
+  }
+
+  /** The SERVING half of [[ivfPqKnn]]: probe `nProbe` cells per query,
+    * build per-(query, cell) residual ADC tables, broadcast-join against
+    * the coded corpus `enc` (`(id, cell, codes)` from [[ivfPqEncode]]),
+    * per-query top-k. Per batch this is O(queries) broadcast work plus
+    * one pass over the probed cells' codes — no corpus re-encode. */
+  def ivfPqServe(enc: DataFrame,
+                 queries: DataFrame, qidCol: String, qvecCol: String,
+                 centroids: Seq[Seq[Double]], codebook: Seq[Seq[Double]],
+                 m: Int, nProbe: Int, k: Int): DataFrame = {
+    val dim = codebook.head.length
+    val sub = dim / m
+    require(m * sub == dim, s"m=$m must divide dim=$dim")
+    val cmat = typedLit(centroids)
     // queries: nProbe nearest cells (same (d2, cell) sort as ivfKnn),
     // then a per-(query, cell) ADC table over the query's cell residual
     val dists = centroids.zipWithIndex.map { case (cvec, i) =>

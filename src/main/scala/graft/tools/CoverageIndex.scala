@@ -19,24 +19,41 @@ object CoverageIndex {
   private val queryDirs = Seq("src/main/scala/graft/queries")
 
   /** First registration site (`"name" ->`) of each query key across the
-    * query-registry sources; the queries map precedes oracleSql in every
-    * file, so the first hit is the DataFrame registration. */
+    * query-registry sources. Matching is anchored to each file's
+    * `val queries: Map[...] = Map(` declaration window — lines before it
+    * (imports, helpers, scaladoc mentioning another file's key) and
+    * lines from the oracle-SQL map onward are ignored, so a key literal
+    * appearing early in a lexically earlier file can no longer steal the
+    * anchor (ADVICE r19). */
   def registrationSites(): Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val sites = scala.collection.mutable.Map.empty[String, String]
+    val regStart = "val queries\\s*:\\s*Map\\[".r
+    val regEnd = "val oracle\\w*\\s*:\\s*Map\\[".r
     for (d <- queryDirs) {
       val dir = java.nio.file.Paths.get(d)
       if (java.nio.file.Files.isDirectory(dir)) {
-        val files = java.nio.file.Files.list(dir).iterator().asScala
-          .filter(_.toString.endsWith(".scala")).toSeq.sortBy(_.toString)
+        // Files.list must be closed (ADVICE r19: the stream held a
+        // directory handle per call — CoverageIndexSpec re-renders on
+        // every sbt test run)
+        val ls = java.nio.file.Files.list(dir)
+        val files =
+          try ls.iterator().asScala
+            .filter(_.toString.endsWith(".scala")).toSeq.sortBy(_.toString)
+          finally ls.close()
         for (f <- files) {
           val lines = java.nio.file.Files.readAllLines(f).asScala
+          var inRegistry = false
           lines.zipWithIndex.foreach { case (line, i) =>
-            val m = "\"([a-z0-9_]+)\"\\s*->".r.findFirstMatchIn(line)
-            m.foreach { mm =>
-              val k = mm.group(1)
-              if (!sites.contains(k))
-                sites(k) = s"${f.toString.stripPrefix("src/main/scala/")}:${i + 1}"
+            if (regStart.findFirstIn(line).isDefined) inRegistry = true
+            else if (regEnd.findFirstIn(line).isDefined) inRegistry = false
+            if (inRegistry) {
+              val m = "\"([a-z0-9_]+)\"\\s*->".r.findFirstMatchIn(line)
+              m.foreach { mm =>
+                val k = mm.group(1)
+                if (!sites.contains(k))
+                  sites(k) = s"${f.toString.stripPrefix("src/main/scala/")}:${i + 1}"
+              }
             }
           }
         }

@@ -722,6 +722,47 @@ class LlmOpsSpec extends SparkSpec {
     assert(ivfpq == pq)
   }
 
+  test("ivfPqServe over a cached ivfPqEncode index equals the fused ivfPqKnn") {
+    // the deployment split (r19 VERDICT item 6): encode the corpus ONCE
+    // (the static index, cached), serve query batches against it — must
+    // be bit-identical to the fused call, including when the batches
+    // arrive one query at a time (the x_stream_knn serving shape).
+    // Measured at sf0.1: warm per-batch addBatch is 667-745 ms cached vs
+    // 677-784 ms fused — the gate-scale floor is Spark-fixed foreachBatch
+    // machinery, so the STREAMING GATE stays fused; this split is the
+    // corpus-scale path (re-encoding 2k rows is free; re-encoding 1e9
+    // rows per batch is not) and this spec keeps it exercised.
+    val e = Tables.load(spark, sf0, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val centroids = e.filter(col("vec_id") < 3).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val cb = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val fused = Similarity.ivfPqKnn(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", centroids, cb, m = 8, nProbe = 2, k = 5)
+      .orderBy("qid", "rank")
+      .select("qid", "id", "adc", "rank").collect().toSeq
+    val enc = CacheScope.cache(Similarity.ivfPqEncode(
+      e, "vec_id", "embedding", centroids, cb, m = 8))
+    try {
+      val wholeBatch = Similarity.ivfPqServe(enc, q, "vec_id", "embedding",
+          centroids, cb, m = 8, nProbe = 2, k = 5)
+        .orderBy("qid", "rank")
+        .select("qid", "id", "adc", "rank").collect().toSeq
+      assert(wholeBatch == fused)
+      val perQuery = (0 until 3).flatMap { i =>
+        Similarity.ivfPqServe(enc, q.filter(col("vec_id") === i),
+            "vec_id", "embedding", centroids, cb, m = 8, nProbe = 2, k = 5)
+          .orderBy("qid", "rank")
+          .select("qid", "id", "adc", "rank").collect().toSeq
+      }
+      assert(perQuery == fused,
+        "one-query-at-a-time serving must equal the fused batch")
+    } finally CacheScope.releaseAll()
+  }
+
   test("ivfPqKnn: residual coding has zero ADC self-distance at cell centers") {
     // vectors that sit exactly on a centroid have residual 0; with a
     // codebook whose first entry is the zero vector they encode to code

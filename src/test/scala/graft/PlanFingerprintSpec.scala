@@ -22,8 +22,14 @@ class PlanFingerprintSpec extends SparkSpec {
   private val fixturePath = java.nio.file.Paths.get(
     "src/test/resources/plan_fingerprints.tsv")
 
+  // ALL batch queries since r20 (r19 VERDICT item 4): the fixture
+  // previously pinned only the ~45 headline queries, so a lost broadcast
+  // or new shuffle in any of the other ~170 would surface only as bench
+  // noise. Building a frame is planning-only for most queries; the
+  // iterative ones (union-find, kNN graph, PageRank) run their driver
+  // loops at sf0.001, which keeps the full pass to ~2 min.
   private def gateNames: Seq[String] =
-    Bench.headline.toSeq.sorted.filterNot(_.startsWith("x_stream"))
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("x_stream"))
 
   private def currentFingerprints(): Seq[(String, String)] =
     gateNames.map { n =>
