@@ -60,10 +60,14 @@ SPARK_GRAFT_BENCH_OUT="$ROLLS" sbt -batch "runMain graft.Bench $QUERIES" \
 
 echo "=== gate_drill 2/3: inject 3x slowdown into q_window_rank, recompile ==="
 # the injected scan is 3 unioned copies + distinct: ~3x input work into
-# the same window, identical output rows (o_orderkey is unique)
+# the same window, identical output rows (o_orderkey is unique).
+# NOTE the replacement must not START with a `{` block literal — Scala
+# would glue it onto the preceding `.orderBy(...)` call as an argument
+# list ("recursive value w needs type").
 perl -0pi -e 's/\Q      t(s, dir, "orders")
         .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)\E/      { val __b = t(s, dir, "orders"); __b.union(__b).union(__b).distinct() }
+        .filter(col("rnk") <= 3)\E/      val __b = t(s, dir, "orders")
+      __b.union(__b).union(__b).distinct()
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)/' "$TARGET"
 if git diff --quiet -- "$TARGET"; then
@@ -72,7 +76,11 @@ if git diff --quiet -- "$TARGET"; then
   exit 2
 fi
 INJECTED=1
-sbt -batch compile >/dev/null
+sbt -batch compile >/tmp/graft-drill-compile.log 2>&1 || {
+  echo "gate_drill: injected code failed to compile — see" \
+    "/tmp/graft-drill-compile.log" >&2
+  exit 2
+}
 
 echo "=== gate_drill 3/3: injected --strict run against the same rolls ==="
 rc=0
