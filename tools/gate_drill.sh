@@ -59,15 +59,18 @@ SPARK_GRAFT_BENCH_OUT="$ROLLS" sbt -batch "runMain graft.Bench $QUERIES" \
   2>&1 | grep -E '^\[bench\]' | sed 's/^/  /' | tail -15
 
 echo "=== gate_drill 2/3: inject 3x slowdown into q_window_rank, recompile ==="
-# the injected scan is 3 unioned copies + distinct: ~3x input work into
-# the same window, identical output rows (o_orderkey is unique).
+# the injected scan is 5 unioned copies + distinct: ~5x input work into
+# the same window, identical output rows (o_orderkey is unique). 5x not
+# 3x so the signal clears even a burst-inflated baseline: the first
+# live drill ran its baseline into a host burst (probe 0.59 s vs the
+# 0.31 s floor) and a 3x injection normalized to only 1.49x.
 # NOTE the replacement must not START with a `{` block literal — Scala
 # would glue it onto the preceding `.orderBy(...)` call as an argument
 # list ("recursive value w needs type").
 perl -0pi -e 's/\Q      t(s, dir, "orders")
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)\E/      val __b = t(s, dir, "orders")
-      __b.union(__b).union(__b).distinct()
+      __b.union(__b).union(__b).union(__b).union(__b).distinct()
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)/' "$TARGET"
 if git diff --quiet -- "$TARGET"; then
@@ -87,16 +90,33 @@ rc=0
 SPARK_GRAFT_BENCH_OUT="$ROLLS" sbt -batch "runMain graft.Bench --strict $QUERIES" \
   2>&1 | grep -E '^\[bench\]' | sed 's/^/  /' | tail -15 || true
 # sbt swallows the forked exit code into a nonzero of its own; read the
-# verdict from the record instead, which is what a round reader does
-python3 - "$ROLLS" <<'EOF'
+# verdict from the record instead, which is what a round reader does.
+# Three-way outcome: a MISSED injection is a gate failure (exit 1); a
+# caught injection with noisy controls means a host burst crossed one
+# of the two runs — inconclusive on the false-positive half, rerun on
+# a quieter host (exit 3); both clean is the full PASS.
+rc3=0
+python3 - "$ROLLS" <<'EOF' || rc3=$?
 import json, sys
 r = json.load(open(sys.argv[1]))
 sus = r.get("suspects", {})
-assert "q_window_rank" in sus, f"gate MISSED the injected regression: suspects={sus}"
-assert sus["q_window_rank"] >= 1.8, f"injected ratio too low: {sus['q_window_rank']:.2f}x"
-controls = {k: v for k, v in sus.items() if k != "q_window_rank"}
-assert not controls, f"controls flagged (gate too noisy): {controls}"
+if "q_window_rank" not in sus or sus["q_window_rank"] < 2.0:
+    print(f"gate_drill: gate MISSED the injected ~5x regression "
+          f"(suspects={sus}) — a REAL sensitivity failure", file=sys.stderr)
+    sys.exit(1)
+controls = {k: round(v, 2) for k, v in sus.items() if k != "q_window_rank"}
+if max(sus, key=sus.get) != "q_window_rank":
+    print(f"gate_drill: injected query is not the TOP suspect: {sus}",
+          file=sys.stderr)
+    sys.exit(1)
+if controls:
+    print(f"gate_drill: injection caught at {sus['q_window_rank']:.2f}x (top) "
+          f"but controls flagged too ({controls}) — a host burst crossed "
+          f"one of the runs; rerun on a quieter host for the "
+          f"false-positive half", file=sys.stderr)
+    sys.exit(3)
 print(f"gate_drill: PASS — q_window_rank flagged at {sus['q_window_rank']:.2f}x, "
       f"all {len(r['queries']) - 1} controls quiet")
 EOF
+if [ "$rc3" != "0" ]; then exit "$rc3"; fi
 echo "gate_drill: GREEN (injection caught, controls quiet, injection reverted)"
