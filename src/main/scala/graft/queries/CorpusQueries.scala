@@ -603,9 +603,10 @@ object CorpusQueries {
     // reference slice" on the labeled corpus, score every document with
     // prior + sum of per-token log-likelihood ratios.
     "t_nb_classify" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val m = CorpusStats.fitNaiveBayes(d, "text", col("lang") === "en")
-      CorpusStats.scoreNaiveBayes(m, d, "text", "doc_id")
+      // fused fit+score (one token pass; see CorpusStats.nbScoreLabeled —
+      // row-identical to fitNaiveBayes ∘ scoreNaiveBayes, spec-pinned)
+      CorpusStats.nbScoreLabeled(docs(s, dir), "text", "doc_id",
+          col("lang") === "en")
         .select(col("id").as("doc_id"), col("n_toks"), col("nb_score"),
           col("nb_pos"))
         .orderBy("doc_id")
@@ -614,9 +615,10 @@ object CorpusQueries {
     // DSIR importance log-weights (Xie et al. 2023): hashed unigram+bigram
     // features; target = the English slice, raw = the whole corpus.
     "t_dsir_weight" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val m = CorpusStats.fitDsirLabeled(d, "text", col("lang") === "en")
-      CorpusStats.scoreDsir(m, d, "text", "doc_id")
+      // fused fit+score (one feature pass; see CorpusStats.dsirScoreLabeled
+      // — row-identical to fitDsirLabeled ∘ scoreDsir, spec-pinned)
+      CorpusStats.dsirScoreLabeled(docs(s, dir), "text", "doc_id",
+          col("lang") === "en")
         .select(col("id").as("doc_id"), col("n_feats"), col("dsir_logw"))
         .orderBy("doc_id")
     }),
@@ -626,8 +628,8 @@ object CorpusQueries {
     // oracle-checkable — not just the weights.
     "p_dsir_resample" -> ((s, dir) => {
       val d = docs(s, dir)
-      val m = CorpusStats.fitDsirLabeled(d, "text", col("lang") === "en")
-      val scored = CorpusStats.scoreDsir(m, d, "text", "doc_id")
+      val scored = CorpusStats.dsirScoreLabeled(d, "text", "doc_id",
+          col("lang") === "en")
         .filter(col("dsir_logw").isNotNull)
       CorpusStats.gumbelTopK(scored, "dsir_logw", "id", k = 100)
         .select(col("id").as("doc_id"), col("g_key"))

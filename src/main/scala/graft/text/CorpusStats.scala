@@ -185,6 +185,55 @@ object CorpusStats {
       // the 0 boundary (the rounding exists to absorb exactly that)
       .withColumn("nb_pos", col("nb_score") > 0)
 
+  /** Fused labeled NB fit + score over ONE token pass — the
+    * [[dsirScoreLabeled]] rationale applied to the NB classifier: when
+    * the corpus being scored IS the labeled fit corpus (t_nb_classify),
+    * [[fitNaiveBayes]] + [[scoreNaiveBayes]] tokenizes it twice. This
+    * variant caches the (id, y, tok) stream once and derives the
+    * vocabulary counts AND the per-document scores from it. The
+    * doc-level prior still comes from a label-only scan (column-pruned
+    * parquet — deriving it from the token stream would need a distinct
+    * over ids, a second vocabulary-sized shuffle for two scalars).
+    * Output is row-identical to the two-pass composition: the count
+    * aggregate filters the outer explode's null-token rows back out, and
+    * the scoring join/aggregate is [[scoreNaiveBayes]] verbatim.
+    */
+  def nbScoreLabeled(df: DataFrame, textCol: String, idCol: String,
+                     label: Column, addK: Double = 0.5): DataFrame = {
+    val tok = graft.CacheScope.cache(
+      df.select(col(idCol).cast("long").as("id"),
+        label.cast("boolean").as("y"),
+        explode_outer(TextAnalysis.asciiTokens(col(textCol))).as("tok")))
+    val counts = graft.CacheScope.cache(
+      tok.filter(col("tok").isNotNull).groupBy(col("tok")).agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("cpos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("cneg")))
+    val r = counts.agg(sum(col("cpos")), sum(col("cneg")), count(lit(1))).head()
+    val nPos = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val nNeg = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val v = r.getLong(2)
+    val d = df.agg(sum(when(label.cast("boolean"), 1L).otherwise(0L)),
+      count(lit(1))).head()
+    val dPos = if (d.isNullAt(0)) 0L else d.getLong(0)
+    val dNeg = d.getLong(1) - dPos
+    val denomPos = nPos + addK * v
+    val denomNeg = nNeg + addK * v
+    val llr = counts.select(col("tok"),
+      (log((col("cpos").cast("double") + lit(addK)) / lit(denomPos)) -
+        log((col("cneg").cast("double") + lit(addK)) / lit(denomNeg))).as("llr"))
+    val priorLogOdds = math.log((dPos + addK) / (dNeg + addK))
+    val unseenLlr = math.log(denomNeg / denomPos)
+    tok.join(llr, Seq("tok"), "left")
+      .groupBy(col("id"))
+      .agg(count(col("tok")).as("n_toks"),
+        sum(coalesce(col("llr"),
+          when(col("tok").isNotNull, lit(unseenLlr)))).as("s"))
+      .select(col("id"), col("n_toks"),
+        round(lit(priorLogOdds) + coalesce(col("s"), lit(0.0)), 6)
+          .as("nb_score"))
+      .withColumn("nb_pos", col("nb_score") > 0)
+  }
+
   /** A fitted DSIR importance model (Xie et al., NeurIPS 2023 — "Data
     * Selection for Language Models via Importance Resampling"): hashed
     * n-gram (unigram + bigram) bag-of-features unigram models over a
@@ -267,6 +316,51 @@ object CorpusStats {
       (log((col("ct").cast("double") + lit(addK)) / lit(denT)) -
         log((col("cr").cast("double") + lit(addK)) / lit(denR))).as("lr"))
     DsirModel(lr, buckets, unseenLr = math.log(denR / denT))
+  }
+
+  /** Fused labeled fit + score over ONE feature pass: when the corpus
+    * being scored IS the corpus the labeled model is fit on (both
+    * t_dsir_weight and the resampling gate), [[fitDsirLabeled]] followed
+    * by [[scoreDsir]] tokenizes + hashes the corpus twice — once for the
+    * bucket counts, once for the score stream. This variant materializes
+    * the (id, y, b) feature stream once (cached, caller-released via
+    * [[graft.CacheScope.releaseAll]]) and derives BOTH the model counts
+    * and the per-document scores from it, halving the corpus-sized work
+    * (guide §1.2 step 1: don't compute things twice). Output is
+    * row-identical to the two-pass composition by construction: the fit
+    * aggregate sees exactly the inner-explode rows (the outer explode's
+    * null-feature rows are filtered out — they exist only so zero-token
+    * documents survive scoring), and the scoring join/aggregate is the
+    * [[scoreDsir]] plan verbatim.
+    */
+  def dsirScoreLabeled(df: DataFrame, textCol: String, idCol: String,
+                       target: Column, buckets: Int = 1024,
+                       addK: Double = 0.5): DataFrame = {
+    val feats = graft.CacheScope.cache(
+      dsirFeats(df, textCol, buckets,
+        Seq(col(idCol).cast("long") -> "id",
+          target.cast("boolean") -> "y"), outer = true))
+    val counts = graft.CacheScope.cache(
+      feats.filter(col("b").isNotNull)
+        .groupBy(col("b")).agg(
+          sum(when(col("y"), 1L).otherwise(0L)).as("ct"),
+          count(lit(1)).as("cr")))
+    val r = counts.agg(sum(col("ct")), sum(col("cr"))).head()
+    val nt = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val nr = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val denT = nt + addK * buckets
+    val denR = nr + addK * buckets
+    val lr = counts.select(col("b"),
+      (log((col("ct").cast("double") + lit(addK)) / lit(denT)) -
+        log((col("cr").cast("double") + lit(addK)) / lit(denR))).as("lr"))
+    val unseenLr = math.log(denR / denT)
+    feats
+      .join(broadcast(lr), Seq("b"), "left")
+      .groupBy(col("id"))
+      .agg(count(col("b")).as("n_feats"),
+        sum(coalesce(col("lr"),
+          when(col("b").isNotNull, lit(unseenLr)))).as("s"))
+      .select(col("id"), col("n_feats"), round(col("s"), 6).as("dsir_logw"))
   }
 
   /** Score documents under a fitted DSIR model: (id, n_feats,
@@ -514,8 +608,18 @@ object CorpusStats {
           .as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("wc")).as("cnt"))
-        .join(symCnt.select(col("sym").as("a"), col("sc").as("sa")), Seq("a"))
-        .join(symCnt.select(col("sym").as("b"), col("sc").as("sb")), Seq("b"))
+        // EXPLICIT broadcast (guide §3.1): the symbol-count relation is
+        // ≤ |alphabet| + merges-so-far rows BY CONSTRUCTION (symbols are
+        // the current segmentation units), but its size ESTIMATE inherits
+        // the corpus aggregate's child scan size, so the planner falls
+        // back to two sort-merge joins — measured 3 exchanges + 3 sorts
+        // per round on the argmax job; broadcasting both sides of the
+        // score join removes them (pair counts never leave their
+        // post-aggregate partitioning).
+        .join(broadcast(symCnt.select(col("sym").as("a"), col("sc").as("sa"))),
+          Seq("a"))
+        .join(broadcast(symCnt.select(col("sym").as("b"), col("sc").as("sb"))),
+          Seq("b"))
         .select(col("a"), col("b"), col("cnt"),
           expr(scoreExpr).cast("long").as("score_x9"))
         .orderBy(col("score_x9").desc, col("a"), col("b"))

@@ -314,6 +314,43 @@ class CorpusStatsSpec extends SparkSpec {
     assert(unseen == ((9L, 1L, r6(prior + math.log(3.5 / 4.5)), false)))
   }
 
+  test("nbScoreLabeled ≡ fitNaiveBayes ∘ scoreNaiveBayes (one-pass fusion, r21)") {
+    // edge cases on purpose: empty doc (prior-only score via the outer
+    // explode), null text, all-positive token, token seen in both classes
+    val df = Seq((1L, "good good nice", true), (2L, "bad bad good", false),
+      (3L, "", false), (4L, null.asInstanceOf[String], true))
+      .toDF("doc_id", "text", "y")
+    val m = CorpusStats.fitNaiveBayes(df, "text", col("y"))
+    val twoPass = CorpusStats.scoreNaiveBayes(m, df, "text", "doc_id")
+      .orderBy("id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    val fused = CorpusStats.nbScoreLabeled(df, "text", "doc_id", col("y"))
+      .orderBy("id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(fused == twoPass)
+    graft.CacheScope.releaseAll()
+  }
+
+  test("dsirScoreLabeled ≡ fitDsirLabeled ∘ scoreDsir (one-pass fusion, r21)") {
+    val df = Seq((1L, "alpha beta alpha beta", true),
+      (2L, "gamma delta gamma delta", false),
+      (3L, "gamma delta epsilon", false),
+      (4L, "", false), (5L, null.asInstanceOf[String], true))
+      .toDF("doc_id", "text", "y")
+    val m = CorpusStats.fitDsirLabeled(df, "text", col("y"))
+    val twoPass = CorpusStats.scoreDsir(m, df, "text", "doc_id")
+      .orderBy("id").as[(Long, Long, Option[Double])].collect().toSeq
+    val fused = CorpusStats.dsirScoreLabeled(df, "text", "doc_id", col("y"))
+      .orderBy("id").as[(Long, Long, Option[Double])].collect().toSeq
+    assert(fused == twoPass)
+    // zero-feature docs must survive with NULL logw (totality contract)
+    assert(twoPass.count(_._3.isEmpty) == 2)
+    // layout-independence rides along (the scoreDsir partitioning contract)
+    val fused5 = CorpusStats.dsirScoreLabeled(df.repartition(5), "text",
+        "doc_id", col("y"))
+      .orderBy("id").as[(Long, Long, Option[Double])].collect().toSeq
+    assert(fused5 == twoPass)
+    graft.CacheScope.releaseAll()
+  }
+
   test("bpe pair counts: multiplicity-weighted, single-char tokens skipped") {
     // "aba ab x aba" → pairs: ab,ba (×2 from aba×2) + ab (×1) → ab:3 ba:2;
     // "x" contributes none
