@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Optional scratch override (guide §6, I/O placement): points
+  // java.io.tmpdir — Spark's default for spark.local.dir (shuffle/spill
+  // files) and for streaming temp checkpoints (offset/commit WAL, state
+  // deltas) — at a faster local volume, e.g. /dev/shm for an A/B of
+  // fsync-bound streaming commit latency. Off by default: the bench
+  // environment stays exactly the driver's.
+  sys.env.get("SPARK_GRAFT_TMPDIR").map(d => s"-Djava.io.tmpdir=$d").toSeq

@@ -61,9 +61,15 @@ object Packing {
                    capacity: Long, rangeSize: Long = 4096,
                    distributedPrefix: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val tc = df.select(col(idCol).cast("long").as("id"),
-        col(lenCol).cast("long").as("n_toks"))
-      .withColumn("rng", expr(s"id div $rangeSize"))
+    // cached (caller-released): tc feeds the range aggregate AND the join
+    // probe — uncached, the caller's length pipeline evaluated once per
+    // consumer (p_pack_bpe's BPE-encode chain ran TWICE per invocation;
+    // selectWithinBudget already caches its tc for the same reason).
+    // Three slim long columns per document.
+    val tc = graft.CacheScope.cache(
+      df.select(col(idCol).cast("long").as("id"),
+          col(lenCol).cast("long").as("n_toks"))
+        .withColumn("rng", expr(s"id div $rangeSize")))
     val rangeAgg = tc.groupBy(col("rng")).agg(sum(col("n_toks")).as("rs"))
     val prefixDf = if (distributedPrefix) {
       rangeAgg.select(col("rng"),
@@ -112,9 +118,13 @@ object Packing {
     // null text counts as zero-length: a null n_toks would silently DROP
     // the document at the equi-join back (null keys never match) — a
     // per-doc relation must stay total or downstream joins lose rows
-    val tc = df.select(col(idCol).cast("long").as("id"),
-      coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L))
-        .as("n_toks"))
+    // cached (caller-released): tc feeds the length histogram AND the
+    // join probe — the packByLength/selectWithinBudget shared-subtree
+    // rule. Two slim long columns per document.
+    val tc = graft.CacheScope.cache(
+      df.select(col(idCol).cast("long").as("id"),
+        coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L))
+          .as("n_toks")))
     val hist = tc.groupBy(col("n_toks")).agg(count(lit(1)).as("c"))
     val w = Window.orderBy(col("n_toks"))
       .rowsBetween(Window.unboundedPreceding, -1)

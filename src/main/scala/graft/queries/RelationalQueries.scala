@@ -372,8 +372,14 @@ object RelationalQueries {
     "q17_small_qty_revenue" -> ((s, dir) => {
       val parts = t(s, dir, "part")
         .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
-      val li = t(s, dir, "lineitem")
+      // cached: li feeds BOTH the per-part stats aggregate and the final
+      // join — uncached, the lineitem scan + broadcast join ran twice
+      // (the dominant cost at scale; guide §2.4 shared-subtree rule).
+      // Slim by construction: one brand's lineitems, four columns.
+      val li = graft.CacheScope.cache(t(s, dir, "lineitem")
         .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), dec("l_quantity").as("l_quantity"),
+          dec("l_extendedprice").as("l_extendedprice")))
       val stats = li.groupBy(col("l_partkey").as("pk"))
         .agg(sum(dec("l_quantity")).as("qsum"), count(lit(1)).as("qcnt"))
       li.join(stats, col("l_partkey") === col("pk"))
@@ -992,8 +998,12 @@ object RelationalQueries {
         .filter(col("n_regionkey") === 3)
         .select(col("ps_partkey"),
           (col("ps_supplycost_cents") * col("ps_availqty")).as("v"))
-      val perPart = vals.groupBy(col("ps_partkey"))
-        .agg(sum(col("v")).as("value_cents"))
+      // cached: perPart feeds BOTH the global total and the membership
+      // filter — uncached, the partsupp scan + two broadcast joins + the
+      // per-part aggregate ran twice (guide §2.4 shared-subtree rule).
+      // Slim: one (partkey, value) row per part.
+      val perPart = graft.CacheScope.cache(vals.groupBy(col("ps_partkey"))
+        .agg(sum(col("v")).as("value_cents")))
       // overflow headroom at the 100 TB design point (the q17/q22 rule):
       // per-part value is bounded (4 suppliers × cents × availqty
       // < 2×10^10 — BIGINT-safe always), but the GLOBAL total and the

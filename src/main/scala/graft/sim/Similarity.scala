@@ -894,14 +894,23 @@ object Similarity {
     */
   def pageRankKnn(corpus: DataFrame, idCol: String, vecCol: String,
                   k: Int = 3, iters: Int = 3, blocks: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    // (src, dst, od) in ONE cached relation: the out-degree join is
+    // iteration-invariant, so pre-joining it here runs the groupBy+join
+    // once instead of once per iteration (guide §1.2: don't recompute
+    // loop-invariant work) — and the loop below then touches exactly one
+    // edge-shaped input.
+    val edges0 = knnGraph(corpus, idCol, vecCol, k, blocks)
+      .select(col("id").as("src"), col("nbr").as("dst"))
     val edges = graft.CacheScope.cache(
-      knnGraph(corpus, idCol, vecCol, k, blocks)
-        .select(col("id").as("src"), col("nbr").as("dst")))
+      edges0.join(edges0.groupBy(col("src")).agg(count(lit(1)).as("od")),
+        Seq("src")))
     val nodes = graft.CacheScope.cache(
       edges.select(col("src").as("node")).distinct())
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
     // one count job sizes the teleport constant (the s_knn_lsh
-    // exact-metadata-count convention — never a plan-stats estimate)
+    // exact-metadata-count convention — never a plan-stats estimate);
+    // it also materializes the edges cache before the rounds fan out
+    // over it
     val n = nodes.count()
     // empty kNN graph (empty corpus, or no vector yielded an edge):
     // PageRank of nothing is nothing — and the teleport constant below
@@ -910,10 +919,17 @@ object Similarity {
       return nodes.select(col("node").as("id"), lit(0L).as("pr"))
     val r0 = 1000000000000L / n
     val teleport = (r0 * 15L) / 100L
+    // The rank chain stays LAZY lineage (no per-round cache/LogicalRDD
+    // wrap): at the fixed iters=3 the chained plan is shallow, and an
+    // r21 A/B of per-round cache + lineage truncation (the bpeTrain
+    // convention) measured 1.5-1.7x SLOWER warm — three extra cache
+    // materializations per invocation outweigh the saved analysis of a
+    // 3-round tree. A caller running MANY iterations is the case the
+    // truncation convention exists for; reintroduce it there, not here.
+    val _ = spark // (session retained for that future many-iters tier)
     var pr = nodes.select(col("node"), lit(r0).as("pr"))
     (1 to iters).foreach { _ =>
-      val contrib = edges.join(outdeg, Seq("src"))
-        .join(pr, col("src") === col("node"))
+      val contrib = edges.join(pr, col("src") === col("node"))
         .select(col("dst"), expr("pr div od").as("c"))
       pr = nodes.join(
           contrib.groupBy(col("dst")).agg(sum(col("c")).as("s")),

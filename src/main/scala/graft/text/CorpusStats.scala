@@ -1051,7 +1051,12 @@ object CorpusStats {
       df.select(col(srcCol).as("source"),
           explode(TextAnalysis.asciiTokens(col(textCol))).as("tok")))
     val corpus = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val top = corpus.orderBy(col("c").desc, col("tok")).limit(topV)
+    // cached: `top` feeds THREE consumers (the nTop scalar, the
+    // semi-join's broadcast side, the final ratio join) — uncached, each
+    // re-ran the corpus-vocabulary aggregate + TakeOrdered over the
+    // cached token stream (guide §2.4). ≤ topV rows.
+    val top = graft.CacheScope.cache(
+      corpus.orderBy(col("c").desc, col("tok")).limit(topV))
     val r = top.agg(sum(col("c"))).head()
     val nTop = if (r.isNullAt(0)) 0L else r.getLong(0)
     val srcC = tok.join(broadcast(top.select(col("tok"))), Seq("tok"))
