@@ -894,17 +894,20 @@ object Similarity {
     */
   def pageRankKnn(corpus: DataFrame, idCol: String, vecCol: String,
                   k: Int = 3, iters: Int = 3, blocks: Int = 8): DataFrame = {
-    val spark = corpus.sparkSession
-    // (src, dst, od) in ONE cached relation: the out-degree join is
-    // iteration-invariant, so pre-joining it here runs the groupBy+join
-    // once instead of once per iteration (guide §1.2: don't recompute
-    // loop-invariant work) — and the loop below then touches exactly one
-    // edge-shaped input.
-    val edges0 = knnGraph(corpus, idCol, vecCol, k, blocks)
-      .select(col("id").as("src"), col("nbr").as("dst"))
+    // edges cached FIRST and materialized (via the nodes.count() below)
+    // BEFORE anything references it twice: a pre-joined (src, dst, od)
+    // single relation was tried in r21 and referenced the un-cached
+    // kNN-graph plan on both sides of its self-join — the expensive
+    // block-pair join built TWICE on a cold cache (11.7 s vs 1.1 s;
+    // the dedupClusters materialize-once lesson, re-learned).
     val edges = graft.CacheScope.cache(
-      edges0.join(edges0.groupBy(col("src")).agg(count(lit(1)).as("od")),
-        Seq("src")))
+      knnGraph(corpus, idCol, vecCol, k, blocks)
+        .select(col("id").as("src"), col("nbr").as("dst")))
+    // out-degrees are iteration-invariant: cached once off the edge cache
+    // (previously re-aggregated+joined inside every power iteration —
+    // guide §1.2, hoist loop-invariant work).
+    val outdeg = graft.CacheScope.cache(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("od")))
     val nodes = graft.CacheScope.cache(
       edges.select(col("src").as("node")).distinct())
     // one count job sizes the teleport constant (the s_knn_lsh
@@ -926,10 +929,10 @@ object Similarity {
     // materializations per invocation outweigh the saved analysis of a
     // 3-round tree. A caller running MANY iterations is the case the
     // truncation convention exists for; reintroduce it there, not here.
-    val _ = spark // (session retained for that future many-iters tier)
     var pr = nodes.select(col("node"), lit(r0).as("pr"))
     (1 to iters).foreach { _ =>
-      val contrib = edges.join(pr, col("src") === col("node"))
+      val contrib = edges.join(outdeg, Seq("src"))
+        .join(pr, col("src") === col("node"))
         .select(col("dst"), expr("pr div od").as("c"))
       pr = nodes.join(
           contrib.groupBy(col("dst")).agg(sum(col("c")).as("s")),
