@@ -194,12 +194,9 @@ object Multimodal {
           val img = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
           val rgb = (seed * 2654435761L & 0xFFFFFF).toInt
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
+          // bulk setRGB (identical stored bytes — see synthesizePatternPng)
+          val arr = Array.fill(w * h)(rgb)
+          img.setRGB(0, 0, w, h, arr, 0, w)
           val out = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", out)
           Row.fromSeq(r.toSeq :+ Row(out.toByteArray, "image/png", "binary"))
@@ -244,6 +241,12 @@ object Multimodal {
         require(cls >= 0, s"negative class $cls: channel formula underflows")
         val img = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        // one bulk setRGB per image instead of w×h calls: the bulk
+        // variant applies the identical per-element sRGB conversion
+        // (same stored bytes, same PNG, same phash) without the
+        // per-call raster/sync overhead — measured r21, per-task-work
+        // tier (guide §1.2 step 2)
+        val arr = new Array[Int](w * h)
         var y = 0
         while (y < h) {
           var x = 0
@@ -251,11 +254,12 @@ object Multimodal {
             val rr = (32 + (cls * 7 + x * 13L + y * 31L) % 160 + jit).toInt
             val gg = (32 + (cls * 11 + x * 17L + y * 23L) % 160 + jit).toInt
             val bb = (32 + (cls * 13 + x * 19L + y * 29L) % 160 + jit).toInt
-            img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+            arr(y * w + x) = (rr << 16) | (gg << 8) | bb
             x += 1
           }
           y += 1
         }
+        img.setRGB(0, 0, w, h, arr, 0, w)
         val out = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", out)
         Row.fromSeq(r.toSeq :+ Row(out.toByteArray, "image/png", "binary"))
