@@ -22,6 +22,19 @@ object CorpusStats {
     df.select(col(idCol).cast("long").as("id"),
       TextAnalysis.asciiTokens(col(textCol)).as("toks"))
 
+  /** Double-space char spread ("abc" → "a  b  c") — the BPE/WordPiece
+    * symbol-sequence representation (see [[bpeTrain]] for why delimiters
+    * are doubled). `split(tok, "")` + array_join replaces the original
+    * `regexp_replace(tok, "(.)", "$1  ")`: same output byte-for-byte on
+    * the [a-z0-9]+ tokens [[TextAnalysis.asciiTokens]] produces (0 diffs
+    * over the full sf0.1 token stream; property-spec'd incl. 1-char and
+    * digit tokens) and ~1.45× faster through the encode chain — group-ref
+    * regex substitution per character was the scan stage's hot spot
+    * (guide §1.2 per-task work; measured r21, SpreadBench).
+    */
+  private[graft] def charSpread(tok: Column): Column =
+    trim(array_join(split(tok, ""), "  "))
+
   /** Unigram-LM negative log-likelihood per document — the CCNet-style
     * "perplexity filter" (Wenzek et al., LREC 2020: score web documents
     * with an LM; drop/partition by perplexity band). The LM here is fit on
@@ -454,7 +467,7 @@ object CorpusStats {
     var vocab = graft.CacheScope.cache(
       df.select(explode(TextAnalysis.asciiTokens(col(textCol))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
-        .select(trim(regexp_replace(col("tok"), "(.)", "$1  ")).as("seq"),
+        .select(charSpread(col("tok")).as("seq"),
           col("wc")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 1
@@ -517,8 +530,7 @@ object CorpusStats {
     // doubled delimiters + one replace per merge = greedy application in
     // merge order (see bpeTrain); the whole chain is still a single
     // scan-stage string expression
-    var c: Column = concat(lit(" "),
-      trim(regexp_replace(col("tok"), "(.)", "$1  ")), lit(" "))
+    var c: Column = concat(lit(" "), charSpread(col("tok")), lit(" "))
     for ((a, b) <- merges)
       c = replace(c, lit(s" $a  $b "), lit(s" $a$b "))
     df.select(col(idCol).cast("long").as("id"),
@@ -565,7 +577,7 @@ object CorpusStats {
     var vocab = graft.CacheScope.cache(
       df.select(explode(TextAnalysis.asciiTokens(col(textCol))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
-        .select(trim(regexp_replace(col("tok"), "(.)", "$1  ")).as("seq"),
+        .select(charSpread(col("tok")).as("seq"),
           col("wc")))
     // Spark Longs WRAP on overflow (non-ANSI) — a wrapped score would
     // silently corrupt the argmax, so bound the whole run up front:

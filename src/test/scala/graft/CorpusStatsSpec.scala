@@ -351,6 +351,23 @@ class CorpusStatsSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("charSpread ≡ regexp_replace char spread on the asciiTokens charset (r21)") {
+    // the r21 split-empty spread must match the original group-ref regex
+    // byte-for-byte on every token asciiTokens can produce ([a-z0-9]+):
+    // 1-char, digits, long same-char runs, mixed alnum
+    val gen = org.scalacheck.Gen.nonEmptyListOf(
+      org.scalacheck.Gen.oneOf(("abcxyz0159".toSeq))).map(_.mkString)
+    val samples = org.scalacheck.Gen.listOfN(300, gen)
+      .sample.get ++ Seq("a", "7", "aaaaaaa", "a0a0a0", "z" * 64)
+    val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "tok")
+    val diff = df.select(
+        graft.text.CorpusStats.charSpread(col("tok")).as("a"),
+        trim(regexp_replace(col("tok"), "(.)", "$1  ")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0L)
+  }
+
   test("bpe pair counts: multiplicity-weighted, single-char tokens skipped") {
     // "aba ab x aba" → pairs: ab,ba (×2 from aba×2) + ab (×1) → ab:3 ba:2;
     // "x" contributes none
