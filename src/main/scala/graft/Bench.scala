@@ -483,6 +483,25 @@ object Bench {
     val scanCls = scala.collection.mutable.Map.empty[String, Boolean]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => prefixes.exists(kv._1.startsWith))
+    // Session-tier eviction audit (r21 VERDICT item 2): when the heap
+    // hatch below dumps the SESSION cache tier mid-board, the next
+    // consumer rebuilds the whole pair product INSIDE its timed window
+    // (r21 driver run: d_cluster_keep_best 10.4 s vs its 1.3-2.2 s band,
+    // same commit at 8 cores 1.75 s). The record must say so itself:
+    // `session_hatch` lists the query AFTER which each hatch fired, and
+    // `hatch_rebuilds` names the first query whose timed window
+    // re-materialized the session tier afterwards — its median silently
+    // includes the rebuild and must be read as tainted.
+    val hatchEvents = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val hatchRebuilds = scala.collection.mutable.ArrayBuffer.empty[String]
+    var hatchPending = false
+    // Hatch threshold scales with the configured heap (was a flat 2000 MB,
+    // set when the bench JVM ran 4g): at the default -Xmx8g a post-GC
+    // footprint of 2 GB is comfortable, and firing the hatch there trades
+    // a non-problem for a guaranteed mid-board rebuild. 40% of max heap
+    // keeps the escape hatch for genuine retention (the r9 failure fired
+    // at ~3.6 GB of 4g) without hair-triggering on big heaps.
+    val hatchMb = math.max(2000L, rt.maxMemory() / (1024 * 1024) * 2 / 5)
     val results = selected.zipWithIndex.map { case ((name, fn), qIdx) =>
       if (qIdx > 0 && qIdx % probeEvery == 0) {
         val p = probeSeconds(spark)
@@ -494,6 +513,7 @@ object Bench {
       }
       var lastDf: org.apache.spark.sql.DataFrame = null
       scanLis.current = name
+      val sessBefore = CacheScope.sessionLiveCount
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val n = try { val df = fn(spark, sfDir); lastDf = df; df.count() }
@@ -508,6 +528,14 @@ object Bench {
       // classify BEFORE the cache release below; planning is memoized in
       // the frame's QueryExecution and costs ~ms outside the timed region
       if (lastDf != null) scanCls(name) = scanBroadcastClass(name, lastDf)
+      // first session-tier rebuild after a hatch: this query's timed
+      // window paid the full pair-gen re-materialization (see above)
+      if (hatchPending && sessBefore == 0 && CacheScope.sessionLiveCount > 0) {
+        hatchRebuilds += name
+        hatchPending = false
+        System.err.println(s"[bench] $name rebuilt the session tier inside " +
+          "its timed window (post-hatch) — its median includes pair-gen")
+      }
       val cold = times.head._1
       // A failed iteration (rows == -1) must not masquerade as a timing:
       // time-to-exception is typically tiny, so recording it would make a
@@ -558,9 +586,11 @@ object Bench {
       System.gc()
       scanLis.current = "" // listener-bus drain window over (see doc)
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
-      if (heapMb > 2000) {
+      if (heapMb > hatchMb) {
         System.err.println(
-          s"[bench] heap pressure (${heapMb}MB): clearing ALL caches including session tier")
+          s"[bench] heap pressure (${heapMb}MB > ${hatchMb}MB): clearing ALL caches including session tier")
+        hatchEvents += name -> heapMb.toDouble
+        hatchPending = true
         CacheScope.releaseSession()
         spark.sharedState.cacheManager.clearCache()
         System.gc()
@@ -916,6 +946,7 @@ object Bench {
         s""""probe_max":${fmt("%.4f", probeMax)},"probe2_min":${fmt("%.4f", probe2Min)},""" +
         s""""probe2_max":${fmt("%.4f", probe2Max)},"probe_version":$probeVersion,""" +
         s""""quiet_best_total":${fmt("%.3f", quietBest)},""" +
+        s""""hatch_events":${hatchEvents.size},""" +
         s""""verdict":"$verdict"}"""
     val samplesJson =
       if (samplesAll.isEmpty) ""
@@ -932,6 +963,10 @@ object Bench {
       mapJson("suspects", suspects) +
       mapJson("stream_rps_roll", rpsRoll) +
       mapJson("rps_suspects", rpsSuspects) +
+      mapJson("session_hatch", hatchEvents.toSeq) +
+      (if (hatchRebuilds.isEmpty) ""
+       else hatchRebuilds.map("\"" + _ + "\"")
+         .mkString(""","hatch_rebuilds":[""", ",", "]")) +
       s""","global_shift":${fmt("%.4f", globalShift)}""" +
       s""","probe_version":$probeVersion""" +
       adjJson + samplesJson

@@ -41,6 +41,21 @@ object PlanFingerprint {
           val cols = f.requiredSchema.fieldNames.mkString("+")
           val pushed = f.metadata.getOrElse("PushedFilters", "[]")
           scans += s"$table{cols=$cols,pushed=$pushed}"
+        // Walk INTO cached relations (ADVICE r21): queries whose scans
+        // moved inside a CacheScope persist (q11, q17, p_pack_*, the
+        // fused DSIR/NB paths) would otherwise lose their column-pruning
+        // and pushdown assertions — InMemoryTableScan hides the
+        // underlying parquet scan, so a pruning regression inside the
+        // cached subtree went undetected. The cached plan may be wrapped
+        // in AdaptiveSparkPlanExec (a leaf until executed): unwrap via
+        // inputPlan — the pre-AQE shape, same stability rationale as
+        // fingerprinting sparkPlan itself.
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          im.relation.cachedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              visit(a.inputPlan)
+            case cp => visit(cp)
+          }
         case _ => ()
       }
       val cls = p.getClass.getSimpleName

@@ -40,7 +40,9 @@ object ScanAudit {
         val im = "InMemoryTableScan".r.findAllIn(p).length
         println(s"$name\t${scans.size}\t$dup\t$ex\t$bc\t$smj\t$bnl\t$im")
       } catch { case e: Throwable =>
-        println(s"$name\tERR\t${e.getClass.getSimpleName}")
+        // padded to the 8-column header so TSV parsers stay aligned
+        // across an audit containing a failed query (ADVICE r21)
+        println(s"$name\tERR\t${e.getClass.getSimpleName}\t-\t-\t-\t-\t-")
       }
       graft.CacheScope.releaseAll()
       spark.sharedState.cacheManager.clearCache()
