@@ -940,8 +940,15 @@ object Dedup {
   def domainQualityFilter(df: DataFrame, domainCol: String, qualityCol: String,
                           idCol: String, minMeanQuality: Double,
                           minDocs: Long = 2L): DataFrame = {
-    val scored = df.select(col(idCol).as("id"),
-      col(domainCol).as("domain"), col(qualityCol).cast("double").as("q"))
+    // Cached (guide §2.4): this projection feeds BOTH the per-domain
+    // aggregate and the final probe join, and the caller's quality
+    // column is typically an expensive scan-stage expression
+    // (d_domain_filter: qualityScore's regex battery over full text) —
+    // uncached it evaluated twice per invocation (round-22 ScanAudit:
+    // 2 scans of documents, dup_max=2). Slim rows (id, domain, q);
+    // caller-released via CacheScope.releaseAll.
+    val scored = graft.CacheScope.cache(df.select(col(idCol).as("id"),
+      col(domainCol).as("domain"), col(qualityCol).cast("double").as("q")))
     val dom = scored.groupBy(col("domain"))
       .agg(count(lit(1)).as("domain_docs"),
         round(avg(col("q")), 6).as("domain_mean_q"))

@@ -565,6 +565,14 @@ object LlmQueries {
     // bounded; every heavy build is the gated engines' own plan.
     "s_ann_recall" -> ((s, dir) => {
       import s.implicits._
+      // NOT cached (round-22 A/B): persisting emb once for all four
+      // engines cut the audit to 1 parquet scan but measured SLOWER both
+      // runs (median 0.98 → 1.42/1.79 s, cold 1.71 → 3.65 s) — the
+      // engines' column-pruned parquet scans of the 0.8 MB table are
+      // cheaper than the cache materialization + InMemoryTableScan
+      // substitution it forces into every engine plan (guide §1.1: the
+      // "ideal" plan lost to the measurement). The 10 scans stand: each
+      // engine's plan is deliberately the gated s_knn_* build.
       val brute = graft.CacheScope.cache(
         knnBruteRaw(s, dir).select(col("qid"), col("id")))
       val approx =

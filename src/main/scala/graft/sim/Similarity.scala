@@ -363,11 +363,21 @@ object Similarity {
                          seed: Long = 42L,
                          maxPairsBudget: Long = Similarity.DefaultPairsBudget): DataFrame = {
     val tEff = threshold - 1e-6
-    val e = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-        asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    // One tiny row per block; joining it back is broadcast-sized under AQE.
-    val sizes = e.groupBy(col("blk")).agg(count(lit(1)).as("__blk_n"))
+    // Cached (guide §2.4): this projected relation feeds SIX consumers —
+    // the block-size aggregate, the pair-budget guard job, both sides of
+    // the exact tier's self-join, and both sides of the LSH tier — so
+    // uncached it re-ran the corpus scan + norm projection up to 8× per
+    // invocation (round-22 ScanAudit: d_embed_neardup 8 parquet scans of
+    // embeddings). Caller-released via CacheScope.releaseAll; the budget
+    // guard's head() below materializes it before the joins fan out.
+    val e = graft.CacheScope.cache(
+      df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+          asDouble(col(vecCol)).as("v"))
+        .withColumn("nrm", norm(col("v"))))
+    // One tiny row per block; joining it back is broadcast-sized under
+    // AQE. Cached too: consumed by the guard job and the tagged join.
+    val sizes = graft.CacheScope.cache(
+      e.groupBy(col("blk")).agg(count(lit(1)).as("__blk_n")))
     // ENFORCED pair budget on the EXACT tier (the LSH tier's work is
     // bucket-bounded by construction): one lightweight aggregate over the
     // per-block counts — a (blk) column scan, the price of turning the

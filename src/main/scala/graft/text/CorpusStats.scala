@@ -213,10 +213,17 @@ object CorpusStats {
     */
   def nbScoreLabeled(df: DataFrame, textCol: String, idCol: String,
                      label: Column, addK: Double = 0.5): DataFrame = {
+    // MEMORY_AND_DISK_SER (r21 VERDICT item 5): this is the one fused-path
+    // cache at TOKEN grain — (id, y, tok) is corpus-sized at 100 TB, so
+    // the storage level keeps the blocks serialized end-to-end rather
+    // than holding per-batch object headers on-heap; the fusion itself
+    // (one corpus pass instead of two) is unchanged. Measured at sf0.1:
+    // t_nb_classify warm is unchanged within noise vs MEMORY_AND_DISK.
     val tok = graft.CacheScope.cache(
       df.select(col(idCol).cast("long").as("id"),
         label.cast("boolean").as("y"),
-        explode_outer(TextAnalysis.asciiTokens(col(textCol))).as("tok")))
+        explode_outer(TextAnalysis.asciiTokens(col(textCol))).as("tok")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val counts = graft.CacheScope.cache(
       tok.filter(col("tok").isNotNull).groupBy(col("tok")).agg(
         sum(when(col("y"), 1L).otherwise(0L)).as("cpos"),
