@@ -392,7 +392,11 @@ object Bench {
       env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3") == "3" &&
       !env.contains("SPARK_GRAFT_STATE_PROVIDER") &&
       !Set("0", "off", "false", "snapshot").contains(
-        env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "1").trim.toLowerCase)
+        env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "1").trim.toLowerCase) &&
+      // row-count tracking default OFF since r22 (write amplification);
+      // an explicit =1 run measures a different state write path
+      !Set("1", "on", "true").contains(
+        env.getOrElse("SPARK_GRAFT_ROCKSDB_TRACKROWS", "0").trim.toLowerCase)
 
   /** Warm up codegen/scan paths so the alphabetically-first query doesn't
     * absorb JVM+session startup in its timing. Shared with ScaleBench —

@@ -202,6 +202,11 @@ object ScaleBench {
     // SPARK_GRAFT_MASTER / state-provider knobs as Bench/Verify — an
     // inline local[k] builder here would silently re-measure scaling in
     // single-JVM mode when the user asked for local-cluster.
+    // RocksDB row-count tracking pinned ON here (r22): the state-growth
+    // defense below reads peak numRowsTotal, which is -1 under the
+    // bench's tracking-off default; exponents stay internally consistent
+    // because every scale point pays the same tracking cost.
+    Sessions.rocksdbTrackRowsForce = Some(true)
     val spark = Sessions.build(cpus)
     // same warmup as Bench: without it, the 1× column of whichever query
     // runs first absorbs JVM/codegen startup, polluting cross-session

@@ -55,6 +55,29 @@ object Sessions {
       sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "1")
         .trim.toLowerCase)
 
+  /** RocksDB per-row count tracking (`trackTotalNumberOfRows`). When on
+    * (Spark's default), every state put/delete first GETS the existing
+    * key to keep `numRowsTotal` exact — ~2x write amplification on
+    * write-heavy state, purely for a metric. Default OFF here since
+    * round 22 (A/B on the full gate board: see OPTIMIZATION_r22.md);
+    * the cost is that StreamingQueryProgress reports numRowsTotal = -1,
+    * so the bench's peak-state-rows telemetry reads -1 under the
+    * default — re-enable via SPARK_GRAFT_ROCKSDB_TRACKROWS=1 when a
+    * round needs state-size evidence (rolls freeze under the explicit
+    * knob like every execution-shaping env var). */
+  def rocksdbTrackRowsEnabled: Boolean =
+    rocksdbTrackRowsForce.getOrElse(
+      Set("1", "on", "true").contains(
+        sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_TRACKROWS", "0")
+          .trim.toLowerCase))
+
+  /** In-JVM override for [[rocksdbTrackRowsEnabled]]: ScaleBench pins it
+    * TRUE — its state-growth-exponent defense (r16 VERDICT item 4)
+    * reads peak `numRowsTotal` per scale point, which reports -1 when
+    * tracking is off. Wall-clock exponents stay internally consistent
+    * (every point pays the same tracking cost). */
+  @volatile private[graft] var rocksdbTrackRowsForce: Option[Boolean] = None
+
   /** Resolved state-store provider FQCN from SPARK_GRAFT_STATE_PROVIDER.
     * DEFAULT: RocksDB since round 22 (previously Spark's HDFSBacked
     * in-memory provider). Two reasons, in order:

@@ -379,12 +379,20 @@ object CorpusQueries {
     val clKey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val wantCl = graft.Sessions.rocksdbChangelogEnabled
+    // RocksDB row-count tracking (see Sessions.rocksdbTrackRowsEnabled):
+    // set EXPLICITLY both ways so the gates' write path never depends on
+    // the Spark build's default.
+    val trKey =
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+    val wantTr = graft.Sessions.rocksdbTrackRowsEnabled
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevProv = s.conf.getOption(provKey)
     val prevCl = s.conf.getOption(clKey)
+    val prevTr = s.conf.getOption(trKey)
     s.conf.set("spark.sql.shuffle.partitions", streamParts)
     graft.Sessions.stateProviderClass.foreach(s.conf.set(provKey, _))
     s.conf.set(clKey, wantCl.toString)
+    s.conf.set(trKey, wantTr.toString)
     try start
     finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -395,6 +403,10 @@ object CorpusQueries {
       prevCl match {
         case Some(p) => s.conf.set(clKey, p)
         case None => s.conf.unset(clKey)
+      }
+      prevTr match {
+        case Some(p) => s.conf.set(trKey, p)
+        case None => s.conf.unset(trKey)
       }
     }
   }
