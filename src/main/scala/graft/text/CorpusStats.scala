@@ -587,7 +587,11 @@ object CorpusStats {
     *                 per-side build job and symCnt is computed ONCE per
     *                 round instead of once per broadcast.
     *  - "broadcast": explicit broadcast() on both sides (r21 shape).
-    *  - "plain":     no hint — the planner's two sort-merge joins (r20).
+    *  - "plain":     no hint (r20 shape) — the planner auto-broadcasts
+    *                 at round 1 (the materialized vocab cache carries
+    *                 exact stats) but falls back to sort-merge from
+    *                 round 2 on, where the lineage-truncating LogicalRDD
+    *                 wrap erases the stats.
     * Measured A/B (graft.tools.WordpieceBench, sf0.1, interleaved
     * iterations, round 22): 32 cores — broadcast 1.94 s median / plain
     * 1.92 / collect 2.32; 8 cores — broadcast 1.57 / plain 1.66 /
